@@ -18,12 +18,32 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d))
+    "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
+    "silver_clean" -> ((s, d) => Silver.qClean(s, d)),
+    "silver_enrich" -> ((s, d) => Silver.qEnrich(s, d)),
+    "silver_daily_agg" -> ((s, d) => Silver.qDailyAgg(s, d)),
+    "silver_hourly_agg" -> ((s, d) => Silver.qHourlyAgg(s, d)),
+    "serving_latest_per_user" -> ((s, d) => Serving.qLatestPerUser(s, d)),
+    "serving_weekly" -> ((s, d) => Serving.qWeeklyStats(s, d)),
+    "serving_day_night" -> ((s, d) => Serving.qDayNight(s, d)),
+    "quality_dup_scan" -> ((s, d) => Serving.qDupScan(s, d)),
+    "quality_null_scan" -> ((s, d) => Serving.qNullScan(s, d)),
+    "stats_union" -> ((s, d) => Serving.qStatsUnion(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Tpch.q1OracleSql
+    "q1_pricing_summary" -> Tpch.q1OracleSql,
+    "silver_clean" -> Oracles.silverClean,
+    "silver_enrich" -> Oracles.silverEnrich,
+    "silver_daily_agg" -> Oracles.silverDailyAgg,
+    "silver_hourly_agg" -> Oracles.silverHourlyAgg,
+    "serving_latest_per_user" -> Oracles.servingLatestPerUser,
+    "serving_weekly" -> Oracles.servingWeekly,
+    "serving_day_night" -> Oracles.servingDayNight,
+    "quality_dup_scan" -> Oracles.qualityDupScan,
+    "quality_null_scan" -> Oracles.qualityNullScan,
+    "stats_union" -> Oracles.statsUnion
   )
 }
