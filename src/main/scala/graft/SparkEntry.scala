@@ -28,7 +28,15 @@ object SparkEntry {
     "serving_day_night" -> ((s, d) => Serving.qDayNight(s, d)),
     "quality_dup_scan" -> ((s, d) => Serving.qDupScan(s, d)),
     "quality_null_scan" -> ((s, d) => Serving.qNullScan(s, d)),
-    "stats_union" -> ((s, d) => Serving.qStatsUnion(s, d))
+    "stats_union" -> ((s, d) => Serving.qStatsUnion(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
+    "q5_local_supplier" -> ((s, d) => Tpch.q5LocalSupplier(s, d)),
+    "join_brand_revenue" -> ((s, d) => Joins.qBrandRevenue(s, d)),
+    "join_segment_sales" -> ((s, d) => Joins.qSegmentSales(s, d)),
+    "join_semi_active_customers" -> ((s, d) => Joins.qActiveCustomers(s, d)),
+    "join_anti_dormant_customers" -> ((s, d) => Joins.qDormantCustomers(s, d)),
+    "window_top_orders_per_customer" -> ((s, d) => Joins.qTopOrdersPerCustomer(s, d)),
+    "topk_orders" -> ((s, d) => Joins.qTop10Orders(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,6 +52,14 @@ object SparkEntry {
     "serving_day_night" -> Oracles.servingDayNight,
     "quality_dup_scan" -> Oracles.qualityDupScan,
     "quality_null_scan" -> Oracles.qualityNullScan,
-    "stats_union" -> Oracles.statsUnion
+    "stats_union" -> Oracles.statsUnion,
+    "q3_shipping_priority" -> Tpch.q3OracleSql,
+    "q5_local_supplier" -> Tpch.q5OracleSql,
+    "join_brand_revenue" -> Joins.oBrandRevenue,
+    "join_segment_sales" -> Joins.oSegmentSales,
+    "join_semi_active_customers" -> Joins.oActiveCustomers,
+    "join_anti_dormant_customers" -> Joins.oDormantCustomers,
+    "window_top_orders_per_customer" -> Joins.oTopOrdersPerCustomer,
+    "topk_orders" -> Joins.oTop10Orders
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Joins, Silver, Tpch}
+
+/** Physical-plan shape assertions: correctness gates don't catch a plan
+  * that silently degrades to shuffle-everything, so pin the properties
+  * that matter at 100 TB here. */
+class PlanSpec extends SparkSpecBase {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q5 five-way join broadcasts all dimension legs") {
+    val plan = physicalPlan(Tpch.q5LocalSupplier(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected ≥4 broadcast joins, got $broadcasts in:\n$plan")
+  }
+
+  test("brand revenue join is a broadcast, not a shuffle join") {
+    val plan = physicalPlan(Joins.qBrandRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val plan = physicalPlan(Joins.qTop10Orders(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("silver clean pushes null/range filters into the parquet scan") {
+    val plan = physicalPlan(
+      Silver.clean(Tables.events(spark, sf)))
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("IsNotNull(value)") || plan.contains("IsNotNull(user_id)")),
+      s"filters not pushed:\n$plan")
+  }
+
+  test("q1 scan prunes to referenced columns only") {
+    val plan = physicalPlan(Tpch.q1PricingSummary(spark, sf))
+    // ReadSchema must not include unreferenced wide columns
+    assert(!plan.contains("l_partkey") && !plan.contains("l_suppkey"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("semi/anti joins do not materialize the right side columns") {
+    val semi = physicalPlan(Joins.qActiveCustomers(spark, sf))
+    assert(semi.contains("LeftSemi") || semi.contains("left_semi"))
+    val anti = physicalPlan(Joins.qDormantCustomers(spark, sf))
+    assert(anti.contains("LeftAnti") || anti.contains("left_anti"))
+  }
+}
