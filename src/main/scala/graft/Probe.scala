@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main (not part of the driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, dir)
+    import graft.functions.TextFns
+    val sh = docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val wsOnly = docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+    time("words explode")(println(wsOnly.select(explode(col("ws"))).count()))
+    val noDistinct = wsOnly.select(col("doc_id"),
+      transform(sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3))).as("shingles"))
+    time("shingles no-distinct explode")(println(noDistinct.select(explode_outer(col("shingles"))).count()))
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode_outer(col("shingles")).as("sh"))
+    println(ex.queryExecution.executedPlan.toString.take(2000))
+    time("explode count")(println(ex.count()))
+    time("distinct shingles")(println(ex.select("sh").distinct().count()))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    val joined = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+    time("candidate pair rows")(println(joined.count()))
+    val grouped = joined.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    time("distinct pairs")(println(grouped.count()))
+    val res = grouped
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+    time("final pairs")(println(res.count()))
+    spark.stop()
+  }
+}

@@ -36,7 +36,16 @@ object SparkEntry {
     "join_semi_active_customers" -> ((s, d) => Joins.qActiveCustomers(s, d)),
     "join_anti_dormant_customers" -> ((s, d) => Joins.qDormantCustomers(s, d)),
     "window_top_orders_per_customer" -> ((s, d) => Joins.qTopOrdersPerCustomer(s, d)),
-    "topk_orders" -> ((s, d) => Joins.qTop10Orders(s, d))
+    "topk_orders" -> ((s, d) => Joins.qTop10Orders(s, d)),
+    "text_stats" -> ((s, d) => TextAnalysis.qTextStats(s, d)),
+    "text_lang_id" -> ((s, d) => TextAnalysis.qLangId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(s, d)),
+    "dedup_exact" -> ((s, d) => Dedup.qDedupExact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.qSimhashPairs(s, d)),
+    "sim_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
+    "sim_lsh_topk" -> ((s, d) => Similarity.qLshTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,6 +69,15 @@ object SparkEntry {
     "join_semi_active_customers" -> Joins.oActiveCustomers,
     "join_anti_dormant_customers" -> Joins.oDormantCustomers,
     "window_top_orders_per_customer" -> Joins.oTopOrdersPerCustomer,
-    "topk_orders" -> Joins.oTop10Orders
+    "topk_orders" -> Joins.oTop10Orders,
+    "text_stats" -> TextAnalysis.oTextStats,
+    "text_lang_id" -> TextAnalysis.oLangId,
+    "text_fingerprint" -> TextAnalysis.oFingerprint,
+    "dedup_exact" -> Dedup.oDedupExact,
+    "dedup_ngram_jaccard" -> Dedup.oNgramJaccard,
+    // LSH is candidate-generated but exact-verified, so its output equals
+    // the exact shingle-Jaccard operator's.
+    "dedup_minhash_lsh" -> Dedup.oNgramJaccard,
+    "sim_cosine_topk" -> Similarity.oCosineTopK
   )
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression builders for the training-data-pipeline
+  * operators (SURVEY §7.2 M6): tokenization, quality ratios, language-ID
+  * scoring, shingling, fingerprints. All pure Catalyst expressions
+  * (codegen'd); regexes restricted to the dialect subset shared by Java
+  * and DuckDB/RE2 so oracle twins behave identically.
+  */
+object TextFns {
+
+  /** Whitespace word tokens of the lowercased, trimmed text. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish surface tokens: runs of alphanumerics or single symbols. */
+  val TokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCount(text: Column): Column = regexp_count(text, lit(TokenPattern))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+  def capsCount(text: Column): Column = regexp_count(text, lit("[A-Z]"))
+
+  /** Characters excluding whitespace / word count. */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")) / wordCount(text)
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+  val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
+  val EsStopwords: Seq[String] = Seq("el", "la", "de", "que", "y", "los")
+  val FrStopwords: Seq[String] = Seq("le", "la", "les", "et", "est", "une")
+
+  def stopwordCount(text: Column, stops: Seq[String]): Column = {
+    val arr = array(stops.map(lit): _*)
+    size(filter(words(text), w => array_contains(arr, w)))
+  }
+
+  /** Stopword-profile language ID: score each language's stopword list,
+    * argmax with fixed tiebreak order en > de > es > fr. */
+  def langScores(text: Column): Map[String, Column] = Map(
+    "en" -> stopwordCount(text, EnStopwords),
+    "de" -> stopwordCount(text, DeStopwords),
+    "es" -> stopwordCount(text, EsStopwords),
+    "fr" -> stopwordCount(text, FrStopwords))
+
+  def langId(sEn: Column, sDe: Column, sEs: Column, sFr: Column): Column =
+    when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+
+  /** Normalized-text MD5 fingerprint (whitespace-collapsed, lowercased). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Distinct n-word shingles from an already-materialized words-array
+    * ATTRIBUTE. Pass a projected column, not `words(text)` inline: the
+    * lambda's element_at calls would otherwise re-evaluate the split per
+    * element (O(words²) regex work per doc — measured 17 s vs <1 s on a
+    * 5 k-doc corpus). */
+  def shinglesFromWords(ws: Column, n: Int = 3): Column =
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", ws)))
+
+  /** Convenience form for literals/tests; see shinglesFromWords for the
+    * two-stage form used on real corpora. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Corpus deduplication operators (training-data-pipeline set).
+  *
+  * Scale design:
+  *  - Exact dedup = hash groupBy: one shuffle on the 128-bit digest,
+  *    partial aggregation upstream.
+  *  - Near-dup candidate generation avoids the O(n²) cross join: docs are
+  *    exploded into shingles (or MinHash band keys) and candidates are
+  *    pairs sharing a key — a self-equi-join whose cost tracks the number
+  *    of colliding pairs, not n². At 100 TB you additionally drop
+  *    ultra-frequent shingles (doc_freq above a cap) before the join —
+  *    they generate quadratic garbage pairs and carry no signal; the
+  *    `maxShingleDocFreq` knob does this here.
+  *  - Jaccard verification never rematerializes full texts into the join:
+  *    only (doc_id, shingle-set-size) plus the colliding keys flow.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeps the smallest doc_id
+    * (deterministic survivor, reference dedup A8 analog). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("text_hash", md5(col("text")))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
+      .orderBy(col("keep_doc_id"))
+
+  def oDedupExact: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
+
+  /** (doc_id, shingles, n_shingles) — words materialized as their own
+    * projection so shingling references an attribute (see
+    * TextFns.shinglesFromWords). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+
+  /** Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
+    * generation: |A∩B| counted by the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
+  def shingleJaccardPairs(docs: DataFrame, threshold: Double,
+      maxShingleDocFreq: Int = 1000): DataFrame = {
+    val sh = shingled(docs)
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode_outer(col("shingles")).as("sh"))
+    // drop ultra-frequent shingles before the pair join: the frequent set
+    // is tiny, so it broadcast-anti-joins with no extra shuffle (a window
+    // over every exploded shingle would full-shuffle the corpus)
+    val frequent = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDocFreq).select(col("sh"))
+    val rare = ex.join(broadcast(frequent), Seq("sh"), "left_anti")
+    val a = rare.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = rare.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    shingleJaccardPairs(Tables.documents(spark, dir), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Oracle: brute-force pairwise shingle Jaccard (fine at oracle scale;
+    * the Spark side stays candidate-generated). */
+  def oNgramJaccard: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles
+      |  FROM w)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.shingles, b.shingles))
+      |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.shingles, b.shingles))
+      |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val MinhashFuncs = 64
+  val Bands = 16
+  val RowsPerBand: Int = MinhashFuncs / Bands
+
+  /** MinHash signatures: h_i(doc) = min over shingles of murmur3(shingle, i). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = shingled(docs).select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+    val aggs = (0 until MinhashFuncs).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band hash; then exact-Jaccard
+    * verified so the output equals the exact operator (recall at the 0.8
+    * threshold with 16×4 bands is ≈1−2e-4 worst case). */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // the shingled corpus feeds both the signature build and the verify
+    // joins — cache it so the text isn't re-shingled three times
+    val sh = shingled(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+    val aggs = (0 until MinhashFuncs).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+    val sigs = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(rows: _*).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash-64 per doc: bit k is the sign of Σ_shingles (±1 on xxhash64
+    * bit k). Near-dup pairs = Hamming ≤ maxHamming, candidates blocked on
+    * 4 × 16-bit chunks (any pair with Hamming ≤ 3 shares a chunk; with
+    * ≤ 4 almost always — pigeonhole gives a guarantee at chunks−1). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val ex = shingled(docs).select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k")
+    }
+    ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** 8 chunks × 8 bits: pigeonhole guarantees any pair with Hamming ≤ 7
+    * shares a chunk. 8-bit chunk keys collide often at corpus scale — for
+    * 100 TB use 6×16-bit chunks + rotation families instead (noted for a
+    * later round). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xFFL)).as("ck"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "ck"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Spark-only (xxhash64 not reproducible in the oracle engine) →
+    * rows-only check; semantics unit-tested against the exact operator. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+}

@@ -110,7 +110,9 @@ object Joins {
   }
 
   def oTopOrdersPerCustomer: String =
-    """SELECT * FROM (
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |       o_orderpriority, CAST(rank_in_customer AS INTEGER) AS rank_in_customer
+      |FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
       |  ) AS rank_in_customer FROM orders

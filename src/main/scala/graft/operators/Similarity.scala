@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Embedding similarity search over `embeddings` (vec_id, float[64],
+  * label).
+  *
+  * Determinism: dot products fold the array left-to-right into a double
+  * accumulator (`aggregate`), which is bit-identical to the oracle
+  * engine's sequential list_sum — so even cosine scores hash-match.
+  *
+  * Scale design: brute-force top-k is the O(Q·N) baseline — fine when Q
+  * is small or N fits a broadcast. The LSH variant buckets vectors by
+  * random-hyperplane sign bits so each query only scans its bucket:
+  * candidates drop from N to N/2^planes on average; recall is tunable by
+  * probing multiple buckets (multi-probe left for a later round). At
+  * 100 TB the candidate side is partitioned by bucket id and the query
+  * side broadcast per bucket.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as an ordered left fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", norm(col("embedding")))
+
+  /** Brute-force cosine top-k for queries vec_id < nQueries. */
+  def bruteForceTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("label").as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+  }
+
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
+  def oCosineTopK: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+      |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+      |SELECT query_id, neighbor_id, neighbor_label, cosine,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM p)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val Planes = 4
+  val Dims = 64
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed; Java LCG is
+    * specified, so identical across JVMs/runs). */
+  lazy val hyperplanes: Seq[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(Planes)(Array.fill(Dims)(rng.nextGaussian()))
+  }
+
+  /** Sign-bucket id from the hyperplane dot-product signs. */
+  def lshBucket(emb: Column): Column =
+    hyperplanes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
+      when(dot(emb, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** ANN top-k: candidates restricted to the query's sign bucket plus all
+    * buckets at Hamming distance 1 (multi-probe — recovers most of the
+    * recall sign-LSH loses at bucket boundaries for ~(Planes+1)/2^Planes
+    * of the corpus scanned). Approximate by construction → rows-only
+    * gate; recall is property-tested against the brute-force baseline. */
+  def lshTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val n = withNorm(emb).withColumn("bucket", lshBucket(col("embedding")))
+    val probes = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))): _*)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+      .withColumn("probe", explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bucket").as("probe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("probe")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  def qLshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+}

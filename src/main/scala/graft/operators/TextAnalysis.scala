@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Document-corpus text analysis: quality stats, language ID,
+  * fingerprinting. Narrow per-row transforms — fully parallel, no
+  * shuffle; at 100 TB these run as a single map stage over the corpus
+  * with column pruning down to (doc_id, text).
+  */
+object TextAnalysis {
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = col("text")
+    docs.select(
+        col("doc_id"),
+        length(t).as("char_count"),
+        TextFns.wordCount(t).as("word_count"),
+        TextFns.tokenCount(t).as("token_count"),
+        TextFns.punctCount(t).as("punct_count"),
+        (TextFns.punctCount(t) / length(t)).as("punct_ratio"),
+        TextFns.stopwordCount(t, TextFns.EnStopwords).as("stopword_count"),
+        (TextFns.stopwordCount(t, TextFns.EnStopwords) / TextFns.wordCount(t))
+          .as("stopword_ratio"),
+        TextFns.avgWordLen(t).as("avg_word_len"),
+        (TextFns.capsCount(t) / length(t)).as("caps_ratio"))
+      .withColumn("is_quality",
+        col("char_count").between(100, 1000)
+          && col("stopword_ratio") >= 0.02
+          && col("punct_ratio") <= 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  def oTextStats: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INTEGER) AS char_count,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS word_count,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS token_count,
+      |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS punct_count,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) AS punct_ratio,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        w -> list_contains(['the','a','of','and','is','to','in'], w))) AS INTEGER) AS stopword_count,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        w -> list_contains(['the','a','of','and','is','to','in'], w)))
+      |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio,
+      |    length(regexp_replace(text, '\s', '', 'g'))
+      |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS avg_word_len,
+      |    len(regexp_extract_all(text, '[A-Z]')) / length(text) AS caps_ratio
+      |  FROM documents)
+      |SELECT *, char_count BETWEEN 100 AND 1000
+      |          AND stopword_ratio >= 0.02 AND punct_ratio <= 0.3 AS is_quality
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = col("text")
+    val s = TextFns.langScores(t)
+    docs.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        s("en").as("score_en"), s("de").as("score_de"),
+        s("es").as("score_es"), s("fr").as("score_fr"),
+        TextFns.wordCount(t).as("_wc"))
+      .withColumn("predicted_lang",
+        TextFns.langId(col("score_en"), col("score_de"), col("score_es"), col("score_fr")))
+      .withColumn("confidence",
+        greatest(col("score_en"), col("score_de"), col("score_es"), col("score_fr"))
+          / col("_wc"))
+      .drop("_wc")
+      .orderBy(col("doc_id"))
+  }
+
+  def oLangId: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang AS labeled_lang, text,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, labeled_lang,
+      |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','is','to','in'], w))) AS INTEGER) AS score_en,
+      |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS INTEGER) AS score_de,
+      |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','que','y','los'], w))) AS INTEGER) AS score_es,
+      |    CAST(len(list_filter(ws, w -> list_contains(['le','la','les','et','est','une'], w))) AS INTEGER) AS score_fr,
+      |    len(ws) AS wc
+      |  FROM w)
+      |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr,
+      |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+      |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+      |       WHEN score_es >= score_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang,
+      |  greatest(score_en, score_de, score_es, score_fr) / wc AS confidence
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"),
+        md5(col("text")).as("exact_hash"))
+      .orderBy(col("doc_id"))
+
+  def oFingerprint: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  md5(text) AS exact_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

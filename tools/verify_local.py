@@ -45,6 +45,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns differ  oracle={ecols}  spark={gcols}")
         fail += 1
         continue
+    # column-type parity (warn: the driver may or may not enforce this)
+    etypes = dict(con.sql(f"DESCRIBE {sql}").fetchall() and
+                  [(r[0], r[1]) for r in con.sql(f"DESCRIBE {sql}").fetchall()])
+    gtypes = dict((r[0], r[1]) for r in
+                  con.sql(f"DESCRIBE SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall())
+    for c in ecols:
+        if etypes.get(c) != gtypes.get(c):
+            print(f"WARN {name}: col {c} type oracle={etypes.get(c)} spark-parquet={gtypes.get(c)}")
     if len(erows) != len(grows):
         print(f"FAIL {name}: rowcount oracle={len(erows)} spark={len(grows)}")
         fail += 1
