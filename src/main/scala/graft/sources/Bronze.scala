@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Bronze ingestion layer (reference: kafka_consumer_s3.py + the producer).
+  *
+  * The Kafka hop itself is expressed as configuration builders plus a
+  * value-decoding projection: the connector jar isn't bundled in this
+  * offline environment, so the stream tests drive the same code through
+  * the file source (SURVEY §7.3). Checkpointed Structured Streaming
+  * replaces the reference's manual offset commit: offsets live in the
+  * checkpoint and the parquet sink is idempotent per micro-batch, giving
+  * exactly-once into Bronze (vs the reference's at-least-once + dedup).
+  */
+object Bronze {
+
+  /** S3 consumer config (kafka_consumer_s3.py:127-135) as source options. */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+      maxPerTrigger: Long = 10000): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> maxPerTrigger.toString,
+    "failOnDataLoss" -> "false")
+
+  /** S2 producer config (weather_producer.py:146-154): acks=all + gzip +
+    * idempotence ordering live in kafka.* passthrough options. */
+  def kafkaSinkOptions(bootstrap: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "topic" -> topic,
+    "kafka.acks" -> "all",
+    "kafka.compression.type" -> "gzip",
+    "kafka.retries" -> "3",
+    "kafka.max.in.flight.requests.per.connection" -> "1")
+
+  /** Kafka wire → typed rows + lineage columns (S3/S5: the reference
+    * appends _kafka_partition/_offset/_timestamp, kafka_consumer_s3.py:
+    * 202-224). Works on any kafka-shaped frame (value/partition/offset/
+    * timestamp), batch or streaming. */
+  def fromKafkaJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(
+        from_json(col("value").cast("string"), schema).as("r"),
+        col("partition").as("_kafka_partition"),
+        col("offset").as("_kafka_offset"),
+        col("timestamp").as("_kafka_timestamp"))
+      .select(col("r.*"), col("_kafka_partition"), col("_kafka_offset"),
+        col("_kafka_timestamp"))
+
+  /** Records → kafka wire shape: key by entity, JSON value (S2,
+    * weather_producer.py:146-192). */
+  def toKafkaJson(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Hive-partitioned batch append (S8, silver_processor.py:308-331). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], mode: String = "append"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Streaming ingest → partitioned Bronze parquet with checkpointed
+    * exactly-once (S4). Trigger.AvailableNow = the reference's bounded
+    * drain-then-stop loop (weather_pipeline_dag.py:100-124). */
+  def ingestStream(src: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    src
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
+      .writeStream
+      .format("parquet")
+      .partitionBy("year", "month", "day")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Bronze scan with declarative partition pruning — Catalyst prunes
+    * year=/month=/day= directories from the filter, replacing the
+    * reference's python path-string building (silver_processor.py:
+    * 134-140, SURVEY §4). */
+  def readBronze(spark: SparkSession, path: String,
+      date: Option[java.time.LocalDate] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    date.fold(df) { d =>
+      df.filter(col("year") === d.getYear
+        && col("month") === d.getMonthValue && col("day") === d.getDayOfMonth)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming semantics for the event stream (SURVEY §2.9):
+  * watermarked tumbling windows, streaming dedup, and custom session
+  * state via flatMapGroupsWithState. The reference's calendar-column
+  * groupBys are 1-hour/1-day tumbling windows in disguise — both forms
+  * are provided.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour aggregate with a 2-hour watermark: the streaming
+    * form of Silver.hourlyAgg. Late rows beyond the watermark are
+    * dropped instead of re-merged by full reprocessing. */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("record_count"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Streaming key dedup within the watermark horizon — replay-safe
+    * Bronze→Silver (SURVEY §2.9 watermark row). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  /** start/end in MICROseconds — Timestamp.getTime alone would truncate
+    * the fixture's microsecond precision and desync from the batch twin. */
+  case class SessionState(start: Long, end: Long, count: Int)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, events: Int)
+
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessionization: emits a session whenever a user's stream
+    * goes quiet for `gapMinutes` (event-time timeout keyed state). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, fromMicros(s.start), fromMicros(s.end), s.count))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), count = s.count + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, fromMicros(s.start), fromMicros(s.end), s.count)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch twin of sessionize (same semantics via window functions) — the
+    * correctness oracle for the stateful operator and the backfill path. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapMs = gapMinutes * 60000L
+    val gapSecs = gapMinutes * 60.0
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull
+          || (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSecs)
+          .cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("events"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.sinks.JdbcSink
+
+/** End-to-end pipeline run against a temp warehouse + embedded Derby as
+  * the Gold store: exercises streaming bronze ingest with checkpointing,
+  * the cached silver fan-out, the idempotent anti-join gold load, the
+  * quality gate, and the run ledger. */
+class PipelineSpec extends SparkSpecBase {
+
+  private def freshWarehouse(): String = {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    Files.createDirectories(Paths.get(s"$wh/landing"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$wh/landing/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    wh
+  }
+
+  test("pipeline runs end-to-end: ingest → silver → gold → gate → ledger") {
+    val wh = freshWarehouse()
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val cfg = Pipeline.Config(sf, wh, Some(url))
+
+    val r1 = Pipeline.run(spark, cfg)
+    assert(r1.bronzeRows == 1000, s"bronze ${r1.bronzeRows}")
+    assert(r1.silverRows > 900 && r1.silverRows < 1000) // range filter trims some
+    assert(r1.goldRowsLoaded > 0)
+    assert(r1.duplicateKeys == 0 && r1.criticalNulls == 0)
+    assert(r1.gatePassed)
+
+    // ledger recorded SUCCESS for each stage
+    val log = new JdbcSink.PipelineLog(url)
+    Seq("bronze_ingest", "silver", "gold_load").foreach { stage =>
+      val st = log.statusOf(r1.executionId, stage)
+      assert(st.exists(_._1 == "SUCCESS"), s"$stage ledger: $st")
+    }
+
+    // re-run over the same warehouse: checkpoint skips ingested files,
+    // gold anti-join loads zero new rows (idempotence)
+    val r2 = Pipeline.run(spark, cfg)
+    assert(r2.goldRowsLoaded == 0, s"second run loaded ${r2.goldRowsLoaded}")
+    assert(r2.gatePassed)
+
+    // gold table holds exactly one copy
+    val gold = JdbcSink.readTable(spark, url, "gold_events_daily")
+    assert(gold.count() == r1.goldRowsLoaded)
+  }
+
+  test("date-scoped run prunes bronze partitions declaratively") {
+    val wh = freshWarehouse()
+    val cfg = Pipeline.Config(sf, wh, None,
+      date = Some(java.time.LocalDate.of(2024, 1, 5)))
+    val r = Pipeline.run(spark, cfg)
+    assert(r.bronzeRows > 0 && r.bronzeRows < 100, s"one day ≈ 33 rows, got ${r.bronzeRows}")
+    assert(r.gatePassed)
+  }
+}

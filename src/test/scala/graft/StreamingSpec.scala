@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming semantics driven through the file source +
+  * memory sink (the offline stand-in for the Kafka leg, SURVEY §7.3). */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def eventsDir(): String = {
+    val d = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$d/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d
+  }
+
+  private def streamEvents(dir: String) = Tables.eventsStream(spark, dir)
+
+  test("watermarked hourly window agg matches the batch groupBy") {
+    val dir = eventsDir()
+    val q = StreamingOps.hourlyAggStream(streamEvents(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hourly_out")
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type").count()
+    assert(streamed.count() == batch.count())
+    val total = streamed.agg(sum($"record_count")).head().getLong(0)
+    assert(total == 1000)
+  }
+
+  test("streaming dedup within watermark drops replayed rows") {
+    val dir = eventsDir()
+    // replay: second copy of the same file
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events_replay.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingOps.dedupStream(streamEvents(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_out").count() == 1000,
+      "2000 input rows (replayed) must dedup to 1000")
+  }
+
+  test("stateful sessionize emits the sessions its batch twin closes") {
+    val dir = eventsDir()
+    val q = StreamingOps.sessionize(
+        streamEvents(dir).as[StreamingOps.Event], gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "session_start", "session_end", "events")
+    // a single-batch stream emits: every session closed by a later event,
+    // plus last-sessions whose event-time timeout (end+gap) falls before
+    // the final watermark (max ts − 2h)
+    val events = Tables.events(spark, sf)
+    val cutoffMs = events.agg(max($"ts")).head().getTimestamp(0).getTime - 2 * 3600 * 1000L
+    val batch = StreamingOps.sessionizeBatch(events, 30)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start".desc)
+    val expected = batch.withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1
+        || ($"session_end".cast("long") * 1000L + 30 * 60000L) < cutoffMs)
+      .drop("rn")
+      .select("user_id", "session_start", "session_end", "events")
+    assert(streamed.count() == expected.count(),
+      s"streamed ${streamed.count()} vs expected ${expected.count()}")
+    assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
+  }
+
+  test("kafka option builders carry the reference's delivery guarantees") {
+    val src = graft.sources.Bronze.kafkaSourceOptions("broker:9092", "weather-data")
+    assert(src("startingOffsets") == "earliest" && src("subscribe") == "weather-data")
+    val sink = graft.sources.Bronze.kafkaSinkOptions("broker:9092", "weather-data")
+    assert(sink("kafka.acks") == "all" && sink("kafka.compression.type") == "gzip"
+      && sink("kafka.max.in.flight.requests.per.connection") == "1")
+  }
+
+  test("kafka json round trip: toKafkaJson → fromKafkaJson preserves records") {
+    val recs = Seq((1L, "Paris", 20.5), (2L, "London", 18.0))
+      .toDF("id", "city", "temperature")
+    val wire = graft.sources.Bronze.toKafkaJson(recs, "city")
+      .withColumn("partition", lit(0)).withColumn("offset", monotonically_increasing_id())
+      .withColumn("timestamp", current_timestamp())
+    val back = graft.sources.Bronze.fromKafkaJson(wire, recs.schema)
+    assert(back.select("id", "city", "temperature").orderBy("id").collect().toSeq ==
+      recs.orderBy("id").collect().toSeq)
+    assert(back.columns.contains("_kafka_offset"))
+  }
+
+  test("multimodal partition-batch decode matches the expression stub shape") {
+    val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
+      .as[graft.operators.Multimodal.Media]
+    val feats = graft.operators.Multimodal.decodePartitions(media)
+    val rows = feats.limit(5).collect()
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(r => r.features.forall(f => f >= 0.0 && f < 1.0)))
+    // deterministic: same payload → same features
+    val again = graft.operators.Multimodal.decodePartitions(media).limit(5).collect()
+    assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}
