@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scratch profiling main (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("weather")) { weatherDrive(); return }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -43,6 +44,31 @@ object Probe {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.8)
     time("final pairs")(println(res.count()))
+    spark.stop()
+  }
+
+  /** Drive the weather Silver stage end-to-end on ad-hoc bronze rows. */
+  def weatherDrive(): Unit = {
+    import org.apache.spark.sql.Row
+    import graft.operators.WeatherSilver
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = Seq(
+      Row("Paris", "FR", "2024-01-06T12:00:00", 20.0, 19.0, 18.0, 22.0,
+        1013: Integer, 65: Integer, 10000: Integer, 5.5, 180: Integer, 20: Integer,
+        "Clear", "clear sky", "2024-01-06T07:00:00", "2024-01-06T17:00:00",
+        "2024-01-06T12:00:00", 0: Integer, 123L: java.lang.Long, "2024-01-06T12:00:00"),
+      Row("Oslo", "NO", "2024-01-06T23:00:00", -120.0, null, null, null,
+        null, null, null, null, null, null, null, null,
+        "2024-01-06T09:00:00", "2024-01-06T15:00:00",
+        "2024-01-06T23:00:00", 0: Integer, 125L: java.lang.Long, "2024-01-06T23:00:00"))
+    val bronze = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), WeatherSilver.bronzeSchema)
+    val out = WeatherSilver.hourlyAgg(WeatherSilver.enrich(WeatherSilver.clean(bronze)))
+    out.show(5, truncate = false)
+    println("WEATHER_ROWS=" + out.count())
     spark.stop()
   }
 }
