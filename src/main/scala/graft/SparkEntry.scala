@@ -50,7 +50,9 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeBatch(Tables.events(s, d))
         .orderBy(org.apache.spark.sql.functions.col("user_id"),
           org.apache.spark.sql.functions.col("session_start"))),
-    "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d))
+    "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d)),
+    "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
+    "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +86,10 @@ object SparkEntry {
     // the exact shingle-Jaccard operator's.
     "dedup_minhash_lsh" -> Dedup.oNgramJaccard,
     "sim_cosine_topk" -> Similarity.oCosineTopK,
-    "sessionize_batch" -> Oracles.sessionizeBatch
+    "sessionize_batch" -> Oracles.sessionizeBatch,
+    "asof_events_orders" -> AsOf.oEventsAsofOrders,
+    // native kernel accumulates in the same order as the composition →
+    // shares its oracle bit-for-bit
+    "sim_cosine_topk_native" -> Similarity.oCosineTopK
   )
 }

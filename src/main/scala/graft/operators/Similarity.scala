@@ -73,6 +73,30 @@ object Similarity {
       |      FROM p)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Brute-force top-k on the native fused-loop kernel
+    * (plans.CosineSimilarity) — same accumulation order as dot/norm, so
+    * results are bit-identical to the composition and share its oracle;
+    * the kernel skips the per-pair intermediate arrays of zip_with. */
+  def bruteForceTopKNative(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("label").as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        graft.plans.CosineSimilarity.cosineSim(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+  }
+
+  def qCosineTopKNative(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKNative(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
   val Planes = 4
   val Dims = 64
 

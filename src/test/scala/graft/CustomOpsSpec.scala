@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Similarity}
+import graft.plans.CosineSimilarity
+
+/** Specs for the beyond-builtin operators: as-of join composition and the
+  * native cosine kernel. */
+class CustomOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join attaches the latest right row at or before each left ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100L),
+      (1L, ts("2024-01-01 10:00:20"), 101L),
+      (2L, ts("2024-01-01 10:00:10"), 200L))
+      .toDF("k", "t", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 9.9),
+      (1L, ts("2024-01-01 10:00:20"), 10.1), // simultaneous with trade 101
+      (2L, ts("2024-01-01 10:00:30"), 20.0)) // after trade 200 → no match
+      .toDF("k", "qt", "price")
+    val got = AsOf.asofJoin(trades, quotes, "k", "t", "qt", Seq("price"))
+      .orderBy("trade_id")
+      .select("trade_id", "price").collect()
+    assert(got(0).getDouble(1) == 9.9)   // 10:00:05 → quote at 10:00:00
+    assert(got(1).getDouble(1) == 10.1)  // ts >= simultaneous quote visible
+    assert(got(2).isNullAt(1))           // no prior quote for key 2
+  }
+
+  test("native cosine kernel is bit-identical to the fold composition") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val pairs = emb.select($"vec_id".as("ida"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("idb"), $"embedding".as("b")))
+      .filter($"ida" < $"idb").limit(500)
+    val both = pairs.select(
+      CosineSimilarity.cosineSim($"a", $"b").as("native"),
+      (Similarity.dot($"a", $"b") / (Similarity.norm($"a") * Similarity.norm($"b"))).as("fold"))
+    assert(both.filter($"native" =!= $"fold").count() == 0)
+  }
+
+  test("cosine kernel participates in whole-stage codegen (no fallback)") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(CosineSimilarity.cosineSim($"embedding", $"embedding").as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [cosinesimilarity"), plan)
+    // sanity: self-cosine is exactly 1.0 up to fp rounding
+    val vals = df.limit(10).collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("cosine kernel rejects non-float-array inputs at analysis") {
+    val bad = Seq((Array(1.0, 2.0), Array(2.0, 3.0))).toDF("a", "b") // double arrays
+    val ex = intercept[Exception] {
+      bad.select(CosineSimilarity.cosineSim($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("float") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("zero vector yields null cosine, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(CosineSimilarity.cosineSim($"a", $"b")).head().isNullAt(0))
+  }
+}
