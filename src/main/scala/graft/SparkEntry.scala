@@ -52,7 +52,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("session_start"))),
     "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d)),
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
-    "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d))
+    "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
+    "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
+    "sketch_stats" -> ((s, d) => Scale.qSketchStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,6 +92,7 @@ object SparkEntry {
     "asof_events_orders" -> AsOf.oEventsAsofOrders,
     // native kernel accumulates in the same order as the composition →
     // shares its oracle bit-for-bit
-    "sim_cosine_topk_native" -> Similarity.oCosineTopK
+    "sim_cosine_topk_native" -> Similarity.oCosineTopK,
+    "sql_weekly" -> Sql.oWeeklySql
   )
 }

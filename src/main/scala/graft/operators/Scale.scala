@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scale mechanics that SCALE.md promises: key-salting for skewed
+  * aggregations, bucketed co-located joins, and sketch aggregates for
+  * cardinalities/quantiles that stop fitting exact computation.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed group keys: partial
+    * aggregate by (keys, salt) — spreading a hot key over `saltBuckets`
+    * reducers — then final-combine by keys. Works for any associative
+    * partial/final pair; the built-in combinations are provided.
+    *
+    * AQE's skew handling only splits *join* partitions; a single hot
+    * group in an aggregation still lands on one reducer without this.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int)(
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(col(keys.head), monotonically_increasing_id()), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAgg.head, finalAgg.tail: _*)
+  }
+
+  /** sum/count/min/max through the salt (avg = sum/count downstream). */
+  def saltedBasicStats(df: DataFrame, keys: Seq[String], value: String,
+      saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, keys, saltBuckets)(
+      partial = Seq(
+        sum(col(value).cast("decimal(14,2)")).as("_sum"),
+        count(col(value)).as("_cnt"),
+        min(col(value)).as("_min"),
+        max(col(value)).as("_max")),
+      finalAgg = Seq(
+        sum(col("_sum")).cast("double").as("sum_value"),
+        sum(col("_cnt")).as("record_count"),
+        min(col("_min")).as("min_value"),
+        max(col("_max")).as("max_value")))
+
+  /** Write both sides bucketed by the join key, then join the bucketed
+    * tables: with matching bucket specs Spark plans a sort-merge join
+    * with NO Exchange on either side — the 100 TB fact⋈fact layout. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  def bucketedJoinDemo(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    writeBucketed(Tables.orders(spark, dir), "b_orders", "o_orderkey", buckets)
+    writeBucketed(
+      Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", buckets)
+    spark.table("b_lineitem")
+      .join(spark.table("b_orders"), "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_count"))
+  }
+
+  /** Sketch aggregates: HLL distinct + approximate quantiles — the
+    * bounded-memory substitutes once exact distinct/percentile state
+    * outgrows executors. Approximation ⇒ rows-only gate + tolerance
+    * specs against exact results. */
+  def qSketchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("approx_p99"))
+      .orderBy(col("event_type"))
+}

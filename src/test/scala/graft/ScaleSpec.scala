@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+/** Specs for the scale mechanics: salted aggregation equals the direct
+  * aggregation; bucketed joins plan without exchanges; sketches land
+  * within tolerance of exact answers. */
+class ScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation (skew-safe path)") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy($"event_type").agg(
+      sum($"value".cast("decimal(14,2)")).cast("double").as("sum_value"),
+      count($"value").as("record_count"),
+      min($"value").as("min_value"),
+      max($"value").as("max_value"))
+    val salted = Scale.saltedBasicStats(ev, Seq("event_type"), "value")
+    val d = direct.orderBy("event_type").collect().toSeq
+    val s = salted.select("event_type", "sum_value", "record_count", "min_value", "max_value")
+      .orderBy("event_type").collect().toSeq
+    assert(d == s)
+  }
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val result = Scale.bucketedJoinDemo(spark, sf)
+    // at fixture scale the planner prefers broadcast; disable it to
+    // expose the co-located layout the bucketing buys at fact scale
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(result.agg(sum($"line_count")).head().getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+  }
+
+  test("sketch aggregates land within tolerance of exact answers") {
+    val s = Scale.qSketchStats(spark, sf).collect()
+    s.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    // p50 within the observed range and below p99
+    s.foreach { r =>
+      assert(r.getAs[Double]("approx_p50") <= r.getAs[Double]("approx_p99"))
+    }
+  }
+
+  test("SQL entry surface produces the same plan family as the DSL") {
+    val viaSql = Sql.qWeeklySql(spark, sf)
+    assert(viaSql.count() > 0)
+    // spot-check one aggregate against the DSL computed directly
+    val dsl = Tables.events(spark, sf)
+      .groupBy($"event_type", year($"ts").as("year"), weekofyear($"ts").as("week_of_year"))
+      .agg((sum($"value".cast("decimal(14,2)")).cast("double") / count($"value")).as("avg_value"))
+    val a = viaSql.select("event_type", "year", "week_of_year", "avg_value")
+      .orderBy("event_type", "year", "week_of_year").collect().toSeq
+    val b = dsl.orderBy("event_type", "year", "week_of_year").collect().toSeq
+    assert(a == b)
+  }
+}
