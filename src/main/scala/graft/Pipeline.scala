@@ -66,18 +66,23 @@ object Pipeline {
     val bronze = Bronze.readBronze(spark, bronzePath, cfg.date)
     val bronzeRows = bronze.count()
 
-    // 2. silver: clean + enrich once, fan out to detail + 2 aggregates
+    // 2. silver: clean + enrich once, fan out to detail + 2 aggregates.
+    // Row count comes from observe() on the detail write — one metric
+    // piggybacked on the job instead of the reference's recount pass
+    // (silver_processor.py:321-327, SURVEY §2.11).
     val silverPath = s"${cfg.warehouseDir}/silver"
     val enriched = Silver.enrich(Silver.clean(bronze))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val silverRows = staged[Long]("silver", identity) {
+      val obs = org.apache.spark.sql.Observation("silver_rows")
       Bronze.writePartitioned(
-        enriched, s"$silverPath/events_cleaned", Seq("year", "month"))
+        enriched.observe(obs, count(lit(1)).as("rows")),
+        s"$silverPath/events_cleaned", Seq("year", "month"))
       Bronze.writePartitioned(
         Silver.dailyAgg(enriched), s"$silverPath/events_daily_agg", Seq("year", "month"))
       Bronze.writePartitioned(
         Silver.hourlyAgg(enriched), s"$silverPath/events_hourly_agg", Seq("year", "month"))
-      enriched.count()
+      obs.get("rows").asInstanceOf[Long]
     }
 
     // 3. gold: idempotent load (JDBC if configured, else parquet dedup-merge)

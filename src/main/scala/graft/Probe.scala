@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("weather")) { weatherDrive(); return }
+    if (args.headOption.contains("pipeline")) { pipelineDrive(); return }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -44,6 +45,25 @@ object Probe {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.8)
     time("final pairs")(println(res.count()))
+    spark.stop()
+  }
+
+  /** Drive Pipeline.run end-to-end into a temp warehouse + Derby. */
+  def pipelineDrive(): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val wh = Files.createTempDirectory("graft-drive").toString
+    Files.createDirectories(Paths.get(s"$wh/landing"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$wh/landing/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val url = s"jdbc:derby:memory:drive${System.nanoTime()};create=true"
+    val r = Pipeline.run(spark, Pipeline.Config(sf, wh, Some(url)))
+    println(s"REPORT=$r")
     spark.stop()
   }
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Exprs
+import graft.operators.Silver
+
+/** Property-based semantics specs (SURVEY §5): dedup idempotence,
+  * quality-score bounds, range-filter completeness, agg-sum consistency
+  * over generated inputs rather than fixtures. */
+class PropertySpec extends SparkSpecBase {
+
+  /** Deterministic sampling of a generator (scalatestplus bridge is not
+    * in the offline cache; raw ScalaCheck with fixed seeds is enough). */
+  private def forAll[T](g: Gen[T], n: Int = 15)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+  import spark.implicits._
+
+  private val rowGen = for {
+    id <- Gen.choose(0L, 999L)
+    key <- Gen.choose(0L, 9L)
+    slot <- Gen.choose(0L, 19L)
+    value <- Gen.choose(-150.0, 150.0)
+  } yield (id, key, java.sql.Timestamp.valueOf(
+    java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(slot)), value)
+
+  private val rowsGen = Gen.listOfN(60, rowGen)
+
+  test("dedup is idempotent and keeps the min-id row per key (property)") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("event_id", "user_id", "ts", "value")
+        val once = Silver.dedupFirstByKey(df, Seq("user_id", "ts"), col("event_id"))
+        val twice = Silver.dedupFirstByKey(once, Seq("user_id", "ts"), col("event_id"))
+        val onceRows = once.collect().toSet
+        assert(onceRows == twice.collect().toSet)
+        // survivor is the min event_id of its key group
+        val expected = rows.groupBy(r => (r._2, r._3))
+          .map { case (_, g) => g.minBy(_._1) }.toSet
+        assert(onceRows.map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+          == expected)
+      }
+    }
+  }
+
+  test("quality score stays within [100 - 10*cols, 100] (property)") {
+    forAll(Gen.listOfN(30, Gen.option(Gen.choose(-1000.0, 1000.0)))) { vals =>
+      whenever(vals.nonEmpty) {
+        val df = vals.map(v => Tuple1(v)).toDF("a")
+        val scores = df.select(Exprs.qualityScore(Seq(col("a"), col("a"), col("a"))))
+          .collect().map(_.getInt(0))
+        assert(scores.forall(s => s == 100 || s == 70))
+      }
+    }
+  }
+
+  test("range filter partitions rows exactly (property)") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("event_id", "user_id", "ts", "value")
+      val in = df.filter(col("value").between(-100.0, 60.0)).count()
+      val out = df.filter(!col("value").between(-100.0, 60.0)).count()
+      assert(in + out == rows.size)
+      assert(in == rows.count(r => r._4 >= -100.0 && r._4 <= 60.0))
+    }
+  }
+
+  test("hourly record counts roll up to the daily count (property)") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("event_id", "user_id", "ts", "value")
+          .withColumn("event_type", lit("t"))
+          .withColumn("props", lit("{}"))
+        val enriched = Silver.enrich(df)
+        val daily = Silver.dailyAgg(enriched)
+          .agg(sum($"record_count")).head().getLong(0)
+        val hourly = Silver.hourlyAgg(enriched)
+          .agg(sum($"record_count")).head().getLong(0)
+        assert(daily == hourly && daily == rows.size)
+      }
+    }
+  }
+
+  test("config defaults mirror the reference values; overrides parse") {
+    val c = GraftConfig.default
+    assert(c.valueMin == -100.0 && c.valueMax == 60.0)
+    assert(c.consumerBatchSize == 100 && c.jdbcBatchSize == 1000)
+    assert(c.retentionGoldDays == 365)
+    val p = new java.util.Properties()
+    p.setProperty("quality.value.max", "80")
+    p.setProperty("dedup.keys", "a, b")
+    val o = GraftConfig.fromProperties(p)
+    assert(o.valueMax == 80.0 && o.dedupKeys == Seq("a", "b") && o.valueMin == -100.0)
+  }
+}
