@@ -54,7 +54,13 @@ object SparkEntry {
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
-    "sketch_stats" -> ((s, d) => Scale.qSketchStats(s, d))
+    "sketch_stats" -> ((s, d) => Scale.qSketchStats(s, d)),
+    "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
+    "subq_large_orders" -> ((s, d) => Advanced.qLargeOrders(s, d)),
+    "subq_not_in_unordered_parts" -> ((s, d) => Advanced.qUnorderedParts(s, d)),
+    "agg_rollup_counts" -> ((s, d) => Advanced.qRollupCounts(s, d)),
+    "agg_cube_stats" -> ((s, d) => Advanced.qCubeStats(s, d)),
+    "pivot_daily_counts" -> ((s, d) => Advanced.qPivotDaily(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,6 +99,12 @@ object SparkEntry {
     // native kernel accumulates in the same order as the composition →
     // shares its oracle bit-for-bit
     "sim_cosine_topk_native" -> Similarity.oCosineTopK,
-    "sql_weekly" -> Sql.oWeeklySql
+    "sql_weekly" -> Sql.oWeeklySql,
+    "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
+    "subq_large_orders" -> Advanced.oLargeOrders,
+    "subq_not_in_unordered_parts" -> Advanced.oUnorderedParts,
+    "agg_rollup_counts" -> Advanced.oRollupCounts,
+    "agg_cube_stats" -> Advanced.oCubeStats,
+    "pivot_daily_counts" -> Advanced.oPivotDaily
   )
 }

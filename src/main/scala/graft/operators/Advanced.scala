@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational surface beyond the reference's own usage that any engine
+  * consumer expects: subqueries (scalar / IN / correlated-EXISTS-with-
+  * aggregate), grouping sets (ROLLUP/CUBE), and pivot. All exercise
+  * Catalyst's decorrelation and expand operators; all oracle-checked.
+  *
+  * Scale notes: scalar subqueries broadcast a single row; decorrelated
+  * EXISTS/IN become semi-joins (one shuffle or broadcast); ROLLUP/CUBE
+  * expand rows by the number of grouping sets before the aggregate —
+  * partial aggregation still applies per set, so the shuffle carries
+  * (sets × groups) partials, not raw rows.
+  */
+object Advanced {
+
+  private def dp(c: org.apache.spark.sql.Column) = c.cast(DecimalType(14, 2))
+
+  /** Scalar subquery: parts priced above the average retail price. */
+  def qAboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("v_part")
+    spark.sql(
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM v_part
+        |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+        |                              / COUNT(p_retailprice) FROM v_part)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  def oAboveAvgParts: String =
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+      |                              / COUNT(p_retailprice) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Correlated aggregate subquery (TPC-H Q18 shape): orders whose total
+    * line quantity exceeds a threshold, via HAVING + IN. */
+  def qLargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dp(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def oLargeOrders: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) > 150.0) b
+      |  ON o_orderkey = b.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** ROLLUP over (event_type, year, month): subtotal rows per level. */
+  def qRollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), year(col("ts")).as("year"), month(col("ts")).as("month"))
+      .rollup(col("event_type"), col("year"), col("month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("year").asc_nulls_first,
+        col("month").asc_nulls_first)
+
+  def oRollupCounts: String =
+    """SELECT event_type, CAST(year(ts) AS INTEGER) AS year,
+      |       CAST(month(ts) AS INTEGER) AS month, COUNT(*) AS n
+      |FROM events
+      |GROUP BY ROLLUP (event_type, year(ts), month(ts))
+      |ORDER BY event_type ASC NULLS FIRST, year ASC NULLS FIRST,
+      |         month ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over (event_type, is_day-band): all grouping combinations. */
+  def qCubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (hour(col("ts")).between(7, 18)).as("is_day"), col("value"))
+      .cube(col("event_type"), col("is_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(dp(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("is_day").asc_nulls_first)
+
+  def oCubeStats: String =
+    """SELECT event_type, hour(ts) BETWEEN 7 AND 18 AS is_day,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY CUBE (event_type, hour(ts) BETWEEN 7 AND 18)
+      |ORDER BY event_type ASC NULLS FIRST, is_day ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: daily record counts, one column per event type. Oracle uses
+    * explicit conditional aggregation (the portable form of PIVOT). */
+  def qPivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("date"), col("event_type"))
+      .groupBy(col("date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("date"))
+
+  def oPivotDaily: String =
+    """SELECT CAST(ts AS DATE) AS date,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY CAST(ts AS DATE) ORDER BY date""".stripMargin
+
+  /** Anti-join via NOT IN with null-safe semantics: parts never ordered.
+    * (NOT IN over a nullable column is the classic SQL trap; l_partkey is
+    * non-null here, so both engines agree.) */
+  def qUnorderedParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("v_part2")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem2")
+    spark.sql(
+      """SELECT p_partkey, p_name FROM v_part2
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM v_lineitem2)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  def oUnorderedParts: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      |ORDER BY p_partkey""".stripMargin
+}

@@ -38,7 +38,12 @@ for name, sql in sorted(oracle.items()):
     # canonicalize: sort columns by name, then sort rows
     def canon(rows, cols):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
-        return sorted(tuple(r[i] for i in order) for r in rows), [cols[i] for i in order]
+        # None-safe sort (rollup/cube emit NULL group keys); equality
+        # checks below remain exact
+        def key(row):
+            return tuple((v is None, str(type(v)), str(v)) for v in row)
+        return sorted((tuple(r[i] for i in order) for r in rows), key=key), \
+            [cols[i] for i in order]
     erows, ecols = canon(exp, expcols)
     grows, gcols = canon(got, gotcols)
     if ecols != gcols:
