@@ -8,6 +8,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("weather")) { weatherDrive(); return }
     if (args.headOption.contains("pipeline")) { pipelineDrive(); return }
+    if (args.headOption.contains("streamgold")) { streamGoldDrive(); return }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -45,6 +46,37 @@ object Probe {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.8)
     time("final pairs")(println(res.count()))
+    spark.stop()
+  }
+
+  /** Drive the streaming→JDBC gold leg with a replay. */
+  def streamGoldDrive(): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("sg-landing").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val url = s"jdbc:derby:memory:sg${System.nanoTime()};create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      """CREATE TABLE gold_events ("event_id" BIGINT, "ts" TIMESTAMP,
+        |"user_id" BIGINT, "event_type" VARCHAR(32), "value" DOUBLE,
+        |"props" VARCHAR(256))""".stripMargin)
+    c.close()
+    def run(ck: String): Unit = {
+      val q = graft.streaming.StreamingOps.streamToGold(
+        Tables.eventsStream(spark, dir), url, "gold_events",
+        Seq("user_id", "ts"), Files.createTempDirectory(ck).toString)
+      q.awaitTermination()
+      println("GOLD_ROWS=" + graft.sinks.JdbcSink
+        .readTable(spark, url, "gold_events").count())
+    }
+    run("ck1"); run("ck2") // second run = replay from a fresh checkpoint
     spark.stop()
   }
 

@@ -154,6 +154,28 @@ object WeatherSilver {
         make_timestamp(col("year"), col("month"), col("day"), col("hour"),
           lit(0), lit(0)))
 
+  /** Typed record for the cleaned Silver grain — the Dataset[T] API
+    * boundary (SURVEY §1.3: case-class Encoder where type safety helps;
+    * column expressions stay the workhorse inside the engine). */
+  case class WeatherRecord(
+      city: String, country: String, timestamp: java.sql.Timestamp,
+      temperature: Double, feels_like: Option[Double],
+      temp_min: Option[Double], temp_max: Option[Double],
+      pressure: Option[Int], humidity: Option[Int],
+      wind_speed: Option[Double], data_quality_score: Int)
+
+  /** Cleaned frame → typed Dataset (compile-time field access for
+    * consumers; groupByKey/mapGroups style operations). */
+  def toDataset(cleaned: DataFrame): org.apache.spark.sql.Dataset[WeatherRecord] = {
+    val spark = cleaned.sparkSession
+    import spark.implicits._
+    cleaned.select(col("city"), col("country"), col("timestamp"),
+        col("temperature"), col("feels_like"), col("temp_min"),
+        col("temp_max"), col("pressure"), col("humidity"),
+        col("wind_speed"), col("data_quality_score"))
+      .as[WeatherRecord]
+  }
+
   /** Retention filter (F11 interval arithmetic; cleanup_old_data analog
     * for parquet-resident data, sql/schema.sql:259-286). */
   def retentionFilter(df: DataFrame, tsCol: String, keepDays: Int): DataFrame =

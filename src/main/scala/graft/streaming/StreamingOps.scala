@@ -88,6 +88,25 @@ object StreamingOps {
       }
   }
 
+  /** Streaming → Gold over JDBC with exactly-once effect: foreachBatch
+    * runs the idempotent anti-join append per micro-batch, so replays
+    * (same batch re-delivered after a crash) insert nothing twice. This
+    * is the streaming form of the reference's Gold load (S9) — the
+    * unique-index-error hack replaced by keyed idempotence. */
+  def streamToGold(cleaned: DataFrame, url: String, table: String,
+      keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    cleaned.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.JdbcSink.idempotentAppend(
+          batch.sparkSession, batch, url, table, keys)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch twin of sessionize (same semantics via window functions) — the
     * correctness oracle for the stateful operator and the backfill path. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

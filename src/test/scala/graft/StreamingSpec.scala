@@ -78,6 +78,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
   }
 
+  test("streaming gold load is exactly-once under replay (foreachBatch + anti-join)") {
+    val dir = eventsDir()
+    val url = s"jdbc:derby:memory:sgold${System.nanoTime()};create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      """CREATE TABLE gold_events ("event_id" BIGINT, "ts" TIMESTAMP,
+        |"user_id" BIGINT, "event_type" VARCHAR(32), "value" DOUBLE,
+        |"props" VARCHAR(256))""".stripMargin)
+    c.close()
+    val ckpt = java.nio.file.Files.createTempDirectory("sgold-ckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamingOps.streamToGold(
+        streamEvents(dir), url, "gold_events",
+        Seq("user_id", "ts"), ckpt)
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = graft.sinks.JdbcSink.readTable(spark, url, "gold_events").count()
+    assert(n1 == 1000)
+    // replay the same file under a FRESH checkpoint (simulated source
+    // re-delivery): the anti-join must load zero new rows
+    val ckpt2 = java.nio.file.Files.createTempDirectory("sgold-ckpt2").toString
+    val q2 = StreamingOps.streamToGold(
+      streamEvents(dir), url, "gold_events", Seq("user_id", "ts"), ckpt2)
+    q2.awaitTermination()
+    assert(graft.sinks.JdbcSink.readTable(spark, url, "gold_events").count() == 1000)
+  }
+
+  test("typed Dataset boundary round-trips the cleaned weather grain") {
+    import graft.operators.WeatherSilver
+    val bronze = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("Paris", "FR", "2024-01-01T12:00:00", 20.0, 19.0,
+          18.0, 22.0, 1013: Integer, 65: Integer, 10000: Integer, 5.5, 180: Integer,
+          20: Integer, "Clear", "clear sky", "2024-01-01T07:00:00",
+          "2024-01-01T17:00:00", "2024-01-01T12:00:00", 0: Integer,
+          123L: java.lang.Long, "2024-01-01T12:00:00"))),
+      WeatherSilver.bronzeSchema)
+    val ds = WeatherSilver.toDataset(WeatherSilver.clean(bronze))
+    val rec = ds.head()
+    assert(rec.city == "Paris" && rec.temperature == 20.0)
+    assert(rec.data_quality_score == 100 && rec.humidity.contains(65))
+    // typed groupByKey works over the Dataset
+    val byCountry = ds.groupByKey(_.country).count().collect().toMap
+    assert(byCountry("FR") == 1L)
+  }
+
   test("kafka option builders carry the reference's delivery guarantees") {
     val src = graft.sources.Bronze.kafkaSourceOptions("broker:9092", "weather-data")
     assert(src("startingOffsets") == "earliest" && src("subscribe") == "weather-data")
