@@ -60,7 +60,9 @@ object SparkEntry {
     "subq_not_in_unordered_parts" -> ((s, d) => Advanced.qUnorderedParts(s, d)),
     "agg_rollup_counts" -> ((s, d) => Advanced.qRollupCounts(s, d)),
     "agg_cube_stats" -> ((s, d) => Advanced.qCubeStats(s, d)),
-    "pivot_daily_counts" -> ((s, d) => Advanced.qPivotDaily(s, d))
+    "pivot_daily_counts" -> ((s, d) => Advanced.qPivotDaily(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.qEmbeddingNearDup(s, d)),
+    "range_join_followups" -> ((s, d) => Ranged.qEventFollowups(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,6 +107,8 @@ object SparkEntry {
     "subq_not_in_unordered_parts" -> Advanced.oUnorderedParts,
     "agg_rollup_counts" -> Advanced.oRollupCounts,
     "agg_cube_stats" -> Advanced.oCubeStats,
-    "pivot_daily_counts" -> Advanced.oPivotDaily
+    "pivot_daily_counts" -> Advanced.oPivotDaily,
+    "dedup_embedding_cosine" -> Dedup.oEmbeddingNearDup,
+    "range_join_followups" -> Ranged.oEventFollowups
   )
 }

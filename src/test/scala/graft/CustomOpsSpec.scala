@@ -68,4 +68,29 @@ class CustomOpsSpec extends SparkSpecBase {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     assert(df.select(CosineSimilarity.cosineSim($"a", $"b")).head().isNullAt(0))
   }
+
+  test("binned range join equals the naive theta-join, incl. bin-boundary pairs") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:29:59")), // inside the 30-min gap of 1
+      (3L, 7L, ts("2024-01-01 10:30:00")), // exactly at 1's bound (inclusive), next bin
+      (4L, 7L, ts("2024-01-01 10:30:01")), // just past 1's bound
+      (5L, 8L, ts("2024-01-01 10:05:00")), // other user — never pairs with 7's
+      (6L, 7L, ts("2024-01-01 10:00:00"))) // ties 1 exactly → strict > excludes
+      .toDF("event_id", "user_id", "ts")
+    val a = ev.select($"event_id".as("event_a"), $"user_id", $"ts".as("ts_a"))
+    val b = ev.select($"event_id".as("event_b"), $"user_id", $"ts".as("ts_b"))
+    val binned = graft.operators.Ranged
+      .rangeJoinBinned(a, b, "user_id", "ts_a", "ts_b", 1800L)
+      .select("event_a", "event_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.join(b, Seq("user_id"))
+      .filter($"ts_b" > $"ts_a" && $"ts_b" <= $"ts_a" + expr("INTERVAL 1800 SECONDS"))
+      .select("event_a", "event_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive,
+      s"binned missed ${naive -- binned}, extra ${binned -- naive}")
+    assert(naive.contains((1L, 3L)) && !naive.contains((1L, 4L)) &&
+      !naive.contains((1L, 6L)) && !naive.contains((1L, 5L)))
+  }
 }

@@ -89,4 +89,19 @@ class LlmOpsSpec extends SparkSpecBase {
     val m = got.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(m(1L) == 2L && m(3L) == 1L)
   }
+
+  test("embedding near-dup: exact finds all pairs; LSH variant is an exact subset") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold 0.4 should yield some pairs on the fixture")
+    val lsh = Dedup.embeddingNearDupLsh(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"LSH produced false positives ${lsh -- exact}")
+    // identical vectors always share a bucket → an identical pair, if any,
+    // is always recovered; on noise vectors recall is probabilistic, so
+    // only bound it loosely above the no-blocking-at-all floor
+    assert(lsh.size * 10 >= exact.size,
+      s"LSH recall collapsed: ${lsh.size}/${exact.size}")
+  }
 }
