@@ -62,7 +62,9 @@ object SparkEntry {
     "agg_cube_stats" -> ((s, d) => Advanced.qCubeStats(s, d)),
     "pivot_daily_counts" -> ((s, d) => Advanced.qPivotDaily(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.qEmbeddingNearDup(s, d)),
-    "range_join_followups" -> ((s, d) => Ranged.qEventFollowups(s, d))
+    "range_join_followups" -> ((s, d) => Ranged.qEventFollowups(s, d)),
+    // approximate by construction (cell pruning) → rows-only gate
+    "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

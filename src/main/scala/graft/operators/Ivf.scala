@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** IVF (inverted-file) approximate nearest neighbor — the data-adaptive
+  * scale path next to Similarity's sign-LSH: a k-means coarse quantizer
+  * partitions the corpus into cells, and each query scans only its
+  * `nProbe` closest cells.
+  *
+  * Scale design: the trained centroids are tiny (cells × dims doubles)
+  * and ride along as literal expressions — no broadcast join, no state.
+  * Candidate vectors shuffle once on their cell id; at 100 TB the corpus
+  * is written clustered by cell (partitionBy(cell)), making a probe a
+  * partition-pruned scan of nProbe/cells of the data. Training runs on a
+  * sample; assignment is one codegen'd pass.
+  */
+object Ivf {
+
+  val Cells = 16
+  val NProbe = 6
+  val Seed = 42L
+
+  /** Spherical k-means: cluster L2-normalized vectors so Euclidean
+    * argmin ≡ cosine argmax; centroids re-normalized on the driver so
+    * ranking by plain dot product is ranking by cosine. */
+  def trainCentroids(emb: DataFrame, k: Int = Cells): Seq[Array[Double]] = {
+    val feat = emb
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .select(array_to_vector(
+        transform(col("embedding"), x => x.cast("double") / col("nrm"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(20).fit(feat)
+    model.clusterCenters.toIndexedSeq.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+  }
+
+  /** Array of the nProbe highest-dot cells as (score, cell) structs,
+    * best first. Struct ordering sorts by score then cell id — a
+    * deterministic tiebreak for free. */
+  def probeCells(emb: Column, cents: Seq[Array[Double]], nProbe: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        Similarity.dot(emb, array(c.map(lit).toIndexedSeq: _*)).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+    slice(sort_array(scored, asc = false), 1, nProbe)
+  }
+
+  /** The single best cell — the coarse-quantizer assignment. */
+  def cellOf(emb: Column, cents: Seq[Array[Double]]): Column =
+    element_at(probeCells(emb, cents, 1), 1).getField("cell")
+
+  /** IVF cosine top-k: exact cosine within the probed cells. Approximate
+    * by construction (a true neighbor can live outside every probed
+    * cell) → rows-only gate; recall property-tested vs brute force. */
+  def ivfTopK(emb: DataFrame, k: Int, nQueries: Int,
+      cells: Int = Cells, nProbe: Int = NProbe): DataFrame = {
+    val cents = trainCentroids(emb, cells)
+    val n = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val cands = n.withColumn("cell", cellOf(col("embedding"), cents))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(probeCells(col("embedding"), cents, nProbe).getField("cell"))
+          .as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(cands, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+}

@@ -104,4 +104,18 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(lsh.size * 10 >= exact.size,
       s"LSH recall collapsed: ${lsh.size}/${exact.size}")
   }
+
+  test("IVF ANN: recall beats the scanned fraction (data-adaptive cells > random planes)") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Similarity.bruteForceTopK(emb, 5, 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Ivf.ivfTopK(emb, 5, 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    val scanned = graft.operators.Ivf.NProbe.toDouble / graft.operators.Ivf.Cells
+    // measured 0.668 at sf0.001 (seeded k-means → stable); bound leaves
+    // headroom for fp-order jitter in training while staying well above
+    // the 0.375 scanned-fraction floor
+    assert(recall > scanned + 0.1, s"IVF recall $recall ≤ scanned fraction $scanned")
+  }
 }
