@@ -64,7 +64,9 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.qEmbeddingNearDup(s, d)),
     "range_join_followups" -> ((s, d) => Ranged.qEventFollowups(s, d)),
     // approximate by construction (cell pruning) → rows-only gate
-    "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d))
+    "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d)),
+    "setop_intersect" -> ((s, d) => Advanced.qSetIntersect(s, d)),
+    "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,6 +113,8 @@ object SparkEntry {
     "agg_cube_stats" -> Advanced.oCubeStats,
     "pivot_daily_counts" -> Advanced.oPivotDaily,
     "dedup_embedding_cosine" -> Dedup.oEmbeddingNearDup,
-    "range_join_followups" -> Ranged.oEventFollowups
+    "range_join_followups" -> Ranged.oEventFollowups,
+    "setop_intersect" -> Advanced.oSetIntersect,
+    "setop_except" -> Advanced.oSetExcept
   )
 }

@@ -134,4 +134,37 @@ object Advanced {
     """SELECT p_partkey, p_name FROM part
       |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
       |ORDER BY p_partkey""".stripMargin
+
+  /** INTERSECT (distinct semantics): customers active in both 1999 and
+    * 2000. Plans as a left-semi join + distinct — one shuffle per side.
+    * The year filter is expressed as a date range, not `year(col) = y`:
+    * range predicates are sargable, so they push into the parquet scan
+    * and prune row groups; a function call on the column would not. */
+  def qSetIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def active(y: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    active(1999).intersect(active(2000)).orderBy(col("o_custkey"))
+  }
+
+  def oSetIntersect: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+      |ORDER BY o_custkey""".stripMargin
+
+  /** EXCEPT (distinct semantics): customers with no orders at all —
+    * plans as a left-anti join + distinct. */
+  def qSetExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .except(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  def oSetExcept: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
 }

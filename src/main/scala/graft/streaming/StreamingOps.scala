@@ -32,6 +32,25 @@ object StreamingOps {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Stream-stream interval join: same-user follow-up events within
+    * `gapSecs`. The streaming twin of Ranged.rangeJoinBinned: watermarks
+    * on BOTH sides plus the two-sided time condition let Spark bound the
+    * join state to the watermark + gap horizon and evict older rows —
+    * state is O(events per horizon), independent of stream length. */
+  def followupsStream(a: DataFrame, b: DataFrame,
+      gapSecs: Long = 1800L): DataFrame = {
+    val l = a.select(col("event_id").as("event_a"),
+        col("user_id").as("user_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", "2 hours")
+    val r = b.select(col("event_id").as("event_b"),
+        col("user_id").as("user_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", "2 hours")
+    l.join(r, expr(
+        s"user_a = user_b AND ts_b > ts_a AND ts_b <= ts_a + interval $gapSecs seconds"))
+      .select(col("event_a"), col("event_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_micros"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** start/end in MICROseconds — Timestamp.getTime alone would truncate

@@ -48,4 +48,13 @@ class PlanSpec extends SparkSpecBase {
     val anti = physicalPlan(Joins.qDormantCustomers(spark, sf))
     assert(anti.contains("LeftAnti") || anti.contains("left_anti"))
   }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val plan = physicalPlan(graft.operators.Ranged.qEventFollowups(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degraded to a per-key nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -145,6 +145,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.columns.contains("_kafka_offset"))
   }
 
+  test("stream-stream interval join emits exactly the batch range-join pairs") {
+    val dir = eventsDir()
+    val q = StreamingOps.followupsStream(streamEvents(dir), streamEvents(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("followups_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("followups_out")
+      .select("event_a", "event_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val batch = graft.operators.Ranged.rangeJoinBinned(
+        ev.select($"event_id".as("event_a"), $"user_id", $"ts".as("ts_a")),
+        ev.select($"event_id".as("event_b"), $"user_id", $"ts".as("ts_b")),
+        "user_id", "ts_a", "ts_b", 1800L)
+      .select("event_a", "event_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream missed ${batch -- streamed}, extra ${streamed -- batch}")
+  }
+
   test("multimodal partition-batch decode matches the expression stub shape") {
     val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
       .as[graft.operators.Multimodal.Media]
