@@ -19,17 +19,20 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // noop sink: materializes every row/column (count() would let Catalyst
     // prune projection work, under-measuring map-heavy queries). Each query
-    // is run once unmeasured first: JIT + Janino codegen + file-listing
-    // costs otherwise land arbitrarily on whichever queries run early,
-    // and steady-state is what amortized 100 TB throughput looks like.
+    // runs once unmeasured (JIT + Janino codegen + file listing would land
+    // arbitrarily on whichever queries run early), then the median of 3
+    // measured runs is reported — single runs swing several-fold under
+    // host noise/GC, and steady-state is what amortized 100 TB throughput
+    // looks like.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Unit =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
       once()
-      val t0 = System.nanoTime()
-      once()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> Seq(once(), once(), once()).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

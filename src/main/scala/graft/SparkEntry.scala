@@ -66,7 +66,8 @@ object SparkEntry {
     // approximate by construction (cell pruning) → rows-only gate
     "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d)),
     "setop_intersect" -> ((s, d) => Advanced.qSetIntersect(s, d)),
-    "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d))
+    "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d)),
+    "window_event_deltas" -> ((s, d) => Advanced.qEventDeltas(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,6 +116,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.oEmbeddingNearDup,
     "range_join_followups" -> Ranged.oEventFollowups,
     "setop_intersect" -> Advanced.oSetIntersect,
-    "setop_except" -> Advanced.oSetExcept
+    "setop_except" -> Advanced.oSetExcept,
+    "window_event_deltas" -> Advanced.oEventDeltas
   )
 }

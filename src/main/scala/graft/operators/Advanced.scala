@@ -167,4 +167,37 @@ object Advanced {
       |EXCEPT
       |SELECT o_custkey AS c_custkey FROM orders
       |ORDER BY c_custkey""".stripMargin
+
+  /** Analytic window functions: lag/lead offsets plus a running frame
+    * aggregate, per user in event-time order. One shuffle on the
+    * partition key, per-key sort, frames evaluated incrementally.
+    * Running sum goes through decimal so both engines accumulate
+    * exactly; event_id breaks ts ties so offsets are deterministic. */
+  def qEventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+      .withColumn("gap_micros",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("running_sum",
+        sum(dp(col("value"))).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("double"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  def oEventDeltas: String =
+    """SELECT user_id, event_id, ts, value,
+      |  lag(value) OVER w AS prev_value,
+      |  lead(event_id) OVER w AS next_event_id,
+      |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_micros,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
 }

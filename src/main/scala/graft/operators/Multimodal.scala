@@ -70,4 +70,41 @@ object Multimodal {
       .select(col("doc_id"), col("mime"), col("size_bytes"),
         col("features"), col("feature_norm"))
       .orderBy(col("doc_id"))
+
+  /** STUB resize: cap the payload at `maxBytes` before decoding — the
+    * binary-slice expression is the real plumbing (a codec resize slots
+    * into the same projection); downstream stages see a bounded-size
+    * column, which is what matters for batch memory at scale. */
+  def resizeStubExpr(payload: Column, maxBytes: Int = 256): Column =
+    substring(payload, 1, maxBytes)
+
+  case class Frame(doc_id: Long, frame_idx: Int, size_bytes: Int,
+      features: Array[Double])
+
+  /** STUB frame-sample: one row per sampled "frame" (fixed-stride byte
+    * window standing in for every-nth-frame extraction). flatMap is the
+    * exploding batch shape — media rows fan out to frame rows inside the
+    * executor, never on the driver, and downstream operators see plain
+    * rows they can shuffle/aggregate like any other. */
+  def sampleFramesStub(m: Media, frameBytes: Int = 64,
+      stride: Int = 256, dims: Int = 8): Seq[Frame] = {
+    val idxs = 0 until math.max(1, (m.payload.length + stride - 1) / stride)
+    idxs.map { fi =>
+      val from = fi * stride
+      val until = math.min(from + frameBytes, m.payload.length)
+      val window = java.util.Arrays.copyOfRange(m.payload, math.min(from, m.payload.length), until)
+      val feats = Array.tabulate(dims) { i =>
+        var h = 1125899906842597L + i
+        var j = 0
+        while (j < window.length) { h = 31 * h + window(j); j += 1 }
+        math.abs(h % 100000L) / 100000.0
+      }
+      Frame(m.doc_id, fi, window.length, feats)
+    }
+  }
+
+  def sampleFramePartitions(media: Dataset[Media]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap(m => sampleFramesStub(m))
+  }
 }

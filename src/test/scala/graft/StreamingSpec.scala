@@ -178,4 +178,21 @@ class StreamingSpec extends SparkSpecBase {
     val again = graft.operators.Multimodal.decodePartitions(media).limit(5).collect()
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
+
+  test("multimodal frame-sample fans media rows out to bounded frame rows") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asMedia(Tables.documents(spark, sf))
+      .as[Multimodal.Media]
+    val frames = Multimodal.sampleFramePartitions(media)
+    val perDoc = frames.groupBy($"doc_id").count()
+      .join(media.select($"doc_id", length($"payload").as("len")), "doc_id")
+    // one frame per stride-sized chunk of payload, at least one per doc
+    assert(perDoc.filter($"count" =!= greatest(lit(1), ceil($"len" / 256))).count() == 0)
+    val f = frames.filter($"doc_id" === 0).orderBy($"frame_idx").collect()
+    assert(f.nonEmpty && f.head.frame_idx == 0 && f.forall(_.size_bytes <= 64))
+    // resize cap bounds the payload column
+    val resized = Multimodal.asMedia(Tables.documents(spark, sf))
+      .select(length(Multimodal.resizeStubExpr($"payload", 100)).as("l"))
+    assert(resized.agg(max($"l")).head().getInt(0) <= 100)
+  }
 }
