@@ -26,15 +26,23 @@ object Ivf {
   val NProbe = 6
   val Seed = 42L
 
+  /** Rows to train the quantizer on — cell quality plateaus fast with
+    * sample size, while training cost is linear in it. */
+  val TrainSample = 4000L
+
   /** Spherical k-means: cluster L2-normalized vectors so Euclidean
     * argmin ≡ cosine argmax; centroids re-normalized on the driver so
-    * ranking by plain dot product is ranking by cosine. */
+    * ranking by plain dot product is ranking by cosine. Trains on a
+    * bounded seeded sample — at corpus scale the quantizer never sees
+    * more than TrainSample rows regardless of data size. */
   def trainCentroids(emb: DataFrame, k: Int = Cells): Seq[Array[Double]] = {
-    val feat = emb
+    val sampled = emb.select(col("embedding"))
+      .orderBy(xxhash64(col("embedding"))).limit(TrainSample.toInt)
+    val feat = sampled
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .select(array_to_vector(
         transform(col("embedding"), x => x.cast("double") / col("nrm"))).as("features"))
-    val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(20).fit(feat)
+    val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(10).fit(feat)
     model.clusterCenters.toIndexedSeq.map { c =>
       val a = c.toArray
       val n = math.sqrt(a.map(x => x * x).sum)
