@@ -93,4 +93,43 @@ object Ivf {
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
+
+  /** The 100 TB layout: corpus written partitionBy(cell), so a probe is
+    * a partition-pruned scan of its cells' files only. Returns the
+    * centroids the layout was built with (the probe side must use the
+    * same quantizer). */
+  def writeClustered(emb: DataFrame, path: String,
+      cells: Int = Cells): Seq[Array[Double]] = {
+    val cents = trainCentroids(emb, cells)
+    emb.withColumn("cell", cellOf(col("embedding"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents
+  }
+
+  /** Top-k against a clustered corpus: the union of the queries' probe
+    * cells (≤ `cells` values, collected driver-side) becomes a static IN
+    * filter on the partition column — Catalyst prunes every other cell's
+    * files before any row is read. Same quantizer ⇒ same results as
+    * [[ivfTopK]]. */
+  def ivfTopKClustered(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], k: Int, nProbe: Int = NProbe): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+      .withColumn("cell",
+        explode(probeCells(col("qe"), cents, nProbe).getField("cell")))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cands = corpus.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("cell"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(cands, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

@@ -68,4 +68,21 @@ class ScaleSpec extends SparkSpecBase {
     val b = dsl.orderBy("event_type", "year", "week_of_year").collect().toSeq
     assert(a == b)
   }
+
+  test("clustered IVF layout probes via partition pruning with identical results") {
+    import graft.operators.Ivf
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.writeClustered(emb, dir)
+    val corpus = spark.read.parquet(dir)
+    val res = Ivf.ivfTopKClustered(corpus, emb.filter($"vec_id" < 50), cents, 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"probe did not partition-prune on cell:\n$plan")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(res) == pairs(Ivf.ivfTopK(emb, 5, 50)),
+      "clustered probe must return exactly the unclustered IVF results")
+  }
 }
