@@ -69,6 +69,21 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(df.select(CosineSimilarity.cosineSim($"a", $"b")).head().isNullAt(0))
   }
 
+  test("cosine_sim is callable from SQL once the extension registers it") {
+    // conf-based injection only applies at session construction; the
+    // spec exercises both the extension wiring and the live-session path
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must not throw
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c""".stripMargin)
+      .head().getDouble(0)
+    val viaDsl = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(CosineSimilarity.cosineSim($"a", $"b")).head().getDouble(0)
+    assert(viaSql == viaDsl && math.abs(viaSql - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
   test("binned range join equals the naive theta-join, incl. bin-boundary pairs") {
     val ev = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
