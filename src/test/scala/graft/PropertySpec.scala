@@ -96,4 +96,30 @@ class PropertySpec extends SparkSpecBase {
     val o = GraftConfig.fromProperties(p)
     assert(o.valueMax == 80.0 && o.dedupKeys == Seq("a", "b") && o.valueMin == -100.0)
   }
+
+  test("binned range join equals the naive theta-join on generated timestamps (property)") {
+    // seconds resolution near bin edges; ids unique per generated set
+    val tsGen = Gen.choose(0L, 4L * 1800L).map(s =>
+      java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(s)))
+    val evGen = for { key <- Gen.choose(0L, 2L); ts <- tsGen } yield (key, ts)
+    forAll(Gen.listOfN(40, evGen), n = 8) { evs =>
+      whenever(evs.nonEmpty) {
+        val df = evs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("event_id", "user_id", "ts")
+        val a = df.select($"event_id".as("event_a"), $"user_id", $"ts".as("ts_a"))
+        val b = df.select($"event_id".as("event_b"), $"user_id", $"ts".as("ts_b"))
+        def pairs(r: org.apache.spark.sql.DataFrame) =
+          r.select("event_a", "event_b").collect()
+            .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val binned = pairs(graft.operators.Ranged
+          .rangeJoinBinned(a, b, "user_id", "ts_a", "ts_b", 1800L))
+        val naive = pairs(a.join(b, Seq("user_id"))
+          .filter($"ts_b" > $"ts_a" &&
+            $"ts_b" <= $"ts_a" + expr("INTERVAL 1800 SECONDS")))
+        assert(binned == naive,
+          s"missed ${naive -- binned}, extra ${binned -- naive}")
+      }
+    }
+  }
 }
