@@ -51,6 +51,26 @@ object StreamingOps {
         (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_micros"))
   }
 
+  /** Left-outer variant: an event with no follow-up is emitted with a
+    * null `event_b` — but only once the watermark passes its ts + gap,
+    * i.e. when no qualifying right row can still arrive. The null-side
+    * emission is the part batch jobs get for free and streaming has to
+    * earn from state eviction. */
+  def followupsStreamOuter(a: DataFrame, b: DataFrame,
+      gapSecs: Long = 1800L): DataFrame = {
+    val l = a.select(col("event_id").as("event_a"),
+        col("user_id").as("user_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", "2 hours")
+    val r = b.select(col("event_id").as("event_b"),
+        col("user_id").as("user_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", "2 hours")
+    l.join(r, expr(
+        s"user_a = user_b AND ts_b > ts_a AND ts_b <= ts_a + interval $gapSecs seconds"),
+        "leftOuter")
+      .select(col("event_a"), col("event_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_micros"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** start/end in MICROseconds — Timestamp.getTime alone would truncate

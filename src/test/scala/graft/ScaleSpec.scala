@@ -69,6 +69,36 @@ class ScaleSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val set = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = set.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      set.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~100k rows vs 10 rows on every other key
+      val left = spark.range(100000).select(
+        when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        concat(lit("padpadpadpadpadpad-"), $"id").as("payload"))
+      val right = spark.range(100).select($"id".as("k"), lit("dim").as("name"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS DataFrame's queryExecution — count() would
+      // run a separate plan and leave joined's AdaptiveSparkPlan unexecuted.
+      // 99_000 rows on the hot key 0, plus id=0 itself; other left keys
+      // (100, 200, …) have no dim match
+      assert(joined.collect().length == 99001)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("clustered IVF layout probes via partition pruning with identical results") {
     import graft.operators.Ivf
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString

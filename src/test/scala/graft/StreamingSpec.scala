@@ -167,6 +167,36 @@ class StreamingSpec extends SparkSpecBase {
       s"stream missed ${batch -- streamed}, extra ${streamed -- batch}")
   }
 
+  test("left-outer interval join emits unmatched events only after watermark eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = src.toDF.toDF("event_id", "user_id", "ts")
+    val q = StreamingOps.followupsStreamOuter(events, events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_out").start()
+    def out() = spark.table("outer_out")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // batch 1: a matched pair for user 7, a lone event for user 8
+    src.addData((1L, 7L, t("2024-01-01 10:00:00")), (2L, 7L, t("2024-01-01 10:10:00")),
+      (3L, 8L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    assert(out().contains((1L, 2L)), "inner match must emit immediately")
+    assert(!out().exists(_._2 == -1L), "no outer row before watermark passes")
+    // batch 2: far-future event advances max event time; batch 3 runs with
+    // the updated watermark (watermark for batch N comes from batch N-1)
+    // and evicts user 8's lone event and user 7's tail event as unmatched
+    src.addData((4L, 9L, t("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    src.addData((5L, 9L, t("2024-01-01 23:00:01")))
+    q.processAllAvailable()
+    assert(out().contains((3L, -1L)), s"lone event must outer-emit after eviction: ${out()}")
+    assert(out().contains((2L, -1L)), "tail event with no follow-up must outer-emit")
+    assert(!out().contains((4L, -1L)), "event still inside the watermark horizon must stay pending")
+    q.stop()
+  }
+
   test("multimodal partition-batch decode matches the expression stub shape") {
     val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
       .as[graft.operators.Multimodal.Media]
