@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpecBase {
     assert(anti.contains("LeftAnti") || anti.contains("left_anti"))
   }
 
+  test("runtime bloom filter prunes the fact scan on a selective dim join") {
+    import org.apache.spark.sql.functions._
+    val set = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = set.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      set.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf)
+      val part = Tables.part(spark, sf).filter(col("p_brand") === "Brand#13")
+      val j = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).count()
+      j.collect() // final adaptive plan only exists after execution
+      val plan = j.queryExecution.executedPlan.toString
+      // at 100 TB this is the shuffle-volume saver: the fact side is
+      // pre-filtered by a bloom filter built from the dim's join keys
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val plan = physicalPlan(graft.operators.Ranged.qEventFollowups(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
