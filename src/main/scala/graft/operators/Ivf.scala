@@ -119,7 +119,7 @@ object Ivf {
       .withColumn("cell",
         explode(probeCells(col("qe"), cents, nProbe).getField("cell")))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cands = corpus.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val cands = corpus.filter(col("cell").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("cell"))
       .withColumn("cn", Similarity.norm(col("ce")))

@@ -20,7 +20,7 @@ object Serving {
   /** v_latest_weather (DISTINCT ON (city) ... ORDER BY timestamp DESC,
     * sql/schema.sql:211-223): newest row per key, deterministic tiebreak. */
   def latestPerKey(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(cols.map(col): _*), order).as("_last"))
       .select(cols.map(c => col(s"_last.$c").as(c)): _*)

@@ -31,7 +31,7 @@ object Silver {
     * Semantics of dropDuplicates(keys) (silver_processor.py:191) with a
     * deterministic tiebreak so results are oracle-comparable. */
   def dedupFirstByKey(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(keys.map(col): _*)
       .agg(min_by(struct(cols.map(col): _*), order).as("_first"))
       .select(cols.map(c => col(s"_first.$c").as(c)): _*)
