@@ -76,6 +76,19 @@ object Bronze {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Small-files compaction: rewrite a Hive-partitioned dataset through
+    * an AQE REBALANCE on the partition columns, which coalesces (or
+    * splits) shuffle output to the advisory partition size — each
+    * partition directory ends up with few right-sized files instead of
+    * one fragment per original task. The cure for a streaming Bronze
+    * sink's per-micro-batch file accumulation at 100 TB; run it as a
+    * periodic maintenance pass over closed partitions. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      partitionCols: Seq[String]): Unit =
+    spark.read.parquet(inPath)
+      .hint("rebalance", partitionCols: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+
   /** Bronze scan with declarative partition pruning — Catalyst prunes
     * year=/month=/day= directories from the filter, replacing the
     * reference's python path-string building (silver_processor.py:

@@ -56,4 +56,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.bronzeRows > 0 && r.bronzeRows < 100, s"one day ≈ 33 rows, got ${r.bronzeRows}")
     assert(r.gatePassed)
   }
+
+  test("compaction collapses per-task file fragments, preserving content") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    // 12 fragments per partition directory (one per shuffle task)
+    Tables.events(spark, sf).repartition(12)
+      .write.mode("overwrite").partitionBy("event_type").parquet(in)
+    def files(p: String) = {
+      val fs = new java.io.File(p)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(fs).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = files(in).size
+    graft.sources.Bronze.compact(spark, in, out, Seq("event_type"))
+    val after = files(out).size
+    assert(before >= 5 * 12, s"fixture should fragment: $before files")
+    assert(after < before / 4, s"compaction barely helped: $before -> $after")
+    val a = spark.read.parquet(in).orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(out).select(spark.read.parquet(in).columns.map(col).toIndexedSeq: _*)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b, "compaction must not change content")
+  }
 }
