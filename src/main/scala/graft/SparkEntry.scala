@@ -67,7 +67,9 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d)),
     "setop_intersect" -> ((s, d) => Advanced.qSetIntersect(s, d)),
     "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d)),
-    "window_event_deltas" -> ((s, d) => Advanced.qEventDeltas(s, d))
+    "window_event_deltas" -> ((s, d) => Advanced.qEventDeltas(s, d)),
+    // approximate (LSH-blocked candidates) → rows-only gate
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.qEmbeddingNearDupLsh(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -236,4 +236,10 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** Approximate by construction (blocked candidates) → rows-only gate;
+    * subset-of-exact and recall properties are spec-tested. */
+  def qEmbeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
 }
