@@ -69,7 +69,9 @@ object SparkEntry {
     "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d)),
     "window_event_deltas" -> ((s, d) => Advanced.qEventDeltas(s, d)),
     // approximate (LSH-blocked candidates) → rows-only gate
-    "dedup_embedding_lsh" -> ((s, d) => Dedup.qEmbeddingNearDupLsh(s, d))
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.qEmbeddingNearDupLsh(s, d)),
+    "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
+    "q10_returned_items" -> ((s, d) => Tpch.q10ReturnedItems(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,6 +121,8 @@ object SparkEntry {
     "range_join_followups" -> Ranged.oEventFollowups,
     "setop_intersect" -> Advanced.oSetIntersect,
     "setop_except" -> Advanced.oSetExcept,
-    "window_event_deltas" -> Advanced.oEventDeltas
+    "window_event_deltas" -> Advanced.oEventDeltas,
+    "q4_order_priority" -> Tpch.q4OracleSql,
+    "q10_returned_items" -> Tpch.q10OracleSql
   )
 }
