@@ -101,4 +101,16 @@ object Bronze {
         && col("month") === d.getMonthValue && col("day") === d.getDayOfMonth)
     }
   }
+
+  /** Tolerant Bronze scan: skips corrupt/truncated parquet files instead
+    * of failing the job — at fleet scale a landing zone always carries a
+    * few half-written files from crashed producers, and one of them must
+    * not kill an hourly run. Schema is pinned (no inference over damaged
+    * footers); pair with a dead-letter sweep that moves skipped files. */
+  def readBronzeTolerant(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("ignoreCorruptFiles", "true")
+      .schema(schema)
+      .parquet(path)
 }

@@ -57,6 +57,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.gatePassed)
   }
 
+  test("tolerant bronze read skips a corrupt file instead of failing the run") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    Tables.events(spark, sf).limit(100).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    // a half-written producer file: parquet magic header, then garbage
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      ("PAR1" + "x" * 64).getBytes)
+    val schema = spark.read.parquet(dir + "/" +
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-0")).head.getName).schema
+    intercept[Exception] {
+      spark.read.schema(schema).parquet(dir).count() // strict read must fail
+    }
+    val tolerant = graft.sources.Bronze.readBronzeTolerant(spark, dir, schema)
+    assert(tolerant.count() == 100, "tolerant read must return the intact file's rows")
+  }
+
   test("compaction collapses per-task file fragments, preserving content") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
