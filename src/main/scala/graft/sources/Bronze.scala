@@ -113,4 +113,12 @@ object Bronze {
       .option("ignoreCorruptFiles", "true")
       .schema(schema)
       .parquet(path)
+
+  /** Schema-evolved Bronze scan: producers add fields over time, so
+    * partition directories carry mixed schemas. mergeSchema unions the
+    * footers (older files surface the new columns as null) — the read
+    * stays a plain vectorized scan; only the footer merge costs extra,
+    * so reserve this for evolving zones and pin the schema elsewhere. */
+  def readBronzeEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -74,6 +74,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(tolerant.count() == 100, "tolerant read must return the intact file's rows")
   }
 
+  test("schema-evolved read merges an added column; old rows surface it as null") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val ev = Tables.events(spark, sf)
+    ev.limit(50).select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    ev.limit(30).select(col("event_id"), col("user_id"), lit("eu-west").as("region"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = graft.sources.Bronze.readBronzeEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("event_id", "user_id", "region", "batch"))
+    assert(merged.count() == 80)
+    assert(merged.filter(col("region").isNull).count() == 50,
+      "pre-evolution rows must carry null for the added column")
+    assert(merged.filter(col("region") === "eu-west").count() == 30)
+  }
+
   test("compaction collapses per-task file fragments, preserving content") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
