@@ -71,7 +71,9 @@ object SparkEntry {
     // approximate (LSH-blocked candidates) → rows-only gate
     "dedup_embedding_lsh" -> ((s, d) => Dedup.qEmbeddingNearDupLsh(s, d)),
     "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
-    "q10_returned_items" -> ((s, d) => Tpch.q10ReturnedItems(s, d))
+    "q10_returned_items" -> ((s, d) => Tpch.q10ReturnedItems(s, d)),
+    // xxhash64 sketch → rows-only gate; guarantees spec-tested
+    "text_winnowing_overlap" -> ((s, d) => TextAnalysis.qWinnowingOverlap(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -70,4 +70,31 @@ object TextFns {
     * two-stage form used on real corpora. */
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromWords(words(text), n)
+
+  /** Ordered (non-distinct) shingle sequence — winnowing needs document
+    * order preserved, so no array_distinct. */
+  def shingleSeqFromWords(ws: Column, n: Int = 3): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", ws)))
+
+  /** Per-shingle rolling hashes, order preserved. Project this as its
+    * own attribute before windowing (lambda re-evaluation note above). */
+  def shingleHashes(shingleSeq: Column): Column =
+    transform(shingleSeq, s => xxhash64(s))
+
+  /** Winnowing fingerprint (MOSS-style rolling selection): slide a
+    * window of `w` hashes over the ordered sequence, keep each window's
+    * minimum, dedup. Guarantees any shared run of w+n-1 words between
+    * two documents contributes at least one common fingerprint, while
+    * storing ~2/(w+1) of the hashes — the document-local sketch for
+    * plagiarism-style overlap detection. `hashes` must be a materialized
+    * ATTRIBUTE or the hash transform re-evaluates per window. */
+  def winnowingFromHashes(hashes: Column, w: Int = 4): Column =
+    array_distinct(
+      when(size(hashes) >= w,
+        transform(sequence(lit(0), size(hashes) - w),
+          i => array_min(slice(hashes, i + 1, lit(w)))))
+        .otherwise(array(array_min(hashes))))
 }

@@ -106,4 +106,67 @@ object TextAnalysis {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
       |  md5(text) AS exact_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** (doc_id, winnowing-fingerprint array) — each lambda input projected
+    * as its own attribute so nothing re-evaluates per element.
+    *
+    * CAUTION: fine as a per-doc sketch column, but do NOT explode this
+    * array into a corpus-wide pipeline: downstream Filter/Generate
+    * nodes substitute the nested window-minima lambda into themselves
+    * during optimization and evaluation cost compounds per inlining
+    * level (measured: minutes for a 5k-doc corpus). Corpus-scale paths
+    * use [[winnowedRows]]. */
+  def winnowed(docs: DataFrame, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextFns.shingleSeqFromWords(col("ws")).as("sseq"))
+      .select(col("doc_id"), TextFns.shingleHashes(col("sseq")).as("hashes"))
+      .select(col("doc_id"), TextFns.winnowingFromHashes(col("hashes"), w).as("fps"))
+
+  /** Row-form winnowing — the corpus-scale path: posexplode the shingle
+    * hashes, take each w-frame's minimum with a window function, keep
+    * one row per selected fingerprint. Same output set as exploding
+    * [[winnowed]], but the heavy lifting is a plain window over rows
+    * (shuffle on doc_id, per-key sort) instead of nested array lambdas,
+    * so it spills, codegens, and AQE-splits like any other operator. */
+  def winnowedRows(docs: DataFrame, w: Int = 4): DataFrame = {
+    val ex = docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextFns.shingleSeqFromWords(col("ws")).as("sseq"))
+      .select(col("doc_id"), TextFns.shingleHashes(col("sseq")).as("hashes"))
+      .select(col("doc_id"), size(col("hashes")).as("n"),
+        posexplode(col("hashes")).as(Seq("pos", "h")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    ex.withColumn("fp", min(col("h")).over(frame))
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Overlap candidates by shared winnowing fingerprint (explode +
+    * self-equi-join — same colliding-pairs cost model as the shingle
+    * join, on a ~2/(w+1)-sized sketch instead of every shingle). Hot
+    * fingerprints (boilerplate shared by many docs) are dropped before
+    * the pair join exactly like ultra-frequent shingles in
+    * Dedup.shingleJaccardPairs — a fingerprint in k docs makes k²
+    * pairs, so template text would otherwise blow the join up. */
+  def winnowingOverlapPairs(docs: DataFrame, minShared: Int = 2,
+      maxFpDocFreq: Int = 100): DataFrame = {
+    // feeds both the hot-fp scan and the pair join — cache, don't
+    // re-winnow the corpus (same pattern as minhashLshPairs)
+    val ex = winnowedRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFpDocFreq).select(col("fp"))
+    val rare = ex.join(broadcast(hot), Seq("fp"), "left_anti")
+    rare.as("x").join(rare.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** xxhash64 not reproducible in the oracle engine → rows-only gate;
+    * guarantees spec-tested (shared-run detection, sketch size). */
+  def qWinnowingOverlap(spark: SparkSession, dir: String): DataFrame =
+    winnowingOverlapPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 }

@@ -105,6 +105,39 @@ class LlmOpsSpec extends SparkSpecBase {
       s"LSH recall collapsed: ${lsh.size}/${exact.size}")
   }
 
+  test("winnowing: shared runs always collide, sketch is smaller than the shingle set") {
+    import graft.operators.TextAnalysis
+    val common = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = Seq(
+      (1L, common + " alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words entirely unrelated content here nothing shared at all " + common),
+      (3L, "no overlap with anything else whatsoever in this tiny corpus of text"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingOverlapPairs(d, minShared = 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1 and 2 share a 14-word run >> w+n-1 = 6 words → guaranteed collision
+    assert(pairs.contains((1L, 2L)), s"shared run must produce a common fingerprint: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not pair")
+    // sketch is a strict subsample of the shingle hashes
+    val sizes = TextAnalysis.winnowed(d)
+      .select(size($"fps").as("nf")).collect().map(_.getInt(0))
+    val shingleCounts = d.select(TextFns.words($"text").as("ws"))
+      .select(size(TextFns.shingleSeqFromWords($"ws"))).collect().map(_.getInt(0))
+    assert(sizes.zip(shingleCounts).forall { case (f, s) => f < s && f > 0 })
+    // identical docs → identical sketches
+    val dup = Seq((10L, common), (11L, common)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowed(dup).select("fps").collect().map(_.getSeq[Long](0))
+    assert(fps(0) == fps(1))
+    // row form (the corpus-scale path) selects exactly the array form's set
+    val viaRows = TextAnalysis.winnowedRows(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArray = TextAnalysis.winnowed(d)
+      .select($"doc_id", explode($"fps").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRows == viaArray,
+      s"row/array winnowing diverge: ${viaRows -- viaArray} vs ${viaArray -- viaRows}")
+  }
+
   test("IVF ANN: recall beats the scanned fraction (data-adaptive cells > random planes)") {
     val emb = Tables.embeddings(spark, sf)
     val bf = Similarity.bruteForceTopK(emb, 5, 50)
