@@ -44,11 +44,27 @@ object Dedup {
       .select(col("doc_id"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
 
+  /** Bounded-lifetime cache for the shingled corpus: every near-dup path
+    * reads it several times (candidate generation + verify legs), so it is
+    * persisted, the pair result — orders of magnitude smaller than the
+    * corpus — is eagerly materialized via localCheckpoint (truncating the
+    * lineage so nothing re-reads the cache later), and the corpus cache is
+    * released immediately. Checkpoint blocks for the compact result are
+    * freed by the ContextCleaner once the frame is unreachable, so a
+    * long-lived session doesn't accumulate corpus-sized cache entries. */
+  private[operators] def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(cached).localCheckpoint(true)
+    finally cached.unpersist(false)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
     * generation: |A∩B| counted by the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
-      maxShingleDocFreq: Int = 1000): DataFrame = {
-    val sh = shingled(docs)
+      maxShingleDocFreq: Int = 1000): DataFrame = withCached(shingled(docs)) { sh =>
+    // the exploded frame feeds the frequent-shingle scan and BOTH legs of
+    // the pair join — deriving all three from the cached doc-level frame
+    // means the regex tokenize + shingle transform runs once, not 3×
     val ex = sh.select(col("doc_id"), col("n_sh"), explode_outer(col("shingles")).as("sh"))
     // drop ultra-frequent shingles before the pair join: the frequent set
     // is tiny, so it broadcast-anti-joins with no extra shuffle (a window
@@ -102,10 +118,9 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band hash; then exact-Jaccard
     * verified so the output equals the exact operator (recall at the 0.8
     * threshold with 16×4 bands is ≈1−2e-4 worst case). */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = withCached(shingled(docs)) { sh =>
     // the shingled corpus feeds both the signature build and the verify
-    // joins — cache it so the text isn't re-shingled three times
-    val sh = shingled(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // joins — cached for the duration of this computation only
     val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
     val aggs = (0 until MinhashFuncs).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
     val sigs = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)

@@ -60,7 +60,11 @@ object Multimodal {
     }
   }
 
-  /** Rows-only query: metadata + stub features + norm per media row. */
+  /** Rows-only query: metadata + stub-feature digest + norm per media row.
+    * The raw array<double> is digested to a sortable scalar
+    * (xxhash64 of its JSON form) because downstream comparators can't
+    * order array columns; raw-array semantics stay spec'd in
+    * CustomOpsSpec. */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     asMedia(Tables.documents(spark, dir))
       .withColumn("size_bytes", length(col("payload")))
@@ -68,7 +72,8 @@ object Multimodal {
       .withColumn("feature_norm", sqrt(aggregate(
         transform(col("features"), x => x * x), lit(0.0), (a, x) => a + x)))
       .select(col("doc_id"), col("mime"), col("size_bytes"),
-        col("features"), col("feature_norm"))
+        xxhash64(to_json(col("features"))).as("features_digest"),
+        col("feature_norm"))
       .orderBy(col("doc_id"))
 
   /** STUB resize: cap the payload at `maxBytes` before decoding — the

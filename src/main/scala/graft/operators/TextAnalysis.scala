@@ -149,20 +149,19 @@ object TextAnalysis {
     * Dedup.shingleJaccardPairs — a fingerprint in k docs makes k²
     * pairs, so template text would otherwise blow the join up. */
   def winnowingOverlapPairs(docs: DataFrame, minShared: Int = 2,
-      maxFpDocFreq: Int = 100): DataFrame = {
-    // feeds both the hot-fp scan and the pair join — cache, don't
-    // re-winnow the corpus (same pattern as minhashLshPairs)
-    val ex = winnowedRows(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxFpDocFreq).select(col("fp"))
-    val rare = ex.join(broadcast(hot), Seq("fp"), "left_anti")
-    rare.as("x").join(rare.as("y"), Seq("fp"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= minShared)
-  }
+      maxFpDocFreq: Int = 100): DataFrame =
+    graft.operators.Dedup.withCached(winnowedRows(docs)) { ex =>
+      // the fingerprint sketch feeds both the hot-fp scan and the pair
+      // join — cached for this computation only (see Dedup.withCached)
+      val hot = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxFpDocFreq).select(col("fp"))
+      val rare = ex.join(broadcast(hot), Seq("fp"), "left_anti")
+      rare.as("x").join(rare.as("y"), Seq("fp"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared)
+    }
 
   /** xxhash64 not reproducible in the oracle engine → rows-only gate;
     * guarantees spec-tested (shared-run detection, sketch size). */
