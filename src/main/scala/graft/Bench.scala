@@ -24,7 +24,10 @@ object Bench {
     // measured runs is reported — single runs swing several-fold under
     // host noise/GC, and steady-state is what amortized 100 TB throughput
     // looks like.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated filter for local iteration on one query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -150,9 +150,13 @@ object TextAnalysis {
     * pairs, so template text would otherwise blow the join up. */
   def winnowingOverlapPairs(docs: DataFrame, minShared: Int = 2,
       maxFpDocFreq: Int = 100): DataFrame =
-    graft.operators.Dedup.withCached(winnowedRows(docs)) { ex =>
-      // the fingerprint sketch feeds both the hot-fp scan and the pair
-      // join — cached for this computation only (see Dedup.withCached)
+    // cache the ARRAY-form sketch: it builds map-only (no window
+    // shuffle/sort like winnowedRows), and the cache is an optimizer
+    // barrier, so exploding it cannot trigger the nested-lambda
+    // re-substitution blowup that makes the uncached array form unsafe
+    // (see the CAUTION on winnowed). Cached for this computation only.
+    graft.operators.Dedup.withCached(winnowed(docs)) { w =>
+      val ex = w.select(col("doc_id"), explode(col("fps")).as("fp"))
       val hot = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxFpDocFreq).select(col("fp"))
       val rare = ex.join(broadcast(hot), Seq("fp"), "left_anti")
