@@ -1,0 +1,146 @@
+package graft.sinks
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gold-layer DDL + decimal discipline (sql/schema.sql re-expressed).
+  *
+  * The reference declares its Gold measures as NUMERIC(5,2)/(6,2)/(7,2)
+  * with CHECK constraints and generated period columns
+  * (/root/reference/sql/schema.sql:15-78 detailed, :95-131 daily + the
+  * `date` GENERATED ALWAYS AS make_date(year,month,day) at :106, :140-170
+  * hourly + make_timestamp at :151-153). Parity here is split by layer:
+  *
+  *  - Decimal coercion happens IN THE ENGINE: measures are cast to
+  *    DecimalType before the JDBC write, so the rounding rule is Spark's
+  *    (BigDecimal HALF_UP — ties away from zero), which is the same rule
+  *    Postgres applies when assigning a float to NUMERIC(p,s). The target
+  *    DB then stores an already-exact decimal and no DB-specific
+  *    float→decimal behavior can leak into Gold.
+  *  - CHECK constraints and the natural-key unique index live in the DDL,
+  *    enforced DB-side exactly like the reference (the unique index is
+  *    the reference's replay guard; ours is belt-and-braces on top of the
+  *    anti-join in [[JdbcSink.idempotentAppend]]).
+  *  - Generated period columns (`date`, `datetime`) are computed by the
+  *    engine with make_date/make_timestamp at load: Derby's generation
+  *    clause cannot call date constructors, and at 100 TB you want that
+  *    trivial projection on 1000 executors, not in the single-writer DB.
+  */
+object GoldSchema {
+
+  /** gold_weather_detailed (schema.sql:15-78): NUMERIC measures + the
+    * reference's three CHECK constraints + unique replay guard. */
+  val detailedDdl: String =
+    """CREATE TABLE gold_weather_detailed (
+      |  city VARCHAR(100) NOT NULL,
+      |  country VARCHAR(10) NOT NULL,
+      |  "timestamp" TIMESTAMP NOT NULL,
+      |  temperature DECIMAL(5,2),
+      |  feels_like DECIMAL(5,2),
+      |  temp_min DECIMAL(5,2),
+      |  temp_max DECIMAL(5,2),
+      |  temp_range DECIMAL(5,2),
+      |  pressure INTEGER,
+      |  humidity INTEGER,
+      |  wind_speed DECIMAL(6,2),
+      |  heat_index DECIMAL(5,2),
+      |  data_quality_score INTEGER,
+      |  CONSTRAINT chk_temperature CHECK (temperature BETWEEN -100 AND 60),
+      |  CONSTRAINT chk_humidity CHECK (humidity BETWEEN 0 AND 100),
+      |  CONSTRAINT chk_quality_score CHECK (data_quality_score BETWEEN 0 AND 100),
+      |  CONSTRAINT uq_weather_detailed UNIQUE (city, "timestamp")
+      |)""".stripMargin
+
+  /** gold_weather_daily_aggregates (schema.sql:95-131); `date` is the
+    * engine-computed analog of the GENERATED make_date column. */
+  val dailyDdl: String =
+    """CREATE TABLE gold_weather_daily (
+      |  city VARCHAR(100) NOT NULL,
+      |  country VARCHAR(10) NOT NULL,
+      |  "year" INTEGER NOT NULL,
+      |  "month" INTEGER NOT NULL,
+      |  "day" INTEGER NOT NULL,
+      |  "date" DATE NOT NULL,
+      |  avg_temperature DECIMAL(5,2),
+      |  min_temperature DECIMAL(5,2),
+      |  max_temperature DECIMAL(5,2),
+      |  avg_humidity DECIMAL(5,2),
+      |  avg_wind_speed DECIMAL(6,2),
+      |  avg_pressure DECIMAL(7,2),
+      |  record_count INTEGER NOT NULL,
+      |  aggregation_level VARCHAR(20) DEFAULT 'daily',
+      |  last_updated TIMESTAMP NOT NULL,
+      |  CONSTRAINT uq_daily_agg UNIQUE (city, "year", "month", "day")
+      |)""".stripMargin
+
+  /** gold_weather_hourly_aggregates (schema.sql:140-170); `datetime` is
+    * the engine-computed analog of the GENERATED make_timestamp column. */
+  val hourlyDdl: String =
+    """CREATE TABLE gold_weather_hourly (
+      |  city VARCHAR(100) NOT NULL,
+      |  country VARCHAR(10) NOT NULL,
+      |  "year" INTEGER NOT NULL,
+      |  "month" INTEGER NOT NULL,
+      |  "day" INTEGER NOT NULL,
+      |  "hour" INTEGER NOT NULL,
+      |  "datetime" TIMESTAMP NOT NULL,
+      |  avg_temperature DECIMAL(5,2),
+      |  min_temperature DECIMAL(5,2),
+      |  max_temperature DECIMAL(5,2),
+      |  avg_humidity DECIMAL(5,2),
+      |  avg_wind_speed DECIMAL(6,2),
+      |  avg_pressure DECIMAL(7,2),
+      |  record_count INTEGER NOT NULL,
+      |  aggregation_level VARCHAR(20) DEFAULT 'hourly',
+      |  last_updated TIMESTAMP NOT NULL,
+      |  CONSTRAINT uq_hourly_agg UNIQUE (city, "year", "month", "day", "hour")
+      |)""".stripMargin
+
+  private def dec(c: String, p: Int, s: Int): Column =
+    col(c).cast(DecimalType(p, s)).as(c)
+
+  /** Reference measure precisions (schema.sql:106-113 / :155-160). */
+  private val aggMeasures: Seq[Column] = Seq(
+    dec("avg_temperature", 5, 2), dec("min_temperature", 5, 2),
+    dec("max_temperature", 5, 2), dec("avg_humidity", 5, 2),
+    dec("avg_wind_speed", 6, 2), dec("avg_pressure", 7, 2))
+
+  /** [[graft.operators.WeatherSilver.dailyAgg]] output → Gold daily shape:
+    * NUMERIC coercion + the generated `date` column. */
+  def coerceDaily(daily: DataFrame): DataFrame =
+    daily.select(Seq(col("city"), col("country"), col("year"), col("month"),
+      col("day"), make_date(col("year"), col("month"), col("day")).as("date"))
+      ++ aggMeasures
+      ++ Seq(col("record_count").cast("int").as("record_count"),
+        col("aggregation_level"), col("last_updated")): _*)
+
+  /** Hourly analog with the generated `datetime` period column. */
+  def coerceHourly(hourly: DataFrame): DataFrame =
+    hourly.select(Seq(col("city"), col("country"), col("year"), col("month"),
+      col("day"), col("hour"),
+      make_timestamp(col("year"), col("month"), col("day"), col("hour"),
+        lit(0), lit(0)).as("datetime"))
+      ++ aggMeasures
+      ++ Seq(col("record_count").cast("int").as("record_count"),
+        col("aggregation_level"), col("last_updated")): _*)
+
+  /** Enriched detail frame → Gold detailed shape (schema.sql:15-78). */
+  def coerceDetailed(enriched: DataFrame): DataFrame =
+    enriched.select(col("city"), col("country"), col("timestamp"),
+      dec("temperature", 5, 2), dec("feels_like", 5, 2),
+      dec("temp_min", 5, 2), dec("temp_max", 5, 2), dec("temp_range", 5, 2),
+      col("pressure"), col("humidity"), dec("wind_speed", 6, 2),
+      dec("heat_index", 5, 2), col("data_quality_score"))
+
+  /** Create a Gold table if absent (Derby/ANSI DDL above). */
+  def ensureTable(url: String, table: String, ddl: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val meta = c.getMetaData.getTables(null, null, table.toUpperCase, null)
+      if (!meta.next()) c.createStatement().executeUpdate(ddl)
+    } finally c.close()
+  }
+}
