@@ -143,4 +143,23 @@ object GoldSchema {
       if (!meta.next()) c.createStatement().executeUpdate(ddl)
     } finally c.close()
   }
+
+  /** Full Gold load (gold_loader.py:171-330 collapsed): ensure the three
+    * reference tables, coerce each Silver frame to its NUMERIC shape, and
+    * idempotent-append on the natural keys. Returns rows loaded per tier
+    * (detailed, daily, hourly). The unique indexes in the DDL remain the
+    * DB-side replay guard underneath the engine-side anti-join. */
+  def loadAll(spark: org.apache.spark.sql.SparkSession, enriched: DataFrame,
+      daily: DataFrame, hourly: DataFrame, url: String): (Long, Long, Long) = {
+    ensureTable(url, "gold_weather_detailed", detailedDdl)
+    ensureTable(url, "gold_weather_daily", dailyDdl)
+    ensureTable(url, "gold_weather_hourly", hourlyDdl)
+    val d = JdbcSink.idempotentAppend(spark, coerceDetailed(enriched), url,
+      "gold_weather_detailed", Seq("city", "timestamp"))
+    val dd = JdbcSink.idempotentAppend(spark, coerceDaily(daily), url,
+      "gold_weather_daily", Seq("city", "year", "month", "day"))
+    val hh = JdbcSink.idempotentAppend(spark, coerceHourly(hourly), url,
+      "gold_weather_hourly", Seq("city", "year", "month", "day", "hour"))
+    (d, dd, hh)
+  }
 }

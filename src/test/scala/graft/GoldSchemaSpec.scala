@@ -1,0 +1,132 @@
+package graft
+
+import java.math.RoundingMode
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.WeatherSilver
+import graft.sinks.{GoldSchema, JdbcSink}
+
+/** Gold DDL + decimal-discipline round-trip against embedded Derby:
+  * NUMERIC(p,2) coercion parity, CHECK-constraint rejection, the unique
+  * replay guard under the idempotent load, and the engine-computed
+  * generated period columns (sql/schema.sql:15-78,106,151-153). */
+class GoldSchemaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshUrl() = s"jdbc:derby:memory:gold${System.nanoTime()};create=true"
+
+  /** Paris×2-hours + London fixture; the 20.0/20.07 pair makes the daily
+    * avg_temperature carry >2 decimals so rounding is actually exercised. */
+  private def fixture: DataFrame = {
+    val rows = Seq(
+      Row("Paris", "FR", "2024-01-01T12:00:00", 20.0, 19.0, 18.0, 22.0,
+        1013: Integer, 65: Integer, 10000: Integer, 5.5, 180: Integer, 20: Integer,
+        "Clear", "clear sky", "2024-01-01T07:00:00", "2024-01-01T17:00:00",
+        "2024-01-01T12:00:00", 0: Integer, 123L: java.lang.Long, "2024-01-01T12:00:00"),
+      Row("Paris", "FR", "2024-01-01T13:00:00", 20.07, 19.1, 18.2, 22.3,
+        1012: Integer, 66: Integer, 10000: Integer, 5.7, 175: Integer, 25: Integer,
+        "Clear", "clear sky", "2024-01-01T07:00:00", "2024-01-01T17:00:00",
+        "2024-01-01T13:00:00", 0: Integer, 124L: java.lang.Long, "2024-01-01T13:00:00"),
+      Row("London", "GB", "2024-01-01T12:00:00", 15.0, 14.0, 13.0, 17.0,
+        1015: Integer, 70: Integer, 9000: Integer, 4.0, 200: Integer, 40: Integer,
+        "Clouds", "scattered clouds", "2024-01-01T07:30:00", "2024-01-01T16:30:00",
+        "2024-01-01T12:00:00", 0: Integer, 125L: java.lang.Long, "2024-01-01T12:00:00"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), WeatherSilver.bronzeSchema)
+  }
+
+  private def silverTiers: (DataFrame, DataFrame, DataFrame) = {
+    val enriched = WeatherSilver.enrich(WeatherSilver.clean(fixture))
+    (enriched, WeatherSilver.dailyAgg(enriched), WeatherSilver.hourlyAgg(enriched))
+  }
+
+  test("double→DECIMAL cast parity: shortest-repr HALF_UP like float8→NUMERIC") {
+    // Postgres assigns float8 to NUMERIC(5,2) by converting the shortest
+    // decimal representation then rounding half away from zero; Spark's
+    // Cast goes through BigDecimal.valueOf (same shortest repr) with
+    // HALF_UP. The literal 12.345 (double ≈ 12.34499999999999957) must
+    // round UP to 12.35 under both — an exact-binary-expansion rounder
+    // would give 12.34 and break Gold parity.
+    val got = Seq(12.345, -12.345, 12.344, 0.005).toDF("v")
+      .select(col("v").cast(DecimalType(5, 2)).as("d"))
+      .collect().map(_.getDecimal(0).toPlainString).toSeq
+    assert(got == Seq("12.35", "-12.35", "12.34", "0.01"), got.toString)
+  }
+
+  test("loadAll round-trips all three tiers with NUMERIC scale-2 values") {
+    val url = freshUrl()
+    val (enriched, daily, hourly) = silverTiers
+    val (d, dd, hh) = GoldSchema.loadAll(spark, enriched, daily, hourly, url)
+    assert(d == 3 && dd == 2 && hh == 3, s"loaded ($d, $dd, $hh)")
+
+    // Derby reports unquoted identifiers uppercase; normalize for getAs
+    def lower(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.toLowerCase): _*)
+    val goldDaily = lower(JdbcSink.readTable(spark, url, "gold_weather_daily"))
+    val paris = goldDaily.filter(col("city") === "Paris").head()
+    // expected = the Spark-computed double, HALF_UP to scale 2 (the same
+    // rule the reference's NUMERIC(5,2) assignment applies)
+    val expectedAvg = daily.filter(col("city") === "Paris")
+      .head().getAs[Double]("avg_temperature")
+    val want = java.math.BigDecimal.valueOf(expectedAvg).setScale(2, RoundingMode.HALF_UP)
+    val gotAvg = paris.getAs[java.math.BigDecimal]("avg_temperature")
+    assert(gotAvg.compareTo(want) == 0, s"avg_temperature $gotAvg != $want")
+    assert(gotAvg.scale == 2)
+    // generated period columns computed engine-side
+    assert(paris.getAs[java.sql.Date]("date").toString == "2024-01-01")
+    val goldHourly = lower(JdbcSink.readTable(spark, url, "gold_weather_hourly"))
+    val ph13 = goldHourly.filter(col("city") === "Paris" && col("hour") === 13).head()
+    assert(ph13.getAs[java.sql.Timestamp]("datetime").toString
+      .startsWith("2024-01-01 13:00:00"))
+    // detailed tier: temp_range/heat_index decimals present with scale 2
+    val det = lower(JdbcSink.readTable(spark, url, "gold_weather_detailed"))
+    assert(det.schema("temperature").dataType == DecimalType(5, 2))
+    assert(det.schema("wind_speed").dataType == DecimalType(6, 2))
+  }
+
+  test("replay: second loadAll loads zero; raw duplicate append is rejected DB-side") {
+    val url = freshUrl()
+    val (enriched, daily, hourly) = silverTiers
+    GoldSchema.loadAll(spark, enriched, daily, hourly, url)
+    val second = GoldSchema.loadAll(spark, enriched, daily, hourly, url)
+    assert(second == ((0L, 0L, 0L)), s"replay loaded $second")
+    // bypassing the anti-join, the unique index is the backstop
+    intercept[Exception] {
+      JdbcSink.append(GoldSchema.coerceDetailed(enriched), url, "gold_weather_detailed")
+    }
+    assert(JdbcSink.readTable(spark, url, "gold_weather_detailed").count() == 3)
+  }
+
+  test("CHECK constraints reject out-of-domain rows DB-side") {
+    val url = freshUrl()
+    GoldSchema.ensureTable(url, "gold_weather_detailed", GoldSchema.detailedDdl)
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement(
+        """INSERT INTO gold_weather_detailed
+          |  (city, country, "timestamp", temperature, humidity, data_quality_score)
+          |  VALUES (?, ?, ?, ?, ?, ?)""".stripMargin)
+      def tryInsert(temp: Double, hum: Int, score: Int): Option[String] = {
+        ps.setString(1, "X"); ps.setString(2, "XX")
+        ps.setTimestamp(3, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        ps.setBigDecimal(4, java.math.BigDecimal.valueOf(temp))
+        ps.setInt(5, hum); ps.setInt(6, score)
+        try { ps.executeUpdate(); None }
+        catch { case e: java.sql.SQLException => Some(e.getMessage) }
+      }
+      assert(tryInsert(200.0, 50, 90).exists(_.contains("CHK_TEMPERATURE")))
+      assert(tryInsert(20.0, 150, 90).exists(_.contains("CHK_HUMIDITY")))
+      assert(tryInsert(20.0, 50, 101).exists(_.contains("CHK_QUALITY_SCORE")))
+      assert(tryInsert(20.0, 50, 90).isEmpty, "in-domain row must insert")
+    } finally c.close()
+  }
+
+  test("ensureTable is idempotent") {
+    val url = freshUrl()
+    GoldSchema.ensureTable(url, "gold_weather_daily", GoldSchema.dailyDdl)
+    GoldSchema.ensureTable(url, "gold_weather_daily", GoldSchema.dailyDdl) // no throw
+  }
+}
