@@ -26,7 +26,10 @@ object Pipeline {
       sourceDir: String,
       warehouseDir: String,
       jdbcUrl: Option[String] = None,
-      date: Option[LocalDate] = None)
+      date: Option[LocalDate] = None,
+      retry: StageRunner.RetryPolicy = StageRunner.RetryPolicy(retries = 0),
+      notifier: StageRunner.Notifier = StageRunner.Notifier.noop,
+      sleeper: Long => Unit = Thread.sleep)
 
   case class Report(
       executionId: String,
@@ -42,19 +45,9 @@ object Pipeline {
     val log = cfg.jdbcUrl.map { url =>
       val l = new JdbcSink.PipelineLog(url); l.ensureTable(); l
     }
-    def staged[T](stage: String, rows: T => Long)(f: => T): T = {
-      val started = log.map(_.logStart(executionId, stage))
-      try {
-        val r = f
-        log.foreach(_.logEnd(executionId, stage, started.get, "SUCCESS", rows(r)))
-        r
-      } catch {
-        case e: Throwable =>
-          log.foreach(_.logEnd(executionId, stage, started.get, "FAILURE", -1,
-            s"""{"error":"${e.getClass.getSimpleName}"}"""))
-          throw e
-      }
-    }
+    val runner = new StageRunner(executionId, log, cfg.retry, cfg.notifier, cfg.sleeper)
+    def staged[T](stage: String, rows: T => Long)(f: => T): T =
+      runner.staged(stage, rows)(f)
 
     // 1. ingest: events stream → partitioned Bronze (AvailableNow drain)
     val bronzePath = s"${cfg.warehouseDir}/bronze/events"
@@ -120,7 +113,9 @@ object Pipeline {
     cfg.jdbcUrl.foreach { url => /* retention on real deployments:
       JdbcSink.retentionDelete(url, "gold_events_daily", "load_ts", 365) */ }
 
-    Report(executionId, bronzeRows, silverRows, goldRows, dups, nulls, gate)
+    val report = Report(executionId, bronzeRows, silverRows, goldRows, dups, nulls, gate)
+    cfg.notifier.onSuccess(report)
+    report
   }
 
   private def ensureGoldTable(url: String): Unit = {

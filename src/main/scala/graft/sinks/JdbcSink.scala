@@ -60,6 +60,7 @@ object JdbcSink {
           """CREATE TABLE pipeline_execution_log (
             |  execution_id VARCHAR(36) NOT NULL,
             |  stage VARCHAR(64) NOT NULL,
+            |  attempt INT NOT NULL DEFAULT 1,
             |  status VARCHAR(16) NOT NULL,
             |  started_at TIMESTAMP,
             |  finished_at TIMESTAMP,
@@ -70,41 +71,59 @@ object JdbcSink {
       }
     }
 
-    def logStart(executionId: String, stage: String): Long = {
+    def logStart(executionId: String, stage: String, attempt: Int = 1): Long = {
       val now = System.currentTimeMillis()
       withConn(url) { c =>
         val ps = c.prepareStatement(
-          "INSERT INTO pipeline_execution_log (execution_id, stage, status, started_at) VALUES (?,?,?,?)")
+          "INSERT INTO pipeline_execution_log (execution_id, stage, attempt, status, started_at) VALUES (?,?,?,?,?)")
         ps.setString(1, executionId); ps.setString(2, stage)
-        ps.setString(3, "RUNNING"); ps.setTimestamp(4, new java.sql.Timestamp(now))
+        ps.setInt(3, attempt)
+        ps.setString(4, "RUNNING"); ps.setTimestamp(5, new java.sql.Timestamp(now))
         ps.executeUpdate()
       }
       now
     }
 
     def logEnd(executionId: String, stage: String, startedMs: Long,
-        status: String, rows: Long, metadataJson: String = "{}"): Unit = {
+        status: String, rows: Long, metadataJson: String = "{}",
+        attempt: Int = 1): Unit = {
       val now = System.currentTimeMillis()
       withConn(url) { c =>
         val ps = c.prepareStatement(
           """UPDATE pipeline_execution_log SET status=?, finished_at=?,
             |duration_secs=?, rows_processed=?, metadata=?
-            |WHERE execution_id=? AND stage=?""".stripMargin)
+            |WHERE execution_id=? AND stage=? AND attempt=?""".stripMargin)
         ps.setString(1, status); ps.setTimestamp(2, new java.sql.Timestamp(now))
         ps.setDouble(3, (now - startedMs) / 1000.0); ps.setLong(4, rows)
         ps.setString(5, metadataJson); ps.setString(6, executionId)
-        ps.setString(7, stage)
+        ps.setString(7, stage); ps.setInt(8, attempt)
         ps.executeUpdate()
       }
     }
 
+    /** Latest attempt's status for the stage. */
     def statusOf(executionId: String, stage: String): Option[(String, Long)] =
       withConn(url) { c =>
         val ps = c.prepareStatement(
-          "SELECT status, rows_processed FROM pipeline_execution_log WHERE execution_id=? AND stage=?")
+          """SELECT status, rows_processed FROM pipeline_execution_log
+            |WHERE execution_id=? AND stage=?
+            |ORDER BY attempt DESC FETCH FIRST 1 ROWS ONLY""".stripMargin)
         ps.setString(1, executionId); ps.setString(2, stage)
         val rs = ps.executeQuery()
         if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None
+      }
+
+    /** Every attempt of the stage, oldest first: (attempt, status). */
+    def attemptsOf(executionId: String, stage: String): Seq[(Int, String)] =
+      withConn(url) { c =>
+        val ps = c.prepareStatement(
+          """SELECT attempt, status FROM pipeline_execution_log
+            |WHERE execution_id=? AND stage=? ORDER BY attempt""".stripMargin)
+        ps.setString(1, executionId); ps.setString(2, stage)
+        val rs = ps.executeQuery()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        while (rs.next()) out += ((rs.getInt(1), rs.getString(2)))
+        out.toSeq
       }
   }
 

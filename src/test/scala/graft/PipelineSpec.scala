@@ -21,9 +21,14 @@ class PipelineSpec extends SparkSpecBase {
   test("pipeline runs end-to-end: ingest → silver → gold → gate → ledger") {
     val wh = freshWarehouse()
     val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
-    val cfg = Pipeline.Config(sf, wh, Some(url))
+    val notified = new scala.collection.mutable.ArrayBuffer[Pipeline.Report]
+    val cfg = Pipeline.Config(sf, wh, Some(url),
+      notifier = new StageRunner.Notifier {
+        override def onSuccess(r: Pipeline.Report): Unit = notified += r
+      })
 
     val r1 = Pipeline.run(spark, cfg)
+    assert(notified.toSeq == Seq(r1), "success notification carries the report")
     assert(r1.bronzeRows == 1000, s"bronze ${r1.bronzeRows}")
     assert(r1.silverRows > 900 && r1.silverRows < 1000) // range filter trims some
     assert(r1.goldRowsLoaded > 0)

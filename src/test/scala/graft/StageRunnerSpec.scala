@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.JdbcSink
+import graft.StageRunner.{Notifier, RetryPolicy, StageTimeoutException}
+
+/** Airflow-parity operational semantics: per-stage retry with delay,
+  * per-attempt ledger rows, failure/retry/success notifications, and the
+  * execution timeout (weather_pipeline_dag.py:15-23,226-260). Pure
+  * JVM-side — no Spark needed. */
+class StageRunnerSpec extends AnyFunSuite {
+
+  private def freshLog(): JdbcSink.PipelineLog = {
+    val l = new JdbcSink.PipelineLog(
+      s"jdbc:derby:memory:ledger${System.nanoTime()};create=true")
+    l.ensureTable(); l
+  }
+
+  private class RecordingNotifier extends Notifier {
+    val retries = new scala.collection.mutable.ArrayBuffer[(String, Int)]
+    val failures = new scala.collection.mutable.ArrayBuffer[(String, Int)]
+    override def onRetry(stage: String, attempt: Int, e: Throwable): Unit =
+      retries += ((stage, attempt))
+    override def onStageFailure(stage: String, attempts: Int, e: Throwable): Unit =
+      failures += ((stage, attempts))
+  }
+
+  test("transiently-failing stage succeeds on retry; both attempts hit the ledger") {
+    val log = freshLog()
+    val notifier = new RecordingNotifier
+    val sleeps = new scala.collection.mutable.ArrayBuffer[Long]
+    val runner = new StageRunner("exec-1", Some(log),
+      RetryPolicy(retries = 3, retryDelayMs = 123, executionTimeoutMs = 0),
+      notifier, sleeps += _)
+    val calls = new AtomicInteger(0)
+    val out = runner.staged[Long]("silver", identity) {
+      if (calls.incrementAndGet() == 1) sys.error("transient IO blip")
+      42L
+    }
+    assert(out == 42L && calls.get() == 2)
+    assert(log.attemptsOf("exec-1", "silver") ==
+      Seq((1, "FAILURE"), (2, "SUCCESS")), "one row per attempt")
+    assert(log.statusOf("exec-1", "silver").exists(_._1 == "SUCCESS"),
+      "latest-attempt status wins")
+    assert(notifier.retries.toSeq == Seq(("silver", 1)) && notifier.failures.isEmpty)
+    assert(sleeps.toSeq == Seq(123L), "retry_delay honored between attempts")
+  }
+
+  test("persistently-failing stage exhausts retries, notifies failure, rethrows") {
+    val log = freshLog()
+    val notifier = new RecordingNotifier
+    val runner = new StageRunner("exec-2", Some(log),
+      RetryPolicy(retries = 2, retryDelayMs = 1, executionTimeoutMs = 0),
+      notifier, _ => ())
+    val calls = new AtomicInteger(0)
+    val e = intercept[RuntimeException] {
+      runner.staged[Long]("gold_load", identity) {
+        calls.incrementAndGet(); sys.error("db down")
+      }
+    }
+    assert(e.getMessage == "db down")
+    assert(calls.get() == 3, "1 initial + 2 retries, like Airflow retries=2")
+    assert(log.attemptsOf("exec-2", "gold_load").map(_._2) ==
+      Seq("FAILURE", "FAILURE", "FAILURE"))
+    assert(notifier.retries.map(_._2).toSeq == Seq(1, 2))
+    assert(notifier.failures.toSeq == Seq(("gold_load", 3)))
+  }
+
+  test("execution timeout aborts a hung stage and is retryable like any failure") {
+    val runner = new StageRunner("exec-3", None,
+      RetryPolicy(retries = 0, retryDelayMs = 0, executionTimeoutMs = 50),
+      Notifier.noop, _ => ())
+    intercept[StageTimeoutException] {
+      runner.staged[Unit]("bronze_ingest", _ => 0L) {
+        Thread.sleep(5000)
+      }
+    }
+  }
+
+  test("retries=0 preserves single-attempt semantics") {
+    val log = freshLog()
+    val runner = new StageRunner("exec-4", Some(log),
+      RetryPolicy(retries = 0, retryDelayMs = 0, executionTimeoutMs = 0),
+      Notifier.noop, _ => ())
+    intercept[RuntimeException] {
+      runner.staged[Long]("silver", identity)(sys.error("boom"))
+    }
+    assert(log.attemptsOf("exec-4", "silver").map(_._2) == Seq("FAILURE"))
+  }
+}
