@@ -26,12 +26,69 @@ object JdbcSink {
       props: Properties = new Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
-  /** Append only rows whose natural key is not already present. */
+  /** SQL literal for a probe bound, or None for types we won't inline
+    * (binary, arrays…) — those keys fall back to an unbounded probe.
+    * Timestamps/dates use the JDBC escape syntax so the predicate is
+    * driver-portable (Derby, Postgres, …). */
+  private def sqlLiteral(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case t: java.sql.Timestamp => Some(s"{ts '${t.toString}'}")
+    case d: java.sql.Date => Some(s"{d '${d.toString}'}")
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some(n.toString)
+    case b: java.math.BigDecimal => Some(b.toPlainString)
+    case b: BigDecimal => Some(b.bigDecimal.toPlainString)
+    case _ => None
+  }
+
+  /** One tiny agg over the incoming batch → a remote WHERE clause
+    * bounding the key probe to the batch's own key range. At a year of
+    * Gold data an unbounded probe reads every historical key; a load is
+    * almost always key-local (one day / one backfill window), so pushing
+    * `key BETWEEN min AND max` per key turns the probe from O(table)
+    * into O(window) on the DB side. Returns None when the batch is empty
+    * or a key's type/null-content prevents safe literal inlining (caller
+    * then probes unbounded — correct, just not pruned). */
+  def probePredicate(incoming: DataFrame, keys: Seq[String],
+      quote: String => String): Option[String] = {
+    val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
+    val row = incoming.agg(aggs.head, aggs.tail: _*).head()
+    val parts = keys.zipWithIndex.map { case (k, i) =>
+      for {
+        lo <- sqlLiteral(row.get(2 * i))
+        hi <- sqlLiteral(row.get(2 * i + 1))
+      } yield s"${quote(k)} BETWEEN $lo AND $hi"
+    }
+    if (parts.exists(_.isEmpty)) None else Some(parts.flatten.mkString(" AND "))
+  }
+
+  /** Append only rows whose natural key is not already present.
+    *
+    * The existing-key probe is BOUNDED: the remote scan reads only the
+    * key columns (column pruning) within the incoming batch's key range
+    * (predicate pushed into the remote SQL). `bounded = false` restores
+    * the full-table probe for callers whose batches span arbitrary keys. */
   def idempotentAppend(spark: SparkSession, df: DataFrame, url: String,
       table: String, keys: Seq[String],
-      props: Properties = new Properties): Long = {
-    val existing = readTable(spark, url, table, props).select(keys.map(col): _*)
-    val fresh = newRowsOnly(df, existing, keys)
+      props: Properties = new Properties, bounded: Boolean = true): Long = {
+    // resolve the remote-side identifier case once (Derby folds unquoted
+    // identifiers to uppercase; quoting the reported name is always exact)
+    val remoteSchema = readTable(spark, url, table, props).schema
+    def remoteName(k: String): String =
+      remoteSchema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k)
+    def quoted(k: String): String = "\"" + remoteName(k) + "\""
+    val keyList = keys.map(quoted).mkString(", ")
+    val existing = (if (bounded) probePredicate(df, keys, quoted) else None) match {
+      case Some(pred) =>
+        val probe = s"(SELECT $keyList FROM $table WHERE $pred) probe"
+        spark.read.jdbc(url, probe, props)
+      case None =>
+        readTable(spark, url, table, props).select(keys.map(col): _*)
+    }
+    // normalize remote case back to the incoming names for the anti-join
+    val existingNamed = existing.toDF(keys: _*)
+    val fresh = newRowsOnly(df, existingNamed, keys)
     val n = fresh.count()
     if (n > 0) fresh.write.mode("append").jdbc(url, table, props)
     n
