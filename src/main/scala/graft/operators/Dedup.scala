@@ -165,22 +165,60 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
   }
 
-  /** 8 chunks × 8 bits: pigeonhole guarantees any pair with Hamming ≤ 7
-    * shares a chunk. 8-bit chunk keys collide often at corpus scale — for
-    * 100 TB use 6×16-bit chunks + rotation families instead (noted for a
-    * later round). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(docs)
+  private def simhashByte(c: Int): Column =
+    shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xFFL))
+
+  /** Candidate pairs under single-byte blocking: 8 keys/doc, 8-bit key
+    * space. Pigeonhole-complete for Hamming ≤ 7, but 8-bit keys collide
+    * at rate 2^-8 per block — at corpus scale the join output is garbage-
+    * pair-dominated. Kept as the small-corpus baseline and the spec's
+    * measurement yardstick. */
+  private[graft] def simhashCandidates8(sh: DataFrame): DataFrame = {
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xFFL)).as("ck"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
-    chunked.as("x").join(chunked.as("y"), Seq("chunk", "ck"))
+        struct(lit(c).as("blk"), simhashByte(c).as("ck"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.ck").as("ck"))
+    chunked.as("x").join(chunked.as("y"), Seq("blk", "ck"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
       .distinct()
+  }
+
+  /** Corpus-scale candidate generation (the Manku-et-al table scheme):
+    * keys are every ordered pair of the 8 byte-blocks — C(8,2) = 28
+    * families of 16-bit keys. A pair differing in ≤ 6 bits dirties at
+    * most 6 blocks, leaving ≥ 2 clean blocks, so SOME family key matches
+    * (pigeonhole: complete for Hamming ≤ 8−2). 3.5× the exploded rows of
+    * single-byte blocking, but each family collides at 2^-16, so the
+    * join's garbage-pair output drops by orders of magnitude — the term
+    * that dominates at 100 TB. */
+  private[graft] def simhashCandidates16(sh: DataFrame): DataFrame = {
+    val families = for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+      struct(lit(i * 8 + j).as("blk"),
+        shiftleft(simhashByte(i), 8).bitwiseOR(simhashByte(j)).as("ck"))
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array(families: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.ck").as("ck"))
+    chunked.as("x").join(chunked.as("y"), Seq("blk", "ck"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs at Hamming ≤ maxHamming. Candidate generation is the
+    * paired-block scheme (complete for maxHamming ≤ 6) followed by exact
+    * Hamming verification, so the output EQUALS brute force — blocking
+    * changes cost, never results. `wideBlocks = false` selects the
+    * single-byte baseline (complete up to Hamming 7). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+      wideBlocks: Boolean = true): DataFrame = {
+    require(if (wideBlocks) maxHamming <= 6 else maxHamming <= 7,
+      s"blocking scheme incomplete at Hamming $maxHamming")
+    val sh = simhash(docs)
+    val cands = if (wideBlocks) simhashCandidates16(sh) else simhashCandidates8(sh)
+    cands
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

@@ -32,6 +32,24 @@ class LlmOpsSpec extends SparkSpecBase {
     assert((sim -- exact).size <= sim.size / 2, "too many sub-threshold pairs")
   }
 
+  test("paired-block blocking: identical pairs to byte blocking, far fewer candidates") {
+    // both schemes are pigeonhole-complete at Hamming ≤ 6, so after exact
+    // verification the RESULTS must be identical — blocking is cost-only
+    val wide = Dedup.simhashPairs(docs, 6, wideBlocks = true)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = Dedup.simhashPairs(docs, 6, wideBlocks = false)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == narrow, s"wide missed ${narrow -- wide}, extra ${wide -- narrow}")
+    // the point of 16-bit keys: the candidate set (pre-verification join
+    // output) collapses — this is the term that dominates at corpus scale
+    val sh = graft.operators.Dedup.simhash(docs)
+    val c8 = Dedup.simhashCandidates8(sh).count()
+    val c16 = Dedup.simhashCandidates16(sh).count()
+    assert(c16 < c8 / 4, s"paired-block candidates $c16 not ≪ byte-block $c8")
+    // Hamming > 6 must refuse the 16-bit scheme (incomplete there)
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(docs, 7) }
+  }
+
   test("sign-LSH ANN recall vs brute force (noise embeddings → modest but > fraction scanned)") {
     val emb = Tables.embeddings(spark, sf)
     val bf = Similarity.bruteForceTopK(emb, 5, 50)
