@@ -24,8 +24,16 @@ object Bench {
     // measured runs is reported — single runs swing several-fold under
     // host noise/GC, and steady-state is what amortized 100 TB throughput
     // looks like.
-    // optional comma-separated filter for local iteration on one query
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // optional comma-separated filter for local iteration on one query;
+    // unknown (or empty) names fail loudly — a typo'd filter silently
+    // benching zero queries would read as an impossibly fast run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(f.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no known queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
     val results = selected.map { case (name, fn) =>
       def once(): Double = {

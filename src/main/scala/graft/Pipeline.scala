@@ -56,8 +56,12 @@ object Pipeline {
       val q = Bronze.ingestStream(src, bronzePath, s"${cfg.warehouseDir}/checkpoints/bronze")
       q.awaitTermination()
     }
+    // Bronze row count rides the silver job as an observe() metric on the
+    // scan node — no separate count pass over Bronze (SURVEY §2.11; same
+    // treatment the silver count already gets).
+    val bronzeObs = org.apache.spark.sql.Observation("bronze_rows")
     val bronze = Bronze.readBronze(spark, bronzePath, cfg.date)
-    val bronzeRows = bronze.count()
+      .observe(bronzeObs, count(lit(1)).as("rows"))
 
     // 2. silver: clean + enrich once, fan out to detail + 2 aggregates.
     // Row count comes from observe() on the detail write — one metric
@@ -77,6 +81,7 @@ object Pipeline {
         Silver.hourlyAgg(enriched), s"$silverPath/events_hourly_agg", Seq("year", "month"))
       obs.get("rows").asInstanceOf[Long]
     }
+    val bronzeRows = bronzeObs.get("rows").asInstanceOf[Long]
 
     // 3. gold: idempotent load (JDBC if configured, else parquet dedup-merge)
     val goldRows = staged[Long]("gold_load", identity) {

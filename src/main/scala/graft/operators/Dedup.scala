@@ -51,7 +51,15 @@ object Dedup {
     * lineage so nothing re-reads the cache later), and the corpus cache is
     * released immediately. Checkpoint blocks for the compact result are
     * freed by the ContextCleaner once the frame is unreachable, so a
-    * long-lived session doesn't accumulate corpus-sized cache entries. */
+    * long-lived session doesn't accumulate corpus-sized cache entries.
+    *
+    * Tradeoff: localCheckpoint blocks are executor-local and
+    * unreplicated with TRUNCATED lineage — an executor loss (or
+    * dynamic-allocation decommission) after the checkpoint permanently
+    * fails downstream reads of the result. Right for local/ephemeral
+    * runs; on a cluster with executor churn, configure a checkpoint dir
+    * and use reliable checkpoint() (or persist with replication 2) for
+    * the pair result instead. */
   private[operators] def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try body(cached).localCheckpoint(true)

@@ -63,8 +63,9 @@ object Multimodal {
   /** Rows-only query: metadata + stub-feature digest + norm per media row.
     * The raw array<double> is digested to a sortable scalar
     * (xxhash64 of its JSON form) because downstream comparators can't
-    * order array columns; raw-array semantics stay spec'd in
-    * CustomOpsSpec. */
+    * order array columns; raw-array semantics are spec'd in
+    * StreamingSpec (mapPartitions path) and CustomOpsSpec
+    * (decodeStubExpr: length, [0,1) range, determinism). */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     asMedia(Tables.documents(spark, dir))
       .withColumn("size_bytes", length(col("payload")))

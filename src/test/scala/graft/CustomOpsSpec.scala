@@ -108,4 +108,22 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(naive.contains((1L, 3L)) && !naive.contains((1L, 4L)) &&
       !naive.contains((1L, 6L)) && !naive.contains((1L, 5L)))
   }
+
+  test("decodeStubExpr: 8 dims in [0,1), deterministic, payload-sensitive") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asMedia(Tables.documents(spark, sf)).limit(50)
+    val feats = media
+      .select($"doc_id", Multimodal.decodeStubExpr($"payload").as("features"))
+    val rows = feats.collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(f.length == 8, s"doc ${r.getLong(0)}: ${f.length} dims")
+      assert(f.forall(v => v >= 0.0 && v < 1.0), s"doc ${r.getLong(0)}: $f")
+    }
+    // deterministic: same expression, same payloads → identical arrays
+    val again = feats.collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq)
+    // distinct payloads produce distinct feature vectors (hash sensitivity)
+    assert(rows.map(_.getSeq[Double](1)).distinct.length > 40)
+  }
 }
