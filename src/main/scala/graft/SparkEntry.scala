@@ -72,7 +72,6 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.qEmbeddingNearDupLsh(s, d)),
     "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
     "q10_returned_items" -> ((s, d) => Tpch.q10ReturnedItems(s, d)),
-    // xxhash64 sketch → rows-only gate; guarantees spec-tested
     "text_winnowing_overlap" -> ((s, d) => TextAnalysis.qWinnowingOverlap(s, d))
   )
 
@@ -125,6 +124,11 @@ object SparkEntry {
     "setop_except" -> Advanced.oSetExcept,
     "window_event_deltas" -> Advanced.oEventDeltas,
     "q4_order_priority" -> Tpch.q4OracleSql,
-    "q10_returned_items" -> Tpch.q10OracleSql
+    "q10_returned_items" -> Tpch.q10OracleSql,
+    // cross-engine md5-derived hashes (TextFns.md5u56) make these three
+    // fully oracle-checkable — blocking/sketching changes cost, not results
+    "dedup_simhash_pairs" -> Dedup.oSimhashPairs,
+    "text_winnowing_overlap" -> TextAnalysis.oWinnowingOverlap,
+    "multimodal_features" -> Multimodal.oMultimodalFeatures
   )
 }

@@ -79,10 +79,25 @@ object TextFns {
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
       .otherwise(array(concat_ws(" ", ws)))
 
+  /** 56-bit cross-engine hash: the first 7 md5 digest bytes, big-endian
+    * (= first 14 hex chars as an integer). Fits BIGINT exactly in both
+    * engines, so every hash-derived operator that uses it (winnowing,
+    * simhash) is reproducible in the DuckDB oracle via [[md5u56Sql]] —
+    * unlike xxhash64/murmur3, which have no DuckDB counterpart. */
+  def md5u56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5u56]]: byte-swap of md5_number_upper's
+    * little-endian low 7 bytes back to big-endian. */
+  def md5u56Sql(arg: String): String =
+    "CAST(" + (0 to 6).map(i =>
+      s"((md5_number_upper($arg) >> ${8 * i}) & 255) * ${1L << (8 * (6 - i))}")
+      .mkString("(", " + ", ")") + " AS BIGINT)"
+
   /** Per-shingle rolling hashes, order preserved. Project this as its
     * own attribute before windowing (lambda re-evaluation note above). */
   def shingleHashes(shingleSeq: Column): Column =
-    transform(shingleSeq, s => xxhash64(s))
+    transform(shingleSeq, s => md5u56(s))
 
   /** Winnowing fingerprint (MOSS-style rolling selection): slide a
     * window of `w` hashes over the ordered sequence, keep each window's

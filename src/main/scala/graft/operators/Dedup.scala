@@ -156,35 +156,39 @@ object Dedup {
     minhashLshPairs(Tables.documents(spark, dir), 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash-64 per doc: bit k is the sign of Σ_shingles (±1 on xxhash64
-    * bit k). Near-dup pairs = Hamming ≤ maxHamming, candidates blocked on
-    * 4 × 16-bit chunks (any pair with Hamming ≤ 3 shares a chunk; with
-    * ≤ 4 almost always — pigeonhole gives a guarantee at chunks−1). */
+  /** SimHash bit width: 56, the width of the cross-engine md5-derived
+    * hash (TextFns.md5u56) — which makes the whole operator reproducible
+    * in the DuckDB oracle, unlike an xxhash64-based 64-bit variant. */
+  val SimhashBits = 56
+
+  /** SimHash-56 per doc: bit k is the sign of Σ_shingles (±1 on hash
+    * bit k). Near-dup pairs = Hamming ≤ maxHamming over the signatures. */
   def simhash(docs: DataFrame): DataFrame = {
     val ex = shingled(docs).select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-    val bitSums = (0 until 64).map { k =>
+      .withColumn("h", TextFns.md5u56(col("sh")))
+    val bitSums = (0 until SimhashBits).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k")
     }
     ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
-        (0 until 64).map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        (0 until SimhashBits).map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
   }
 
-  private def simhashByte(c: Int): Column =
-    shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xFFL))
+  /** The 56 signature bits split into 8 blocks of 7 bits. */
+  private def simhashBlock(c: Int): Column =
+    shiftright(col("simhash"), c * 7).bitwiseAND(lit(0x7FL))
 
-  /** Candidate pairs under single-byte blocking: 8 keys/doc, 8-bit key
-    * space. Pigeonhole-complete for Hamming ≤ 7, but 8-bit keys collide
-    * at rate 2^-8 per block — at corpus scale the join output is garbage-
+  /** Candidate pairs under single-block blocking: 8 keys/doc, 7-bit key
+    * space. Pigeonhole-complete for Hamming ≤ 7, but 7-bit keys collide
+    * at rate 2^-7 per block — at corpus scale the join output is garbage-
     * pair-dominated. Kept as the small-corpus baseline and the spec's
     * measurement yardstick. */
   private[graft] def simhashCandidates8(sh: DataFrame): DataFrame = {
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(c =>
-        struct(lit(c).as("blk"), simhashByte(c).as("ck"))): _*)).as("b"))
+        struct(lit(c).as("blk"), simhashBlock(c).as("ck"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.ck").as("ck"))
     chunked.as("x").join(chunked.as("y"), Seq("blk", "ck"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -194,17 +198,17 @@ object Dedup {
   }
 
   /** Corpus-scale candidate generation (the Manku-et-al table scheme):
-    * keys are every ordered pair of the 8 byte-blocks — C(8,2) = 28
-    * families of 16-bit keys. A pair differing in ≤ 6 bits dirties at
-    * most 6 blocks, leaving ≥ 2 clean blocks, so SOME family key matches
+    * keys are every ordered pair of the 8 blocks — C(8,2) = 28 families
+    * of 14-bit keys. A pair differing in ≤ 6 bits dirties at most 6
+    * blocks, leaving ≥ 2 clean blocks, so SOME family key matches
     * (pigeonhole: complete for Hamming ≤ 8−2). 3.5× the exploded rows of
-    * single-byte blocking, but each family collides at 2^-16, so the
+    * single-block blocking, but each family collides at 2^-14, so the
     * join's garbage-pair output drops by orders of magnitude — the term
     * that dominates at 100 TB. */
   private[graft] def simhashCandidates16(sh: DataFrame): DataFrame = {
     val families = for { i <- 0 until 8; j <- (i + 1) until 8 } yield
       struct(lit(i * 8 + j).as("blk"),
-        shiftleft(simhashByte(i), 8).bitwiseOR(simhashByte(j)).as("ck"))
+        shiftleft(simhashBlock(i), 7).bitwiseOR(simhashBlock(j)).as("ck"))
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array(families: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.ck").as("ck"))
@@ -232,10 +236,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Spark-only (xxhash64 not reproducible in the oracle engine) →
-    * rows-only check; semantics unit-tested against the exact operator. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Full DuckDB twin: same md5-derived 56-bit shingle hash
+    * (TextFns.md5u56Sql), same sign-of-bit-sum signature, brute-force
+    * Hamming pairs — blocking changes cost, never results, so the
+    * blocked Spark operator must hash-match this exactly. */
+  def oSimhashPairs: String = {
+    val h = TextFns.md5u56Sql("s")
+    val bitSums = (0 until SimhashBits).map(k =>
+      s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(",\n    ")
+    val signBits = (0 until SimhashBits).map(k =>
+      s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3
+       |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+       |    ELSE [array_to_string(ws, ' ')] END AS shingles FROM w),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hh AS (SELECT doc_id, $h AS h FROM ex),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ($signBits) AS simhash FROM bits)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs, exact: every (a, b) with
     * cosine ≥ threshold, via the codegen'd fused kernel (one pass per

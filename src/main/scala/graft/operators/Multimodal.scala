@@ -32,11 +32,18 @@ object Multimodal {
         .otherwise("video/mp4").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** One stub feature dim: a cross-engine md5-derived hash of
+    * payload‖dim-index, scaled into [0,1) — deterministic AND
+    * reproducible by the DuckDB oracle (TextFns.md5u56). */
+  def stubFeature(payload: Column, i: Int): Column =
+    pmod(graft.functions.TextFns.md5u56(
+        concat(payload, lit(i.toString.getBytes("UTF-8")))), lit(100000L))
+      .cast("double") / lit(100000.0)
+
   /** STUB decode: deterministic pseudo-features from payload hashes —
     * stands in for decode→resize→embed. Expression form (codegen'd). */
   def decodeStubExpr(payload: Column, dims: Int = 8): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      i => (pmod(xxhash64(payload, i), lit(100000L)).cast("double") / lit(100000.0)))
+    array((0 until dims).map(i => stubFeature(payload, i)): _*)
 
   /** STUB decode, partition-batch form: the mapPartitions iterator is
     * where a real codec would amortize per-batch init (model load, native
@@ -60,22 +67,46 @@ object Multimodal {
     }
   }
 
-  /** Rows-only query: metadata + stub-feature digest + norm per media row.
-    * The raw array<double> is digested to a sortable scalar
-    * (xxhash64 of its JSON form) because downstream comparators can't
-    * order array columns; raw-array semantics are spec'd in
-    * StreamingSpec (mapPartitions path) and CustomOpsSpec
-    * (decodeStubExpr: length, [0,1) range, determinism). */
-  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+  /** Metadata + stub features per media row. Features are emitted as
+    * scalar columns f0..f7 (sortable, so the driver comparator can gate
+    * them) built from the cross-engine hash — fully oracle-checkable in
+    * DuckDB. Raw-ARRAY semantics stay spec'd in StreamingSpec
+    * (mapPartitions path) and CustomOpsSpec (decodeStubExpr: length,
+    * [0,1) range, determinism). */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 8
+    val feats = (0 until dims).map(i => stubFeature(col("payload"), i).as(s"f$i"))
+    val norm = sqrt((0 until dims).map(i => col(s"f$i") * col(s"f$i"))
+      .reduce(_ + _)).as("feature_norm")
     asMedia(Tables.documents(spark, dir))
       .withColumn("size_bytes", length(col("payload")))
-      .withColumn("features", decodeStubExpr(col("payload")))
-      .withColumn("feature_norm", sqrt(aggregate(
-        transform(col("features"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .select(col("doc_id"), col("mime"), col("size_bytes"),
-        xxhash64(to_json(col("features"))).as("features_digest"),
-        col("feature_norm"))
+      .select(Seq(col("doc_id"), col("mime"), col("size_bytes")) ++ feats: _*)
+      .select(col("*"), norm)
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: payload = UTF-8 bytes of text, so hashing text‖i in
+    * DuckDB hashes the same bytes (TextFns.md5u56Sql). The norm sums
+    * left-to-right like the Spark column fold, so doubles are
+    * bit-identical. */
+  def oMultimodalFeatures: String = {
+    val dims = 8
+    val feats = (0 until dims).map(i =>
+      s"CAST(${graft.functions.TextFns.md5u56Sql(s"text || '$i'")} % 100000 AS DOUBLE) / 100000.0 AS f$i")
+      .mkString(",\n    ")
+    val norm = "sqrt(" + (0 until dims).map(i => s"f$i * f$i").mkString(" + ") + ") AS feature_norm"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END AS mime,
+       |    CAST(octet_length(encode(text)) AS INTEGER) AS size_bytes,
+       |    $feats
+       |  FROM documents)
+       |SELECT doc_id, mime, size_bytes, ${(0 until dims).map(i => s"f$i").mkString(", ")},
+       |  $norm
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** STUB resize: cap the payload at `maxBytes` before decoding — the
     * binary-slice expression is the real plumbing (a codec resize slots

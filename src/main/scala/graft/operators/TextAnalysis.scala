@@ -167,9 +167,36 @@ object TextAnalysis {
         .filter(col("shared_fps") >= minShared)
     }
 
-  /** xxhash64 not reproducible in the oracle engine → rows-only gate;
-    * guarantees spec-tested (shared-run detection, sketch size). */
   def qWinnowingOverlap(spark: SparkSession, dir: String): DataFrame =
     winnowingOverlapPairs(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Full DuckDB twin of the winnowing overlap query (w=4, minShared=2,
+    * maxFpDocFreq=100): same md5-derived shingle hashes (md5u56Sql),
+    * window minima via list slices, distinct fingerprints, hot-
+    * fingerprint drop, pair join. */
+  def oWinnowingOverlap: String = {
+    val h = TextFns.md5u56Sql("x")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |sq AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3
+       |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+       |    ELSE [array_to_string(ws, ' ')] END AS sseq FROM w),
+       |h AS (
+       |  SELECT doc_id, list_transform(sseq, x -> $h) AS hs FROM sq),
+       |fps AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 4
+       |    THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+       |    ELSE [list_min(hs)] END) AS fp_list FROM h),
+       |ex AS (SELECT doc_id, unnest(fp_list) AS fp FROM fps),
+       |rare AS (
+       |  SELECT doc_id, fp FROM ex
+       |  WHERE fp IN (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 100))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared_fps
+       |FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY x.doc_id, y.doc_id
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }
