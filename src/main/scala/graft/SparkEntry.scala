@@ -72,7 +72,10 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.qEmbeddingNearDupLsh(s, d)),
     "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
     "q10_returned_items" -> ((s, d) => Tpch.q10ReturnedItems(s, d)),
-    "text_winnowing_overlap" -> ((s, d) => TextAnalysis.qWinnowingOverlap(s, d))
+    "text_winnowing_overlap" -> ((s, d) => TextAnalysis.qWinnowingOverlap(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.qDedupClusters(s, d)),
+    "text_top_ngrams" -> ((s, d) => TextAnalysis.qTopNgrams(s, d)),
+    "text_top_terms" -> ((s, d) => TextAnalysis.qTopTerms(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,6 +132,9 @@ object SparkEntry {
     // fully oracle-checkable — blocking/sketching changes cost, not results
     "dedup_simhash_pairs" -> Dedup.oSimhashPairs,
     "text_winnowing_overlap" -> TextAnalysis.oWinnowingOverlap,
-    "multimodal_features" -> Multimodal.oMultimodalFeatures
+    "multimodal_features" -> Multimodal.oMultimodalFeatures,
+    "dedup_clusters" -> Dedup.oDedupClusters,
+    "text_top_ngrams" -> TextAnalysis.oTopNgrams,
+    "text_top_terms" -> TextAnalysis.oTopTerms
   )
 }

@@ -268,6 +268,66 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Connected components over the near-dup pair graph by iterative
+    * hash-min label propagation — the GraphX/GraphFrames CC algorithm
+    * expressed on DataFrames. Each round is one shuffle (neighbor-min
+    * join + aggregate); rounds needed = component diameter (near-dup
+    * clusters are shallow — typically 2-3 rounds). The driver-side loop
+    * is the fixpoint control only; all data work is distributed.
+    * localCheckpoint truncates lineage per round so plans don't nest.
+    *
+    * Output: (doc_id, cluster_id) for every doc in some pair, where
+    * cluster_id = min doc_id of the component (deterministic survivor —
+    * the A8 dedup rule lifted to transitive duplicate groups). */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("next") < col("label")).count()
+      labels = stepped.select(col("doc_id"), col("next").as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(shingleJaccardPairs(Tables.documents(spark, dir), 0.8))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: transitive closure by recursive CTE over the same pair
+    * graph; cluster id = min reachable doc (incl. self). */
+  def oDedupClusters: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles FROM w),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles))
+      |      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION SELECT doc_b, doc_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs, exact: every (a, b) with
     * cosine ≥ threshold, via the codegen'd fused kernel (one pass per
     * pair, no intermediate arrays). The pair space is a broadcast

@@ -171,6 +171,74 @@ object TextAnalysis {
     winnowingOverlapPairs(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Corpus n-gram statistics: top-k 3-gram shingles by document
+    * frequency (distinct per doc, so boilerplate inside one doc counts
+    * once). One explode + one hash aggregate with map-side partial
+    * aggregation, then a TakeOrderedAndProject top-k — the corpus-stats
+    * shape that runs as two stages at any scale. Deterministic total
+    * order: df desc, then the shingle itself. */
+  def topNgrams(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
+      .select(explode(col("shingles")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgrams(Tables.documents(spark, dir))
+
+  def oTopNgrams: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles FROM w),
+      |ex AS (SELECT unnest(shingles) AS ngram FROM sh)
+      |SELECT ngram, CAST(count(*) AS BIGINT) AS df
+      |FROM ex GROUP BY 1 ORDER BY df DESC, ngram LIMIT 20""".stripMargin
+
+  /** Per-document top terms by TF-weighted inverse document frequency.
+    * tf = occurrences in the doc; df = docs containing the term;
+    * score = tf / df (a division-based idf surrogate: bit-exact in both
+    * engines, unlike ln whose last bit is libm-dependent — the classic
+    * tf·ln(N/df) is a one-line swap on a real deployment). Ranking is
+    * fully deterministic: tf desc, df asc, term asc. Two shuffles: one
+    * per-doc term count, one broadcast-joined document frequency. */
+  def topTerms(docs: DataFrame, perDoc: Int = 3): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  def qTopTerms(spark: SparkSession, dir: String): DataFrame =
+    topTerms(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("rank"))
+
+  def oTopTerms: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |r AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INTEGER) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rank, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Full DuckDB twin of the winnowing overlap query (w=4, minShared=2,
     * maxFpDocFreq=100): same md5-derived shingle hashes (md5u56Sql),
     * window minima via list slices, distinct fingerprints, hot-

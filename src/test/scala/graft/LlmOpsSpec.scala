@@ -50,6 +50,17 @@ class LlmOpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Dedup.simhashPairs(docs, 7) }
   }
 
+  test("dup clusters: hash-min propagation finds transitive components") {
+    // chain 1-2-3 (1-3 never directly paired), separate pair 5-6, and a
+    // 4-node star 10-{11,12,13}; singletons don't appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (10L, 12L), (10L, 13L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
   test("sign-LSH ANN recall vs brute force (noise embeddings → modest but > fraction scanned)") {
     val emb = Tables.embeddings(spark, sf)
     val bf = Similarity.bruteForceTopK(emb, 5, 50)
