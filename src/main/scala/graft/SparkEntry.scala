@@ -75,7 +75,9 @@ object SparkEntry {
     "text_winnowing_overlap" -> ((s, d) => TextAnalysis.qWinnowingOverlap(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.qDedupClusters(s, d)),
     "text_top_ngrams" -> ((s, d) => TextAnalysis.qTopNgrams(s, d)),
-    "text_top_terms" -> ((s, d) => TextAnalysis.qTopTerms(s, d))
+    "text_top_terms" -> ((s, d) => TextAnalysis.qTopTerms(s, d)),
+    "corpus_split" -> ((s, d) => TextAnalysis.qCorpusSplit(s, d)),
+    "dedup_contamination" -> ((s, d) => TextAnalysis.qContamination(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +137,8 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.oMultimodalFeatures,
     "dedup_clusters" -> Dedup.oDedupClusters,
     "text_top_ngrams" -> TextAnalysis.oTopNgrams,
-    "text_top_terms" -> TextAnalysis.oTopTerms
+    "text_top_terms" -> TextAnalysis.oTopTerms,
+    "corpus_split" -> TextAnalysis.oCorpusSplit,
+    "dedup_contamination" -> TextAnalysis.oContamination
   )
 }

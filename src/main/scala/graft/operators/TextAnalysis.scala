@@ -239,6 +239,78 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tf, df, CAST(tf AS DOUBLE) / df AS score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Deterministic corpus split: bucket = cross-engine hash of the doc
+    * id, mod 100 → train/val/test assignment that is stable across
+    * runs, engines, and cluster layouts (no RNG, no sampling drift).
+    * Map-only; at 100 TB this is a projection fused into the scan. */
+  def withSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .withColumn("bucket",
+        pmod(TextFns.md5u56(col("doc_id").cast("string")), lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  def qCorpusSplit(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  def oCorpusSplit: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, CAST($h % 100 AS INTEGER) AS bucket,
+       |  CASE WHEN $h % 100 < 80 THEN 'train'
+       |       WHEN $h % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark-contamination scan: train-split docs sharing ≥ minShared
+    * 3-gram shingles with any test-split doc. The join is candidate-
+    * generated on the shared shingle (never train × test), with the same
+    * hot-shingle economics as the near-dup joins — at 100 TB add the
+    * doc-freq cap before the join exactly like shingleJaccardPairs. */
+  def contamination(docs: DataFrame, minShared: Int = 5): DataFrame = {
+    val tagged = withSplit(docs)
+    val sh = tagged
+      .select(col("doc_id"), col("split"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("split"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
+      .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("sh"))
+    train.join(test, Seq("sh"))
+      .groupBy(col("train_doc"), col("test_doc"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir))
+      .orderBy(col("train_doc"), col("test_doc"))
+
+  def oContamination: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split, CASE WHEN len(ws) >= 3
+       |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+       |    ELSE [array_to_string(ws, ' ')] END AS shingles FROM s)
+       |SELECT a.doc_id AS train_doc, b.doc_id AS test_doc,
+       |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS shared_shingles
+       |FROM sh a JOIN sh b ON a.split = 'train' AND b.split = 'test'
+       |WHERE len(list_intersect(a.shingles, b.shingles)) >= 5
+       |ORDER BY train_doc, test_doc""".stripMargin
+  }
+
   /** Full DuckDB twin of the winnowing overlap query (w=4, minShared=2,
     * maxFpDocFreq=100): same md5-derived shingle hashes (md5u56Sql),
     * window minima via list slices, distinct fingerprints, hot-

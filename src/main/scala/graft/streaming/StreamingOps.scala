@@ -127,6 +127,15 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension frame. Spark re-plans the static side per batch
+    * (so a broadcast hint keeps every batch a broadcast-hash join, no
+    * stream-side shuffle), and the join is stateless — no watermark or
+    * state store involved, unlike stream-stream joins. The canonical
+    * "enrich events with a dimension table" shape at any scale. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming → Gold over JDBC with exactly-once effect: foreachBatch
     * runs the idempotent anti-join append per micro-batch, so replays
     * (same batch re-delivered after a crash) insert nothing twice. This

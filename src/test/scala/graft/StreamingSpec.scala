@@ -50,6 +50,24 @@ class StreamingSpec extends SparkSpecBase {
       "2000 input rows (replayed) must dedup to 1000")
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim, broadcast") {
+    val dir = eventsDir()
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    val q = StreamingOps.enrichStream(streamEvents(dir), dim, "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("enrich_out")
+    assert(out.count() == 1000, "left join preserves every stream row")
+    val batch = Tables.events(spark, sf).join(dim, Seq("event_type"), "left")
+    assert(out.filter($"category".isNull).count() ==
+      batch.filter($"category".isNull).count(), "unmatched rows carry null")
+    assert(out.filter($"category" === "revenue").count() ==
+      batch.filter($"category" === "revenue").count())
+  }
+
   test("stateful sessionize emits the sessions its batch twin closes") {
     val dir = eventsDir()
     val q = StreamingOps.sessionize(
