@@ -38,8 +38,11 @@ object Dedup {
 
   /** (doc_id, shingles, n_shingles) — words materialized as their own
     * projection so shingling references an attribute (see
-    * TextFns.shinglesFromWords). */
-  private def shingled(docs: DataFrame): DataFrame =
+    * TextFns.shinglesFromWords). Consumers that explode this MUST go
+    * through [[withCached]]: the cache is an optimizer barrier, without
+    * which a Generate above the nested transform re-inlines the words
+    * split per element (the measured quadratic blowup). */
+  private[operators] def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       .select(col("doc_id"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))

@@ -178,12 +178,14 @@ object TextAnalysis {
     * shape that runs as two stages at any scale. Deterministic total
     * order: df desc, then the shingle itself. */
   def topNgrams(docs: DataFrame, k: Int = 20): DataFrame =
-    docs.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-      .select(col("doc_id"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
-      .select(explode(col("shingles")).as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("ngram"))
-      .limit(k)
+    // withCached: the cache is an optimizer barrier so the explode can't
+    // re-inline the shingle transform per element (quadratic blowup)
+    graft.operators.Dedup.withCached(graft.operators.Dedup.shingled(docs)) { sh =>
+      sh.select(explode(col("shingles")).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(k)
+    }
 
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
     topNgrams(Tables.documents(spark, dir))
@@ -273,18 +275,21 @@ object TextAnalysis {
     * doc-freq cap before the join exactly like shingleJaccardPairs. */
   def contamination(docs: DataFrame, minShared: Int = 5): DataFrame = {
     val tagged = withSplit(docs)
-    val sh = tagged
       .select(col("doc_id"), col("split"), TextFns.words(col("text")).as("ws"))
       .select(col("doc_id"), col("split"), TextFns.shinglesFromWords(col("ws")).as("shingles"))
-      .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
-    val train = sh.filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc"), col("sh"))
-    val test = sh.filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc"), col("sh"))
-    train.join(test, Seq("sh"))
-      .groupBy(col("train_doc"), col("test_doc"))
-      .agg(count(lit(1)).as("shared_shingles"))
-      .filter(col("shared_shingles") >= minShared)
+    // withCached: one shingling pass feeds both join legs, and the cache
+    // barrier keeps the explode from re-inlining the shingle transform
+    graft.operators.Dedup.withCached(tagged) { cached =>
+      val sh = cached.select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
+      val train = sh.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("sh"))
+      val test = sh.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc"), col("sh"))
+      train.join(test, Seq("sh"))
+        .groupBy(col("train_doc"), col("test_doc"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .filter(col("shared_shingles") >= minShared)
+    }
   }
 
   def qContamination(spark: SparkSession, dir: String): DataFrame =
