@@ -65,8 +65,13 @@ object Dedup {
     * the pair result instead. */
   private[operators] def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try body(cached).localCheckpoint(true)
-    finally cached.unpersist(false)
+    // -Dgraft.explain.lineage=true keeps the logical plan visible (for
+    // plan dumps/inspection) instead of truncating it at the checkpoint
+    try {
+      val out = body(cached)
+      if (sys.props.get("graft.explain.lineage").contains("true")) out
+      else out.localCheckpoint(true)
+    } finally cached.unpersist(false)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
