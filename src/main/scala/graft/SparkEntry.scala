@@ -77,7 +77,12 @@ object SparkEntry {
     "text_top_ngrams" -> ((s, d) => TextAnalysis.qTopNgrams(s, d)),
     "text_top_terms" -> ((s, d) => TextAnalysis.qTopTerms(s, d)),
     "corpus_split" -> ((s, d) => TextAnalysis.qCorpusSplit(s, d)),
-    "dedup_contamination" -> ((s, d) => TextAnalysis.qContamination(s, d))
+    "dedup_contamination" -> ((s, d) => TextAnalysis.qContamination(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Tpch.q6ForecastRevenue(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Tpch.q14PromoRevenue(s, d)),
+    "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
+    "q19_bracket_revenue" -> ((s, d) => Tpch.q19BracketRevenue(s, d)),
+    "q22_dormant_balance" -> ((s, d) => Tpch.q22DormantBalance(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,6 +144,11 @@ object SparkEntry {
     "text_top_ngrams" -> TextAnalysis.oTopNgrams,
     "text_top_terms" -> TextAnalysis.oTopTerms,
     "corpus_split" -> TextAnalysis.oCorpusSplit,
-    "dedup_contamination" -> TextAnalysis.oContamination
+    "dedup_contamination" -> TextAnalysis.oContamination,
+    "q6_forecast_revenue" -> Tpch.q6OracleSql,
+    "q14_promo_revenue" -> Tpch.q14OracleSql,
+    "q15_top_supplier" -> Tpch.q15OracleSql,
+    "q19_bracket_revenue" -> Tpch.q19OracleSql,
+    "q22_dormant_balance" -> Tpch.q22OracleSql
   )
 }

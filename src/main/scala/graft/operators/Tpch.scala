@@ -174,6 +174,152 @@ object Tpch {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Forecasting-revenue change (TPC-H Q6 shape): pure scan + filter +
+    * ungrouped aggregate — the pushdown showcase. All three predicates
+    * reach the parquet reader; the aggregate is a one-row map-side
+    * combine, so the shuffle moves 32 partial rows. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.04, 0.06)
+        && col("l_quantity") < 24)
+      .agg(sum(dp(col("l_extendedprice")) * dr(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  def q6OracleSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.04 AND 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Promotion-revenue share (TPC-H Q14 shape): conditional aggregate
+    * ratio over a fact⋈dim join; part broadcasts, lineitem never
+    * shuffles. Both sums are exact decimals; the final ratio is one
+    * double division in both engines. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    val part = Tables.part(spark, dir)
+    val disc = dp(col("l_extendedprice")) * (lit(1) - dr(col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(14, 2))))
+          .cast("double").as("promo_revenue"),
+        sum(disc).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  def q14OracleSql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))
+      |    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS total_revenue,
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))
+      |    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  /** Top supplier (TPC-H Q15 shape): aggregated CTE + scalar-subquery
+    * max, re-joined against itself. The revenue stays DECIMAL through
+    * the equality (exact compare — a double here would be flaky), and
+    * the max side is one broadcast row. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dp(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
+        .as("rev_dec"))
+    val top = rev.join(broadcast(rev.agg(max(col("rev_dec")).as("mx"))),
+      col("rev_dec") === col("mx"))
+    top.join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  def q15OracleSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Discounted-revenue brackets (TPC-H Q19 shape, container predicates
+    * dropped with the fixture's columns): a disjunction of
+    * brand/size/quantity brackets over the part join. The OR of ANDs
+    * stays a single scan — Catalyst pushes the common l_quantity bounds
+    * and evaluates the residual disjunction post-join. */
+  def q19BracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+        && col("l_quantity").between(20, 30))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(sum(dp(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  def q19OracleSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** Dormant high-balance customers (TPC-H Q22 shape, phone prefixes
+    * replaced by the fixture's nation key): scalar subquery for the
+    * positive-balance average (exact decimal sum / count → one double
+    * division), anti join against the final year's orders, grouped
+    * count+sum. */
+  def q22DormantBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double")
+        / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  def q22OracleSql: String =
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   def q1OracleSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
