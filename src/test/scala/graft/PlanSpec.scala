@@ -74,6 +74,30 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q6 pushes every predicate into the parquet scan") {
+    // formatted mode: toString truncates the PushedFilters list
+    val plan = Tpch.q6ForecastRevenue(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_quantity,24.0)"),
+      s"q6 predicates not pushed:\n$plan")
+  }
+
+  test("corpus split scan prunes to doc_id only") {
+    val plan = physicalPlan(
+      graft.operators.TextAnalysis.qCorpusSplit(spark, sf))
+    assert(!plan.contains("text") && !plan.contains("lang#"),
+      s"split read more than doc_id:\n$plan")
+  }
+
+  test("top terms ranks with a WindowGroupLimit below the full window") {
+    val plan = physicalPlan(
+      graft.operators.TextAnalysis.topTerms(Tables.documents(spark, sf)))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "df join must broadcast")
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val plan = physicalPlan(graft.operators.Ranged.qEventFollowups(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
