@@ -175,4 +175,18 @@ object StreamingOps {
         count(lit(1)).cast("int").as("events"))
       .drop("session_id")
   }
+
+  /** Built-in session_window form of sessionization — one groupBy, no
+    * custom state code, works identically in batch and streaming (with a
+    * watermark). Semantic note vs [[sessionizeBatch]]: session_window
+    * treats the gap as a half-open window after each event, so two
+    * events exactly `gap` apart CLOSE the session here but chain in the
+    * lag-based form's `> gap` test — the equivalence spec uses data away
+    * from that boundary. */
+  def sessionizeWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("events"))
 }

@@ -50,6 +50,19 @@ class StreamingSpec extends SparkSpecBase {
       "2000 input rows (replayed) must dedup to 1000")
   }
 
+  test("built-in session_window sessionization matches the lag-based batch twin") {
+    // fixture has no exact-gap boundary pairs (where the two forms
+    // legitimately differ; see sessionizeWindow scaladoc)
+    val viaWindow = StreamingOps.sessionizeWindow(Tables.events(spark, sf))
+      .orderBy($"user_id", $"session_start")
+      .collect().toSeq
+    val viaLag = StreamingOps.sessionizeBatch(Tables.events(spark, sf))
+      .select($"user_id", $"session_start", $"session_end", $"events")
+      .orderBy($"user_id", $"session_start")
+      .collect().toSeq
+    assert(viaWindow.nonEmpty && viaWindow == viaLag)
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim, broadcast") {
     val dir = eventsDir()
     val dim = Seq(("click", "engagement"), ("view", "engagement"),
