@@ -122,4 +122,37 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("md5u56: 56-bit range, deterministic, pinned reference values (property)") {
+    import graft.functions.TextFns
+    // pinned against hashlib: int(md5(s).hexdigest()[:14], 16)
+    val pinned = Seq("abc" -> 40533842309468751L,
+      "hello world" -> 26659015482154734L,
+      "the quick brown" -> 52914156111112028L)
+    val got = pinned.map(_._1).toDF("s")
+      .select(TextFns.md5u56($"s")).collect().map(_.getLong(0)).toSeq
+    assert(got == pinned.map(_._2), s"$got")
+    forAll(Gen.listOfN(40, Gen.alphaNumStr), n = 5) { ss =>
+      whenever(ss.nonEmpty) {
+        val vals = ss.toDF("s").select(TextFns.md5u56($"s")).collect().map(_.getLong(0))
+        assert(vals.forall(v => v >= 0L && v < (1L << 56)))
+        val again = ss.toDF("s").select(TextFns.md5u56($"s")).collect().map(_.getLong(0))
+        assert(vals.toSeq == again.toSeq)
+      }
+    }
+  }
+
+  test("corpus split is total and exclusive: one split per doc, buckets in [0,100)") {
+    val docs = Tables.documents(spark, sf)
+    val split = graft.operators.TextAnalysis.withSplit(docs)
+    val n = docs.count()
+    assert(split.count() == n, "split must not drop or duplicate docs")
+    val byBucket = split.filter($"bucket" < 0 || $"bucket" >= 100).count()
+    assert(byBucket == 0)
+    val shares = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.keySet == Set("train", "val", "test"))
+    assert(shares("train") > n * 6 / 10, s"train share off: $shares")
+    assert(shares("val") + shares("test") > n / 10, s"holdout share off: $shares")
+  }
 }
