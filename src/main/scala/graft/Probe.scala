@@ -10,6 +10,7 @@ object Probe {
     if (args.headOption.contains("pipeline")) { pipelineDrive(); return }
     if (args.headOption.contains("streamgold")) { streamGoldDrive(); return }
     if (args.headOption.contains("plans")) { plansDump(); return }
+    if (args.headOption.contains("corpus")) { corpusScale(); return }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -47,6 +48,45 @@ object Probe {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.8)
     time("final pairs")(println(res.count()))
+    spark.stop()
+  }
+
+  /** Corpus-scale throughput probe: blow the 5k-doc sf0.1 corpus up to
+    * ~100k unique-ified docs (salted texts so near-dup density stays
+    * realistic instead of multiplying planted pairs) and time the text
+    * operator families. Numbers land in SCALE.md. */
+  def corpusScale(): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Dedup, TextAnalysis}
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val mult = 20
+    val docs = base
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    def time[T](label: String)(f: => Unit): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      println(f"[corpus] $label @ $n docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time("split+langid+stats (map-only)") {
+      drain(TextAnalysis.withSplit(docs)
+        .select(col("doc_id"), col("split"),
+          graft.functions.TextFns.wordCount(col("text")).as("wc")))
+    }
+    time("top_ngrams") { drain(TextAnalysis.topNgrams(docs)) }
+    time("simhash pairs (paired blocks)") { drain(Dedup.simhashPairs(docs)) }
+    time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
+    time("contamination") { drain(TextAnalysis.contamination(docs)) }
     spark.stop()
   }
 
