@@ -45,6 +45,29 @@ object Scale {
         min(col("_min")).as("min_value"),
         max(col("_max")).as("max_value")))
 
+  /** Skew-safe top-N per key: a plain ranking window sorts EVERY row of
+    * a hot key on one task — the window analog of the hot-group problem
+    * saltedAgg solves. Two-phase instead: rank within (key, salt) and
+    * keep each salt's local top-N (WindowGroupLimit bounds the per-salt
+    * sort), then rank the ≤ N×saltBuckets survivors per key. Any row
+    * outside its salt's top-N can't be in the key's global top-N, so
+    * results are EXACTLY the plain window's (spec-pinned).
+    *
+    * `orderBy` must be a deterministic total order (include a tiebreak
+    * column); `saltFrom` must vary within a key (e.g. the row id). */
+  def saltedTopNPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+      n: Int, saltFrom: Column, saltBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("_salt", pmod(hash(saltFrom), lit(saltBuckets)))
+    val local = Window.partitionBy((keys.map(col) :+ col("_salt")): _*)
+      .orderBy(orderBy: _*)
+    val global = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    salted
+      .withColumn("_lr", row_number().over(local)).filter(col("_lr") <= n)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= n)
+      .drop("_salt", "_lr")
+  }
+
   /** Write both sides bucketed by the join key, then join the bucketed
     * tables: with matching bucket specs Spark plans a sort-merge join
     * with NO Exchange on either side — the 100 TB fact⋈fact layout. */

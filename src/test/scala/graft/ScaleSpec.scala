@@ -24,6 +24,21 @@ class ScaleSpec extends SparkSpecBase {
     assert(d == s)
   }
 
+  test("salted windowed top-N equals the plain ranking window exactly") {
+    val ev = Tables.events(spark, sf)
+    val order = Seq($"value".desc, $"event_id".asc) // total order via tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy(order: _*)
+    val plain = ev.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= 3)
+      .select("user_id", "rank", "event_id")
+      .orderBy("user_id", "rank").collect().toSeq
+    val salted = Scale.saltedTopNPerKey(ev, Seq("user_id"), order, 3, $"event_id")
+      .select("user_id", "rank", "event_id")
+      .orderBy("user_id", "rank").collect().toSeq
+    assert(plain.nonEmpty && salted == plain)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val result = Scale.bucketedJoinDemo(spark, sf)
     // at fixture scale the planner prefers broadcast; disable it to
