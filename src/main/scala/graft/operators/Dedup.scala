@@ -286,8 +286,15 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id) for every doc in some pair, where
     * cluster_id = min doc_id of the component (deterministic survivor —
-    * the A8 dedup rule lifted to transitive duplicate groups). */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+    * the A8 dedup rule lifted to transitive duplicate groups).
+    *
+    * `maxRounds` guards the fixpoint: hop-propagation needs diameter
+    * rounds, and near-dup components are dense (diameter 2-4). A graph
+    * that hasn't converged in `maxRounds` is not duplicate-shaped —
+    * fail loudly rather than loop; for genuinely high-diameter graphs
+    * switch to star-contraction CC (O(log n) rounds, Kiveris et al.),
+    * which this API can host without signature change. */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -295,7 +302,11 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"component diameter exceeds $maxRounds rounds — not a duplicate-shaped graph")
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
       val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
