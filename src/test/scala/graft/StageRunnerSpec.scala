@@ -80,6 +80,32 @@ class StageRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("retry after a partially-completed load does not double-write (idempotence × retry)") {
+    // the operational composition that matters: attempt 1 WRITES then
+    // dies before reporting; the retry must not duplicate its rows
+    import graft.sinks.JdbcSink
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:retrywrite${System.nanoTime()};create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE TABLE gold_x ("k" INT, "v" DOUBLE)""")
+    finally c.close()
+    val batch = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
+    val runner = new StageRunner("exec-5", None,
+      RetryPolicy(retries = 2, retryDelayMs = 0, executionTimeoutMs = 0),
+      Notifier.noop, _ => ())
+    val calls = new AtomicInteger(0)
+    val loaded = runner.staged[Long]("gold_load", identity) {
+      val n = JdbcSink.idempotentAppend(spark, batch, url, "gold_x", Seq("k"))
+      if (calls.incrementAndGet() == 1) sys.error("died after write, before ack")
+      n
+    }
+    assert(loaded == 0L, "retry found every key already present")
+    assert(JdbcSink.readTable(spark, url, "gold_x").count() == 2,
+      "exactly one copy despite the replayed write")
+  }
+
   test("retries=0 preserves single-attempt semantics") {
     val log = freshLog()
     val runner = new StageRunner("exec-4", Some(log),
