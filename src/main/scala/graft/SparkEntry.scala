@@ -82,7 +82,12 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, d) => Tpch.q14PromoRevenue(s, d)),
     "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
     "q19_bracket_revenue" -> ((s, d) => Tpch.q19BracketRevenue(s, d)),
-    "q22_dormant_balance" -> ((s, d) => Tpch.q22DormantBalance(s, d))
+    "q22_dormant_balance" -> ((s, d) => Tpch.q22DormantBalance(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => TpchDeep.q2MinCostSupplier(s, d)),
+    "q7_volume_shipping" -> ((s, d) => TpchDeep.q7VolumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => TpchDeep.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => TpchDeep.q9ProductProfit(s, d)),
+    "q12_late_lines" -> ((s, d) => TpchDeep.q12LateLines(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,6 +154,11 @@ object SparkEntry {
     "q14_promo_revenue" -> Tpch.q14OracleSql,
     "q15_top_supplier" -> Tpch.q15OracleSql,
     "q19_bracket_revenue" -> Tpch.q19OracleSql,
-    "q22_dormant_balance" -> Tpch.q22OracleSql
+    "q22_dormant_balance" -> Tpch.q22OracleSql,
+    "q2_min_cost_supplier" -> TpchDeep.q2OracleSql,
+    "q7_volume_shipping" -> TpchDeep.q7OracleSql,
+    "q8_market_share" -> TpchDeep.q8OracleSql,
+    "q9_product_profit" -> TpchDeep.q9OracleSql,
+    "q12_late_lines" -> TpchDeep.q12OracleSql
   )
 }
