@@ -34,12 +34,20 @@ object Bench {
       require(f.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names no known queries: ${unknown.mkString(", ")}")
     }
-    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // sim_cosine_topk (the compose-from-builtins variant) is bit-identical to
+    // the native-kernel twin but 8.8x slower; it stays in `queries` as the
+    // kernel's oracle twin yet is excluded from the benched set so the round
+    // total doesn't pay for a redundant measurement. Reachable explicitly via
+    // SPARK_GRAFT_ONLY=sim_cosine_topk.
+    val benchExcluded = Set("sim_cosine_topk")
+    val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(
+      f => SparkEntry.queries.filter(kv => f(kv._1)))
+    var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case _: Throwable => failed ::= name }
         (System.nanoTime() - t0) / 1e9
       }
       once()
@@ -47,8 +55,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures stdout via a bounded tail that has truncated long
+    // JSON lines mid-object (round 3 lost 5 entries + the total); the file
+    // copy is the durable record
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

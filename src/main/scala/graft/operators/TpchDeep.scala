@@ -206,7 +206,7 @@ object TpchDeep {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE p_name LIKE '%gear%'
-      |GROUP BY nation, o_year
+      |GROUP BY n_name, year(l_shipdate)
       |ORDER BY nation, o_year DESC""".stripMargin
 
   /** Late-shipment priority split (TPC-H Q12 shape; `l_shipmode` absent,

@@ -46,6 +46,9 @@ object GoldSchema {
       |  pressure INTEGER,
       |  humidity INTEGER,
       |  wind_speed DECIMAL(6,2),
+      |  weather_main VARCHAR(50),
+      |  weather_description VARCHAR(100),
+      |  is_day BOOLEAN,
       |  heat_index DECIMAL(5,2),
       |  data_quality_score INTEGER,
       |  CONSTRAINT chk_temperature CHECK (temperature BETWEEN -100 AND 60),
@@ -64,6 +67,7 @@ object GoldSchema {
       |  "month" INTEGER NOT NULL,
       |  "day" INTEGER NOT NULL,
       |  "date" DATE NOT NULL,
+      |  week_of_year INTEGER NOT NULL,
       |  avg_temperature DECIMAL(5,2),
       |  min_temperature DECIMAL(5,2),
       |  max_temperature DECIMAL(5,2),
@@ -112,7 +116,8 @@ object GoldSchema {
     * NUMERIC coercion + the generated `date` column. */
   def coerceDaily(daily: DataFrame): DataFrame =
     daily.select(Seq(col("city"), col("country"), col("year"), col("month"),
-      col("day"), make_date(col("year"), col("month"), col("day")).as("date"))
+      col("day"), make_date(col("year"), col("month"), col("day")).as("date"),
+      weekofyear(make_date(col("year"), col("month"), col("day"))).as("week_of_year"))
       ++ aggMeasures
       ++ Seq(col("record_count").cast("int").as("record_count"),
         col("aggregation_level"), col("last_updated")): _*)
@@ -133,6 +138,7 @@ object GoldSchema {
       dec("temperature", 5, 2), dec("feels_like", 5, 2),
       dec("temp_min", 5, 2), dec("temp_max", 5, 2), dec("temp_range", 5, 2),
       col("pressure"), col("humidity"), dec("wind_speed", 6, 2),
+      col("weather_main"), col("weather_description"), col("is_day"),
       dec("heat_index", 5, 2), col("data_quality_score"))
 
   /** Create a Gold table if absent (Derby/ANSI DDL above). */

@@ -26,13 +26,17 @@ object JdbcSink {
       props: Properties = new Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
-  /** SQL literal for a probe bound, or None for types we won't inline
-    * (binary, arrays…) — those keys fall back to an unbounded probe.
-    * Timestamps/dates use the JDBC escape syntax so the predicate is
+  /** SQL literal for a probe bound, or None for types we won't inline.
+    * Strings are deliberately NOT bounded: Spark's min/max order strings
+    * by binary UTF-8, but the remote DB evaluates BETWEEN under its own
+    * collation (Postgres en_US sorts 'a' < 'B'), so a Spark-derived
+    * ['B','a'] range can be EMPTY remotely and the probe would miss
+    * existing keys — silently re-inserting duplicates. Numeric, date and
+    * timestamp ordering is collation-free, so only those are inlined;
+    * timestamps/dates use the JDBC escape syntax so the predicate is
     * driver-portable (Derby, Postgres, …). */
   private def sqlLiteral(v: Any): Option[String] = v match {
     case null => None
-    case s: String => Some("'" + s.replace("'", "''") + "'")
     case t: java.sql.Timestamp => Some(s"{ts '${t.toString}'}")
     case d: java.sql.Date => Some(s"{d '${d.toString}'}")
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
@@ -47,20 +51,24 @@ object JdbcSink {
     * Gold data an unbounded probe reads every historical key; a load is
     * almost always key-local (one day / one backfill window), so pushing
     * `key BETWEEN min AND max` per key turns the probe from O(table)
-    * into O(window) on the DB side. Returns None when the batch is empty
-    * or a key's type/null-content prevents safe literal inlining (caller
+    * into O(window) on the DB side. Keys whose type/null-content prevents
+    * safe literal inlining (strings — collation, see [[sqlLiteral]] —
+    * binary, arrays, all-null columns) are simply dropped from the
+    * conjunction: a probe bounded on the REMAINING keys still returns a
+    * superset of the existing keys, so the anti-join stays correct.
+    * Returns None when the batch is empty or no key is boundable (caller
     * then probes unbounded — correct, just not pruned). */
   def probePredicate(incoming: DataFrame, keys: Seq[String],
       quote: String => String): Option[String] = {
     val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
     val row = incoming.agg(aggs.head, aggs.tail: _*).head()
-    val parts = keys.zipWithIndex.map { case (k, i) =>
+    val parts = keys.zipWithIndex.flatMap { case (k, i) =>
       for {
         lo <- sqlLiteral(row.get(2 * i))
         hi <- sqlLiteral(row.get(2 * i + 1))
       } yield s"${quote(k)} BETWEEN $lo AND $hi"
     }
-    if (parts.exists(_.isEmpty)) None else Some(parts.flatten.mkString(" AND "))
+    if (parts.isEmpty) None else Some(parts.mkString(" AND "))
   }
 
   /** Append only rows whose natural key is not already present.
@@ -88,10 +96,16 @@ object JdbcSink {
     }
     // normalize remote case back to the incoming names for the anti-join
     val existingNamed = existing.toDF(keys: _*)
+    // persist before counting: count + write are two actions, and without
+    // the cache each would re-run the remote key probe and the anti-join
+    // (at a year of Gold history that doubles the probe cost per load)
     val fresh = newRowsOnly(df, existingNamed, keys)
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").jdbc(url, table, props)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append").jdbc(url, table, props)
+      n
+    } finally fresh.unpersist()
   }
 
   /** Plain append (exact reference parity mode, S9). */
@@ -185,13 +199,15 @@ object JdbcSink {
   }
 
   /** Retention cleanup (cleanup_old_data, sql/schema.sql:259-286):
-    * driver-side delete, returns rows removed. */
+    * driver-side delete, returns rows removed. `dateTyped` switches the
+    * bind parameter to java.sql.Date for DATE columns (Derby won't coerce
+    * a TIMESTAMP bind against a DATE column). */
   def retentionDelete(url: String, table: String, tsCol: String,
-      keepDays: Int): Int = withConn(url) { c =>
-    val cutoff = new java.sql.Timestamp(
-      System.currentTimeMillis() - keepDays * 86400000L)
+      keepDays: Int, dateTyped: Boolean = false): Int = withConn(url) { c =>
+    val cutoffMs = System.currentTimeMillis() - keepDays * 86400000L
     val ps = c.prepareStatement(s"DELETE FROM $table WHERE $tsCol < ?")
-    ps.setTimestamp(1, cutoff)
+    if (dateTyped) ps.setDate(1, new java.sql.Date(cutoffMs))
+    else ps.setTimestamp(1, new java.sql.Timestamp(cutoffMs))
     ps.executeUpdate()
   }
 }

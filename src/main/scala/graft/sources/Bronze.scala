@@ -114,6 +114,49 @@ object Bronze {
       .schema(schema)
       .parquet(path)
 
+  /** Partition-level retention sweep for parquet layers (cleanup_old_data
+    * for the lake side, sql/schema.sql:259-286 / config.yaml:112-115 —
+    * bronze 30 d, silver 90 d). Walks Hive-style `year=`/`month=`/`day=`
+    * directories and drops every directory whose LAST covered date is
+    * older than the cutoff, so a partially-expired month survives until
+    * its newest day expires. Deleting whole partition directories is the
+    * lake analog of the reference's SQL DELETE — no rewrite, no scan, and
+    * at 100 TB it's a handful of namenode ops instead of a job. Driver-
+    * side by design (control plane); `today` is injectable for tests.
+    * Returns the number of partition directories removed. */
+  def retentionSweep(spark: SparkSession, path: String, keepDays: Int,
+      today: java.time.LocalDate = java.time.LocalDate.now()): Long = {
+    import org.apache.hadoop.fs.Path
+    val cutoff = today.minusDays(keepDays)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    def kv(name: String): Option[(String, Int)] = name.split("=", 2) match {
+      case Array(k, v) if Set("year", "month", "day")(k) =>
+        scala.util.Try(v.toInt).toOption.map(k -> _)
+      case _ => None
+    }
+    // last calendar date a year[/month[/day]] directory can contain
+    def lastCovered(ctx: Map[String, Int]): Option[java.time.LocalDate] =
+      ctx.get("year").map { y =>
+        val m = ctx.getOrElse("month", 12)
+        val d = ctx.get("day").getOrElse(java.time.YearMonth.of(y, m).lengthOfMonth())
+        java.time.LocalDate.of(y, m, d)
+      }
+    def walk(dir: Path, ctx: Map[String, Int]): Long =
+      fs.listStatus(dir).filter(_.isDirectory).map { st =>
+        kv(st.getPath.getName) match {
+          case Some((k, v)) =>
+            val next = ctx + (k -> v)
+            if (lastCovered(next).exists(_.isBefore(cutoff))) {
+              fs.delete(st.getPath, true); 1L
+            } else walk(st.getPath, next)
+          case None => walk(st.getPath, ctx) // non-date partition level
+        }
+      }.sum
+    walk(root, Map.empty)
+  }
+
   /** Schema-evolved Bronze scan: producers add fields over time, so
     * partition directories carry mixed schemas. mergeSchema unions the
     * footers (older files surface the new columns as null) — the read
