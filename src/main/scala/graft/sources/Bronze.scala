@@ -136,12 +136,17 @@ object Bronze {
         scala.util.Try(v.toInt).toOption.map(k -> _)
       case _ => None
     }
-    // last calendar date a year[/month[/day]] directory can contain
+    // last calendar date a year[/month[/day]] directory can contain;
+    // None for values that form no real date (month=0/13, day=32, …) so a
+    // stray malformed directory is walked past, never deleted and never
+    // able to abort the sweep mid-walk with a DateTimeException
     def lastCovered(ctx: Map[String, Int]): Option[java.time.LocalDate] =
-      ctx.get("year").map { y =>
-        val m = ctx.getOrElse("month", 12)
-        val d = ctx.get("day").getOrElse(java.time.YearMonth.of(y, m).lengthOfMonth())
-        java.time.LocalDate.of(y, m, d)
+      ctx.get("year").flatMap { y =>
+        scala.util.Try {
+          val m = ctx.getOrElse("month", 12)
+          val d = ctx.get("day").getOrElse(java.time.YearMonth.of(y, m).lengthOfMonth())
+          java.time.LocalDate.of(y, m, d)
+        }.toOption
       }
     def walk(dir: Path, ctx: Map[String, Int]): Long =
       fs.listStatus(dir).filter(_.isDirectory).map { st =>

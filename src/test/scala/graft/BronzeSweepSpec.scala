@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.sources.Bronze
+
+/** Retention-sweep boundary coverage: the sweep deletes whole partition
+  * directories, so an off-by-one would silently destroy unexpired data.
+  * Builds real year=/month=/day= trees in a temp dir and pins the cutoff
+  * semantics (newest-covered-day decides; strict isBefore keeps the exact
+  * cutoff day) plus malformed-directory tolerance. */
+class BronzeSweepSpec extends SparkSpecBase {
+
+  private def mk(root: Path, rel: String): Path = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p)
+    Files.write(p.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    p
+  }
+
+  private def exists(root: Path, rel: String): Boolean =
+    Files.exists(root.resolve(rel))
+
+  private def tree(): Path = Files.createTempDirectory("sweep")
+
+  test("expired day partitions drop; the exact cutoff day is retained") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    // keepDays=10 → cutoff 2024-03-05; dirs strictly older than cutoff go
+    mk(root, "year=2024/month=3/day=4")  // 2024-03-04 < cutoff → delete
+    mk(root, "year=2024/month=3/day=5")  // == cutoff → KEEP (strict isBefore)
+    mk(root, "year=2024/month=3/day=6")  // newer → keep
+    val removed = Bronze.retentionSweep(spark, root.toString, 10, today)
+    assert(removed == 1)
+    assert(!exists(root, "year=2024/month=3/day=4"))
+    assert(exists(root, "year=2024/month=3/day=5"))
+    assert(exists(root, "year=2024/month=3/day=6"))
+  }
+
+  test("partially-expired month survives at month level; whole-old month drops") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    // Feb's last covered day (02-29) < cutoff 03-05 → whole month dir drops
+    mk(root, "year=2024/month=2/day=28")
+    mk(root, "year=2024/month=2/day=29")
+    // March covers up to 03-31 ≥ cutoff → month survives, only old days drop
+    mk(root, "year=2024/month=3/day=1")
+    mk(root, "year=2024/month=3/day=10")
+    val removed = Bronze.retentionSweep(spark, root.toString, 10, today)
+    assert(removed == 2, "one month dir + one day dir")
+    assert(!exists(root, "year=2024/month=2"))
+    assert(exists(root, "year=2024/month=3"))
+    assert(!exists(root, "year=2024/month=3/day=1"))
+    assert(exists(root, "year=2024/month=3/day=10"))
+  }
+
+  test("year-level pruning keeps a year whose tail is inside retention") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 1, 5)
+    mk(root, "year=2022/month=12/day=31") // year covers ≤2022-12-31 < cutoff → drop at year level
+    mk(root, "year=2023/month=12/day=31") // 2023 covers up to 12-31 ≥ cutoff 2023-12-26 → keep
+    val removed = Bronze.retentionSweep(spark, root.toString, 10, today)
+    assert(removed == 1)
+    assert(!exists(root, "year=2022"))
+    assert(exists(root, "year=2023/month=12/day=31"))
+  }
+
+  test("malformed partition values are skipped, never deleted, never fatal") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    mk(root, "year=2024/month=0/day=3")   // month=0 → no real date
+    mk(root, "year=2024/month=13/day=3")  // month=13
+    mk(root, "year=2024/month=3/day=32")  // day out of range (month survives: covers ≤03-31)
+    mk(root, "year=2024/month=3/day=")    // empty value
+    mk(root, "year=2024/month=1/day=1")   // genuinely expired month, must still drop
+    val removed = Bronze.retentionSweep(spark, root.toString, 10, today)
+    assert(removed == 1, "only the valid expired month (Jan covers ≤01-31 < cutoff)")
+    assert(exists(root, "year=2024/month=0/day=3"))
+    assert(exists(root, "year=2024/month=13/day=3"))
+    assert(exists(root, "year=2024/month=3/day=32"))
+    assert(exists(root, "year=2024/month=3/day="))
+    assert(!exists(root, "year=2024/month=1"))
+  }
+
+  test("non-date partition levels recurse transparently") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    mk(root, "source=api/year=2024/month=1/day=1") // expired under a non-date level
+    mk(root, "source=api/year=2024/month=3/day=14")
+    val removed = Bronze.retentionSweep(spark, root.toString, 10, today)
+    assert(removed == 1, "month=1 dir drops; source= level itself untouched")
+    assert(exists(root, "source=api/year=2024/month=3/day=14"))
+    assert(!exists(root, "source=api/year=2024/month=1"))
+  }
+
+  test("missing root is a zero-op") {
+    assert(Bronze.retentionSweep(spark, "/tmp/does-not-exist-sweep", 10) == 0)
+  }
+}

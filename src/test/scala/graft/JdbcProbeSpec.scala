@@ -26,10 +26,22 @@ class JdbcProbeSpec extends SparkSpecBase {
       ("zz", 7, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
       .toDF("name", "day", "ts")
     val pred = JdbcSink.probePredicate(df, Seq("name", "day", "ts"), k => s""""$k"""")
+    // string key "name" is deliberately unbounded (remote collation could
+    // make a Spark-derived range empty); numeric + timestamp keys bind
     assert(pred.contains(
-      """"name" BETWEEN 'a''b' AND 'zz' AND "day" BETWEEN 3 AND 7 AND """ +
+      """"day" BETWEEN 3 AND 7 AND """ +
         """"ts" BETWEEN {ts '2024-01-02 10:00:00.0'} AND {ts '2024-01-05 10:00:00.0'}"""),
       pred.toString)
+  }
+
+  test("string keys are excluded from the probe; remaining keys still bound") {
+    val df = Seq(("B", 3), ("a", 7)).toDF("name", "day")
+    val pred = JdbcSink.probePredicate(df, Seq("name", "day"), k => s""""$k"""")
+    assert(pred.contains(""""day" BETWEEN 3 AND 7"""), pred.toString)
+    assert(!pred.get.contains("name"), "collation-unsafe string key must not bind")
+    // all keys string → no safe bounds at all → unbounded probe
+    val onlyStr = Seq(("B", "x"), ("a", "y")).toDF("name", "other")
+    assert(JdbcSink.probePredicate(onlyStr, Seq("name", "other"), identity).isEmpty)
   }
 
   test("empty batch or null keys fall back to the unbounded probe") {
