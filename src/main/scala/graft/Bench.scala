@@ -43,22 +43,31 @@ object Bench {
     val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(
       f => SparkEntry.queries.filter(kv => f(kv._1)))
     var failed = List.empty[String]
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => failed ::= name }
-        (System.nanoTime() - t0) / 1e9
-      }
-      once()
-      name -> Seq(once(), once(), once()).sorted.apply(1)
+    val names = selected.keys.toSeq
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => failed ::= name }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Interleaved passes: one unmeasured warm pass over every query, then
+    // three measured full passes, median per query. Back-to-back triples
+    // (the old shape) let a single noisy host window poison all 3 runs of
+    // whichever query it landed on — r3/r4 both recorded 5-20x spikes on
+    // queries whose code hadn't changed. Interleaving turns the same window
+    // into at most 1 bad run for each of several queries, which the
+    // per-query median then discards.
+    names.foreach(once)
+    val passes = Seq.fill(3)(names.map(n => n -> once(n)).toMap)
+    val results = names.map(n => n -> passes.map(_(n)).sorted.apply(1)).toMap
+    // 3-decimal (ms) precision keeps the JSON line inside the driver's
+    // bounded stdout tail (full doubles overflowed it in r3 and r4)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout via a bounded tail that has truncated long
     // JSON lines mid-object (round 3 lost 5 entries + the total); the file
