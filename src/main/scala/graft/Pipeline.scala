@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Serving, Silver}
+import graft.operators.Silver
 import graft.sinks.JdbcSink
 import graft.sources.Bronze
 
@@ -22,11 +22,26 @@ import graft.sources.Bronze
   */
 object Pipeline {
 
+  /** Retention tiers (config.yaml:112-115: bronze 30 / silver 90 / gold
+    * 365 days). Bronze + Silver are partitioned-parquet sweeps; Gold is a
+    * DB-side DELETE like the reference's cleanup_old_data
+    * (sql/schema.sql:259-286). `asOf` is injectable for the parquet
+    * sweeps' boundary tests. */
+  case class Retention(
+      bronzeDays: Int = 30,
+      silverDays: Int = 90,
+      goldDays: Int = 365,
+      asOf: LocalDate = LocalDate.now())
+
   case class Config(
       sourceDir: String,
       warehouseDir: String,
       jdbcUrl: Option[String] = None,
       date: Option[LocalDate] = None,
+      // reference tolerates up to 10% critical nulls (config.yaml:107
+      // max_null_threshold; tests/test_pipeline.py:311-320)
+      maxNullRatio: Double = 0.10,
+      retention: Option[Retention] = None,
       retry: StageRunner.RetryPolicy = StageRunner.RetryPolicy(retries = 0),
       notifier: StageRunner.Notifier = StageRunner.Notifier.noop,
       sleeper: Long => Unit = Thread.sleep)
@@ -36,9 +51,12 @@ object Pipeline {
       bronzeRows: Long,
       silverRows: Long,
       goldRowsLoaded: Long,
+      goldRowsByTier: (Long, Long, Long), // detailed, daily, hourly
       duplicateKeys: Long,
       criticalNulls: Long,
-      gatePassed: Boolean)
+      nullRatio: Double,
+      gatePassed: Boolean,
+      retentionDeleted: Long)
 
   def run(spark: SparkSession, cfg: Config): Report = {
     val executionId = UUID.randomUUID().toString
@@ -83,16 +101,37 @@ object Pipeline {
     }
     val bronzeRows = bronzeObs.get("rows").asInstanceOf[Long]
 
-    // 3. gold: idempotent load (JDBC if configured, else parquet dedup-merge)
-    val goldRows = staged[Long]("gold_load", identity) {
+    // 3. gold: idempotent load of all three tiers (detailed + daily +
+    // hourly, gold_loader.py:357-370 — the reference loads all three, not
+    // just the daily rollup). JDBC if configured, else parquet dedup-merge
+    // of the daily tier.
+    val goldTiers = staged[(Long, Long, Long)]("gold_load",
+      t => t._1 + t._2 + t._3) {
       val daily = spark.read.parquet(s"$silverPath/events_daily_agg")
-        .select("event_type", "year", "month", "day", "avg_value", "min_value",
-          "max_value", "sum_value", "record_count", "distinct_users")
+        .select(col("event_type"), col("year"), col("month"), col("day"),
+          make_date(col("year"), col("month"), col("day")).as("date"),
+          col("avg_value"), col("min_value"), col("max_value"),
+          col("sum_value"), col("record_count"), col("distinct_users"))
       cfg.jdbcUrl match {
         case Some(url) =>
-          ensureGoldTable(url)
-          JdbcSink.idempotentAppend(spark, daily, url, "gold_events_daily",
-            Seq("event_type", "year", "month", "day"))
+          ensureGoldTables(url)
+          val detailed = spark.read.parquet(s"$silverPath/events_cleaned")
+            .select("event_id", "ts", "user_id", "event_type", "value",
+              "data_quality_score", "heat_index")
+          val hourly = spark.read.parquet(s"$silverPath/events_hourly_agg")
+            .select(col("event_type"), col("year"), col("month"), col("day"),
+              col("hour"),
+              make_timestamp(col("year"), col("month"), col("day"), col("hour"),
+                lit(0), lit(0)).as("datetime"),
+              col("avg_value"), col("min_value"), col("max_value"),
+              col("record_count"), col("distinct_users"))
+          val d = JdbcSink.idempotentAppend(spark, detailed, url,
+            "gold_events_detailed", Seq("event_id"))
+          val dd = JdbcSink.idempotentAppend(spark, daily, url,
+            "gold_events_daily", Seq("event_type", "year", "month", "day"))
+          val hh = JdbcSink.idempotentAppend(spark, hourly, url,
+            "gold_events_hourly", Seq("event_type", "year", "month", "day", "hour"))
+          (d, dd, hh)
         case None =>
           val goldPath = s"${cfg.warehouseDir}/gold/events_daily"
           val existing =
@@ -103,38 +142,93 @@ object Pipeline {
             else JdbcSink.newRowsOnly(daily, existing, Seq("event_type", "year", "month", "day"))
           val n = fresh.count()
           if (n > 0) fresh.write.mode("append").parquet(goldPath)
-          n
+          (0L, n, 0L)
+      }
+    }
+    val goldRows = goldTiers._1 + goldTiers._2 + goldTiers._3
+
+    // 4. quality gate (weather_pipeline_dag.py:166-223): nonzero output,
+    // duplicate natural keys, critical-null RATIO under the reference's
+    // threshold (config.yaml:107 — 10%, not zero-tolerance).
+    val (dups, nulls, total) = gateMetrics(enriched, Seq("user_id", "ts"),
+      col("user_id").isNull || col("value").isNull)
+    val nullRatio = if (total == 0) 0.0 else nulls.toDouble / total
+    val gate = silverRows > 0 && dups == 0 && nullRatio <= cfg.maxNullRatio
+    enriched.unpersist()
+
+    // 5. retention (cleanup_old_data analog; DAG task
+    // weather_pipeline_dag.py:306-313 runs after the quality gate):
+    // parquet sweeps for bronze/silver tiers, DB-side deletes for gold.
+    val retained = cfg.retention.fold(0L) { r =>
+      staged[Long]("cleanup_old_data", identity) {
+        val swept =
+          Bronze.retentionSweep(spark, bronzePath, r.bronzeDays, r.asOf) +
+          Seq("events_cleaned", "events_daily_agg", "events_hourly_agg")
+            .map(t => Bronze.retentionSweep(spark, s"$silverPath/$t", r.silverDays, r.asOf))
+            .sum
+        val dbDeleted = cfg.jdbcUrl.fold(0L) { url =>
+          (JdbcSink.retentionDelete(url, "gold_events_detailed", "\"ts\"", r.goldDays) +
+            JdbcSink.retentionDelete(url, "gold_events_daily", "\"date\"",
+              r.goldDays, dateTyped = true) +
+            JdbcSink.retentionDelete(url, "gold_events_hourly", "\"datetime\"",
+              r.goldDays)).toLong
+        }
+        swept + dbDeleted
       }
     }
 
-    // 4. quality gate (weather_pipeline_dag.py:166-223): nonzero output,
-    // duplicate natural keys, critical nulls
-    val dups = Serving.dupScan(enriched, Seq("user_id", "ts")).count()
-    val nulls = enriched.filter(col("user_id").isNull || col("value").isNull).count()
-    val gate = silverRows > 0 && dups == 0 && nulls == 0
-    enriched.unpersist()
-
-    // 5. retention (cleanup_old_data analog) — gold JDBC only
-    cfg.jdbcUrl.foreach { url => /* retention on real deployments:
-      JdbcSink.retentionDelete(url, "gold_events_daily", "load_ts", 365) */ }
-
-    val report = Report(executionId, bronzeRows, silverRows, goldRows, dups, nulls, gate)
+    val report = Report(executionId, bronzeRows, silverRows, goldRows,
+      goldTiers, dups, nulls, nullRatio, gate, retained)
     cfg.notifier.onSuccess(report)
     report
   }
 
-  private def ensureGoldTable(url: String): Unit = {
+  /** One-job quality metrics: (duplicate-key count, critical-null rows,
+    * total rows). Groups on the natural key, then folds group sizes and
+    * per-group null counts in a single second-stage aggregate — the
+    * reference runs a separate query per signal
+    * (weather_pipeline_dag.py:179-210); this is one shuffle, one action. */
+  def gateMetrics(df: DataFrame, keys: Seq[String],
+      isCriticalNull: org.apache.spark.sql.Column): (Long, Long, Long) = {
+    val row = df
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("c"),
+        sum(when(isCriticalNull, 1L).otherwise(0L)).as("n"))
+      .agg(count(when(col("c") > 1, 1)).as("dup_keys"),
+        coalesce(sum("n"), lit(0L)).as("nulls"),
+        coalesce(sum("c"), lit(0L)).as("total"))
+      .head()
+    (row.getAs[Long]("dup_keys"), row.getAs[Long]("nulls"), row.getAs[Long]("total"))
+  }
+
+  private val goldDdls = Map(
+    "GOLD_EVENTS_DETAILED" ->
+      """CREATE TABLE gold_events_detailed (
+        |  "event_id" BIGINT NOT NULL, "ts" TIMESTAMP NOT NULL,
+        |  "user_id" BIGINT, "event_type" VARCHAR(32), "value" DOUBLE,
+        |  "data_quality_score" INT, "heat_index" DOUBLE,
+        |  CONSTRAINT uq_events_detailed UNIQUE ("event_id")
+        |)""".stripMargin,
+    "GOLD_EVENTS_DAILY" ->
+      """CREATE TABLE gold_events_daily (
+        |  "event_type" VARCHAR(32), "year" INT, "month" INT, "day" INT,
+        |  "date" DATE,
+        |  "avg_value" DOUBLE, "min_value" DOUBLE, "max_value" DOUBLE,
+        |  "sum_value" DOUBLE, "record_count" BIGINT, "distinct_users" BIGINT
+        |)""".stripMargin,
+    "GOLD_EVENTS_HOURLY" ->
+      """CREATE TABLE gold_events_hourly (
+        |  "event_type" VARCHAR(32), "year" INT, "month" INT, "day" INT,
+        |  "hour" INT, "datetime" TIMESTAMP,
+        |  "avg_value" DOUBLE, "min_value" DOUBLE, "max_value" DOUBLE,
+        |  "record_count" BIGINT, "distinct_users" BIGINT
+        |)""".stripMargin)
+
+  private def ensureGoldTables(url: String): Unit = {
     val c = java.sql.DriverManager.getConnection(url)
-    try {
-      val meta = c.getMetaData.getTables(null, null, "GOLD_EVENTS_DAILY", null)
-      if (!meta.next()) {
-        c.createStatement().executeUpdate(
-          """CREATE TABLE gold_events_daily (
-            |  "event_type" VARCHAR(32), "year" INT, "month" INT, "day" INT,
-            |  "avg_value" DOUBLE, "min_value" DOUBLE, "max_value" DOUBLE,
-            |  "sum_value" DOUBLE, "record_count" BIGINT, "distinct_users" BIGINT
-            |)""".stripMargin)
-      }
+    try goldDdls.foreach { case (name, ddl) =>
+      val meta = c.getMetaData.getTables(null, null, name, null)
+      if (!meta.next()) c.createStatement().executeUpdate(ddl)
     } finally c.close()
   }
 }

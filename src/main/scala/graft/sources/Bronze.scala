@@ -148,18 +148,70 @@ object Bronze {
           java.time.LocalDate.of(y, m, d)
         }.toOption
       }
+    val deleted = scala.collection.mutable.ListBuffer.empty[Path]
     def walk(dir: Path, ctx: Map[String, Int]): Long =
       fs.listStatus(dir).filter(_.isDirectory).map { st =>
         kv(st.getPath.getName) match {
           case Some((k, v)) =>
             val next = ctx + (k -> v)
             if (lastCovered(next).exists(_.isBefore(cutoff))) {
-              fs.delete(st.getPath, true); 1L
+              fs.delete(st.getPath, true); deleted += st.getPath; 1L
             } else walk(st.getPath, next)
           case None => walk(st.getPath, ctx) // non-date partition level
         }
       }.sum
-    walk(root, Map.empty)
+    val removed = walk(root, Map.empty)
+    if (removed > 0) {
+      pruneSinkLog(fs, root, deleted.toList)
+      spark.catalog.refreshByPath(path) // re-cache persisted plans over this root
+    }
+    removed
+  }
+
+  /** Drop swept files from a streaming file-sink manifest.
+    *
+    * A layer written by `writeStream.format("parquet")` carries a
+    * `_spark_metadata` transaction log, and batch reads of that root are
+    * resolved FROM THE LOG, not from a directory listing — so deleting
+    * partition directories without rewriting the log leaves a manifest
+    * that references vanished files and every downstream scan dies with
+    * FileNotFoundException. The log's on-disk format is line-oriented: a
+    * `v1` header, then one JSON `SinkFileStatus` per committed file
+    * (`.compact` snapshots use the same shape). Retention therefore
+    * rewrites each log file, dropping entries whose path sits under a
+    * swept directory — batch ids and surviving entries are untouched, so
+    * the sink's exactly-once replay guard and readers' consistency
+    * guarantee both hold. Run at retention cadence with no concurrent
+    * ingest (the reference's cleanup is likewise a post-gate DAG task). */
+  private def pruneSinkLog(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      deletedDirs: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val logDir = new Path(root, "_spark_metadata")
+    if (deletedDirs.isEmpty || !fs.exists(logDir)) return
+    val prefixes = deletedDirs.map(_.toUri.getPath + "/")
+    val pathField = """"path":"([^"]+)"""".r
+    def swept(line: String): Boolean =
+      pathField.findFirstMatchIn(line).exists { m =>
+        val p = new Path(m.group(1)).toUri.getPath
+        prefixes.exists(p.startsWith)
+      }
+    fs.listStatus(logDir).filter(_.isFile).foreach { st =>
+      val lines = {
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      val kept = lines.filterNot(swept)
+      if (kept.size != lines.size) {
+        val tmp = new Path(logDir, s".${st.getPath.getName}.retention.tmp")
+        val out = fs.create(tmp, true)
+        try out.write((kept.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(st.getPath, false)
+        fs.rename(tmp, st.getPath)
+      }
+    }
   }
 
   /** Schema-evolved Bronze scan: producers add fields over time, so

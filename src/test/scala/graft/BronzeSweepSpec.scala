@@ -96,4 +96,23 @@ class BronzeSweepSpec extends SparkSpecBase {
   test("missing root is a zero-op") {
     assert(Bronze.retentionSweep(spark, "/tmp/does-not-exist-sweep", 10) == 0)
   }
+
+  test("sweep prunes swept entries from a streaming-sink manifest, keeps the rest") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    val old = mk(root, "year=2024/month=1/day=1")
+    val live = mk(root, "year=2024/month=3/day=14")
+    val logDir = root.resolve("_spark_metadata")
+    Files.createDirectories(logDir)
+    def entry(p: Path) =
+      s"""{"path":"file://$p/part-0.parquet","size":3,"isDir":false,"action":"add"}"""
+    Files.write(logDir.resolve("0"),
+      s"v1\n${entry(old)}\n${entry(live)}\n".getBytes("UTF-8"))
+    assert(Bronze.retentionSweep(spark, root.toString, 10, today) == 1)
+    val lines = new String(Files.readAllBytes(logDir.resolve("0")), "UTF-8")
+      .linesIterator.toList
+    assert(lines.head == "v1", "header survives the rewrite")
+    assert(lines.size == 2, s"one live entry kept: $lines")
+    assert(lines(1).contains("month=3"), lines(1))
+  }
 }

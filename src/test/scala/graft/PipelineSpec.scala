@@ -48,9 +48,71 @@ class PipelineSpec extends SparkSpecBase {
     assert(r2.goldRowsLoaded == 0, s"second run loaded ${r2.goldRowsLoaded}")
     assert(r2.gatePassed)
 
-    // gold table holds exactly one copy
+    // gold daily table holds exactly one copy of the daily tier
     val gold = JdbcSink.readTable(spark, url, "gold_events_daily")
-    assert(gold.count() == r1.goldRowsLoaded)
+    assert(gold.count() == r1.goldRowsByTier._2)
+  }
+
+  test("gold load populates all three tiers and stays idempotent per tier") {
+    val wh = freshWarehouse()
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val r1 = Pipeline.run(spark, Pipeline.Config(sf, wh, Some(url)))
+    val (det, day, hr) = r1.goldRowsByTier
+    assert(det > 900 && det == r1.silverRows, s"detailed tier $det")
+    assert(day > 0 && hr > day, s"daily $day, hourly $hr (hourly is finer grain)")
+    Seq("gold_events_detailed" -> det, "gold_events_daily" -> day,
+      "gold_events_hourly" -> hr).foreach { case (t, n) =>
+      assert(JdbcSink.readTable(spark, url, t).count() == n, t)
+    }
+    val r2 = Pipeline.run(spark, Pipeline.Config(sf, wh, Some(url)))
+    assert(r2.goldRowsByTier == ((0L, 0L, 0L)), s"re-run loaded ${r2.goldRowsByTier}")
+  }
+
+  test("quality gate tolerates nulls up to the 10% threshold, fails above") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 rows, distinct keys; n of them have a critical null value
+    def frame(nullRows: Int) = (1 to 100).map { i =>
+      (i.toLong, s"2024-01-01 00:00:${i % 60}", if (i <= nullRows) None else Some(i.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val nine = Pipeline.gateMetrics(frame(9), Seq("user_id", "ts"),
+      col("value").isNull)
+    assert(nine == ((0L, 9L, 100L)), nine.toString)
+    assert(nine._2.toDouble / nine._3 <= 0.10, "9% must pass the reference threshold")
+    val eleven = Pipeline.gateMetrics(frame(11), Seq("user_id", "ts"),
+      col("value").isNull)
+    assert(eleven == ((0L, 11L, 100L)), eleven.toString)
+    assert(eleven._2.toDouble / eleven._3 > 0.10, "11% must fail")
+    // duplicate keys surface in the same single-pass metric
+    val dup = frame(0).union(frame(0).limit(3))
+    assert(Pipeline.gateMetrics(dup, Seq("user_id", "ts"), col("value").isNull)._1 == 3)
+  }
+
+  test("retention prunes expired bronze partitions + gold rows; ledger records cleanup") {
+    val wh = freshWarehouse()
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    // events span 2024-01-01..30; asOf 2024-02-10 with bronzeDays=30 puts
+    // the cutoff at 2024-01-11 → day dirs 1..10 expire AFTER processing;
+    // goldDays=2000 keeps all 2024-dated gold rows relative to wall-clock
+    val keep = Pipeline.Retention(bronzeDays = 30, silverDays = 3650,
+      goldDays = 2000, asOf = java.time.LocalDate.of(2024, 2, 10))
+    val r1 = Pipeline.run(spark, Pipeline.Config(sf, wh, Some(url),
+      retention = Some(keep)))
+    assert(r1.retentionDeleted == 10, s"10 expired bronze day dirs, got ${r1.retentionDeleted}")
+    assert(!Files.exists(Paths.get(s"$wh/bronze/events/year=2024/month=1/day=10")))
+    assert(Files.exists(Paths.get(s"$wh/bronze/events/year=2024/month=1/day=11")))
+    val goldBefore = JdbcSink.readTable(spark, url, "gold_events_daily").count()
+    assert(goldBefore > 0, "gold intact under the keep policy")
+    val log = new JdbcSink.PipelineLog(url)
+    assert(log.statusOf(r1.executionId, "cleanup_old_data").exists(_._1 == "SUCCESS"))
+
+    // goldDays=1: every 2024-dated gold row is past retention → swept
+    val r2 = Pipeline.run(spark, Pipeline.Config(sf, wh, Some(url),
+      retention = Some(keep.copy(goldDays = 1))))
+    assert(JdbcSink.readTable(spark, url, "gold_events_daily").count() == 0)
+    assert(JdbcSink.readTable(spark, url, "gold_events_detailed").count() == 0)
+    assert(JdbcSink.readTable(spark, url, "gold_events_hourly").count() == 0)
+    assert(r2.retentionDeleted >= goldBefore, s"deleted ${r2.retentionDeleted}")
   }
 
   test("date-scoped run prunes bronze partitions declaratively") {
