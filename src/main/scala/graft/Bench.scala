@@ -42,12 +42,12 @@ object Bench {
     val benchExcluded = Set("sim_cosine_topk")
     val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(
       f => SparkEntry.queries.filter(kv => f(kv._1)))
-    var failed = List.empty[String]
+    var failed = Set.empty[String]
     val names = selected.keys.toSeq
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed ::= name }
+      catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     // Interleaved passes: one unmeasured warm pass over every query, then
@@ -59,15 +59,24 @@ object Bench {
     // per-query median then discards.
     names.foreach(once)
     val passes = Seq.fill(3)(names.map(n => n -> once(n)).toMap)
-    val results = names.map(n => n -> passes.map(_(n)).sorted.apply(1)).toMap
-    // 3-decimal (ms) precision keeps the JSON line inside the driver's
-    // bounded stdout tail (full doubles overflowed it in r3 and r4)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // A query that threw is dropped from the per-query map AND the total:
+    // its recorded elapsed is the time-to-throw (near zero for a plan-time
+    // error), and folding that in would make a broken run read FASTER than
+    // a healthy one. The `failed` list is the only place it appears.
+    val results = names.filterNot(failed)
+      .map(n => n -> passes.map(_(n)).sorted.apply(1)).toMap
+    // Locale-pinned formatting: f"" uses the JVM default locale, and a
+    // comma-decimal host (de_DE, fr_FR) would emit {"q1":1,234} — invalid
+    // JSON. 3-decimal (ms) precision keeps the line inside the driver's
+    // bounded stdout tail (full doubles overflowed it in r3 and r4).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout via a bounded tail that has truncated long
     // JSON lines mid-object (round 3 lost 5 entries + the total); the file
