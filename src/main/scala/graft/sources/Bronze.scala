@@ -161,10 +161,11 @@ object Bronze {
         }
       }.sum
     val removed = walk(root, Map.empty)
-    if (removed > 0) {
-      pruneSinkLog(fs, root, deleted.toList)
+    // Always invoked (even when nothing expired): its entry pass recovers
+    // a manifest orphaned by a crash during a PREVIOUS sweep's swap.
+    pruneSinkLog(fs, root, deleted.toList)
+    if (removed > 0)
       spark.catalog.refreshByPath(path) // re-cache persisted plans over this root
-    }
     removed
   }
 
@@ -188,7 +189,7 @@ object Bronze {
       deletedDirs: Seq[org.apache.hadoop.fs.Path]): Unit = {
     import org.apache.hadoop.fs.Path
     val logDir = new Path(root, "_spark_metadata")
-    if (deletedDirs.isEmpty || !fs.exists(logDir)) return
+    if (!fs.exists(logDir)) return
     val prefixes = deletedDirs.map(_.toUri.getPath + "/")
     val pathField = """"path":"([^"]+)"""".r
     def swept(line: String): Boolean =
@@ -196,22 +197,49 @@ object Bronze {
         val p = new Path(m.group(1)).toUri.getPath
         prefixes.exists(p.startsWith)
       }
+    // Recover from a crash mid-swap before touching anything: a stale
+    // `.N.retention.bak` whose original is missing means the process died
+    // between moving the original aside and moving the rewrite in — the
+    // .bak IS the log file; restore it. A .bak whose original exists is
+    // residue from a crash after the new file landed — drop it. Leftover
+    // .tmp files are always incomplete writes — drop them.
     fs.listStatus(logDir).filter(_.isFile).foreach { st =>
-      val lines = {
-        val in = fs.open(st.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
-      val kept = lines.filterNot(swept)
-      if (kept.size != lines.size) {
-        val tmp = new Path(logDir, s".${st.getPath.getName}.retention.tmp")
-        val out = fs.create(tmp, true)
-        try out.write((kept.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-        fs.delete(st.getPath, false)
-        fs.rename(tmp, st.getPath)
+      val name = st.getPath.getName
+      if (name.endsWith(".retention.tmp")) fs.delete(st.getPath, false)
+      else if (name.startsWith(".") && name.endsWith(".retention.bak")) {
+        val orig = new Path(logDir,
+          name.stripPrefix(".").stripSuffix(".retention.bak"))
+        if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+        else fs.delete(st.getPath, false)
       }
     }
+    if (deletedDirs.isEmpty) return // recovery ran; nothing to prune
+    fs.listStatus(logDir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .foreach { st =>
+        val lines = {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+        val kept = lines.filterNot(swept)
+        if (kept.size != lines.size) {
+          // Recoverable swap: the original is renamed aside (not deleted)
+          // before the rewrite moves in, so every intermediate state still
+          // holds a readable copy of the log file — a crash at any point is
+          // undone by the recovery pass above on the next run. The old
+          // delete-then-rename shape had a window where a crash lost the
+          // file outright (replayed batch or broken sink reads).
+          val tmp = new Path(logDir, s".${st.getPath.getName}.retention.tmp")
+          val bak = new Path(logDir, s".${st.getPath.getName}.retention.bak")
+          val out = fs.create(tmp, true)
+          try out.write((kept.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          fs.rename(st.getPath, bak)
+          fs.rename(tmp, st.getPath)
+          fs.delete(bak, false)
+        }
+      }
   }
 
   /** Schema-evolved Bronze scan: producers add fields over time, so

@@ -115,4 +115,43 @@ class BronzeSweepSpec extends SparkSpecBase {
     assert(lines.size == 2, s"one live entry kept: $lines")
     assert(lines(1).contains("month=3"), lines(1))
   }
+
+  test("manifest rewrite recovers a log file orphaned by a mid-swap crash") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    val old = mk(root, "year=2024/month=1/day=1")
+    val live = mk(root, "year=2024/month=3/day=14")
+    val logDir = root.resolve("_spark_metadata")
+    Files.createDirectories(logDir)
+    def entry(p: Path) =
+      s"""{"path":"file://$p/part-0.parquet","size":3,"isDir":false,"action":"add"}"""
+    // Simulate a crash between rename(orig→bak) and rename(tmp→orig): the
+    // batch-0 log exists ONLY as its .bak, plus an incomplete .tmp.
+    Files.write(logDir.resolve(".0.retention.bak"),
+      s"v1\n${entry(old)}\n${entry(live)}\n".getBytes("UTF-8"))
+    Files.write(logDir.resolve(".0.retention.tmp"), "v1\n".getBytes("UTF-8"))
+    assert(Bronze.retentionSweep(spark, root.toString, 10, today) == 1)
+    val lines = new String(Files.readAllBytes(logDir.resolve("0")), "UTF-8")
+      .linesIterator.toList
+    assert(lines.head == "v1" && lines.size == 2, s"restored then pruned: $lines")
+    assert(lines(1).contains("month=3"), lines(1))
+    assert(!Files.exists(logDir.resolve(".0.retention.bak")))
+    assert(!Files.exists(logDir.resolve(".0.retention.tmp")))
+  }
+
+  test("stale .bak beside a surviving original is dropped, original untouched") {
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    val live = mk(root, "year=2024/month=3/day=14")
+    val logDir = root.resolve("_spark_metadata")
+    Files.createDirectories(logDir)
+    val body =
+      s"""v1\n{"path":"file://$live/part-0.parquet","size":3,"isDir":false,"action":"add"}\n"""
+    Files.write(logDir.resolve("0"), body.getBytes("UTF-8"))
+    // crash-after-swap residue: new file already in place, .bak left behind
+    Files.write(logDir.resolve(".0.retention.bak"), "v1\nGARBAGE\n".getBytes("UTF-8"))
+    assert(Bronze.retentionSweep(spark, root.toString, 10, today) == 0)
+    assert(new String(Files.readAllBytes(logDir.resolve("0")), "UTF-8") == body)
+    assert(!Files.exists(logDir.resolve(".0.retention.bak")))
+  }
 }
