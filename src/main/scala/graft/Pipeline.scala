@@ -141,7 +141,11 @@ object Pipeline {
             if (existing.columns.isEmpty) daily
             else JdbcSink.newRowsOnly(daily, existing, Seq("event_type", "year", "month", "day"))
           val n = fresh.count()
-          if (n > 0) fresh.write.mode("append").parquet(goldPath)
+          // partitioned by year/month so the retention sweep (below) can
+          // drop expired gold the same way it drops bronze/silver —
+          // unpartitioned gold parquet was unprunable and grew unbounded
+          if (n > 0) fresh.write.mode("append")
+            .partitionBy("year", "month").parquet(goldPath)
           (0L, n, 0L)
       }
     }
@@ -173,7 +177,14 @@ object Pipeline {
             JdbcSink.retentionDelete(url, "gold_events_hourly", "\"datetime\"",
               r.goldDays)).toLong
         }
-        swept + dbDeleted
+        // parquet-mode gold: goldDays applies here too (sweep granularity
+        // is the year/month partition — a month drops once wholly expired)
+        val goldSwept =
+          if (cfg.jdbcUrl.isEmpty)
+            Bronze.retentionSweep(spark, s"${cfg.warehouseDir}/gold/events_daily",
+              r.goldDays, r.asOf)
+          else 0L
+        swept + dbDeleted + goldSwept
       }
     }
 
@@ -224,11 +235,55 @@ object Pipeline {
         |  "record_count" BIGINT, "distinct_users" BIGINT
         |)""".stripMargin)
 
-  private def ensureGoldTables(url: String): Unit = {
+  /** Column defs parsed back out of the DDLs above: name → SQL type.
+    * Used only for upgrade-time ALTERs, so NOT NULL is intentionally
+    * dropped — rows predating the column hold null until backfilled. */
+  private def ddlColumns(ddl: String): Seq[(String, String)] = {
+    val colDef = """"([a-z_]+)"\s+([A-Z]+(?:\(\d+(?:,\d+)?\))?)""".r
+    colDef.findAllMatchIn(ddl).map(m => m.group(1) -> m.group(2)).toSeq
+  }
+
+  /** Derby-side rebuild of the generated period columns for rows that
+    * predate them (the reference computes these as GENERATED columns,
+    * schema.sql:106/:151-153; here they're engine-computed at load, so an
+    * upgraded table must backfill history once). CAST(100+m AS CHAR(3))
+    * then SUBSTR(...,2) is Derby's zero-pad idiom. */
+  private val derbyDateFromYmd =
+    """DATE(TRIM(CAST("year" AS CHAR(4))) || '-' ||""" +
+      """ SUBSTR(CAST(100 + "month" AS CHAR(3)), 2) || '-' ||""" +
+      """ SUBSTR(CAST(100 + "day" AS CHAR(3)), 2))"""
+  private val columnBackfills: Map[(String, String), String] = Map(
+    ("GOLD_EVENTS_DAILY", "date") -> derbyDateFromYmd,
+    ("GOLD_EVENTS_HOURLY", "datetime") ->
+      s"""TIMESTAMP($derbyDateFromYmd, TIME(SUBSTR(CAST(100 + "hour" AS CHAR(3)), 2) || ':00:00'))""")
+
+  /** Create missing Gold tables; EVOLVE existing ones. A warehouse created
+    * by an older release may lack columns the current append frame carries
+    * (e.g. `date` on gold_events_daily) and the JDBC append would then fail
+    * at runtime with no ALTER story — so on startup, diff the live schema
+    * against the DDL, ADD COLUMN the gap, and backfill generated period
+    * columns from year/month/day. */
+  private[graft] def ensureGoldTables(url: String): Unit = {
     val c = java.sql.DriverManager.getConnection(url)
     try goldDdls.foreach { case (name, ddl) =>
       val meta = c.getMetaData.getTables(null, null, name, null)
-      if (!meta.next()) c.createStatement().executeUpdate(ddl)
+      if (!meta.next()) { c.createStatement().executeUpdate(ddl); () }
+      else {
+        val existing = {
+          val rs = c.getMetaData.getColumns(null, null, name, null)
+          val b = Set.newBuilder[String]
+          while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
+          b.result()
+        }
+        ddlColumns(ddl).filterNot { case (col, _) => existing(col) }.foreach {
+          case (col, typ) =>
+            val st = c.createStatement()
+            st.executeUpdate(s"""ALTER TABLE $name ADD COLUMN "$col" $typ""")
+            columnBackfills.get((name, col)).foreach { expr =>
+              st.executeUpdate(s"""UPDATE $name SET "$col" = $expr WHERE "$col" IS NULL""")
+            }
+        }
+      }
     } finally c.close()
   }
 }

@@ -115,6 +115,63 @@ class PipelineSpec extends SparkSpecBase {
     assert(r2.retentionDeleted >= goldBefore, s"deleted ${r2.retentionDeleted}")
   }
 
+  test("parquet-mode gold tier is partitioned and swept by goldDays") {
+    val wh = freshWarehouse()
+    // no jdbcUrl → gold lands as year/month-partitioned parquet; events
+    // span 2024-01 only, so goldDays=1 @ asOf 2024-02-10 expires the
+    // whole January partition (bronze/silver kept by their huge windows)
+    val r = Pipeline.run(spark, Pipeline.Config(sf, wh, None,
+      retention = Some(Pipeline.Retention(bronzeDays = 3650, silverDays = 3650,
+        goldDays = 1, asOf = java.time.LocalDate.of(2024, 2, 10)))))
+    assert(r.goldRowsByTier._2 > 0, "daily tier loaded before the sweep")
+    assert(r.retentionDeleted == 1, s"one expired gold month dir, got ${r.retentionDeleted}")
+    assert(!Files.exists(Paths.get(s"$wh/gold/events_daily/year=2024/month=1")))
+
+    // keep policy leaves the partition in place
+    val wh2 = freshWarehouse()
+    val r2 = Pipeline.run(spark, Pipeline.Config(sf, wh2, None,
+      retention = Some(Pipeline.Retention(bronzeDays = 3650, silverDays = 3650,
+        goldDays = 3650, asOf = java.time.LocalDate.of(2024, 2, 10)))))
+    assert(r2.retentionDeleted == 0)
+    assert(Files.exists(Paths.get(s"$wh2/gold/events_daily/year=2024/month=1")))
+  }
+
+  test("ensureGoldTables evolves a pre-'date' warehouse: ADD COLUMN + backfill") {
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    // a previous-release daily table: no "date" column; hourly: no "datetime"
+    c.createStatement().executeUpdate(
+      """CREATE TABLE gold_events_daily (
+        |  "event_type" VARCHAR(32), "year" INT, "month" INT, "day" INT,
+        |  "avg_value" DOUBLE, "min_value" DOUBLE, "max_value" DOUBLE,
+        |  "sum_value" DOUBLE, "record_count" BIGINT, "distinct_users" BIGINT
+        |)""".stripMargin)
+    c.createStatement().executeUpdate(
+      """INSERT INTO gold_events_daily VALUES ('click', 2024, 3, 5, 1.0, 0.0, 2.0, 10.0, 7, 3)""")
+    c.createStatement().executeUpdate(
+      """CREATE TABLE gold_events_hourly (
+        |  "event_type" VARCHAR(32), "year" INT, "month" INT, "day" INT,
+        |  "hour" INT, "avg_value" DOUBLE, "min_value" DOUBLE,
+        |  "max_value" DOUBLE, "record_count" BIGINT, "distinct_users" BIGINT
+        |)""".stripMargin)
+    c.createStatement().executeUpdate(
+      """INSERT INTO gold_events_hourly VALUES ('click', 2024, 3, 5, 7, 1.0, 0.0, 2.0, 7, 3)""")
+
+    Pipeline.ensureGoldTables(url)
+
+    val d = c.createStatement().executeQuery(
+      """SELECT "date" FROM gold_events_daily""")
+    assert(d.next() && d.getDate(1).toString == "2024-03-05",
+      "date column added and backfilled from year/month/day")
+    val h = c.createStatement().executeQuery(
+      """SELECT "datetime" FROM gold_events_hourly""")
+    assert(h.next() && h.getTimestamp(1).toString.startsWith("2024-03-05 07:00:00"),
+      "datetime column added and backfilled from year/month/day/hour")
+    // idempotent: a second call finds nothing to evolve
+    Pipeline.ensureGoldTables(url)
+    c.close()
+  }
+
   test("date-scoped run prunes bronze partitions declaratively") {
     val wh = freshWarehouse()
     val cfg = Pipeline.Config(sf, wh, None,
