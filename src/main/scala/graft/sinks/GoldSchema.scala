@@ -103,6 +103,60 @@ object GoldSchema {
       |  CONSTRAINT uq_hourly_agg UNIQUE (city, "year", "month", "day", "hour")
       |)""".stripMargin
 
+  /** BI views (sql/schema.sql:211-252 re-expressed in ANSI/Derby SQL):
+    * the reference persists three Postgres views so BI tools query curated
+    * relations rather than raw Gold tables. Derby deltas, each deliberate:
+    *  - `DISTINCT ON (city) ... ORDER BY timestamp DESC` → correlated
+    *    MAX("timestamp"); the unique (city, timestamp) key makes both
+    *    forms pick the same single row per city.
+    *  - view-level ORDER BY is Postgres leniency, not ANSI — dropped
+    *    (BI tools order at query time; our oracle-gated query twins pin
+    *    deterministic orderings engine-side).
+    *  - Derby's AVG over DECIMAL(5,2) keeps scale 2 (truncating), unlike
+    *    Postgres's widening numeric AVG — measures are cast to DOUBLE
+    *    before averaging so the views carry full-precision means. */
+  val latestViewDdl: String =
+    """CREATE VIEW v_latest_weather AS
+      |SELECT city, country, "timestamp", temperature, feels_like, humidity,
+      |       wind_speed, weather_main, weather_description
+      |FROM gold_weather_detailed t
+      |WHERE "timestamp" = (SELECT MAX(u."timestamp")
+      |                     FROM gold_weather_detailed u WHERE u.city = t.city)""".stripMargin
+
+  val weeklyViewDdl: String =
+    """CREATE VIEW v_weekly_stats AS
+      |SELECT city, country, "year", week_of_year,
+      |       AVG(CAST(avg_temperature AS DOUBLE)) AS avg_temp,
+      |       MIN(min_temperature) AS min_temp,
+      |       MAX(max_temperature) AS max_temp,
+      |       AVG(CAST(avg_humidity AS DOUBLE)) AS avg_humidity,
+      |       SUM(record_count) AS total_records
+      |FROM gold_weather_daily
+      |GROUP BY city, country, "year", week_of_year""".stripMargin
+
+  val dayNightViewDdl: String =
+    """CREATE VIEW v_day_night_comparison AS
+      |SELECT city, DATE("timestamp") AS "date", is_day,
+      |       AVG(CAST(temperature AS DOUBLE)) AS avg_temperature,
+      |       AVG(CAST(humidity AS DOUBLE)) AS avg_humidity,
+      |       COUNT(*) AS measurement_count
+      |FROM gold_weather_detailed
+      |GROUP BY city, DATE("timestamp"), is_day""".stripMargin
+
+  private val viewDdls: Seq[(String, String)] = Seq(
+    "V_LATEST_WEATHER" -> latestViewDdl,
+    "V_WEEKLY_STATS" -> weeklyViewDdl,
+    "V_DAY_NIGHT_COMPARISON" -> dayNightViewDdl)
+
+  /** Create the BI views if absent (Derby has no CREATE OR REPLACE). */
+  def ensureViews(url: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try viewDdls.foreach { case (name, ddl) =>
+      val meta = c.getMetaData.getTables(null, null, name, Array("VIEW"))
+      if (!meta.next()) c.createStatement().executeUpdate(ddl)
+    } finally c.close()
+  }
+
   private def dec(c: String, p: Int, s: Int): Column =
     col(c).cast(DecimalType(p, s)).as(c)
 
@@ -160,6 +214,7 @@ object GoldSchema {
     ensureTable(url, "gold_weather_detailed", detailedDdl)
     ensureTable(url, "gold_weather_daily", dailyDdl)
     ensureTable(url, "gold_weather_hourly", hourlyDdl)
+    ensureViews(url) // schema.sql ships views alongside the tables
     val d = JdbcSink.idempotentAppend(spark, coerceDetailed(enriched), url,
       "gold_weather_detailed", Seq("city", "timestamp"))
     val dd = JdbcSink.idempotentAppend(spark, coerceDaily(daily), url,

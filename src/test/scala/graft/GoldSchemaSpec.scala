@@ -124,6 +124,58 @@ class GoldSchemaSpec extends SparkSpecBase {
     } finally c.close()
   }
 
+  test("BI views ship with the schema: latest / weekly / day-night round-trip") {
+    val url = freshUrl()
+    // add a post-sunset Paris row so day/night actually splits
+    val night = Row("Paris", "FR", "2024-01-01T22:00:00", 10.5, 9.0, 8.0, 12.0,
+      1010: Integer, 80: Integer, 9500: Integer, 3.2, 190: Integer, 60: Integer,
+      "Clear", "clear sky", "2024-01-01T07:00:00", "2024-01-01T17:00:00",
+      "2024-01-01T22:00:00", 0: Integer, 126L: java.lang.Long, "2024-01-01T22:00:00")
+    val bronze = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.collect().toSeq :+ night),
+      WeatherSilver.bronzeSchema)
+    val enriched = WeatherSilver.enrich(WeatherSilver.clean(bronze))
+    GoldSchema.loadAll(spark, enriched,
+      WeatherSilver.dailyAgg(enriched), WeatherSilver.hourlyAgg(enriched), url)
+
+    def lower(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.toLowerCase): _*)
+
+    // v_latest_weather ≡ DISTINCT ON (city) ORDER BY timestamp DESC
+    val latest = lower(JdbcSink.readTable(spark, url, "v_latest_weather"))
+    assert(latest.count() == 2, "one row per city")
+    val parisLatest = latest.filter(col("city") === "Paris").head()
+    assert(parisLatest.getAs[java.sql.Timestamp]("timestamp").toString
+      .startsWith("2024-01-01 22:00:00"), "newest Paris row wins")
+    assert(parisLatest.getAs[java.math.BigDecimal]("temperature").doubleValue() == 10.5)
+
+    // v_weekly_stats ≡ engine-computed weekly rollup of the coerced daily tier
+    val weekly = lower(JdbcSink.readTable(spark, url, "v_weekly_stats"))
+    val wantParis = GoldSchema.coerceDaily(WeatherSilver.dailyAgg(enriched))
+      .filter(col("city") === "Paris")
+      .groupBy("city", "week_of_year")
+      .agg(avg(col("avg_temperature").cast("double")).as("avg_temp"),
+        sum(col("record_count").cast("long")).as("total_records"))
+      .head()
+    val gotParis = weekly.filter(col("city") === "Paris").head()
+    assert(math.abs(gotParis.getAs[Double]("avg_temp")
+      - wantParis.getAs[Double]("avg_temp")) < 1e-9)
+    assert(gotParis.getAs[Number]("total_records").longValue()
+      == wantParis.getAs[Long]("total_records"))
+
+    // v_day_night_comparison: day rows avg the two midday temps; night is alone
+    val dn = lower(JdbcSink.readTable(spark, url, "v_day_night_comparison"))
+    val pDay = dn.filter(col("city") === "Paris" && col("is_day") === true).head()
+    assert(pDay.getAs[Number]("measurement_count").longValue() == 2)
+    assert(math.abs(pDay.getAs[Double]("avg_temperature") - 20.035) < 1e-9,
+      s"got ${pDay.getAs[Double]("avg_temperature")}")
+    assert(pDay.getAs[java.sql.Date]("date").toString == "2024-01-01")
+    val pNight = dn.filter(col("city") === "Paris" && col("is_day") === false).head()
+    assert(pNight.getAs[Number]("measurement_count").longValue() == 1)
+    assert(pNight.getAs[Double]("avg_temperature") == 10.5)
+
+    GoldSchema.ensureViews(url) // idempotent: second call is a no-op
+  }
+
   test("ensureTable is idempotent") {
     val url = freshUrl()
     GoldSchema.ensureTable(url, "gold_weather_daily", GoldSchema.dailyDdl)
