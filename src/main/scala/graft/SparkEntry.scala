@@ -87,7 +87,11 @@ object SparkEntry {
     "q7_volume_shipping" -> ((s, d) => TpchDeep.q7VolumeShipping(s, d)),
     "q8_market_share" -> ((s, d) => TpchDeep.q8MarketShare(s, d)),
     "q9_product_profit" -> ((s, d) => TpchDeep.q9ProductProfit(s, d)),
-    "q12_late_lines" -> ((s, d) => TpchDeep.q12LateLines(s, d))
+    "q12_late_lines" -> ((s, d) => TpchDeep.q12LateLines(s, d)),
+    "curation_pii_scrub" -> ((s, d) => Curation.qPiiScrub(s, d)),
+    "curation_repetition" -> ((s, d) => Curation.qRepetition(s, d)),
+    "curation_stratified_sample" -> ((s, d) => Curation.qStratifiedSample(s, d)),
+    "curation_seq_pack" -> ((s, d) => Curation.qSeqPack(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,6 +163,10 @@ object SparkEntry {
     "q7_volume_shipping" -> TpchDeep.q7OracleSql,
     "q8_market_share" -> TpchDeep.q8OracleSql,
     "q9_product_profit" -> TpchDeep.q9OracleSql,
-    "q12_late_lines" -> TpchDeep.q12OracleSql
+    "q12_late_lines" -> TpchDeep.q12OracleSql,
+    "curation_pii_scrub" -> Curation.oPiiScrub,
+    "curation_repetition" -> Curation.oRepetition,
+    "curation_stratified_sample" -> Curation.oStratifiedSample,
+    "curation_seq_pack" -> Curation.oSeqPack
   )
 }

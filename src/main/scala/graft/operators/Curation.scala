@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Training-data curation operators beyond the reference's surface:
+  * PII scrubbing, within-document repetition scoring, per-stratum
+  * deterministic downsampling, and fixed-capacity sequence packing.
+  * All four are the day-to-day verbs of an LLM data pipeline that the
+  * dedup/similarity family doesn't cover.
+  *
+  * Scale shape: pii/repetition/sample are map-only (fused into the scan,
+  * column-pruned to what each needs); packing is one window per hash
+  * shard — shard count is the scale dial, see [[seqPack]].
+  */
+object Curation {
+
+  // Cross-engine regexes (Java + RE2 agree on these: character classes,
+  // bounded repetition, \b word boundaries — no alternation-order or
+  // laziness pitfalls, which the two engines resolve differently).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub emails → `<EMAIL>`, phone numbers → `<PHONE>`, IPv4s → `<IP>`
+    * and count each category. Email first: its local/domain parts contain
+    * dots and digits that the IP pattern could otherwise nibble at.
+    * Pure per-row expression work — codegen'd, no shuffle. */
+  def scrubPii(text: Column): (Column, Column, Column, Column) = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
+    val clean = regexp_replace(noPhone, Ipv4Re, "<IP>")
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(noEmail, lit(PhoneRe)),
+      regexp_count(noPhone, lit(Ipv4Re)),
+      clean)
+  }
+
+  /** The synthetic corpus carries no organic PII, so the query leg plants
+    * a deterministic contact line per doc — the oracle plants the same
+    * line, making the scrub semantics (not the fixture) the thing under
+    * test. */
+  private def withContactLine(docs: DataFrame): DataFrame =
+    docs.withColumn("aug",
+      concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 at 10.0.0."),
+        (col("doc_id") % 256).cast("string")))
+
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val (emails, phones, ips, clean) =
+      scrubPii(col("aug"))
+    withContactLine(Tables.documents(spark, dir))
+      .select(col("doc_id"), emails.as("pii_emails"), phones.as("pii_phones"),
+        ips.as("pii_ips"), clean.as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oPiiScrub: String =
+    """WITH a AS (
+      |  SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)
+      |    || '@example.com or 555-123-4567 at 10.0.0.'
+      |    || CAST(doc_id % 256 AS VARCHAR) AS aug
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, aug,
+      |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+      |  FROM a),
+      |p AS (
+      |  SELECT doc_id, aug, no_email,
+      |    regexp_replace(no_email, '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS no_phone
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS pii_emails,
+      |  CAST(len(regexp_extract_all(no_email, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS INTEGER) AS pii_phones,
+      |  CAST(len(regexp_extract_all(no_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS pii_ips,
+      |  regexp_replace(no_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Within-document repetition: ordered 3-gram shingles vs distinct
+    * shingles. High ratio = boilerplate / template / degenerate text —
+    * the standard pre-training drop signal that corpus-level dedup
+    * misses (it compares across docs, not within). Map-only. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), TextFns.shingleSeqFromWords(col("ws")).as("seq"))
+      .select(col("doc_id"),
+        size(col("seq")).as("total_ngrams"),
+        size(array_distinct(col("seq"))).as("distinct_ngrams"))
+      .withColumn("repetition_ratio",
+        lit(1.0) - col("distinct_ngrams") / col("total_ngrams"))
+      .withColumn("is_repetitive", col("repetition_ratio") > 0.2)
+  }
+
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def oRepetition: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sq AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+      |    ELSE [array_to_string(ws, ' ')] END AS seq FROM w),
+      |c AS (
+      |  SELECT doc_id, CAST(len(seq) AS INTEGER) AS total_ngrams,
+      |    CAST(len(list_distinct(seq)) AS INTEGER) AS distinct_ngrams FROM sq)
+      |SELECT *, 1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams AS repetition_ratio,
+      |  (1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams) > 0.2 AS is_repetitive
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Deterministic per-stratum downsampling: keep a doc iff its id-hash
+    * bucket falls under the stratum's rate. The workhorse for rebalancing
+    * a corpus (e.g. downsample the dominant language) with zero RNG —
+    * the same doc survives on every run, engine, and cluster layout,
+    * which is what makes 100 TB sampling auditable. Map-only filter,
+    * fused into the scan. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+      defaultRate: Int): DataFrame = {
+    val bucket = pmod(TextFns.md5u56(col("doc_id").cast("string")), lit(100L)).cast("int")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket).filter(col("bucket") < rate)
+  }
+
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), Map("en" -> 50), 20)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  def oStratifiedSample: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, CAST($h % 100 AS INTEGER) AS bucket
+       |FROM documents
+       |WHERE $h % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fixed-capacity sequence packing: lay each shard's docs end-to-end
+    * (doc_id order) in a virtual token stream and assign every doc to
+    * the pack its FIRST token lands in — exactly the greedy concat-and-
+    * chunk layout trainers feed to fixed-context models, computed as a
+    * running-sum window instead of a sequential loop.
+    *
+    * Scale shape: one sort-window per shard, shards are hash-disjoint,
+    * so parallelism = nShards and no global ordering bottleneck exists.
+    * At 100 TB raise nShards until a shard's token ledger fits an
+    * executor's sort budget (the window itself is O(shard rows)). */
+  def seqPack(docs: DataFrame, capacity: Int, nShards: Int): DataFrame = {
+    val shard = pmod(TextFns.md5u56(col("doc_id").cast("string")), lit(nShards.toLong)).cast("int")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shard.as("shard"),
+        TextFns.tokenCount(col("text")).as("token_count"))
+      .withColumn("start_tok",
+        (sum(col("token_count")).over(w) - col("token_count")).cast("long"))
+      .withColumn("pack_id", floor(col("start_tok") / lit(capacity.toDouble)))
+      .withColumn("pack_offset", col("start_tok") % capacity)
+  }
+
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPack(Tables.documents(spark, dir), capacity = 2048, nShards = 8)
+      .orderBy(col("doc_id"))
+
+  def oSeqPack: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($h % 8 AS INTEGER) AS shard,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS token_count
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, token_count,
+       |    CAST(SUM(token_count) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - token_count AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, shard, token_count, start_tok,
+       |  CAST(floor(start_tok / 2048.0) AS BIGINT) AS pack_id,
+       |  CAST(start_tok % 2048 AS BIGINT) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+}

@@ -180,4 +180,83 @@ class LlmOpsSpec extends SparkSpecBase {
     // the 0.375 scanned-fraction floor
     assert(recall > scanned + 0.1, s"IVF recall $recall ≤ scanned fraction $scanned")
   }
+
+  test("PII scrub replaces emails/phones/IPs with placeholders and counts them") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 555-123-4567 from 10.0.0.7 now"),
+      (2L, "no pii here, just 1.2 version and code-4567"),
+      (3L, "two mails a@b.io c@d.co one ip 192.168.1.1")).toDF("doc_id", "text")
+    val (emails, phones, ips, clean) = graft.operators.Curation.scrubPii(col("text"))
+    val rows = df.select(col("doc_id"), emails.as("e"), phones.as("p"),
+        ips.as("i"), clean.as("c"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 1 && rows(0).getInt(3) == 1)
+    assert(rows(0).getString(4) ==
+      "mail <EMAIL> or call <PHONE> from <IP> now")
+    assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0 && rows(1).getInt(3) == 0)
+    assert(rows(1).getString(4) == "no pii here, just 1.2 version and code-4567",
+      "version numbers and short digit runs survive")
+    assert(rows(2).getInt(1) == 2 && rows(2).getInt(3) == 1)
+    assert(rows(2).getString(4) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("repetition ratio: degenerate text scores high, varied text low") {
+    val df = Seq(
+      (1L, Seq.fill(50)("spam ham eggs").mkString(" ")), // one 3-gram pattern repeated
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")),    // all shingles unique
+      (3L, "too short")).toDF("doc_id", "text")
+    val r = graft.operators.Curation.repetition(df).orderBy("doc_id").collect()
+    val degenerate = r(0)
+    assert(degenerate.getAs[Double]("repetition_ratio") > 0.9,
+      s"repeated pattern: ${degenerate.getAs[Double]("repetition_ratio")}")
+    assert(degenerate.getAs[Boolean]("is_repetitive"))
+    assert(r(1).getAs[Double]("repetition_ratio") == 0.0)
+    assert(!r(1).getAs[Boolean]("is_repetitive"))
+    assert(r(2).getAs[Int]("total_ngrams") == 1, "sub-3-word fallback shingle")
+    assert(r(2).getAs[Double]("repetition_ratio") == 0.0)
+  }
+
+  test("stratified sample: per-stratum rates honored, selection deterministic") {
+    val sampled = graft.operators.Curation
+      .stratifiedSample(docs, Map("en" -> 50), defaultRate = 20)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(math.abs(enRate - 0.5) < 0.15, s"en kept at $enRate, want ≈0.5")
+    totals.keys.filter(_ != "en").foreach { l =>
+      val r = byLang.getOrElse(l, 0L).toDouble / totals(l)
+      assert(r < 0.45, s"$l kept at $r, want ≈0.2")
+    }
+    // determinism: a second evaluation keeps the exact same ids
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.operators.Curation
+      .stratifiedSample(docs, Map("en" -> 50), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("sequence packing: contiguous shard layout, offsets within capacity") {
+    val cap = 256
+    val packed = graft.operators.Curation.seqPack(docs, cap, nShards = 4)
+    val rows = packed.orderBy("shard", "doc_id").collect()
+    assert(rows.forall(r => r.getAs[Long]("pack_offset") >= 0
+      && r.getAs[Long]("pack_offset") < cap), "every doc starts inside its pack")
+    // within a shard, start_tok is the running sum of preceding token counts
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_tok") == cum,
+          s"doc ${r.getAs[Long]("doc_id")} start ${r.getAs[Long]("start_tok")} != $cum")
+        cum += r.getAs[Int]("token_count")
+      }
+    }
+    // pack ids are dense per shard: max pack ≈ total tokens / capacity
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (s, rs) =>
+      val totalTok = rs.map(_.getAs[Int]("token_count").toLong).sum
+      val maxPack = rs.map(_.getAs[Long]("pack_id")).max
+      assert(maxPack <= totalTok / cap, s"shard $s pack ids not dense")
+    }
+  }
 }
