@@ -91,7 +91,9 @@ object SparkEntry {
     "curation_pii_scrub" -> ((s, d) => Curation.qPiiScrub(s, d)),
     "curation_repetition" -> ((s, d) => Curation.qRepetition(s, d)),
     "curation_stratified_sample" -> ((s, d) => Curation.qStratifiedSample(s, d)),
-    "curation_seq_pack" -> ((s, d) => Curation.qSeqPack(s, d))
+    "curation_seq_pack" -> ((s, d) => Curation.qSeqPack(s, d)),
+    "curation_pack_manifest" -> ((s, d) => Curation.qPackManifest(s, d)),
+    "curation_filter_funnel" -> ((s, d) => Curation.qFilterFunnel(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,6 +169,8 @@ object SparkEntry {
     "curation_pii_scrub" -> Curation.oPiiScrub,
     "curation_repetition" -> Curation.oRepetition,
     "curation_stratified_sample" -> Curation.oStratifiedSample,
-    "curation_seq_pack" -> Curation.oSeqPack
+    "curation_seq_pack" -> Curation.oSeqPack,
+    "curation_pack_manifest" -> Curation.oPackManifest,
+    "curation_filter_funnel" -> Curation.oFilterFunnel
   )
 }

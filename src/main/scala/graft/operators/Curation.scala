@@ -185,4 +185,104 @@ object Curation {
        |  CAST(start_tok % 2048 AS BIGINT) AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin
   }
+
+  /** Pack-level rollup of [[seqPack]]: how many docs START in each pack,
+    * their id span, and the tokens they contribute. (In concat packing a
+    * doc can spill past its pack's boundary; `tokens_started` counts a
+    * doc's full length in its start pack, so per-pack sums exceed
+    * capacity exactly where spill happens — the number a batching
+    * pipeline needs to size reads.) One extra partial-agg shuffle on the
+    * already-shard-local (shard, pack_id) key. */
+  def packManifest(docs: DataFrame, capacity: Int, nShards: Int): DataFrame =
+    seqPack(docs, capacity, nShards)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        sum(col("token_count")).as("tokens_started"))
+
+  def qPackManifest(spark: SparkSession, dir: String): DataFrame =
+    packManifest(Tables.documents(spark, dir), capacity = 2048, nShards = 8)
+      .orderBy(col("shard"), col("pack_id"))
+
+  def oPackManifest: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($h % 8 AS INTEGER) AS shard,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS token_count
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, token_count,
+       |    CAST(SUM(token_count) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - token_count AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT shard, CAST(floor(start_tok / 2048.0) AS BIGINT) AS pack_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(token_count) AS BIGINT) AS tokens_started
+       |FROM c GROUP BY shard, floor(start_tok / 2048.0)
+       |ORDER BY shard, pack_id""".stripMargin
+  }
+
+  /** The curation funnel: compose the quality signals (length, stopword
+    * density, punctuation, repetition) into one keep/drop verdict with a
+    * FIRST-FAILING-CHECK drop reason — the audit column a data team
+    * reads when a corpus shrinks unexpectedly. Map-only; every signal is
+    * already a scan-fused expression, so the funnel costs one pass. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val ws = TextFns.words(t)
+    val withSignals = docs
+      .select(col("doc_id"), t.as("text"), ws.as("ws"))
+      .select(col("doc_id"),
+        length(col("text")).as("char_count"),
+        (TextFns.stopwordCount(col("text"), TextFns.EnStopwords)
+          / size(col("ws"))).as("stopword_ratio"),
+        (TextFns.punctCount(col("text")) / length(col("text"))).as("punct_ratio"),
+        TextFns.shingleSeqFromWords(col("ws")).as("seq"))
+      .withColumn("repetition_ratio",
+        lit(1.0) - size(array_distinct(col("seq"))) / size(col("seq")))
+      .drop("seq")
+    withSignals
+      .withColumn("drop_reason",
+        when(col("char_count") < 100, "too_short")
+          .when(col("char_count") > 1000, "too_long")
+          .when(col("stopword_ratio") < 0.02, "low_stopword_density")
+          .when(col("punct_ratio") > 0.3, "high_punctuation")
+          .when(col("repetition_ratio") > 0.2, "repetitive")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
+  def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnel(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def oFilterFunnel: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sq AS (
+      |  SELECT doc_id, text, ws, CASE WHEN len(ws) >= 3
+      |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+      |    ELSE [array_to_string(ws, ' ')] END AS seq FROM w),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INTEGER) AS char_count,
+      |    len(list_filter(ws, x -> list_contains(['the','a','of','and','is','to','in'], x)))
+      |      / len(ws) AS stopword_ratio,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) AS punct_ratio,
+      |    1.0 - CAST(len(list_distinct(seq)) AS DOUBLE) / len(seq) AS repetition_ratio
+      |  FROM sq)
+      |SELECT *,
+      |  CASE WHEN char_count < 100 THEN 'too_short'
+      |       WHEN char_count > 1000 THEN 'too_long'
+      |       WHEN stopword_ratio < 0.02 THEN 'low_stopword_density'
+      |       WHEN punct_ratio > 0.3 THEN 'high_punctuation'
+      |       WHEN repetition_ratio > 0.2 THEN 'repetitive'
+      |       ELSE NULL END AS drop_reason,
+      |  (CASE WHEN char_count < 100 THEN 'too_short'
+      |       WHEN char_count > 1000 THEN 'too_long'
+      |       WHEN stopword_ratio < 0.02 THEN 'low_stopword_density'
+      |       WHEN punct_ratio > 0.3 THEN 'high_punctuation'
+      |       WHEN repetition_ratio > 0.2 THEN 'repetitive'
+      |       ELSE NULL END) IS NULL AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
 }
