@@ -87,6 +87,14 @@ object Probe {
     time("simhash pairs (paired blocks)") { drain(Dedup.simhashPairs(docs)) }
     time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
     time("contamination") { drain(TextAnalysis.contamination(docs)) }
+    time("dup clusters (label propagation)") {
+      drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
+    }
+    time("curation pack+sample+repetition") {
+      drain(graft.operators.Curation.seqPack(docs, 2048, 32))
+      drain(graft.operators.Curation.stratifiedSample(docs, Map("en" -> 50), 20))
+      drain(graft.operators.Curation.repetition(docs))
+    }
     spark.stop()
   }
 

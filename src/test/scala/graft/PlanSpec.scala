@@ -98,6 +98,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), "df join must broadcast")
   }
 
+  test("curation map-only ops plan without a shuffle") {
+    val docs = Tables.documents(spark, sf)
+    Seq(
+      "repetition" -> graft.operators.Curation.repetition(docs),
+      "stratifiedSample" -> graft.operators.Curation
+        .stratifiedSample(docs, Map("en" -> 50), 20)).foreach { case (name, df) =>
+      val plan = physicalPlan(df)
+      assert(!plan.contains("Exchange"), s"$name grew a shuffle:\n$plan")
+    }
+  }
+
+  test("stratified sample prunes the text column from the scan") {
+    val plan = physicalPlan(graft.operators.Curation
+      .stratifiedSample(Tables.documents(spark, sf), Map("en" -> 50), 20)
+      .select("doc_id", "lang", "bucket"))
+    assert(!plan.contains("text:string"), s"text read but unused:\n$plan")
+  }
+
+  test("sequence packing shuffles exactly once, on the shard key") {
+    val plan = physicalPlan(
+      graft.operators.Curation.seqPack(Tables.documents(spark, sf), 2048, 8))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"want the single shard-window shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"), s"window not shard-partitioned:\n$plan")
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val plan = physicalPlan(graft.operators.Ranged.qEventFollowups(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
