@@ -120,7 +120,9 @@ object Probe {
       "dedup_contamination" -> "split-tagged shingle equi-join, cached sketch",
       "text_top_ngrams" -> "partial-agg count + top-k",
       "text_top_terms" -> "broadcast df join + windowed rank",
-      "corpus_split" -> "map-only hash bucketing")
+      "corpus_split" -> "map-only hash bucketing",
+      "curation_seq_pack" -> "single shard-window shuffle packing",
+      "curation_filter_funnel" -> "scan-fused multi-signal quality funnel")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
