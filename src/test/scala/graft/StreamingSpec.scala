@@ -228,6 +228,36 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("curation funnel + PII scrub run unchanged on a document stream") {
+    // the whole curation map-only family is stateless, so the same
+    // Column expressions drive readStream → writeStream with no
+    // batch/stream code fork — the property this test pins
+    val d = Files.createTempDirectory("graft-docs-stream").toString
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$d/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = Tables.documents(spark, sf)
+    val streamDocs = spark.readStream.schema(batchDocs.schema).parquet(d)
+    val (emails, _, _, clean) = graft.operators.Curation.scrubPii(col("text"))
+    val q = graft.operators.Curation.filterFunnel(streamDocs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel_out")
+      .select($"doc_id", $"keep", $"drop_reason")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    val batch = graft.operators.Curation.filterFunnel(batchDocs)
+      .select($"doc_id", $"keep", $"drop_reason")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(streamed == batch, "stream and batch funnel verdicts must agree")
+    val q2 = streamDocs.select($"doc_id", emails.as("n"), clean.as("c"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("scrub_out").count() == batchDocs.count())
+  }
+
   test("multimodal partition-batch decode matches the expression stub shape") {
     val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
       .as[graft.operators.Multimodal.Media]
