@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 
+/** Stage ledger for [[Curation.curate]]: row counts entering/leaving
+  * each curation stage plus the final pack count — the shrinkage audit
+  * a data team reads after every corpus build. */
+case class CurationReport(
+    input: Long,
+    afterQuality: Long,
+    afterDedup: Long,
+    splitCounts: Map[String, Long],
+    trainPacks: Long)
+
 /** Training-data curation operators beyond the reference's surface:
   * PII scrubbing, within-document repetition scoring, per-stratum
   * deterministic downsampling, and fixed-capacity sequence packing.
@@ -285,4 +295,52 @@ object Curation {
       |       WHEN repetition_ratio > 0.2 THEN 'repetitive'
       |       ELSE NULL END) IS NULL AS keep
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** The full corpus build, composed from the operators above: quality
+    * funnel → near-dup removal (cluster survivor = min doc_id, the A8
+    * dedup rule lifted to transitive groups) → deterministic split →
+    * train-shard packing. Writes the curated corpus partitioned by
+    * split (so a trainer's `split=train` read partition-prunes) plus
+    * the pack manifest, and returns the per-stage shrinkage ledger.
+    *
+    * Every stage is the already-scale-shaped operator: the only joins
+    * are the candidate-generated near-dup pair join and a broadcast-
+    * sized anti-join against the duplicate list (dup victims are a
+    * small fraction of any real corpus; for a pathological majority-dup
+    * corpus swap in a shuffle anti-join by lifting the hint). */
+  def curate(docs: DataFrame, outDir: String,
+      jaccardThreshold: Double = 0.8, capacity: Int = 2048,
+      nShards: Int = 8): CurationReport = {
+    val spark = docs.sparkSession
+    val input = docs.count()
+    // 1. quality funnel — keep survivors only, original columns forward
+    val kept = docs.join(
+      filterFunnel(docs).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = kept.count()
+    // 2. near-dup removal: every clustered doc except its cluster's min
+    // survivor is a victim; anti-join the victim list out
+    val victims = Dedup.dupClusters(shinglePairs(kept, jaccardThreshold))
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val deduped = kept.join(broadcast(victims), Seq("doc_id"), "left_anti")
+    // 3. deterministic split, then write partitioned by split
+    val tagged = TextAnalysis.withSplit(deduped)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tagged.drop("bucket").write.mode("overwrite")
+      .partitionBy("split").parquet(s"$outDir/corpus")
+    val splitCounts = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val afterDedup = splitCounts.values.sum
+    // 4. pack the train split; manifest is the batching layer's read plan
+    val manifest = packManifest(
+      tagged.filter(col("split") === "train"), capacity, nShards)
+    manifest.write.mode("overwrite").parquet(s"$outDir/train_pack_manifest")
+    val trainPacks = spark.read.parquet(s"$outDir/train_pack_manifest").count()
+    kept.unpersist(); tagged.unpersist()
+    CurationReport(input, afterQuality, afterDedup, splitCounts, trainPacks)
+  }
+
+  private def shinglePairs(docs: DataFrame, threshold: Double): DataFrame =
+    Dedup.shingleJaccardPairs(docs.select("doc_id", "text"), threshold)
 }

@@ -237,6 +237,34 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(ids1 == ids2)
   }
 
+  test("curate() composes funnel → dedup → split → pack with a consistent ledger") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val r = graft.operators.Curation.curate(docs, out)
+    assert(r.input == docs.count())
+    assert(r.afterQuality <= r.input && r.afterQuality > 0)
+    assert(r.afterDedup <= r.afterQuality && r.afterDedup > 0,
+      s"dedup dropped nothing or everything: $r")
+    assert(r.splitCounts.values.sum == r.afterDedup)
+    assert(r.splitCounts.keySet == Set("train", "val", "test"), r.splitCounts.toString)
+    // corpus landed partitioned by split → trainer reads partition-prune
+    Seq("train", "val", "test").foreach { s =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/corpus/split=$s")), s"missing split=$s")
+    }
+    val curated = spark.read.parquet(s"$out/corpus")
+    assert(curated.count() == r.afterDedup)
+    // the funnel's verdict holds on what was written
+    val funnel = graft.operators.Curation.filterFunnel(curated)
+    assert(funnel.filter(!col("keep")).count() == 0, "a dropped doc leaked through")
+    // manifest covers exactly the train docs
+    val manifest = spark.read.parquet(s"$out/train_pack_manifest")
+    assert(manifest.count() == r.trainPacks)
+    assert(manifest.agg(sum("n_docs")).head().getLong(0) == r.splitCounts("train"))
+    // deterministic: a rebuild into the same dir reproduces the ledger
+    val r2 = graft.operators.Curation.curate(docs, out)
+    assert(r2 == r, s"rebuild diverged: $r2 vs $r")
+  }
+
   test("sequence packing: contiguous shard layout, offsets within capacity") {
     val cap = 256
     val packed = graft.operators.Curation.seqPack(docs, cap, nShards = 4)
