@@ -102,6 +102,7 @@ class PlanSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, sf)
     Seq(
       "repetition" -> graft.operators.Curation.repetition(docs),
+      "filterFunnel" -> graft.operators.Curation.filterFunnel(docs),
       "stratifiedSample" -> graft.operators.Curation
         .stratifiedSample(docs, Map("en" -> 50), 20)).foreach { case (name, df) =>
       val plan = physicalPlan(df)
