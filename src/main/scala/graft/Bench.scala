@@ -42,13 +42,13 @@ object Bench {
     val benchExcluded = Set("sim_cosine_topk")
     val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(
       f => SparkEntry.queries.filter(kv => f(kv._1)))
-    var failed = Set.empty[String]
     val names = selected.keys.toSeq
-    def once(name: String): Double = {
+    def once(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed += name }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
     // Interleaved passes: one unmeasured warm pass over every query, then
     // three measured full passes, median per query. Back-to-back triples
@@ -59,12 +59,18 @@ object Bench {
     // per-query median then discards.
     names.foreach(once)
     val passes = Seq.fill(3)(names.map(n => n -> once(n)).toMap)
-    // A query that threw is dropped from the per-query map AND the total:
-    // its recorded elapsed is the time-to-throw (near zero for a plan-time
-    // error), and folding that in would make a broken run read FASTER than
-    // a healthy one. The `failed` list is the only place it appears.
-    val results = names.filterNot(failed)
-      .map(n => n -> passes.map(_(n)).sorted.apply(1)).toMap
+    // Failure policy: a run that throws contributes nothing — its elapsed
+    // is the time-to-throw, and folding that in would make a broken run
+    // read FASTER than a healthy one. A query is `failed` only when NO
+    // measured run succeeded (a transient warm-pass or single-run blip
+    // must not void three good measurements); otherwise the median is
+    // taken over the runs that did succeed.
+    val samples = names.map(n => n -> passes.flatMap(_(n))).toMap
+    val failed = names.filter(samples(_).isEmpty).toSet
+    val results = names.filterNot(failed).map { n =>
+      val s = samples(n).sorted
+      n -> s(s.size / 2)
+    }.toMap
     // Locale-pinned formatting: f"" uses the JVM default locale, and a
     // comma-decimal host (de_DE, fr_FR) would emit {"q1":1,234} — invalid
     // JSON. 3-decimal (ms) precision keeps the line inside the driver's
