@@ -190,56 +190,72 @@ object Bronze {
     import org.apache.hadoop.fs.Path
     val logDir = new Path(root, "_spark_metadata")
     if (!fs.exists(logDir)) return
-    val prefixes = deletedDirs.map(_.toUri.getPath + "/")
     val pathField = """"path":"([^"]+)"""".r
-    def swept(line: String): Boolean =
-      pathField.findFirstMatchIn(line).exists { m =>
-        val p = new Path(m.group(1)).toUri.getPath
-        prefixes.exists(p.startsWith)
+    def entryPath(line: String): Option[Path] =
+      pathField.findFirstMatchIn(line).map(m => new Path(m.group(1)))
+    def readLines(p: Path): List[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    // Recoverable swap: the original is renamed aside (not deleted)
+    // before the rewrite moves in, so every intermediate state still
+    // holds a readable copy of the log file — a crash at any point is
+    // undone by the recovery pass on the next run. The old
+    // delete-then-rename shape had a window where a crash lost the
+    // file outright (replayed batch or broken sink reads).
+    def rewrite(f: Path, drop: String => Boolean): Unit = {
+      val lines = readLines(f)
+      val kept = lines.filterNot(drop)
+      if (kept.size != lines.size) {
+        val tmp = new Path(logDir, s".${f.getName}.retention.tmp")
+        val bak = new Path(logDir, s".${f.getName}.retention.bak")
+        val out = fs.create(tmp, true)
+        try out.write((kept.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(f, bak)
+        fs.rename(tmp, f)
+        fs.delete(bak, false)
       }
+    }
     // Recover from a crash mid-swap before touching anything: a stale
     // `.N.retention.bak` whose original is missing means the process died
     // between moving the original aside and moving the rewrite in — the
     // .bak IS the log file; restore it. A .bak whose original exists is
     // residue from a crash after the new file landed — drop it. Leftover
     // .tmp files are always incomplete writes — drop them.
+    val interrupted = Set.newBuilder[String]
     fs.listStatus(logDir).filter(_.isFile).foreach { st =>
       val name = st.getPath.getName
-      if (name.endsWith(".retention.tmp")) fs.delete(st.getPath, false)
-      else if (name.startsWith(".") && name.endsWith(".retention.bak")) {
-        val orig = new Path(logDir,
-          name.stripPrefix(".").stripSuffix(".retention.bak"))
+      if (name.startsWith(".") && name.endsWith(".retention.tmp")) {
+        interrupted += name.stripPrefix(".").stripSuffix(".retention.tmp")
+        fs.delete(st.getPath, false)
+      } else if (name.startsWith(".") && name.endsWith(".retention.bak")) {
+        val base = name.stripPrefix(".").stripSuffix(".retention.bak")
+        interrupted += base
+        val orig = new Path(logDir, base)
         if (!fs.exists(orig)) fs.rename(st.getPath, orig)
         else fs.delete(st.getPath, false)
       }
     }
-    if (deletedDirs.isEmpty) return // recovery ran; nothing to prune
+    // A restored (or residue-flagged) log file may still hold entries a
+    // PREVIOUS sweep's partition deletes orphaned — those dirs are gone,
+    // so prefix matching against this run's deletions can never catch
+    // them again. For exactly the interrupted files, fall back to the
+    // ground truth and drop entries whose data file no longer exists
+    // (bounded to the rare crash-recovery case, never the normal path).
+    interrupted.result().foreach { base =>
+      val f = new Path(logDir, base)
+      if (fs.exists(f))
+        rewrite(f, line => entryPath(line).exists(p => !fs.exists(p)))
+    }
+    if (deletedDirs.isEmpty) return
+    val prefixes = deletedDirs.map(_.toUri.getPath + "/")
+    def swept(line: String): Boolean =
+      entryPath(line).exists(p => prefixes.exists(p.toUri.getPath.startsWith))
     fs.listStatus(logDir)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
-      .foreach { st =>
-        val lines = {
-          val in = fs.open(st.getPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        }
-        val kept = lines.filterNot(swept)
-        if (kept.size != lines.size) {
-          // Recoverable swap: the original is renamed aside (not deleted)
-          // before the rewrite moves in, so every intermediate state still
-          // holds a readable copy of the log file — a crash at any point is
-          // undone by the recovery pass above on the next run. The old
-          // delete-then-rename shape had a window where a crash lost the
-          // file outright (replayed batch or broken sink reads).
-          val tmp = new Path(logDir, s".${st.getPath.getName}.retention.tmp")
-          val bak = new Path(logDir, s".${st.getPath.getName}.retention.bak")
-          val out = fs.create(tmp, true)
-          try out.write((kept.mkString("\n") + "\n").getBytes("UTF-8"))
-          finally out.close()
-          fs.rename(st.getPath, bak)
-          fs.rename(tmp, st.getPath)
-          fs.delete(bak, false)
-        }
-      }
+      .foreach(st => rewrite(st.getPath, swept))
   }
 
   /** Schema-evolved Bronze scan: producers add fields over time, so

@@ -139,6 +139,32 @@ class BronzeSweepSpec extends SparkSpecBase {
     assert(!Files.exists(logDir.resolve(".0.retention.tmp")))
   }
 
+  test("interrupted swap re-prunes restored entries whose files a past sweep deleted") {
+    // Crash replay: run 1 deleted year=2024/month=1, wrote the pruned
+    // .tmp, renamed the log to .bak, then died. Run 2 starts with the
+    // month gone (so prefix-matching can never catch it again), restores
+    // the .bak — whose content still references the deleted files — and
+    // must fall back to existence-based pruning for that file.
+    val root = tree()
+    val today = java.time.LocalDate.of(2024, 3, 15)
+    val live = mk(root, "year=2024/month=3/day=14")
+    val deadDir = root.resolve("year=2024/month=1/day=1") // never created: already swept
+    val logDir = root.resolve("_spark_metadata")
+    Files.createDirectories(logDir)
+    def entry(p: Path) =
+      s"""{"path":"file://$p/part-0.parquet","size":3,"isDir":false,"action":"add"}"""
+    Files.write(logDir.resolve(".0.retention.bak"),
+      s"v1\n${entry(deadDir)}\n${entry(live)}\n".getBytes("UTF-8"))
+    Files.write(logDir.resolve(".0.retention.tmp"),
+      s"v1\n${entry(live)}\n".getBytes("UTF-8"))
+    // nothing expires this run — bronzeDays window covers everything
+    assert(Bronze.retentionSweep(spark, root.toString, 3650, today) == 0)
+    val lines = new String(Files.readAllBytes(logDir.resolve("0")), "UTF-8")
+      .linesIterator.toList
+    assert(lines.head == "v1" && lines.size == 2, s"stale entry must drop: $lines")
+    assert(lines(1).contains("month=3"), lines(1))
+  }
+
   test("stale .bak beside a surviving original is dropped, original untouched") {
     val root = tree()
     val today = java.time.LocalDate.of(2024, 3, 15)
