@@ -105,6 +105,7 @@ object Pipeline {
     // hourly, gold_loader.py:357-370 — the reference loads all three, not
     // just the daily rollup). JDBC if configured, else parquet dedup-merge
     // of the daily tier.
+    val goldPath = s"${cfg.warehouseDir}/gold/events_daily" // writer AND sweep
     val goldTiers = staged[(Long, Long, Long)]("gold_load",
       t => t._1 + t._2 + t._3) {
       val daily = spark.read.parquet(s"$silverPath/events_daily_agg")
@@ -133,10 +134,16 @@ object Pipeline {
             "gold_events_hourly", Seq("event_type", "year", "month", "day", "hour"))
           (d, dd, hh)
         case None =>
-          val goldPath = s"${cfg.warehouseDir}/gold/events_daily"
+          // a warehouse from the pre-partitioned release holds bare
+          // part files at the gold root; rewrite them into the y/m
+          // layout BEFORE the first partitioned append, or the two
+          // layouts mix and partition discovery fails forever after
+          migrateLegacyGold(spark, goldPath)
           val existing =
             try spark.read.parquet(goldPath).select("event_type", "year", "month", "day")
-            catch { case _: Throwable => spark.emptyDataFrame }
+            // missing-path only — anything else (corrupt footer, mixed
+            // layout) must surface, not silently re-append everything
+            catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
           val fresh =
             if (existing.columns.isEmpty) daily
             else JdbcSink.newRowsOnly(daily, existing, Seq("event_type", "year", "month", "day"))
@@ -181,8 +188,7 @@ object Pipeline {
         // is the year/month partition — a month drops once wholly expired)
         val goldSwept =
           if (cfg.jdbcUrl.isEmpty)
-            Bronze.retentionSweep(spark, s"${cfg.warehouseDir}/gold/events_daily",
-              r.goldDays, r.asOf)
+            Bronze.retentionSweep(spark, goldPath, r.goldDays, r.asOf)
           else 0L
         swept + dbDeleted + goldSwept
       }
@@ -234,6 +240,26 @@ object Pipeline {
         |  "avg_value" DOUBLE, "min_value" DOUBLE, "max_value" DOUBLE,
         |  "record_count" BIGINT, "distinct_users" BIGINT
         |)""".stripMargin)
+
+  /** One-time layout upgrade for the parquet gold tier: the previous
+    * release appended bare part files at the gold root; the partitioned
+    * writer would otherwise create year=/month= dirs NEXT TO them and
+    * partition discovery fails on the mixed layout from then on. Reads
+    * only the legacy root files, appends them into the partitioned
+    * layout, then drops the originals — idempotent (second call finds
+    * no root files) and a no-op on fresh or already-migrated roots. */
+  private[graft] def migrateLegacyGold(spark: SparkSession, goldPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(goldPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val rootFiles = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (rootFiles.isEmpty) return
+    spark.read.parquet(rootFiles.map(_.getPath.toString): _*)
+      .write.mode("append").partitionBy("year", "month").parquet(goldPath)
+    rootFiles.foreach(st => fs.delete(st.getPath, false))
+    spark.catalog.refreshByPath(goldPath)
+  }
 
   /** Column defs parsed back out of the DDLs above: name → SQL type.
     * Used only for upgrade-time ALTERs, so NOT NULL is intentionally

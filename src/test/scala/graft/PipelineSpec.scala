@@ -136,6 +136,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(Files.exists(Paths.get(s"$wh2/gold/events_daily/year=2024/month=1")))
   }
 
+  test("legacy unpartitioned gold parquet migrates to the y/m layout, no dup rows") {
+    val wh = freshWarehouse()
+    val cfg = Pipeline.Config(sf, wh, None)
+    val r1 = Pipeline.run(spark, cfg)
+    val goldPath = s"$wh/gold/events_daily"
+    val rows = spark.read.parquet(goldPath).collect()
+    // rewrite the gold tier the way the pre-partitioned release laid it
+    // out: bare part files at the root
+    val tmp = Files.createTempDirectory("gold-legacy").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq),
+        spark.read.parquet(goldPath).schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(goldPath))
+    Files.createDirectories(Paths.get(goldPath))
+    Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).forEach { p =>
+      Files.copy(p, Paths.get(goldPath, p.getFileName.toString))
+    }
+    // second run must migrate the legacy files BEFORE appending; the
+    // anti-join then sees every existing key and loads zero new rows
+    val r2 = Pipeline.run(spark, cfg)
+    assert(r2.goldRowsByTier._2 == 0, s"legacy rows re-appended: ${r2.goldRowsByTier}")
+    val root = Paths.get(goldPath)
+    assert(!Files.list(root).anyMatch(p => p.toString.endsWith(".parquet")),
+      "bare root part files must be gone after migration")
+    assert(Files.exists(Paths.get(s"$goldPath/year=2024")), "partitioned layout present")
+    assert(spark.read.parquet(goldPath).count() == r1.goldRowsByTier._2,
+      "migration preserves exactly the legacy rows")
+  }
+
   test("ensureGoldTables evolves a pre-'date' warehouse: ADD COLUMN + backfill") {
     val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
     val c = java.sql.DriverManager.getConnection(url)
