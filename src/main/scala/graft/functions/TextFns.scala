@@ -32,9 +32,16 @@ object TextFns {
   val EsStopwords: Seq[String] = Seq("el", "la", "de", "que", "y", "los")
   val FrStopwords: Seq[String] = Seq("le", "la", "les", "et", "est", "une")
 
-  def stopwordCount(text: Column, stops: Seq[String]): Column = {
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    stopwordCountFromWords(words(text), stops)
+
+  /** Stopword count over an already-materialized words-array ATTRIBUTE —
+    * same two-stage rule as [[shinglesFromWords]]: when the caller has
+    * `ws` projected anyway, passing `words(text)` inline instead would
+    * run the split regex a second time per row. */
+  def stopwordCountFromWords(ws: Column, stops: Seq[String]): Column = {
     val arr = array(stops.map(lit): _*)
-    size(filter(words(text), w => array_contains(arr, w)))
+    size(filter(ws, w => array_contains(arr, w)))
   }
 
   /** Stopword-profile language ID: score each language's stopword list,

@@ -237,22 +237,27 @@ object Curation {
     * density, punctuation, repetition) into one keep/drop verdict with a
     * FIRST-FAILING-CHECK drop reason — the audit column a data team
     * reads when a corpus shrinks unexpectedly. Map-only; every signal is
-    * already a scan-fused expression, so the funnel costs one pass. */
-  def filterFunnel(docs: DataFrame): DataFrame = {
-    val t = col("text")
-    val ws = TextFns.words(t)
-    val withSignals = docs
-      .select(col("doc_id"), t.as("text"), ws.as("ws"))
-      .select(col("doc_id"),
-        length(col("text")).as("char_count"),
-        (TextFns.stopwordCount(col("text"), TextFns.EnStopwords)
-          / size(col("ws"))).as("stopword_ratio"),
-        (TextFns.punctCount(col("text")) / length(col("text"))).as("punct_ratio"),
-        TextFns.shingleSeqFromWords(col("ws")).as("seq"))
+    * already a scan-fused expression, so the funnel costs one pass.
+    *
+    * [[funnelVerdict]] appends the verdict to the FULL input row — the
+    * composition form [[curate]] wants (filter in place, no self-join to
+    * recover original columns); [[filterFunnel]] is the audit projection
+    * of the same pass. The words array is projected ONCE and every
+    * word-level signal reads the attribute (multi-referenced aliases
+    * survive CollapseProject, so the split regex runs once per row —
+    * the inline form ran it per signal). */
+  def funnelVerdict(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", TextFns.words(col("text")))
+      .withColumn("seq", TextFns.shingleSeqFromWords(col("ws")))
+      .withColumn("char_count", length(col("text")))
+      .withColumn("stopword_ratio",
+        TextFns.stopwordCountFromWords(col("ws"), TextFns.EnStopwords)
+          / size(col("ws")))
+      .withColumn("punct_ratio", TextFns.punctCount(col("text")) / length(col("text")))
       .withColumn("repetition_ratio",
         lit(1.0) - size(array_distinct(col("seq"))) / size(col("seq")))
-      .drop("seq")
-    withSignals
+      .drop("ws", "seq")
       .withColumn("drop_reason",
         when(col("char_count") < 100, "too_short")
           .when(col("char_count") > 1000, "too_long")
@@ -261,7 +266,13 @@ object Curation {
           .when(col("repetition_ratio") > 0.2, "repetitive")
           .otherwise(lit(null).cast("string")))
       .withColumn("keep", col("drop_reason").isNull)
-  }
+
+  private val funnelSignalCols =
+    Seq("char_count", "stopword_ratio", "punct_ratio", "repetition_ratio",
+      "drop_reason", "keep")
+
+  def filterFunnel(docs: DataFrame): DataFrame =
+    funnelVerdict(docs).select((Seq("doc_id") ++ funnelSignalCols).map(col): _*)
 
   def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
     filterFunnel(Tables.documents(spark, dir)).orderBy(col("doc_id"))
@@ -313,10 +324,11 @@ object Curation {
       nShards: Int = 8): CurationReport = {
     val spark = docs.sparkSession
     val input = docs.count()
-    // 1. quality funnel — keep survivors only, original columns forward
-    val kept = docs.join(
-      filterFunnel(docs).filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    // 1. quality funnel — verdict computed alongside the original
+    // columns, so survivors come out of the same fused scan (no
+    // self-join, no second corpus pass)
+    val kept = funnelVerdict(docs).filter(col("keep"))
+      .drop(funnelSignalCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = kept.count()
     // 2. near-dup removal: every clustered doc except its cluster's min
