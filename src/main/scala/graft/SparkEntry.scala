@@ -93,7 +93,13 @@ object SparkEntry {
     "curation_stratified_sample" -> ((s, d) => Curation.qStratifiedSample(s, d)),
     "curation_seq_pack" -> ((s, d) => Curation.qSeqPack(s, d)),
     "curation_pack_manifest" -> ((s, d) => Curation.qPackManifest(s, d)),
-    "curation_filter_funnel" -> ((s, d) => Curation.qFilterFunnel(s, d))
+    "curation_filter_funnel" -> ((s, d) => Curation.qFilterFunnel(s, d)),
+    "q13_cust_dist" -> ((s, d) => TpchMore.q13CustDist(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => TpchMore.q16SupplierCnt(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => TpchMore.q17SmallQtyRevenue(s, d)),
+    "q18_large_orders" -> ((s, d) => TpchMore.q18LargeOrders(s, d)),
+    "q20_qualified_suppliers" -> ((s, d) => TpchMore.q20QualifiedSuppliers(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,6 +177,12 @@ object SparkEntry {
     "curation_stratified_sample" -> Curation.oStratifiedSample,
     "curation_seq_pack" -> Curation.oSeqPack,
     "curation_pack_manifest" -> Curation.oPackManifest,
-    "curation_filter_funnel" -> Curation.oFilterFunnel
+    "curation_filter_funnel" -> Curation.oFilterFunnel,
+    "q13_cust_dist" -> TpchMore.q13OracleSql,
+    "q16_supplier_cnt" -> TpchMore.q16OracleSql,
+    "q17_small_qty_revenue" -> TpchMore.q17OracleSql,
+    "q18_large_orders" -> TpchMore.q18OracleSql,
+    "q20_qualified_suppliers" -> TpchMore.q20OracleSql,
+    "q21_waiting_suppliers" -> TpchMore.q21OracleSql
   )
 }
