@@ -125,6 +125,21 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("hashpartitioning(shard"), s"window not shard-partitioned:\n$plan")
   }
 
+  test("q21 EXISTS/NOT-EXISTS resolve to hash semi/anti joins, never nested loops") {
+    val plan = physicalPlan(graft.operators.TpchMore.q21WaitingSuppliers(spark, sf))
+    assert(plan.contains("LeftSemi") || plan.contains("left_semi"), plan)
+    assert(plan.contains("LeftAnti") || plan.contains("left_anti"), plan)
+    assert(!plan.contains("NestedLoop"),
+      s"suppkey inequality must ride the orderkey hash join as a residual:\n$plan")
+  }
+
+  test("q16 NOT-IN is a broadcast anti join below the distinct-pair aggregate") {
+    val plan = physicalPlan(graft.operators.TpchMore.q16SupplierCnt(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") &&
+      (plan.contains("LeftAnti") || plan.contains("left_anti")), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val plan = physicalPlan(graft.operators.Ranged.qEventFollowups(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
