@@ -69,7 +69,12 @@ object Bench {
     val failed = names.filter(samples(_).isEmpty).toSet
     val results = names.filterNot(failed).map { n =>
       val s = samples(n).sorted
-      n -> s(s.size / 2)
+      // true median: with an even sample count (one run failed), taking
+      // the upper element would let a single GC-spiked run decide the
+      // reported time — the exact noise the median exists to discard
+      val m = if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      n -> m
     }.toMap
     // Locale-pinned formatting: f"" uses the JVM default locale, and a
     // comma-decimal host (de_DE, fr_FR) would emit {"q1":1,234} — invalid

@@ -255,8 +255,24 @@ object Pipeline {
     val rootFiles = fs.listStatus(p)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (rootFiles.isEmpty) return
-    spark.read.parquet(rootFiles.map(_.getPath.toString): _*)
-      .write.mode("append").partitionBy("year", "month").parquet(goldPath)
+    val legacy = spark.read.parquet(rootFiles.map(_.getPath.toString): _*)
+    // Crash-safe by idempotence, not ordering: rows already present in
+    // the partitioned layout (from a migration that appended but died
+    // before deleting the root files) are anti-joined out on the natural
+    // key, so re-running after ANY interruption appends only what's
+    // missing. The partition dirs are read explicitly (basePath keeps
+    // the partition columns) because a mixed root can't be read whole.
+    val partDirs = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("year="))
+      .map(_.getPath.toString)
+    val keys = Seq("event_type", "year", "month", "day")
+    val fresh =
+      if (partDirs.isEmpty) legacy
+      else JdbcSink.newRowsOnly(legacy,
+        spark.read.option("basePath", goldPath).parquet(partDirs: _*)
+          .select(keys.map(col): _*), keys)
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").partitionBy("year", "month").parquet(goldPath)
     rootFiles.foreach(st => fs.delete(st.getPath, false))
     spark.catalog.refreshByPath(goldPath)
   }

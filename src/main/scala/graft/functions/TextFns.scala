@@ -27,6 +27,16 @@ object TextFns {
   def avgWordLen(text: Column): Column =
     length(regexp_replace(text, "\\s", "")) / wordCount(text)
 
+  /** Corpus quality thresholds — the single source of truth shared by
+    * TextAnalysis.qTextStats' is_quality flag, Curation's filter funnel,
+    * and both of their DuckDB oracle twins (interpolated into the SQL),
+    * so a threshold tune can never make the two verdicts drift apart. */
+  val QualityMinChars = 100
+  val QualityMaxChars = 1000
+  val QualityMinStopwordRatio = 0.02
+  val QualityMaxPunctRatio = 0.3
+  val QualityMaxRepetitionRatio = 0.2
+
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
   val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
   val EsStopwords: Seq[String] = Seq("el", "la", "de", "que", "y", "los")

@@ -104,14 +104,15 @@ object Curation {
         size(array_distinct(col("seq"))).as("distinct_ngrams"))
       .withColumn("repetition_ratio",
         lit(1.0) - col("distinct_ngrams") / col("total_ngrams"))
-      .withColumn("is_repetitive", col("repetition_ratio") > 0.2)
+      .withColumn("is_repetitive",
+        col("repetition_ratio") > TextFns.QualityMaxRepetitionRatio)
   }
 
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     repetition(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   def oRepetition: String =
-    """WITH w AS (
+    raw"""WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
       |sq AS (
       |  SELECT doc_id, CASE WHEN len(ws) >= 3
@@ -121,7 +122,8 @@ object Curation {
       |  SELECT doc_id, CAST(len(seq) AS INTEGER) AS total_ngrams,
       |    CAST(len(list_distinct(seq)) AS INTEGER) AS distinct_ngrams FROM sq)
       |SELECT *, 1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams AS repetition_ratio,
-      |  (1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams) > 0.2 AS is_repetitive
+      |  (1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams)
+      |    > ${TextFns.QualityMaxRepetitionRatio} AS is_repetitive
       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Deterministic per-stratum downsampling: keep a doc iff its id-hash
@@ -259,11 +261,13 @@ object Curation {
         lit(1.0) - size(array_distinct(col("seq"))) / size(col("seq")))
       .drop("ws", "seq")
       .withColumn("drop_reason",
-        when(col("char_count") < 100, "too_short")
-          .when(col("char_count") > 1000, "too_long")
-          .when(col("stopword_ratio") < 0.02, "low_stopword_density")
-          .when(col("punct_ratio") > 0.3, "high_punctuation")
-          .when(col("repetition_ratio") > 0.2, "repetitive")
+        when(col("char_count") < TextFns.QualityMinChars, "too_short")
+          .when(col("char_count") > TextFns.QualityMaxChars, "too_long")
+          .when(col("stopword_ratio") < TextFns.QualityMinStopwordRatio,
+            "low_stopword_density")
+          .when(col("punct_ratio") > TextFns.QualityMaxPunctRatio, "high_punctuation")
+          .when(col("repetition_ratio") > TextFns.QualityMaxRepetitionRatio,
+            "repetitive")
           .otherwise(lit(null).cast("string")))
       .withColumn("keep", col("drop_reason").isNull)
 
@@ -277,8 +281,15 @@ object Curation {
   def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
     filterFunnel(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  def oFilterFunnel: String =
-    """WITH w AS (
+  def oFilterFunnel: String = {
+    val reason =
+      s"""CASE WHEN char_count < ${TextFns.QualityMinChars} THEN 'too_short'
+         |       WHEN char_count > ${TextFns.QualityMaxChars} THEN 'too_long'
+         |       WHEN stopword_ratio < ${TextFns.QualityMinStopwordRatio} THEN 'low_stopword_density'
+         |       WHEN punct_ratio > ${TextFns.QualityMaxPunctRatio} THEN 'high_punctuation'
+         |       WHEN repetition_ratio > ${TextFns.QualityMaxRepetitionRatio} THEN 'repetitive'
+         |       ELSE NULL END""".stripMargin
+    raw"""WITH w AS (
       |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
       |sq AS (
       |  SELECT doc_id, text, ws, CASE WHEN len(ws) >= 3
@@ -293,19 +304,10 @@ object Curation {
       |    1.0 - CAST(len(list_distinct(seq)) AS DOUBLE) / len(seq) AS repetition_ratio
       |  FROM sq)
       |SELECT *,
-      |  CASE WHEN char_count < 100 THEN 'too_short'
-      |       WHEN char_count > 1000 THEN 'too_long'
-      |       WHEN stopword_ratio < 0.02 THEN 'low_stopword_density'
-      |       WHEN punct_ratio > 0.3 THEN 'high_punctuation'
-      |       WHEN repetition_ratio > 0.2 THEN 'repetitive'
-      |       ELSE NULL END AS drop_reason,
-      |  (CASE WHEN char_count < 100 THEN 'too_short'
-      |       WHEN char_count > 1000 THEN 'too_long'
-      |       WHEN stopword_ratio < 0.02 THEN 'low_stopword_density'
-      |       WHEN punct_ratio > 0.3 THEN 'high_punctuation'
-      |       WHEN repetition_ratio > 0.2 THEN 'repetitive'
-      |       ELSE NULL END) IS NULL AS keep
+      |  $reason AS drop_reason,
+      |  ($reason) IS NULL AS keep
       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   /** The full corpus build, composed from the operators above: quality
     * funnel → near-dup removal (cluster survivor = min doc_id, the A8
@@ -323,14 +325,18 @@ object Curation {
       jaccardThreshold: Double = 0.8, capacity: Int = 2048,
       nShards: Int = 8): CurationReport = {
     val spark = docs.sparkSession
-    val input = docs.count()
     // 1. quality funnel — verdict computed alongside the original
     // columns, so survivors come out of the same fused scan (no
-    // self-join, no second corpus pass)
-    val kept = funnelVerdict(docs).filter(col("keep"))
+    // self-join, no second corpus pass); the input count rides the same
+    // scan as an observe() metric instead of a dedicated counting pass
+    val inputObs = org.apache.spark.sql.Observation()
+    val kept = funnelVerdict(docs)
+      .observe(inputObs, count(lit(1)).as("rows"))
+      .filter(col("keep"))
       .drop(funnelSignalCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = kept.count()
+    val input = inputObs.get("rows").asInstanceOf[Long]
     // 2. near-dup removal: every clustered doc except its cluster's min
     // survivor is a victim; anti-join the victim list out
     val victims = Dedup.dupClusters(shinglePairs(kept, jaccardThreshold))
@@ -344,11 +350,14 @@ object Curation {
     val splitCounts = tagged.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val afterDedup = splitCounts.values.sum
-    // 4. pack the train split; manifest is the batching layer's read plan
-    val manifest = packManifest(
-      tagged.filter(col("split") === "train"), capacity, nShards)
-    manifest.write.mode("overwrite").parquet(s"$outDir/train_pack_manifest")
-    val trainPacks = spark.read.parquet(s"$outDir/train_pack_manifest").count()
+    // 4. pack the train split; manifest is the batching layer's read
+    // plan. Its row count rides the write as an observe() metric — no
+    // read-back of the file just written.
+    val packObs = org.apache.spark.sql.Observation()
+    packManifest(tagged.filter(col("split") === "train"), capacity, nShards)
+      .observe(packObs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(s"$outDir/train_pack_manifest")
+    val trainPacks = packObs.get("rows").asInstanceOf[Long]
     kept.unpersist(); tagged.unpersist()
     CurationReport(input, afterQuality, afterDedup, splitCounts, trainPacks)
   }

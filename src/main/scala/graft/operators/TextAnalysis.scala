@@ -29,14 +29,14 @@ object TextAnalysis {
         TextFns.avgWordLen(t).as("avg_word_len"),
         (TextFns.capsCount(t) / length(t)).as("caps_ratio"))
       .withColumn("is_quality",
-        col("char_count").between(100, 1000)
-          && col("stopword_ratio") >= 0.02
-          && col("punct_ratio") <= 0.3)
+        col("char_count").between(TextFns.QualityMinChars, TextFns.QualityMaxChars)
+          && col("stopword_ratio") >= TextFns.QualityMinStopwordRatio
+          && col("punct_ratio") <= TextFns.QualityMaxPunctRatio)
       .orderBy(col("doc_id"))
   }
 
   def oTextStats: String =
-    """WITH s AS (
+    raw"""WITH s AS (
       |  SELECT doc_id,
       |    CAST(length(text) AS INTEGER) AS char_count,
       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS word_count,
@@ -52,8 +52,9 @@ object TextAnalysis {
       |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS avg_word_len,
       |    len(regexp_extract_all(text, '[A-Z]')) / length(text) AS caps_ratio
       |  FROM documents)
-      |SELECT *, char_count BETWEEN 100 AND 1000
-      |          AND stopword_ratio >= 0.02 AND punct_ratio <= 0.3 AS is_quality
+      |SELECT *, char_count BETWEEN ${TextFns.QualityMinChars} AND ${TextFns.QualityMaxChars}
+      |          AND stopword_ratio >= ${TextFns.QualityMinStopwordRatio}
+      |          AND punct_ratio <= ${TextFns.QualityMaxPunctRatio} AS is_quality
       |FROM s ORDER BY doc_id""".stripMargin
 
   def qLangId(spark: SparkSession, dir: String): DataFrame = {

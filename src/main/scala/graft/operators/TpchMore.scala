@@ -188,26 +188,32 @@ object TpchMore {
     * late set — both hash joins on orderkey with the suppkey inequality
     * as a residual condition, never a nested-loop subquery. */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val lf = Tables.lineitem(spark, dir)
+    val joined = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
       .select(col("l_orderkey"), col("l_suppkey"), col("late"))
-    val late = lf.filter(col("late"))
-    late
-      .join(lf.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
-        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
-        "left_semi")
-      .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
-        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
-        "left_anti")
-      .join(broadcast(Tables.supplier(spark, dir)),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
-      .limit(100)
+    // the lineitem⋈orders result feeds three join legs (probe, EXISTS
+    // build, NOT-EXISTS build); cache it once or the biggest join in the
+    // query runs three times (ReuseExchange can't unify the differently-
+    // filtered/projected legs)
+    Dedup.withCached(joined) { lf =>
+      val late = lf.filter(col("late"))
+      late
+        .join(lf.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }
   }
 
   def q21OracleSql: String =
