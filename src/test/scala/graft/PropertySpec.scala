@@ -142,6 +142,67 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("PII scrub is idempotent and leaves PII-free text untouched (property)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "v1.2", "x-4567", "10.0.0.1",
+      "a@b.io", "call 555-123-4567 now", "99.12", "date 2024-01-01")
+    val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, textGen), n = 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (e, p, ip, clean) = graft.operators.Curation.scrubPii(col("text"))
+      val once = df.select($"doc_id", clean.as("text"))
+      // scrubbing the already-scrubbed text must change nothing: the
+      // placeholders contain no digits/@ so no pattern can re-fire
+      val (e2, p2, ip2, clean2) = graft.operators.Curation.scrubPii(col("text"))
+      val twice = once.select($"doc_id", clean2.as("text"))
+      assert(once.collect().toSeq == twice.collect().toSeq, "scrub not idempotent")
+      assert(once.select((e2 + p2 + ip2).as("n")).agg(sum($"n")).head().getLong(0) == 0,
+        "scrubbed text still matches a PII pattern")
+    }
+  }
+
+  test("repetition ratio is bounded [0,1) and zero for all-distinct shingles (property)") {
+    val textGen = for {
+      base <- Gen.listOfN(12, Gen.identifier.map(_.take(5)))
+      reps <- Gen.choose(1, 6)
+    } yield List.fill(reps)(base).flatten.mkString(" ")
+    forAll(Gen.listOfN(5, textGen), n = 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val r = graft.operators.Curation.repetition(df).collect()
+      r.foreach { row =>
+        val ratio = row.getAs[Double]("repetition_ratio")
+        assert(ratio >= 0.0 && ratio < 1.0, s"ratio out of bounds: $ratio")
+        assert(row.getAs[Int]("distinct_ngrams") <= row.getAs[Int]("total_ngrams"))
+      }
+    }
+  }
+
+  test("sequence packing conserves tokens and never reorders a shard (property)") {
+    val docGen = for {
+      id <- Gen.choose(0L, 100000L)
+      words <- Gen.choose(1, 80)
+    } yield (id, Seq.fill(words)("w").mkString(" "))
+    forAll(Gen.listOfN(40, docGen).map(_.distinctBy(_._1)), n = 10) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val packed = graft.operators.Curation.seqPack(df, capacity = 64, nShards = 4)
+          .collect()
+        packed.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+          val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+          // start offsets are the prefix sums → packing conserves tokens
+          // and pack_id is monotone in doc order within a shard
+          var cum = 0L
+          var lastPack = -1L
+          inOrder.foreach { r =>
+            assert(r.getAs[Long]("start_tok") == cum)
+            assert(r.getAs[Long]("pack_id") >= lastPack, "pack ids went backwards")
+            lastPack = r.getAs[Long]("pack_id")
+            cum += r.getAs[Int]("token_count")
+          }
+        }
+      }
+    }
+  }
+
   test("corpus split is total and exclusive: one split per doc, buckets in [0,100)") {
     val docs = Tables.documents(spark, sf)
     val split = graft.operators.TextAnalysis.withSplit(docs)
