@@ -99,7 +99,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, d) => TpchMore.q17SmallQtyRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => TpchMore.q18LargeOrders(s, d)),
     "q20_qualified_suppliers" -> ((s, d) => TpchMore.q20QualifiedSuppliers(s, d)),
-    "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d))
+    "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d)),
+    "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,6 +184,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> TpchMore.q17OracleSql,
     "q18_large_orders" -> TpchMore.q18OracleSql,
     "q20_qualified_suppliers" -> TpchMore.q20OracleSql,
-    "q21_waiting_suppliers" -> TpchMore.q21OracleSql
+    "q21_waiting_suppliers" -> TpchMore.q21OracleSql,
+    "q11_important_stock" -> TpchMore.q11OracleSql
   )
 }

@@ -181,6 +181,38 @@ object TpchMore {
       |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 60)
       |ORDER BY s_name""".stripMargin
 
+  /** Q11 important-stock shape (completes the full 22-shape TPC-H set):
+    * per-part inventory value vs a scalar fraction of the corpus total.
+    * partsupp value is proxied by lineitem revenue per (part, supplier).
+    * The correlated `> fraction * SUM(...)` scalar subquery decorrelates
+    * into a 1-row broadcast (crossJoin of an aggregate), and the
+    * comparison is lifted to exact decimal `part_value * 1500 > total`
+    * (value > ~0.067% of corpus total ≈ top-13% of parts on the
+    * fixture) so no float multiply sits on the qualify boundary. Two
+    * aggregates, one shuffle each, map-side partial agg on both. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dp(col("l_extendedprice"))).as("value"))
+    val perPart = ps.groupBy(col("l_partkey"))
+      .agg(sum(col("value")).as("part_value"))
+    val total = ps.agg(sum(col("value")).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") * 1500 > col("total"))
+      .select(col("l_partkey"), col("part_value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  def q11OracleSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS value
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT l_partkey, CAST(SUM(value) AS DOUBLE) AS part_value
+      |FROM ps GROUP BY l_partkey
+      |HAVING SUM(value) * 1500 > (SELECT SUM(value) FROM ps)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
   /** Q21 waiting-supplier shape: for finalized orders, suppliers whose
     * line shipped late (>90 days after the order date) in a multi-
     * supplier order where NO other supplier was late. The EXISTS is a
