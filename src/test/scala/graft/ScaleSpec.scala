@@ -130,4 +130,29 @@ class ScaleSpec extends SparkSpecBase {
     assert(pairs(res) == pairs(Ivf.ivfTopK(emb, 5, 50)),
       "clustered probe must return exactly the unclustered IVF results")
   }
+
+  test("range layout yields disjoint per-file key ranges (min/max pruning works)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val ev = Tables.events(spark, sf)
+    graft.operators.Scale.writeRangeLayout(ev, out, Seq("user_id"), nFiles = 8)
+    // content survives the relayout
+    assert(spark.read.parquet(out).count() == ev.count())
+    // every parquet file must cover a key range that overlaps no other
+    // file's — that disjointness is exactly what makes the reader's
+    // row-group min/max skipping effective
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.length > 1, s"expected several files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("user_id"),
+          org.apache.spark.sql.functions.max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $hi > $lo2 (${ranges.toSeq})")
+      case _ =>
+    }
+  }
 }
