@@ -122,7 +122,9 @@ object Probe {
       "text_top_terms" -> "broadcast df join + windowed rank",
       "corpus_split" -> "map-only hash bucketing",
       "curation_seq_pack" -> "single shard-window shuffle packing",
-      "curation_filter_funnel" -> "scan-fused multi-signal quality funnel")
+      "curation_filter_funnel" -> "scan-fused multi-signal quality funnel",
+      "q21_waiting_suppliers" -> "EXISTS/NOT-EXISTS as cached hash semi/anti",
+      "q11_important_stock" -> "scalar-fraction HAVING via 1-row broadcast")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
