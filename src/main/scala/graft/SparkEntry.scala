@@ -100,7 +100,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => TpchMore.q18LargeOrders(s, d)),
     "q20_qualified_suppliers" -> ((s, d) => TpchMore.q20QualifiedSuppliers(s, d)),
     "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d)),
-    "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d))
+    "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d)),
+    "profile_events" -> ((s, d) => Advanced.qProfileEvents(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -185,6 +186,7 @@ object SparkEntry {
     "q18_large_orders" -> TpchMore.q18OracleSql,
     "q20_qualified_suppliers" -> TpchMore.q20OracleSql,
     "q21_waiting_suppliers" -> TpchMore.q21OracleSql,
-    "q11_important_stock" -> TpchMore.q11OracleSql
+    "q11_important_stock" -> TpchMore.q11OracleSql,
+    "profile_events" -> Advanced.oProfileEvents
   )
 }

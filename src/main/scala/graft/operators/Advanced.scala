@@ -200,4 +200,32 @@ object Advanced {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** One-pass table profile: per-column null counts, exact distincts,
+    * and value/time ranges in a single global aggregate — the audit
+    * every pipeline runs before trusting a new drop of data. Two exact
+    * COUNT(DISTINCT)s force an Expand-based aggregate; that is the
+    * deliberate exact twin of qSketchStats' HLL path (which is what
+    * this becomes at 100 TB when exact distinct state outgrows
+    * executors). Map-side partial aggregation still applies to every
+    * non-distinct column. */
+  def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_nulls"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+      countDistinct(col("event_type")).as("event_types"),
+      countDistinct(col("user_id")).as("distinct_users"),
+      min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+      min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  def oProfileEvents: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+      |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS event_types,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events""".stripMargin
 }
