@@ -123,8 +123,11 @@ object Probe {
       "corpus_split" -> "map-only hash bucketing",
       "curation_seq_pack" -> "single shard-window shuffle packing",
       "curation_filter_funnel" -> "scan-fused multi-signal quality funnel",
-      "q21_waiting_suppliers" -> "EXISTS/NOT-EXISTS as cached hash semi/anti",
-      "q11_important_stock" -> "scalar-fraction HAVING via 1-row broadcast")
+      // NB: lineage mode shows these UNCACHED (withCached's cache is
+      // released before explain) — execution materializes the shared
+      // leg once; the dump is for join-shape inspection only
+      "q21_waiting_suppliers" -> "EXISTS/NOT-EXISTS hash semi/anti (lineage view; shared leg cached at execution)",
+      "q11_important_stock" -> "scalar-fraction HAVING via 1-row broadcast (lineage view; per-part agg cached at execution)")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

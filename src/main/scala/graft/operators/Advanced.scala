@@ -209,8 +209,8 @@ object Advanced {
     * this becomes at 100 TB when exact distinct state outgrows
     * executors). Map-side partial aggregation still applies to every
     * non-distinct column. */
-  def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).agg(
+  def profile(events: DataFrame): DataFrame =
+    events.agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_nulls"),
       sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
@@ -218,6 +218,9 @@ object Advanced {
       countDistinct(col("user_id")).as("distinct_users"),
       min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
       min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.events(spark, dir))
 
   def oProfileEvents: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

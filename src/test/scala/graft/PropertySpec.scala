@@ -148,14 +148,14 @@ class PropertySpec extends SparkSpecBase {
     val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
     forAll(Gen.listOfN(6, textGen), n = 10) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // one expression tuple serves both projections: scrubPii is pure,
+      // so applying it to the already-scrubbed text must change nothing
+      // (the placeholders contain no digits/@ so no pattern re-fires)
       val (e, p, ip, clean) = graft.operators.Curation.scrubPii(col("text"))
       val once = df.select($"doc_id", clean.as("text"))
-      // scrubbing the already-scrubbed text must change nothing: the
-      // placeholders contain no digits/@ so no pattern can re-fire
-      val (e2, p2, ip2, clean2) = graft.operators.Curation.scrubPii(col("text"))
-      val twice = once.select($"doc_id", clean2.as("text"))
+      val twice = once.select($"doc_id", clean.as("text"))
       assert(once.collect().toSeq == twice.collect().toSeq, "scrub not idempotent")
-      assert(once.select((e2 + p2 + ip2).as("n")).agg(sum($"n")).head().getLong(0) == 0,
+      assert(once.select((e + p + ip).as("n")).agg(sum($"n")).head().getLong(0) == 0,
         "scrubbed text still matches a PII pattern")
     }
   }

@@ -132,27 +132,50 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("range layout yields disjoint per-file key ranges (min/max pruning works)") {
-    val out = java.nio.file.Files.createTempDirectory("graft-layout").toString
-    val ev = Tables.events(spark, sf)
-    graft.operators.Scale.writeRangeLayout(ev, out, Seq("user_id"), nFiles = 8)
-    // content survives the relayout
-    assert(spark.read.parquet(out).count() == ev.count())
-    // every parquet file must cover a key range that overlaps no other
-    // file's — that disjointness is exactly what makes the reader's
-    // row-group min/max skipping effective
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
-      .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
-    assert(files.length > 1, s"expected several files, got ${files.length}")
-    val ranges = files.map { f =>
-      val r = spark.read.parquet(f)
-        .agg(org.apache.spark.sql.functions.min("user_id"),
-          org.apache.spark.sql.functions.max("user_id")).head()
-      (r.getLong(0), r.getLong(1))
-    }.sortBy(_._1)
-    ranges.sliding(2).foreach {
-      case Array((_, hi), (lo2, _)) =>
-        assert(hi <= lo2, s"file ranges overlap: $hi > $lo2 (${ranges.toSeq})")
-      case _ =>
-    }
+    val out = java.nio.file.Files.createTempDirectory("graft-layout")
+    try {
+      val ev = Tables.events(spark, sf)
+      graft.operators.Scale.writeRangeLayout(ev, out.toString, Seq("user_id"), nFiles = 8)
+      // content survives the relayout
+      assert(spark.read.parquet(out.toString).count() == ev.count())
+      // every parquet file must cover a key range STRICTLY below the
+      // next file's (range partitioning keeps all rows of one key in one
+      // file; a shared boundary key would force a probe to read both
+      // files — the exact failure min/max skipping cares about)
+      val stream = java.nio.file.Files.list(out)
+      val files =
+        try stream.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+        finally stream.close()
+      assert(files.length > 1, s"expected several files, got ${files.length}")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min("user_id"),
+            org.apache.spark.sql.functions.max("user_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"file ranges overlap: $hi >= $lo2 (${ranges.toSeq})")
+        case _ =>
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+  }
+
+  test("profile counts planted nulls and distincts exactly") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double)](
+      (1L, 10L, "click", 1.5), (2L, null, "click", null),
+      (3L, 11L, "view", 2.5), (4L, null, "view", 3.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(event_id * 1000000)"))
+    val r = graft.operators.Advanced.profile(df).head()
+    assert(r.getAs[Long]("n_rows") == 4)
+    assert(r.getAs[Long]("user_id_nulls") == 2, "null user_ids miscounted")
+    assert(r.getAs[Long]("value_nulls") == 1, "null values miscounted")
+    assert(r.getAs[Long]("event_types") == 2)
+    assert(r.getAs[Long]("distinct_users") == 2, "nulls must not count as a user")
+    assert(r.getAs[Double]("min_value") == 1.5 && r.getAs[Double]("max_value") == 3.5)
   }
 }
