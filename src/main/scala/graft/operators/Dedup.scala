@@ -292,8 +292,8 @@ object Dedup {
     * rounds, and near-dup components are dense (diameter 2-4). A graph
     * that hasn't converged in `maxRounds` is not duplicate-shaped —
     * fail loudly rather than loop; for genuinely high-diameter graphs
-    * switch to star-contraction CC (O(log n) rounds, Kiveris et al.),
-    * which this API can host without signature change. */
+    * use [[dupClustersLogRounds]] (pointer-jumping variant, O(log
+    * diameter) rounds, same output contract). */
   def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -315,6 +315,45 @@ object Dedup {
         .localCheckpoint(true)
       changed = stepped.filter(col("next") < col("label")).count()
       labels = stepped.select(col("doc_id"), col("next").as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** [[dupClusters]] for graphs whose diameter is NOT duplicate-shaped:
+    * each round adds a pointer-jump (label(doc) := label(label(doc)),
+    * one extra equi-join on the label frame) to the neighbor-min step,
+    * so the distance to the component minimum roughly halves per round
+    * and convergence needs O(log diameter) rounds instead of diameter —
+    * the star-contraction idea (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") expressed as one extra join. Same
+    * output contract as dupClusters; use it when a 50-round fixpoint
+    * guard would trip (long chains, sparse adversarial graphs). */
+  def dupClustersLogRounds(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"no convergence in $maxRounds log-rounds — not a finite component graph?")
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+      val jumped = stepped.join(
+          stepped.select(col("doc_id").as("j_id"), col("l1").as("j_l")),
+          stepped("l1") === col("j_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("l1"), coalesce(col("j_l"), col("l1"))).as("next"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("next") < col("label")).count()
+      labels = jumped.select(col("doc_id"), col("next").as("label"))
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

@@ -237,6 +237,24 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(ids1 == ids2)
   }
 
+  test("log-round clustering equals label propagation; converges where it can't") {
+    // equality on the organic near-dup graph
+    val pairs = Dedup.shingleJaccardPairs(docs, 0.8)
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelSet(Dedup.dupClustersLogRounds(pairs))
+      == labelSet(Dedup.dupClusters(pairs)), "variants disagree on real pairs")
+    // a 300-node chain has diameter 299: hop-propagation trips its
+    // 50-round guard (by design — not duplicate-shaped), the pointer-
+    // jumping variant converges in O(log d) rounds
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] { Dedup.dupClusters(chain).collect() }
+    val fast = Dedup.dupClustersLogRounds(chain, maxRounds = 30).collect()
+    assert(fast.length == 300)
+    assert(fast.forall(_.getAs[Long]("cluster_id") == 0L),
+      "every chain node must label to the component min")
+  }
+
   test("curate() composes funnel → dedup → split → pack with a consistent ledger") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
     val r = graft.operators.Curation.curate(docs, out)
