@@ -101,7 +101,8 @@ object SparkEntry {
     "q20_qualified_suppliers" -> ((s, d) => TpchMore.q20QualifiedSuppliers(s, d)),
     "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d)),
     "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d)),
-    "profile_events" -> ((s, d) => Advanced.qProfileEvents(s, d))
+    "profile_events" -> ((s, d) => Advanced.qProfileEvents(s, d)),
+    "agg_percentiles" -> ((s, d) => Advanced.qPercentiles(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -187,6 +188,7 @@ object SparkEntry {
     "q20_qualified_suppliers" -> TpchMore.q20OracleSql,
     "q21_waiting_suppliers" -> TpchMore.q21OracleSql,
     "q11_important_stock" -> TpchMore.q11OracleSql,
-    "profile_events" -> Advanced.oProfileEvents
+    "profile_events" -> Advanced.oProfileEvents,
+    "agg_percentiles" -> Advanced.oPercentiles
   )
 }

@@ -222,6 +222,27 @@ object Advanced {
   def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.events(spark, dir))
 
+  /** Exact percentiles per group (the precise twin of qSketchStats'
+    * percentile_approx): Spark's `percentile` and DuckDB's
+    * `quantile_cont` both sort and linearly interpolate at rank
+    * (n-1)*p, so the doubles hash-match bit-for-bit. Exact percentile
+    * state is O(group rows) — at 100 TB this is the small-group path;
+    * the sketch variant beside it is the unbounded-group path. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy(col("event_type"))
+
+  def oPercentiles: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def oProfileEvents: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
