@@ -294,7 +294,27 @@ object Dedup {
     * fail loudly rather than loop; for genuinely high-diameter graphs
     * use [[dupClustersLogRounds]] (pointer-jumping variant, O(log
     * diameter) rounds, same output contract). */
-  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    ccFixpoint(pairs, maxRounds)((edges, labels) =>
+      hopMin(edges, labels).localCheckpoint(true))
+
+  /** One neighbor-min hop: (doc_id, label, next) with
+    * next = min(own label, min over neighbors' labels). */
+  private def hopMin(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+      .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+    labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+      .select(col("doc_id"), col("label"),
+        least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+  }
+
+  /** Shared CC fixpoint scaffold: edge symmetrization, own-id label
+    * init, bounded driver-side loop. `step` maps (edges, labels) →
+    * a CHECKPOINTED (doc_id, label, next) frame; the convergence count
+    * then reads the cached partitions, not a recomputation. Both
+    * clustering variants differ only in their step. */
+  private def ccFixpoint(pairs: DataFrame, maxRounds: Int)(
+      step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -307,12 +327,7 @@ object Dedup {
       rounds += 1
       require(rounds <= maxRounds,
         s"component diameter exceeds $maxRounds rounds — not a duplicate-shaped graph")
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-        .localCheckpoint(true)
+      val stepped = step(edges, labels)
       changed = stepped.filter(col("next") < col("label")).count()
       labels = stepped.select(col("doc_id"), col("next").as("label"))
     }
@@ -328,35 +343,20 @@ object Dedup {
     * in MapReduce and Beyond") expressed as one extra join. Same
     * output contract as dupClusters; use it when a 50-round fixpoint
     * guard would trip (long chains, sparse adversarial graphs). */
-  def dupClustersLogRounds(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"no convergence in $maxRounds log-rounds — not a finite component graph?")
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
-      val jumped = stepped.join(
+  def dupClustersLogRounds(pairs: DataFrame, maxRounds: Int = 30): DataFrame =
+    ccFixpoint(pairs, maxRounds) { (edges, labels) =>
+      // checkpoint the hop BEFORE the self-join: both sides of the jump
+      // read the cached hop result instead of re-running the
+      // edges⋈labels aggregation twice per round
+      val stepped = hopMin(edges, labels)
+        .withColumnRenamed("next", "l1").localCheckpoint(true)
+      stepped.join(
           stepped.select(col("doc_id").as("j_id"), col("l1").as("j_l")),
           stepped("l1") === col("j_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("l1"), coalesce(col("j_l"), col("l1"))).as("next"))
         .localCheckpoint(true)
-      changed = jumped.filter(col("next") < col("label")).count()
-      labels = jumped.select(col("doc_id"), col("next").as("label"))
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-  }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dupClusters(shingleJaccardPairs(Tables.documents(spark, dir), 0.8))

@@ -248,7 +248,12 @@ class LlmOpsSpec extends SparkSpecBase {
     // 50-round guard (by design — not duplicate-shaped), the pointer-
     // jumping variant converges in O(log d) rounds
     val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    intercept[IllegalArgumentException] { Dedup.dupClusters(chain).collect() }
+    // a tight explicit bound asserts the same semantics (hop propagation
+    // cannot converge within the guard on a high-diameter graph) without
+    // paying 50 Spark rounds just to throw
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, maxRounds = 5).collect()
+    }
     val fast = Dedup.dupClustersLogRounds(chain, maxRounds = 30).collect()
     assert(fast.length == 300)
     assert(fast.forall(_.getAs[Long]("cluster_id") == 0L),
