@@ -102,7 +102,8 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d)),
     "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d)),
     "profile_events" -> ((s, d) => Advanced.qProfileEvents(s, d)),
-    "agg_percentiles" -> ((s, d) => Advanced.qPercentiles(s, d))
+    "agg_percentiles" -> ((s, d) => Advanced.qPercentiles(s, d)),
+    "window_range_frame" -> ((s, d) => Advanced.qRangeFrame(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,6 +190,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> TpchMore.q21OracleSql,
     "q11_important_stock" -> TpchMore.q11OracleSql,
     "profile_events" -> Advanced.oProfileEvents,
-    "agg_percentiles" -> Advanced.oPercentiles
+    "agg_percentiles" -> Advanced.oPercentiles,
+    "window_range_frame" -> Advanced.oRangeFrame
   )
 }

@@ -222,6 +222,30 @@ object Advanced {
   def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.events(spark, dir))
 
+  /** Time-based RANGE frame: trailing-hour moving sum per user. ROWS
+    * frames count rows; RANGE frames bound by ORDER-key VALUE distance,
+    * which is what sliding time-window analytics actually mean — rows
+    * landing in the same second share a frame regardless of tie order,
+    * so the result is deterministic without a tiebreak in the window
+    * ordering. Epoch seconds via floor on both engines (Spark's
+    * timestamp→long cast floors; DuckDB's epoch() is fractional). */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").cast("long"))
+      .rangeBetween(-3599, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("hour_sum", sum(dp(col("value"))).over(w).cast("double"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  def oRangeFrame: String =
+    """SELECT user_id, event_id, ts, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
   /** Exact percentiles per group (the precise twin of qSketchStats'
     * percentile_approx): Spark's `percentile` and DuckDB's
     * `quantile_cont` both sort and linearly interpolate at rank
