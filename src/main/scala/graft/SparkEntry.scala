@@ -103,7 +103,8 @@ object SparkEntry {
     "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d)),
     "profile_events" -> ((s, d) => Advanced.qProfileEvents(s, d)),
     "agg_percentiles" -> ((s, d) => Advanced.qPercentiles(s, d)),
-    "window_range_frame" -> ((s, d) => Advanced.qRangeFrame(s, d))
+    "window_range_frame" -> ((s, d) => Advanced.qRangeFrame(s, d)),
+    "unpivot_daily" -> ((s, d) => Advanced.qUnpivotDaily(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,6 +192,7 @@ object SparkEntry {
     "q11_important_stock" -> TpchMore.q11OracleSql,
     "profile_events" -> Advanced.oProfileEvents,
     "agg_percentiles" -> Advanced.oPercentiles,
-    "window_range_frame" -> Advanced.oRangeFrame
+    "window_range_frame" -> Advanced.oRangeFrame,
+    "unpivot_daily" -> Advanced.oUnpivotDaily
   )
 }

@@ -222,6 +222,28 @@ object Advanced {
   def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.events(spark, dir))
 
+  /** UNPIVOT (wide → long), the inverse of the pivot query: Spark's
+    * Dataset.unpivot (melt) keeps the id columns and turns the measure
+    * columns into (metric, value) rows — map-only, no shuffle beyond
+    * the feeding aggregate, and the long form is what metric stores
+    * and plotting layers ingest. */
+  def qUnpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Silver.dailyAgg(Silver.enrich(Silver.clean(Tables.events(spark, dir))))
+      .unpivot(
+        Array(col("event_type"), col("year"), col("month"), col("day")),
+        Array(col("avg_value"), col("min_value"), col("max_value"), col("sum_value")),
+        "metric", "value")
+      .orderBy(col("event_type"), col("year"), col("month"), col("day"), col("metric"))
+
+  def oUnpivotDaily: String =
+    s"""WITH ${graft.Oracles.cleanedCte}, ${graft.Oracles.enrichedCte},
+       |d AS (${graft.Oracles.dailyAggSelect})
+       |SELECT event_type, year, month, day, 'avg_value' AS metric, avg_value AS value FROM d
+       |UNION ALL SELECT event_type, year, month, day, 'min_value', min_value FROM d
+       |UNION ALL SELECT event_type, year, month, day, 'max_value', max_value FROM d
+       |UNION ALL SELECT event_type, year, month, day, 'sum_value', sum_value FROM d
+       |ORDER BY event_type, year, month, day, metric""".stripMargin
+
   /** Time-based RANGE frame: trailing-hour moving sum per user. ROWS
     * frames count rows; RANGE frames bound by ORDER-key VALUE distance,
     * which is what sliding time-window analytics actually mean — rows
