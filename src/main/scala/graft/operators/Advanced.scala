@@ -222,6 +222,60 @@ object Advanced {
   def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.events(spark, dir))
 
+  /** first/last/nth value over the full-partition frame: the "compare
+    * each event to its user's journey endpoints" shape. The frame must
+    * be UNBOUNDED..UNBOUNDED — last_value over the default frame
+    * (..CURRENT ROW) degenerates to the row itself, a classic silent
+    * bug both engines share, which the oracle twin pins against. */
+  def qValueBounds(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("first_amt", first(col("value")).over(w))
+      .withColumn("last_amt", last(col("value")).over(w))
+      .withColumn("second_event", nth_value(col("event_id"), 2).over(w))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  def oValueBounds: String =
+    """SELECT user_id, event_id, ts, value,
+      |  first_value(value) OVER w AS first_amt,
+      |  last_value(value) OVER w AS last_amt,
+      |  nth_value(event_id, 2) OVER w AS second_event
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** GROUPING SETS with an engine-independent grouping id: the set
+    * membership is recovered from the null-ness of never-null grouping
+    * columns instead of the built-in grouping_id(), whose bit order is
+    * an engine convention — the same result, no cross-engine trap. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val gid = when(col("event_type").isNull, 2).otherwise(0) +
+      when(col("year").isNull, 1).otherwise(0)
+    Silver.enrich(Silver.clean(Tables.events(spark, dir)))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("year")), Seq.empty),
+        col("event_type"), col("year"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exprs.dec2(col("value"))).cast("double").as("sum_value"))
+      .withColumn("gid", gid)
+      .orderBy(col("gid"), col("event_type"), col("year"))
+  }
+
+  def oGroupingSets: String =
+    s"""WITH ${graft.Oracles.cleanedCte}, ${graft.Oracles.enrichedCte}
+       |SELECT event_type, year, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       |  (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+       |    + CASE WHEN year IS NULL THEN 1 ELSE 0 END) AS gid
+       |FROM enriched
+       |GROUP BY GROUPING SETS ((event_type), (year), ())
+       |ORDER BY gid, event_type, year""".stripMargin
+
   /** UNPIVOT (wide → long), the inverse of the pivot query: Spark's
     * Dataset.unpivot (melt) keeps the id columns and turns the measure
     * columns into (metric, value) rows — map-only, no shuffle beyond
