@@ -89,12 +89,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // the driver captures stdout via a bounded tail that has truncated long
-    // JSON lines mid-object (round 3 lost 5 entries + the total); the file
-    // copy is the durable record
+    // the driver captures stdout via a bounded tail that truncates the full
+    // per-query line mid-object once it outgrows the buffer (every round so
+    // far). The tail keeps the END of stdout, so a second, short summary
+    // line printed after the full one always survives and parses.
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(summary)
+    // the file copy is the durable record of the full per-query breakdown
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (line + "\n" + summary + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

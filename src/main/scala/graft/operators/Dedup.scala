@@ -290,13 +290,17 @@ object Dedup {
     *
     * `maxRounds` guards the fixpoint: hop-propagation needs diameter
     * rounds, and near-dup components are dense (diameter 2-4). A graph
-    * that hasn't converged in `maxRounds` is not duplicate-shaped —
-    * fail loudly rather than loop; for genuinely high-diameter graphs
-    * use [[dupClustersLogRounds]] (pointer-jumping variant, O(log
-    * diameter) rounds, same output contract). */
-  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
-    ccFixpoint(pairs, maxRounds)((edges, labels) =>
-      hopMin(edges, labels).localCheckpoint(true))
+    * that is still moving after `escalateAfter` rounds is not
+    * duplicate-shaped; rather than grind out diameter-many hops (or
+    * trip `maxRounds`), later rounds add the pointer-jump of
+    * [[dupClustersLogRounds]], making convergence O(log diameter) from
+    * that point — same output contract either way. */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50,
+      escalateAfter: Int = 8): DataFrame =
+    ccFixpoint(pairs, maxRounds) { (edges, labels, round) =>
+      if (round <= escalateAfter) hopMin(edges, labels)
+      else pointerJumpStep(edges, labels)
+    }
 
   /** One neighbor-min hop: (doc_id, label, next) with
     * next = min(own label, min over neighbors' labels). */
@@ -309,12 +313,16 @@ object Dedup {
   }
 
   /** Shared CC fixpoint scaffold: edge symmetrization, own-id label
-    * init, bounded driver-side loop. `step` maps (edges, labels) →
-    * a CHECKPOINTED (doc_id, label, next) frame; the convergence count
-    * then reads the cached partitions, not a recomputation. Both
-    * clustering variants differ only in their step. */
+    * init, bounded driver-side loop. `step` maps (edges, labels,
+    * round) → an UNCHECKPOINTED (doc_id, label, next) frame; the
+    * scaffold attaches an observe() metric counting moved labels, then
+    * eagerly localCheckpoints — so each round runs exactly ONE job (the
+    * checkpoint materialization), with the convergence count riding on
+    * it as a CollectMetrics accumulator instead of a second count()
+    * action over the cached partitions. Both clustering variants differ
+    * only in their step. */
   private def ccFixpoint(pairs: DataFrame, maxRounds: Int)(
-      step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      step: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -327,8 +335,22 @@ object Dedup {
       rounds += 1
       require(rounds <= maxRounds,
         s"component diameter exceeds $maxRounds rounds — not a duplicate-shaped graph")
-      val stepped = step(edges, labels)
-      changed = stepped.filter(col("next") < col("label")).count()
+      // an Observation is single-use: fresh one per round
+      val moved = org.apache.spark.sql.Observation(s"cc_moved_r$rounds")
+      val stepped = step(edges, labels, rounds)
+        .observe(moved, coalesce(sum(when(col("next") < col("label"), 1L)
+          .otherwise(0L)), lit(0L)).as("moved"))
+        .localCheckpoint(true)
+      // metrics arrive via an async listener bus; bound the wait and fall
+      // back to counting the (already cached) checkpoint rather than hang
+      changed =
+        try {
+          import scala.concurrent.duration._
+          val row = scala.concurrent.Await.result(moved.future, 30.seconds)
+          row.getLong(row.fieldIndex("moved"))
+        } catch { case _: java.util.concurrent.TimeoutException =>
+          stepped.filter(col("next") < col("label")).count()
+        }
       labels = stepped.select(col("doc_id"), col("next").as("label"))
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
@@ -344,19 +366,21 @@ object Dedup {
     * output contract as dupClusters; use it when a 50-round fixpoint
     * guard would trip (long chains, sparse adversarial graphs). */
   def dupClustersLogRounds(pairs: DataFrame, maxRounds: Int = 30): DataFrame =
-    ccFixpoint(pairs, maxRounds) { (edges, labels) =>
-      // checkpoint the hop BEFORE the self-join: both sides of the jump
-      // read the cached hop result instead of re-running the
-      // edges⋈labels aggregation twice per round
-      val stepped = hopMin(edges, labels)
-        .withColumnRenamed("next", "l1").localCheckpoint(true)
-      stepped.join(
-          stepped.select(col("doc_id").as("j_id"), col("l1").as("j_l")),
-          stepped("l1") === col("j_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("l1"), coalesce(col("j_l"), col("l1"))).as("next"))
-        .localCheckpoint(true)
-    }
+    ccFixpoint(pairs, maxRounds)((edges, labels, _) => pointerJumpStep(edges, labels))
+
+  /** Neighbor-min hop + pointer jump (label(doc) := label(label(doc))). */
+  private def pointerJumpStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // checkpoint the hop BEFORE the self-join: both sides of the jump
+    // read the cached hop result instead of re-running the
+    // edges⋈labels aggregation twice per round
+    val stepped = hopMin(edges, labels)
+      .withColumnRenamed("next", "l1").localCheckpoint(true)
+    stepped.join(
+        stepped.select(col("doc_id").as("j_id"), col("l1").as("j_l")),
+        stepped("l1") === col("j_id"), "left")
+      .select(col("doc_id"), col("label"),
+        least(col("l1"), coalesce(col("j_l"), col("l1"))).as("next"))
+  }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dupClusters(shingleJaccardPairs(Tables.documents(spark, dir), 0.8))

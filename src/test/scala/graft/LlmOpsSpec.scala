@@ -258,6 +258,11 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(fast.length == 300)
     assert(fast.forall(_.getAs[Long]("cluster_id") == 0L),
       "every chain node must label to the component min")
+    // the default path self-escalates to pointer jumping after 8 hop
+    // rounds, so the same high-diameter graph converges without tuning
+    val auto = Dedup.dupClusters(chain).collect()
+    assert(auto.length == 300 && auto.forall(_.getAs[Long]("cluster_id") == 0L),
+      "auto-escalated dupClusters must converge on a 299-diameter chain")
   }
 
   test("curate() composes funnel → dedup → split → pack with a consistent ledger") {
