@@ -471,9 +471,34 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  /** Approximate by construction (blocked candidates) → rows-only gate;
-    * subset-of-exact and recall properties are spec-tested. */
+  /** Approximate vs the exact pair scan, but deterministic given the
+    * fixed seed-42 planes → full DuckDB twin ([[oEmbeddingNearDupLsh]]);
+    * subset-of-exact and recall properties are additionally spec-tested. */
   def qEmbeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Full DuckDB twin of [[qEmbeddingNearDupLsh]]: identical plane
+    * literals reproduce the sign buckets and Hamming-1 probes, and the
+    * sequential-fold dot idiom is bit-exact with the fused kernel (see
+    * oEmbeddingNearDup) — so the blocked operator hash-matches. */
+  def oEmbeddingNearDupLsh: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding, nrm,
+       |        ${Similarity.bucketSql("embedding")} AS bucket FROM n),
+       |a AS (
+       |  SELECT vec_id AS vec_a, embedding AS ea, nrm AS na, xor(bucket, m) AS probe
+       |  FROM b, (SELECT unnest(${Similarity.probeMasksSql}) AS m)),
+       |bb AS (SELECT vec_id AS vec_b, embedding AS eb, nrm AS nb, bucket AS probe FROM b),
+       |p AS (
+       |  SELECT vec_a, vec_b,
+       |    list_sum(list_transform(list_zip(ea, eb),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (na * nb) AS cosine
+       |  FROM a JOIN bb USING (probe)
+       |  WHERE vec_a < vec_b)
+       |SELECT vec_a, vec_b, cosine FROM p
+       |WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
 }

@@ -114,11 +114,31 @@ object Similarity {
       when(dot(emb, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
 
+  /** The same sign bucket as a DuckDB expression over `embCol`: the
+    * hyperplanes are fixed literals, and Double.toString round-trips
+    * the exact bits, so both engines compare bit-identical dot products
+    * against zero — which makes the LSH operators fully oracle-checkable
+    * despite "random" planes. Bits are disjoint, so + ≡ bitwise OR. */
+  private[operators] def bucketSql(embCol: String): String =
+    hyperplanes.zipWithIndex.map { case (plane, p) =>
+      val lit = plane.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($embCol, $lit), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The multi-probe mask set as a DuckDB list literal: exact bucket
+    * plus every single-bit flip. */
+  private[operators] def probeMasksSql: String =
+    (0L +: (0 until Planes).map(p => 1L << p)).mkString("[", ", ", "]")
+
   /** ANN top-k: candidates restricted to the query's sign bucket plus all
     * buckets at Hamming distance 1 (multi-probe — recovers most of the
     * recall sign-LSH loses at bucket boundaries for ~(Planes+1)/2^Planes
-    * of the corpus scanned). Approximate by construction → rows-only
-    * gate; recall is property-tested against the brute-force baseline. */
+    * of the corpus scanned). Approximate vs brute force, but DETERMINISTIC
+    * given the fixed seed-42 planes — so it carries a full DuckDB twin
+    * ([[oLshTopK]]) that reproduces the same buckets, probes, and ranks;
+    * recall is additionally property-tested against the brute-force
+    * baseline. */
   def lshTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val n = withNorm(emb).withColumn("bucket", lshBucket(col("embedding")))
     val probes = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))): _*)
@@ -140,4 +160,31 @@ object Similarity {
   def qLshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
+
+  /** Full DuckDB twin of [[qLshTopK]]: identical plane literals →
+    * identical sign buckets, identical multi-probe masks, the
+    * sequential-fold dot idiom (bit-exact, see oCosineTopK) → identical
+    * cosines and ranks. */
+  def oLshTopK: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM n),
+       |qp AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, xor(bucket, m) AS probe
+       |  FROM b, (SELECT unnest($probeMasksSql) AS m)
+       |  WHERE vec_id < 50),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn, bucket AS probe FROM b),
+       |p AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(list_zip(qe, ce),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qn * cn) AS cosine
+       |  FROM qp JOIN c USING (probe)
+       |  WHERE query_id != neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM p)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }
