@@ -134,26 +134,7 @@ object Pipeline {
             "gold_events_hourly", Seq("event_type", "year", "month", "day", "hour"))
           (d, dd, hh)
         case None =>
-          // a warehouse from the pre-partitioned release holds bare
-          // part files at the gold root; rewrite them into the y/m
-          // layout BEFORE the first partitioned append, or the two
-          // layouts mix and partition discovery fails forever after
-          migrateLegacyGold(spark, goldPath)
-          val existing =
-            try spark.read.parquet(goldPath).select("event_type", "year", "month", "day")
-            // missing-path only — anything else (corrupt footer, mixed
-            // layout) must surface, not silently re-append everything
-            catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
-          val fresh =
-            if (existing.columns.isEmpty) daily
-            else JdbcSink.newRowsOnly(daily, existing, Seq("event_type", "year", "month", "day"))
-          val n = fresh.count()
-          // partitioned by year/month so the retention sweep (below) can
-          // drop expired gold the same way it drops bronze/silver —
-          // unpartitioned gold parquet was unprunable and grew unbounded
-          if (n > 0) fresh.write.mode("append")
-            .partitionBy("year", "month").parquet(goldPath)
-          (0L, n, 0L)
+          (0L, parquetGoldLoad(spark, daily, goldPath), 0L)
       }
     }
     val goldRows = goldTiers._1 + goldTiers._2 + goldTiers._3
@@ -198,6 +179,40 @@ object Pipeline {
       goldTiers, dups, nulls, nullRatio, gate, retained)
     cfg.notifier.onSuccess(report)
     report
+  }
+
+  /** Parquet-mode idempotent gold append: anti-join the incoming daily
+    * tier against the existing partitioned gold on the natural key,
+    * append only what's missing, return the appended row count.
+    * Partitioned by year/month so the retention sweep can drop expired
+    * gold the same way it drops bronze/silver — unpartitioned gold
+    * parquet was unprunable and grew unbounded. */
+  private[graft] def parquetGoldLoad(spark: SparkSession, daily: DataFrame,
+      goldPath: String): Long = {
+    // a warehouse from the pre-partitioned release holds bare part files
+    // at the gold root; rewrite them into the y/m layout BEFORE the
+    // first partitioned append, or the two layouts mix and partition
+    // discovery fails forever after
+    migrateLegacyGold(spark, goldPath)
+    val existing =
+      try spark.read.parquet(goldPath).select("event_type", "year", "month", "day")
+      // missing-path only — anything else (corrupt footer, mixed
+      // layout) must surface, not silently re-append everything
+      catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+    // persist before counting, same reason as JdbcSink.idempotentAppend:
+    // count + write are two actions, and without the cache each re-runs
+    // the anti-join AND the existing-keys gold scan (at a year of
+    // history that doubles the load cost per run)
+    val fresh = (
+      if (existing.columns.isEmpty) daily
+      else JdbcSink.newRowsOnly(daily, existing, Seq("event_type", "year", "month", "day"))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append")
+        .partitionBy("year", "month").parquet(goldPath)
+      n
+    } finally fresh.unpersist()
   }
 
   /** One-job quality metrics: (duplicate-key count, critical-null rows,
@@ -247,7 +262,15 @@ object Pipeline {
     * partition discovery fails on the mixed layout from then on. Reads
     * only the legacy root files, appends them into the partitioned
     * layout, then drops the originals — idempotent (second call finds
-    * no root files) and a no-op on fresh or already-migrated roots. */
+    * no root files) and a no-op on fresh or already-migrated roots.
+    *
+    * Single-writer assumption: between the partitioned append and the
+    * root-file delete (or from a crash inside that window until the next
+    * run repairs it), the gold root holds BOTH layouts, and an external
+    * reader doing a whole-root `spark.read.parquet(goldPath)` fails
+    * partition discovery. Recovery is idempotent (the anti-join appends
+    * only what's missing), but concurrent readers must not race a
+    * migrating run — gate them on pipeline completion. */
   private[graft] def migrateLegacyGold(spark: SparkSession, goldPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(goldPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -304,12 +327,20 @@ object Pipeline {
     * (e.g. `date` on gold_events_daily) and the JDBC append would then fail
     * at runtime with no ALTER story — so on startup, diff the live schema
     * against the DDL, ADD COLUMN the gap, and backfill generated period
-    * columns from year/month/day. */
+    * columns from year/month/day. The backfill runs UNCONDITIONALLY for
+    * every known backfillable column on every startup (it is an idempotent
+    * `... WHERE col IS NULL` UPDATE): tying it to the ALTER would leave the
+    * column permanently null after a crash between ALTER and UPDATE — the
+    * next startup would see the column present and never backfill. */
   private[graft] def ensureGoldTables(url: String): Unit = {
     val c = java.sql.DriverManager.getConnection(url)
+    def update(sql: String): Unit = {
+      val st = c.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    }
     try goldDdls.foreach { case (name, ddl) =>
       val meta = c.getMetaData.getTables(null, null, name, null)
-      if (!meta.next()) { c.createStatement().executeUpdate(ddl); () }
+      if (!meta.next()) update(ddl)
       else {
         val existing = {
           val rs = c.getMetaData.getColumns(null, null, name, null)
@@ -318,12 +349,11 @@ object Pipeline {
           b.result()
         }
         ddlColumns(ddl).filterNot { case (col, _) => existing(col) }.foreach {
-          case (col, typ) =>
-            val st = c.createStatement()
-            st.executeUpdate(s"""ALTER TABLE $name ADD COLUMN "$col" $typ""")
-            columnBackfills.get((name, col)).foreach { expr =>
-              st.executeUpdate(s"""UPDATE $name SET "$col" = $expr WHERE "$col" IS NULL""")
-            }
+          case (col, typ) => update(s"""ALTER TABLE $name ADD COLUMN "$col" $typ""")
+        }
+        columnBackfills.foreach { case ((table, col), expr) =>
+          if (table == name)
+            update(s"""UPDATE $name SET "$col" = $expr WHERE "$col" IS NULL""")
         }
       }
     } finally c.close()

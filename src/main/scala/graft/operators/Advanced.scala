@@ -250,31 +250,34 @@ object Advanced {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY user_id, ts, event_id""".stripMargin
 
-  /** GROUPING SETS with an engine-independent grouping id: the set
-    * membership is recovered from the null-ness of never-null grouping
-    * columns instead of the built-in grouping_id(), whose bit order is
-    * an engine convention — the same result, no cross-engine trap. */
-  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    val gid = when(col("event_type").isNull, 2).otherwise(0) +
-      when(col("year").isNull, 1).otherwise(0)
+  /** GROUPING SETS with an engine-independent grouping id: per-column
+    * GROUPING() (SQL standard, 1 = column aggregated away) composed into
+    * an explicit gid instead of the built-in grouping_id(), whose bit
+    * order is an engine convention. Unlike recovering set membership
+    * from column null-ness, this stays collision-free when the DATA
+    * holds NULL grouping values (Silver.clean passes NULL event_type
+    * through): a NULL-event_type subtotal row keeps gid 1 and never
+    * collides with the grand-total row. NULL ordering is pinned FIRST
+    * on both engines (Spark's asc default; DuckDB defaults LAST). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
     Silver.enrich(Silver.clean(Tables.events(spark, dir)))
       .groupingSets(Seq(Seq(col("event_type")), Seq(col("year")), Seq.empty),
         col("event_type"), col("year"))
       .agg(count(lit(1)).as("n"),
-        sum(graft.functions.Exprs.dec2(col("value"))).cast("double").as("sum_value"))
-      .withColumn("gid", gid)
-      .orderBy(col("gid"), col("event_type"), col("year"))
-  }
+        sum(graft.functions.Exprs.dec2(col("value"))).cast("double").as("sum_value"),
+        (grouping(col("event_type")).cast("int") * 2
+          + grouping(col("year")).cast("int")).as("gid"))
+      .select(col("event_type"), col("year"), col("n"), col("sum_value"), col("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("year").asc_nulls_first)
 
   def oGroupingSets: String =
     s"""WITH ${graft.Oracles.cleanedCte}, ${graft.Oracles.enrichedCte}
        |SELECT event_type, year, CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
-       |  (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
-       |    + CASE WHEN year IS NULL THEN 1 ELSE 0 END) AS gid
+       |  CAST(GROUPING(event_type) * 2 + GROUPING(year) AS INTEGER) AS gid
        |FROM enriched
        |GROUP BY GROUPING SETS ((event_type), (year), ())
-       |ORDER BY gid, event_type, year""".stripMargin
+       |ORDER BY gid, event_type NULLS FIRST, year NULLS FIRST""".stripMargin
 
   /** UNPIVOT (wide → long), the inverse of the pivot query: Spark's
     * Dataset.unpivot (melt) keeps the id columns and turns the measure

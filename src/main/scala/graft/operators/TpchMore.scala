@@ -75,7 +75,8 @@ object TpchMore {
       |JOIN part ON p_partkey = l_partkey
       |WHERE p_brand <> 'Brand#9' AND p_type NOT LIKE 'SMALL%'
       |  AND p_size IN (1, 4, 7, 10, 15, 22, 25, 36, 45, 49)
-      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_acctbal < 0 AND s_suppkey = ps.l_suppkey)
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 

@@ -122,12 +122,23 @@ object JdbcSink {
     * sql/schema.sql:185-199): driver-side row-at-a-time JDBC, independent
     * of the executor write path — mirrors the reference's psycopg2 side
     * channel (S10). */
+  /** Derby's VARCHAR length ceiling — the widest a legacy metadata
+    * column can be grown in place. */
+  private val MaxVarchar = 32672
+
   final class PipelineLog(url: String) {
 
+    /** metadata is CLOB on fresh tables — the reference column is JSONB
+      * (sql/schema.sql:197), i.e. effectively unbounded, and a large
+      * run-metadata blob must not truncate or fail the ledger write. A
+      * table from the VARCHAR(4000) release is widened in place to
+      * Derby's VARCHAR ceiling (ALTER to CLOB isn't supported); writes
+      * are guarded to the discovered capacity. */
     def ensureTable(): Unit = withConn(url) { c =>
       val meta = c.getMetaData.getTables(null, null, "PIPELINE_EXECUTION_LOG", null)
       if (!meta.next()) {
-        c.createStatement().executeUpdate(
+        val st = c.createStatement()
+        try st.executeUpdate(
           """CREATE TABLE pipeline_execution_log (
             |  execution_id VARCHAR(36) NOT NULL,
             |  stage VARCHAR(64) NOT NULL,
@@ -137,9 +148,25 @@ object JdbcSink {
             |  finished_at TIMESTAMP,
             |  duration_secs DOUBLE,
             |  rows_processed BIGINT,
-            |  metadata VARCHAR(4000)
+            |  metadata CLOB
             |)""".stripMargin)
+        finally st.close()
+      } else metadataCapacity(c) match {
+        case Some(size) if size < MaxVarchar =>
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"ALTER TABLE pipeline_execution_log ALTER COLUMN metadata SET DATA TYPE VARCHAR($MaxVarchar)")
+          finally st.close()
+        case _ => ()
       }
+    }
+
+    /** None = unbounded (CLOB); Some(n) = VARCHAR(n) from a legacy table. */
+    private def metadataCapacity(c: Connection): Option[Int] = {
+      val rs = c.getMetaData.getColumns(null, null, "PIPELINE_EXECUTION_LOG", "METADATA")
+      if (rs.next() && rs.getString("TYPE_NAME").toUpperCase.startsWith("VARCHAR"))
+        Some(rs.getInt("COLUMN_SIZE"))
+      else None
     }
 
     def logStart(executionId: String, stage: String, attempt: Int = 1): Long = {
@@ -160,17 +187,35 @@ object JdbcSink {
         attempt: Int = 1): Unit = {
       val now = System.currentTimeMillis()
       withConn(url) { c =>
+        // length guard: on a not-yet-widened legacy VARCHAR column an
+        // oversized blob degrades to a truncated row, not a failed write
+        val guarded = metadataCapacity(c) match {
+          case Some(cap) if metadataJson.length > cap => metadataJson.take(cap)
+          case _ => metadataJson
+        }
         val ps = c.prepareStatement(
           """UPDATE pipeline_execution_log SET status=?, finished_at=?,
             |duration_secs=?, rows_processed=?, metadata=?
             |WHERE execution_id=? AND stage=? AND attempt=?""".stripMargin)
         ps.setString(1, status); ps.setTimestamp(2, new java.sql.Timestamp(now))
         ps.setDouble(3, (now - startedMs) / 1000.0); ps.setLong(4, rows)
-        ps.setString(5, metadataJson); ps.setString(6, executionId)
+        ps.setString(5, guarded); ps.setString(6, executionId)
         ps.setString(7, stage); ps.setInt(8, attempt)
         ps.executeUpdate()
       }
     }
+
+    /** Latest attempt's metadata blob for the stage (ledger audit path). */
+    def metadataOf(executionId: String, stage: String): Option[String] =
+      withConn(url) { c =>
+        val ps = c.prepareStatement(
+          """SELECT metadata FROM pipeline_execution_log
+            |WHERE execution_id=? AND stage=?
+            |ORDER BY attempt DESC FETCH FIRST 1 ROWS ONLY""".stripMargin)
+        ps.setString(1, executionId); ps.setString(2, stage)
+        val rs = ps.executeQuery()
+        if (rs.next()) Option(rs.getString(1)) else None
+      }
 
     /** Latest attempt's status for the stage. */
     def statusOf(executionId: String, stage: String): Option[(String, Long)] =

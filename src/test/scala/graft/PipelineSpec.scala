@@ -136,6 +136,43 @@ class PipelineSpec extends SparkSpecBase {
     assert(Files.exists(Paths.get(s"$wh2/gold/events_daily/year=2024/month=1")))
   }
 
+  test("parquet gold append reads the cached anti-join instead of re-running it") {
+    import spark.implicits._
+    val goldPath = Files.createTempDirectory("graft-gold-once").toString + "/events_daily"
+    val d1 = Seq(("click", 2024, 1, 1, 1.0), ("click", 2024, 1, 2, 2.0))
+      .toDF("event_type", "year", "month", "day", "avg_value")
+    assert(Pipeline.parquetGoldLoad(spark, d1, goldPath) == 2)
+    // overlap + one new row → the anti-join path with a nonzero append
+    val d2 = d1.union(Seq(("view", 2024, 1, 3, 3.0))
+      .toDF("event_type", "year", "month", "day", "avg_value"))
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(Pipeline.parquetGoldLoad(spark, d2, goldPath) == 1)
+      // listener delivery is async — poll for the write command's plan
+      val deadline = System.currentTimeMillis() + 20000
+      def writePlan: Option[String] = plans.synchronized(
+        plans.find(_.contains("InsertIntoHadoopFsRelationCommand")))
+      while (writePlan.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val wp = writePlan.getOrElse(fail("no write plan captured"))
+      // without the persist, the append's plan re-runs the anti-join and
+      // the existing-keys gold scan; with it, the write is a cache read
+      assert(wp.contains("InMemoryTableScan"),
+        s"append must read the cached anti-join result:\n$wp")
+      // the InMemoryRelation node embeds the cached BUILD plan for display;
+      // only what executes ABOVE the cache must be join-free
+      val executing = wp.split("InMemoryRelation")(0)
+      assert(!executing.contains("Join"), s"append re-ran the anti-join:\n$wp")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("legacy unpartitioned gold parquet migrates to the y/m layout, no dup rows") {
     val wh = freshWarehouse()
     val cfg = Pipeline.Config(sf, wh, None)

@@ -106,6 +106,43 @@ class StageRunnerSpec extends AnyFunSuite {
       "exactly one copy despite the replayed write")
   }
 
+  test("ledger metadata holds large blobs; a legacy VARCHAR(4000) table is widened") {
+    // fresh table: CLOB column, a 100k-char blob round-trips intact
+    val log = freshLog()
+    val blob = """{"detail":"""" + ("x" * 100000) + """"}"""
+    val t0 = log.logStart("exec-m", "silver")
+    log.logEnd("exec-m", "silver", t0, "SUCCESS", 1L, blob)
+    assert(log.metadataOf("exec-m", "silver").contains(blob),
+      "CLOB metadata must not truncate")
+
+    // legacy table: the VARCHAR(4000) release's DDL; ensureTable widens
+    // it in place and oversized writes degrade to the guarded length
+    val url = s"jdbc:derby:memory:ledgerlegacy${System.nanoTime()};create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE TABLE pipeline_execution_log (
+        |  execution_id VARCHAR(36) NOT NULL, stage VARCHAR(64) NOT NULL,
+        |  attempt INT NOT NULL DEFAULT 1, status VARCHAR(16) NOT NULL,
+        |  started_at TIMESTAMP, finished_at TIMESTAMP,
+        |  duration_secs DOUBLE, rows_processed BIGINT,
+        |  metadata VARCHAR(4000)
+        |)""".stripMargin)
+    finally c.close()
+    val legacy = new JdbcSink.PipelineLog(url)
+    legacy.ensureTable() // widens VARCHAR(4000) → VARCHAR(32672)
+    val mid = "y" * 20000 // fits the widened column, not the original
+    val t1 = legacy.logStart("exec-l", "gold_load")
+    legacy.logEnd("exec-l", "gold_load", t1, "SUCCESS", 1L, mid)
+    assert(legacy.metadataOf("exec-l", "gold_load").contains(mid))
+    // beyond even the widened ceiling, the guard truncates instead of failing
+    val huge = "z" * 50000
+    val t2 = legacy.logStart("exec-l", "cleanup_old_data")
+    legacy.logEnd("exec-l", "cleanup_old_data", t2, "SUCCESS", 1L, huge)
+    assert(legacy.metadataOf("exec-l", "cleanup_old_data")
+      .exists(m => m.length == 32672 && m.forall(_ == 'z')),
+      "oversized blob must degrade to the guarded length, not fail")
+  }
+
   test("retries=0 preserves single-attempt semantics") {
     val log = freshLog()
     val runner = new StageRunner("exec-4", Some(log),
