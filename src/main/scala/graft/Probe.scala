@@ -10,7 +10,12 @@ object Probe {
     if (args.headOption.contains("pipeline")) { pipelineDrive(); return }
     if (args.headOption.contains("streamgold")) { streamGoldDrive(); return }
     if (args.headOption.contains("plans")) { plansDump(); return }
-    if (args.headOption.contains("corpus")) { corpusScale(); return }
+    if (args.headOption.contains("corpus")) {
+      corpusScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(20); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -51,49 +56,68 @@ object Probe {
     spark.stop()
   }
 
-  /** Corpus-scale throughput probe: blow the 5k-doc sf0.1 corpus up to
-    * ~100k unique-ified docs (salted texts so near-dup density stays
-    * realistic instead of multiplying planted pairs) and time the text
-    * operator families. Numbers land in SCALE.md. */
-  def corpusScale(): Unit = {
+  /** Corpus-scale probe: inflate the 5k-doc sf0.1 corpus by `mult` and
+    * measure (a) candidate-pair counts per blocking scheme and (b) wall
+    * times for the operator families, at each size — the empirical
+    * backing for SCALE.md's "colliding pairs, not n²" claims.
+    *
+    * Replication salts a per-replica token BETWEEN EVERY WORD (not a
+    * suffix): replica shingle sets are disjoint, so organic near-dup
+    * pairs replicate linearly with corpus size and replicas never
+    * near-dup each other — near-dup DENSITY stays constant while n
+    * grows, which is what makes "pairs vs n" a fair superlinearity
+    * probe. (A suffix salt leaves replicas ~identical: every group of
+    * `mult` copies becomes a near-dup clique and pair counts grow
+    * quadratically BY CONSTRUCTION, measuring the fixture, not the
+    * operator.)
+    *
+    * `sbt "runMain graft.Probe corpus 20 63 200"` = 100k / 315k / 1M
+    * docs. One measured run per op per size (cold-ish JIT at the first
+    * size; sizes are compared for SCALING, not absolute speed). */
+  def corpusScale(mults: Seq[Int]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.{Dedup, TextAnalysis}
+    import graft.operators.{Curation, Dedup, TextAnalysis}
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    val mult = 20
-    val docs = base
-      .crossJoin(spark.range(mult).toDF("rep"))
-      .select((col("doc_id") * mult + col("rep")).as("doc_id"),
-        concat(col("text"), lit(" rep"), col("rep")).as("text"),
-        col("lang"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = docs.count()
-    def time[T](label: String)(f: => Unit): Unit = {
-      f // warm
-      val t0 = System.nanoTime(); f
-      println(f"[corpus] $label @ $n docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
     def drain(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    time("split+langid+stats (map-only)") {
-      drain(TextAnalysis.withSplit(docs)
-        .select(col("doc_id"), col("split"),
-          graft.functions.TextFns.wordCount(col("text")).as("wc")))
-    }
-    time("top_ngrams") { drain(TextAnalysis.topNgrams(docs)) }
-    time("simhash pairs (paired blocks)") { drain(Dedup.simhashPairs(docs)) }
-    time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
-    time("contamination") { drain(TextAnalysis.contamination(docs)) }
-    time("dup clusters (label propagation)") {
-      drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
-    }
-    time("curation pack+sample+repetition") {
-      drain(graft.operators.Curation.seqPack(docs, 2048, 32))
-      drain(graft.operators.Curation.stratifiedSample(docs, Map("en" -> 50), 20))
-      drain(graft.operators.Curation.repetition(docs))
+    mults.foreach { mult =>
+      val docs = base
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" r"), col("rep").cast("string"), lit(" "))).as("text"),
+          col("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      def time(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[corpus] $label @ $n docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("candidate counts (shingle/band/block)") {
+        println(s"[corpus] pairs @ $n docs: ${Dedup.candidateCounts(docs)}")
+      }
+      time("split+langid+stats (map-only)") {
+        drain(TextAnalysis.withSplit(docs)
+          .select(col("doc_id"), col("split"),
+            graft.functions.TextFns.wordCount(col("text")).as("wc")))
+      }
+      time("top_ngrams") { drain(TextAnalysis.topNgrams(docs)) }
+      time("simhash pairs (paired blocks)") { drain(Dedup.simhashPairs(docs)) }
+      time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
+      time("ngram jaccard pairs") { drain(Dedup.shingleJaccardPairs(docs, 0.8)) }
+      time("contamination") { drain(TextAnalysis.contamination(docs)) }
+      time("dup clusters (label propagation)") {
+        drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
+      }
+      time("curate() end-to-end") {
+        val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
+        println(s"[corpus] curate @ $n docs: ${Curation.curate(docs, out)}")
+      }
+      docs.unpersist()
     }
     spark.stop()
   }

@@ -382,6 +382,41 @@ object Dedup {
         least(col("l1"), coalesce(col("j_l"), col("l1"))).as("next"))
   }
 
+  /** Candidate-pair counts per blocking scheme — probe-only
+    * instrumentation (graft.Probe corpus) behind SCALE.md's "colliding
+    * pairs, not n²" scaling table. Runs ONLY candidate generation, no
+    * verification, sharing one cached shingling per call. */
+  private[graft] def candidateCounts(docs: DataFrame,
+      maxShingleDocFreq: Int = 1000): Map[String, Long] = {
+    val sh = shingled(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      val frequent = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq).select(col("sh"))
+      val rare = ex.join(broadcast(frequent), Seq("sh"), "left_anti")
+      val a = rare.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = rare.select(col("doc_id").as("doc_b"), col("sh"))
+      val shinglePairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+      val aggs = (0 until MinhashFuncs).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+      val sigs = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until Bands).map { bnd =>
+        val rows = (0 until RowsPerBand).map(r => col(s"h${bnd * RowsPerBand + r}"))
+        struct(lit(bnd).as("band"), hash(rows: _*).as("bh"))
+      }
+      val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val bandPairs = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().count()
+      val blockPairs = simhashCandidates16(simhash(docs))
+        .select(col("doc_a"), col("doc_b")).count()
+      Map("shingle" -> shinglePairs, "minhash_band" -> bandPairs,
+        "simhash_block" -> blockPairs)
+    } finally { sh.unpersist(); () }
+  }
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dupClusters(shingleJaccardPairs(Tables.documents(spark, dir), 0.8))
       .orderBy(col("doc_id"))
