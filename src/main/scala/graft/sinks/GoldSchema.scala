@@ -157,6 +157,90 @@ object GoldSchema {
     } finally c.close()
   }
 
+  /** The reference's two plpgsql utility routines
+    * (sql/schema.sql:259-311) re-expressed as Derby routines backed by
+    * the static entry points below, shipped with the schema so a DBA on
+    * the warehouse can call them without the engine:
+    *
+    *  - Postgres `SELECT * FROM get_database_stats()` ↔ Derby
+    *    `SELECT * FROM TABLE(get_database_stats()) s` (Derby table
+    *    functions need the TABLE() wrapper);
+    *  - Postgres `SELECT * FROM cleanup_old_data(30)` ↔ Derby
+    *    `CALL cleanup_old_data(30)` — same (table_name, deleted_count)
+    *    rows, returned as the procedure's dynamic result set. Derby has
+    *    no parameter defaults, so the reference's DEFAULT 30 is the
+    *    caller's job. */
+  val statsFunctionDdl: String =
+    """CREATE FUNCTION get_database_stats()
+      |RETURNS TABLE (metric_name VARCHAR(64), metric_value BIGINT)
+      |LANGUAGE JAVA PARAMETER STYLE DERBY_JDBC_RESULT_SET READS SQL DATA
+      |EXTERNAL NAME 'graft.sinks.GoldSchema.databaseStats'""".stripMargin
+
+  val cleanupProcedureDdl: String =
+    """CREATE PROCEDURE cleanup_old_data(IN retention_days INTEGER)
+      |LANGUAGE JAVA PARAMETER STYLE JAVA MODIFIES SQL DATA DYNAMIC RESULT SETS 1
+      |EXTERNAL NAME 'graft.sinks.GoldSchema.cleanupOldData'""".stripMargin
+
+  /** Table-function body (get_database_stats, schema.sql:289-311): runs
+    * on the calling session's nested connection. Invoked BY DERBY —
+    * engine code never calls this directly. */
+  def databaseStats(): java.sql.ResultSet = {
+    val c = DriverManager.getConnection("jdbc:default:connection")
+    c.createStatement().executeQuery(
+      """SELECT CAST('total_detailed_records' AS VARCHAR(64)) AS metric_name,
+        |       CAST(COUNT(*) AS BIGINT) AS metric_value FROM gold_weather_detailed
+        |UNION ALL SELECT CAST('total_daily_aggregates' AS VARCHAR(64)),
+        |       CAST(COUNT(*) AS BIGINT) FROM gold_weather_daily
+        |UNION ALL SELECT CAST('total_hourly_aggregates' AS VARCHAR(64)),
+        |       CAST(COUNT(*) AS BIGINT) FROM gold_weather_hourly
+        |UNION ALL SELECT CAST('distinct_cities' AS VARCHAR(64)),
+        |       CAST(COUNT(DISTINCT city) AS BIGINT) FROM gold_weather_detailed
+        |UNION ALL SELECT CAST('pipeline_executions' AS VARCHAR(64)),
+        |       CAST(COUNT(*) AS BIGINT) FROM pipeline_execution_log""".stripMargin)
+  }
+
+  /** Procedure body (cleanup_old_data, schema.sql:259-286): DB-side
+    * retention deletes on all three gold tiers, per-table deleted counts
+    * returned as the dynamic result set. Invoked BY DERBY via CALL. */
+  def cleanupOldData(retentionDays: Int, rs: Array[java.sql.ResultSet]): Unit = {
+    val c = DriverManager.getConnection("jdbc:default:connection")
+    def del(sql: String): Int = {
+      val st = c.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    }
+    val cutTs = s"{fn TIMESTAMPADD(SQL_TSI_DAY, -$retentionDays, CURRENT_TIMESTAMP)}"
+    val d = del(s"""DELETE FROM gold_weather_detailed WHERE "timestamp" < $cutTs""")
+    val dd = del(s"""DELETE FROM gold_weather_daily WHERE "date" < CAST($cutTs AS DATE)""")
+    val hh = del(s"""DELETE FROM gold_weather_hourly WHERE "datetime" < $cutTs""")
+    rs(0) = c.createStatement().executeQuery(
+      s"""SELECT CAST('gold_weather_detailed' AS VARCHAR(64)) AS table_name,
+         |       CAST($d AS BIGINT) AS deleted_count FROM SYSIBM.SYSDUMMY1
+         |UNION ALL SELECT CAST('gold_weather_daily' AS VARCHAR(64)),
+         |       CAST($dd AS BIGINT) FROM SYSIBM.SYSDUMMY1
+         |UNION ALL SELECT CAST('gold_weather_hourly' AS VARCHAR(64)),
+         |       CAST($hh AS BIGINT) FROM SYSIBM.SYSDUMMY1""".stripMargin)
+  }
+
+  /** Create the utility routines if absent. The stats function reads
+    * pipeline_execution_log, so the ledger table is ensured first —
+    * schema.sql ships them together. */
+  def ensureRoutines(url: String): Unit = {
+    new JdbcSink.PipelineLog(url).ensureTable()
+    val c = DriverManager.getConnection(url)
+    try {
+      val haveFn = c.getMetaData.getFunctions(null, null, "GET_DATABASE_STATS").next()
+      if (!haveFn) {
+        val st = c.createStatement()
+        try st.executeUpdate(statsFunctionDdl) finally st.close()
+      }
+      val haveProc = c.getMetaData.getProcedures(null, null, "CLEANUP_OLD_DATA").next()
+      if (!haveProc) {
+        val st = c.createStatement()
+        try st.executeUpdate(cleanupProcedureDdl) finally st.close()
+      }
+    } finally c.close()
+  }
+
   private def dec(c: String, p: Int, s: Int): Column =
     col(c).cast(DecimalType(p, s)).as(c)
 
@@ -215,6 +299,7 @@ object GoldSchema {
     ensureTable(url, "gold_weather_daily", dailyDdl)
     ensureTable(url, "gold_weather_hourly", hourlyDdl)
     ensureViews(url) // schema.sql ships views alongside the tables
+    ensureRoutines(url) // ... and the stats/cleanup utility routines
     val d = JdbcSink.idempotentAppend(spark, coerceDetailed(enriched), url,
       "gold_weather_detailed", Seq("city", "timestamp"))
     val dd = JdbcSink.idempotentAppend(spark, coerceDaily(daily), url,

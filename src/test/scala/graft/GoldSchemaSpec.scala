@@ -176,6 +176,52 @@ class GoldSchemaSpec extends SparkSpecBase {
     GoldSchema.ensureViews(url) // idempotent: second call is a no-op
   }
 
+  test("get_database_stats / cleanup_old_data ship with the schema and run warehouse-side") {
+    val url = freshUrl()
+    val (enriched, daily, hourly) = silverTiers
+    GoldSchema.loadAll(spark, enriched, daily, hourly, url)
+
+    val c = DriverManager.getConnection(url)
+    try {
+      // the DBA's call: SELECT * FROM TABLE(get_database_stats()) s
+      def stats(): Map[String, Long] = {
+        val rs = c.createStatement().executeQuery(
+          "SELECT * FROM TABLE(get_database_stats()) s")
+        val b = Map.newBuilder[String, Long]
+        while (rs.next()) b += rs.getString("metric_name") -> rs.getLong("metric_value")
+        b.result()
+      }
+      val s1 = stats()
+      assert(s1("total_detailed_records") == 3 && s1("total_daily_aggregates") == 2
+        && s1("total_hourly_aggregates") == 3 && s1("distinct_cities") == 2, s1.toString)
+      assert(s1.contains("pipeline_executions"), "ledger metric present")
+
+      // CALL cleanup_old_data(n): fixture rows are 2024-dated, so a huge
+      // retention keeps everything and retention 1 sweeps everything;
+      // per-table deleted counts come back as the dynamic result set
+      def cleanup(days: Int): Map[String, Long] = {
+        val cs = c.prepareCall("CALL cleanup_old_data(?)")
+        cs.setInt(1, days)
+        assert(cs.execute(), "procedure must return its result set")
+        val rs = cs.getResultSet
+        val b = Map.newBuilder[String, Long]
+        // positional access: Derby surfaces a procedure's dynamic result
+        // set without the query's column aliases
+        while (rs.next()) b += rs.getString(1) -> rs.getLong(2)
+        b.result()
+      }
+      val kept = cleanup(365000)
+      assert(kept.values.sum == 0, s"huge retention must delete nothing: $kept")
+      val swept = cleanup(1)
+      assert(swept == Map("gold_weather_detailed" -> 3L, "gold_weather_daily" -> 2L,
+        "gold_weather_hourly" -> 3L), swept.toString)
+      assert(stats()("total_detailed_records") == 0, "stats see the sweep")
+
+      // idempotent routine creation
+      GoldSchema.ensureRoutines(url)
+    } finally c.close()
+  }
+
   test("ensureTable is idempotent") {
     val url = freshUrl()
     GoldSchema.ensureTable(url, "gold_weather_daily", GoldSchema.dailyDdl)
