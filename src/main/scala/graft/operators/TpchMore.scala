@@ -115,23 +115,26 @@ object TpchMore {
       |FROM li JOIN pp ON l_partkey = a_partkey
       |  AND CAST(l_quantity AS DECIMAL(12,2)) * cnt * 5 < sum_qty""".stripMargin
 
-  /** Q18 large-volume orders: HAVING subquery → aggregate once, filter,
-    * and semi-join the qualifying keys back (the aggregate output is
-    * tiny — broadcast); customer is a broadcast dim. Final ordering is
-    * pinned with the orderkey tiebreak so top-100 is deterministic. */
+  /** Q18 large-volume orders: ONE lineitem scan. The HAVING subquery's
+    * per-order quantity sum IS the query's output measure (the final
+    * group is per order), so qualifying orders keep their aggregate and
+    * no probe leg rejoins the fact table — the textbook form scans
+    * lineitem twice for a value it already computed. The filtered
+    * aggregate is tiny (orders with >300 total qty) → broadcast onto
+    * orders; customer is a broadcast dim. Final ordering is pinned with
+    * the orderkey tiebreak so top-100 is deterministic. */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
       .agg(sum(dq(col("l_quantity"))).as("b_qty"))
       .filter(col("b_qty") > 300)
-      .select(col("b_orderkey"))
-    li.join(broadcast(big), col("l_orderkey") === col("b_orderkey"), "left_semi")
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(dq(col("l_quantity"))).cast("double").as("total_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("b_qty").cast("double").as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
       .limit(100)
   }
