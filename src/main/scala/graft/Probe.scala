@@ -147,6 +147,7 @@ object Probe {
       "corpus_split" -> "map-only hash bucketing",
       "curation_seq_pack" -> "single shard-window shuffle packing",
       "curation_filter_funnel" -> "scan-fused multi-signal quality funnel",
+      "q18_large_orders" -> "single-scan HAVING: qualifying agg reused as the output measure",
       // NB: lineage mode shows these UNCACHED (withCached's cache is
       // released before explain) — execution materializes the shared
       // leg once; the dump is for join-shape inspection only
