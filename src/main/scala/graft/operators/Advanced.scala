@@ -260,7 +260,12 @@ object Advanced {
     * collides with the grand-total row. NULL ordering is pinned FIRST
     * on both engines (Spark's asc default; DuckDB defaults LAST). */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
-    Silver.enrich(Silver.clean(Tables.events(spark, dir)))
+    groupingSetsAgg(Silver.enrich(Silver.clean(Tables.events(spark, dir))))
+
+  /** The aggregate body, on any frame with (event_type, year, value) —
+    * split out so specs can drive it with planted NULL event_type. */
+  private[graft] def groupingSetsAgg(enriched: DataFrame): DataFrame =
+    enriched
       .groupingSets(Seq(Seq(col("event_type")), Seq(col("year")), Seq.empty),
         col("event_type"), col("year"))
       .agg(count(lit(1)).as("n"),

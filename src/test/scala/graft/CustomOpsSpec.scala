@@ -84,6 +84,33 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(viaSql == viaDsl && math.abs(viaSql - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("grouping-sets gid distinguishes a NULL-valued subtotal from the grand total") {
+    import spark.implicits._
+    // event_type NULL is legitimate data (Silver.clean passes it through):
+    // the null-ness-derived gid of the old form collapsed the NULL
+    // subtotal into the grand total; GROUPING()-derived gids must not
+    val rows = Seq(
+      (Some("click"), 2024, 1.0), (Some("click"), 2025, 2.0),
+      (None: Option[String], 2024, 4.0), (None: Option[String], 2024, 8.0))
+      .toDF("event_type", "year", "value")
+    val got = graft.operators.Advanced.groupingSetsAgg(rows).collect()
+    // gid 1 = by event_type (year aggregated away): click + the NULL group
+    val byType = got.filter(_.getAs[Int]("gid") == 1)
+    assert(byType.length == 2)
+    val nullSub = byType.find(_.isNullAt(0)).get
+    assert(nullSub.getAs[Long]("n") == 2 && nullSub.getAs[Double]("sum_value") == 12.0)
+    // gid 2 = by year; NULL event_type rows participate, never leak a gid-3 look-alike
+    val byYear = got.filter(_.getAs[Int]("gid") == 2)
+    assert(byYear.map(_.getAs[Int]("year")).toSet == Set(2024, 2025))
+    // gid 3 = the single grand total, distinct from the NULL subtotal
+    val totals = got.filter(_.getAs[Int]("gid") == 3)
+    assert(totals.length == 1 && totals.head.getAs[Long]("n") == 4
+      && totals.head.getAs[Double]("sum_value") == 15.0)
+    // deterministic order: NULLs pinned first within each gid
+    assert(got.map(_.getAs[Int]("gid")).toSeq == got.map(_.getAs[Int]("gid")).toSeq.sorted)
+    assert(byType.head.isNullAt(0), "NULL event_type sorts first in gid 1")
+  }
+
   test("binned range join equals the naive theta-join, incl. bin-boundary pairs") {
     val ev = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
