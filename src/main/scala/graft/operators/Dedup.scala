@@ -213,13 +213,65 @@ object Dedup {
     * single-block blocking, but each family collides at 2^-14, so the
     * join's garbage-pair output drops by orders of magnitude — the term
     * that dominates at 100 TB. */
-  private[graft] def simhashCandidates16(sh: DataFrame): DataFrame = {
-    val families = for { i <- 0 until 8; j <- (i + 1) until 8 } yield
-      struct(lit(i * 8 + j).as("blk"),
-        shiftleft(simhashBlock(i), 7).bitwiseOR(simhashBlock(j)).as("ck"))
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(array(families: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.ck").as("ck"))
+  private[graft] def simhashCandidates16(sh: DataFrame): DataFrame =
+    simhashCandidatesBlocked(sh, nBlocks = 8, keep = 2)
+
+  /** Generalized Manku blocking: split the 56-bit signature into
+    * `nBlocks` equal blocks and key on every `keep`-combination of them
+    * (key = the kept blocks' bits concatenated) — pigeonhole-complete
+    * for Hamming ≤ nBlocks − keep. Costs scale as
+    *
+    *   exploded rows  ∝ n · C(nBlocks, keep)           (linear term)
+    *   garbage pairs  ∝ n² · C(nBlocks, keep) / 2^(keep·56/nBlocks)
+    *
+    * so the key-width choice is a corpus-size dial, not a constant:
+    * (8,2) — 28 families × 14-bit keys — is right for ~10^5-10^6 docs,
+    * but its fixed 2^-14 collision rate went measurably superlinear at
+    * 315k docs in the scaling probe (SCALE.md). (14,8) — 3003 families
+    * × 32-bit keys — trades a ~107× linear factor for ~2400× less n²
+    * garbage: the right configuration past ~10^7 docs. Candidates are
+    * always exact-Hamming verified downstream, so the scheme changes
+    * cost, never results. */
+  private[graft] def simhashCandidatesBlocked(sh: DataFrame,
+      nBlocks: Int, keep: Int): DataFrame = {
+    require(SimhashBits % nBlocks == 0, s"$nBlocks must divide $SimhashBits")
+    require(keep >= 1 && keep < nBlocks, s"keep $keep out of range")
+    val bits = SimhashBits / nBlocks
+    val mask = (1L << bits) - 1
+    def block(c: Int): Column =
+      shiftright(col("simhash"), c * bits).bitwiseAND(lit(mask))
+    val combos = (0 until nBlocks).combinations(keep).toSeq
+    val chunked =
+      if (combos.size <= 64) {
+        // few families: inline the keys as a literal struct array + explode
+        val families = combos.zipWithIndex.map { case (combo, fid) =>
+          struct(lit(fid).as("blk"),
+            combo.map(block).reduce((a, b) => shiftleft(a, bits).bitwiseOR(b)).as("ck"))
+        }
+        sh.select(col("doc_id"), col("simhash"), explode(array(families: _*)).as("b"))
+          .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.ck").as("ck"))
+      } else {
+        // many families: the literal-array form would codegen
+        // C(nBlocks,keep) struct constructions per row (Janino blows the
+        // heap at 3003), and Catalyst's size stats don't see the ×3003
+        // fan-out, so it later tries to broadcast the exploded side.
+        // A broadcast cross join against the tiny family table produces
+        // the same rows from a constant-size plan; the key folds over
+        // the combo's block-index list, and the self-join is pinned to
+        // merge (the fan-out side must never be the broadcast build).
+        val spark = sh.sparkSession
+        import spark.implicits._
+        val families = spark.createDataset(combos.zipWithIndex.map {
+          case (combo, fid) => (fid, combo.map(_.toLong).toArray)
+        }).toDF("blk", "blocks")
+        sh.crossJoin(broadcast(families))
+          .withColumn("ck", expr(
+            s"""aggregate(blocks, 0L, (acc, i) ->
+               | (acc * ${1L << bits}) +
+               | (shiftright(simhash, CAST(i AS INT) * $bits) & $mask))""".stripMargin))
+          .select(col("doc_id"), col("simhash"), col("blk"), col("ck"))
+          .hint("merge")
+      }
     chunked.as("x").join(chunked.as("y"), Seq("blk", "ck"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -239,6 +291,20 @@ object Dedup {
     val sh = simhash(docs)
     val cands = if (wideBlocks) simhashCandidates16(sh) else simhashCandidates8(sh)
     cands
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** [[simhashPairs]] under an explicit blocking configuration — the
+    * corpus-size dial (see [[simhashCandidatesBlocked]]'s cost model;
+    * (14,8) past ~10^7 docs). Output equals simhashPairs for any
+    * complete configuration. */
+  def simhashPairsBlocked(docs: DataFrame, maxHamming: Int,
+      nBlocks: Int, keep: Int): DataFrame = {
+    require(maxHamming <= nBlocks - keep,
+      s"(nBlocks=$nBlocks, keep=$keep) blocking incomplete at Hamming $maxHamming")
+    simhashCandidatesBlocked(simhash(docs), nBlocks, keep)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

@@ -48,6 +48,16 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(c16 < c8 / 4, s"paired-block candidates $c16 not ≪ byte-block $c8")
     // Hamming > 6 must refuse the 16-bit scheme (incomplete there)
     intercept[IllegalArgumentException] { Dedup.simhashPairs(docs, 7) }
+    // the corpus-size dial: (14,8) — 3003 families of 32-bit keys, the
+    // configuration for ≥10^7 docs — must return the identical verified
+    // pairs (blocking is cost-only at ANY complete configuration)
+    val blocked = Dedup.simhashPairsBlocked(docs, 6, nBlocks = 14, keep = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == wide, s"(14,8) missed ${wide -- blocked}, extra ${blocked -- wide}")
+    // incomplete configurations refuse loudly: 14-8=6 < 7
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBlocked(docs, 7, nBlocks = 14, keep = 8)
+    }
   }
 
   test("dup clusters: hash-min propagation finds transitive components") {
