@@ -97,8 +97,18 @@ object Probe {
         val t0 = System.nanoTime(); f
         println(f"[corpus] $label @ $n docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // the raw-shingle candidate legs (count + jaccard/contamination/
+      // clusters over the whole corpus) are measured only below ~500k
+      // docs: their candidate volume is linear in n but ~2k pairs/doc on
+      // this dup-dense fixture, and the 1M-tier distinct/aggregate
+      // shuffle exceeded this host's disk (measured — the empirical
+      // argument for the LSH schemes past that size). curate() still
+      // runs them at every tier: its quality funnel shrinks the corpus
+      // ~6x before its cluster-dedup leg.
+      val shingleOps = n <= 500000
       time("candidate counts (shingle/band/block)") {
-        println(s"[corpus] pairs @ $n docs: ${Dedup.candidateCounts(docs)}")
+        println(s"[corpus] pairs @ $n docs: " +
+          s"${Dedup.candidateCounts(docs, includeShingle = shingleOps)}")
       }
       time("split+langid+stats (map-only)") {
         drain(TextAnalysis.withSplit(docs)
@@ -107,12 +117,17 @@ object Probe {
       }
       time("top_ngrams") { drain(TextAnalysis.topNgrams(docs)) }
       time("simhash pairs (paired blocks)") { drain(Dedup.simhashPairs(docs)) }
-      time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
-      time("ngram jaccard pairs") { drain(Dedup.shingleJaccardPairs(docs, 0.8)) }
-      time("contamination") { drain(TextAnalysis.contamination(docs)) }
-      time("dup clusters (label propagation)") {
-        drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
+      time("simhash pairs (14,8 corpus dial)") {
+        drain(Dedup.simhashPairsBlocked(docs, 6, nBlocks = 14, keep = 8))
       }
+      time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
+      if (shingleOps) {
+        time("ngram jaccard pairs") { drain(Dedup.shingleJaccardPairs(docs, 0.8)) }
+        time("contamination") { drain(TextAnalysis.contamination(docs)) }
+        time("dup clusters (label propagation)") {
+          drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
+        }
+      } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")
       time("curate() end-to-end") {
         val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
         println(s"[corpus] curate @ $n docs: ${Curation.curate(docs, out)}")

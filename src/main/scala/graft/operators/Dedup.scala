@@ -453,17 +453,23 @@ object Dedup {
     * pairs, not n²" scaling table. Runs ONLY candidate generation, no
     * verification, sharing one cached shingling per call. */
   private[graft] def candidateCounts(docs: DataFrame,
-      maxShingleDocFreq: Int = 1000): Map[String, Long] = {
+      maxShingleDocFreq: Int = 1000, includeShingle: Boolean = true): Map[String, Long] = {
     val sh = shingled(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
-      val frequent = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDocFreq).select(col("sh"))
-      val rare = ex.join(broadcast(frequent), Seq("sh"), "left_anti")
-      val a = rare.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = rare.select(col("doc_id").as("doc_b"), col("sh"))
-      val shinglePairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct().count()
+      // the raw shingle-join candidate count is skippable: its distinct
+      // shuffle is the one probe leg whose volume (≈2k pairs/doc on the
+      // dup-dense fixture) exceeds single-host disk near 10^6 docs —
+      // measured, which is WHY the LSH schemes exist (SCALE.md)
+      val shinglePairs = if (!includeShingle) -1L else {
+        val frequent = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq).select(col("sh"))
+        val rare = ex.join(broadcast(frequent), Seq("sh"), "left_anti")
+        val a = rare.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = rare.select(col("doc_id").as("doc_b"), col("sh"))
+        a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct().count()
+      }
       val aggs = (0 until MinhashFuncs).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
       val sigs = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       val bandCols = (0 until Bands).map { bnd =>
