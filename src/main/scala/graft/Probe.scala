@@ -106,29 +106,46 @@ object Probe {
       // runs them at every tier: its quality funnel shrinks the corpus
       // ~6x before its cluster-dedup leg.
       val shingleOps = n <= 500000
-      time("candidate counts (shingle/band/block)") {
+      // optional comma-separated op filter for resuming a tier after a
+      // resource-bound abort without re-measuring what already landed
+      val only = sys.env.get("SPARK_GRAFT_CORPUS_OPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      def want(op: String): Boolean = only.forall(_(op))
+      if (want("counts")) time("candidate counts (shingle/band/block)") {
         println(s"[corpus] pairs @ $n docs: " +
           s"${Dedup.candidateCounts(docs, includeShingle = shingleOps)}")
       }
-      time("split+langid+stats (map-only)") {
+      if (want("maponly")) time("split+langid+stats (map-only)") {
         drain(TextAnalysis.withSplit(docs)
           .select(col("doc_id"), col("split"),
             graft.functions.TextFns.wordCount(col("text")).as("wc")))
       }
-      time("top_ngrams") { drain(TextAnalysis.topNgrams(docs)) }
-      time("simhash pairs (paired blocks)") { drain(Dedup.simhashPairs(docs)) }
-      time("simhash pairs (14,8 corpus dial)") {
+      if (want("ngrams")) time("top_ngrams") { drain(TextAnalysis.topNgrams(docs)) }
+      if (want("simhash")) time("simhash pairs (paired blocks)") {
+        drain(Dedup.simhashPairs(docs))
+      }
+      // the (14,8) dial explodes C(14,8)=3003 rows/doc: ~3e9 rows at 1M
+      // docs need ~150 GB of merge-join scratch — beyond one node's disk
+      // (measured); its n² savings pay off on a cluster, so the probe
+      // measures it on the ≤500k tiers only
+      if (shingleOps && want("simhash14")) time("simhash pairs (14,8 corpus dial)") {
         drain(Dedup.simhashPairsBlocked(docs, 6, nBlocks = 14, keep = 8))
       }
-      time("minhash LSH pairs") { drain(Dedup.minhashLshPairs(docs, 0.8)) }
+      if (want("minhash")) time("minhash LSH pairs") {
+        drain(Dedup.minhashLshPairs(docs, 0.8))
+      }
       if (shingleOps) {
-        time("ngram jaccard pairs") { drain(Dedup.shingleJaccardPairs(docs, 0.8)) }
-        time("contamination") { drain(TextAnalysis.contamination(docs)) }
-        time("dup clusters (label propagation)") {
+        if (want("jaccard")) time("ngram jaccard pairs") {
+          drain(Dedup.shingleJaccardPairs(docs, 0.8))
+        }
+        if (want("contamination")) time("contamination") {
+          drain(TextAnalysis.contamination(docs))
+        }
+        if (want("clusters")) time("dup clusters (label propagation)") {
           drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
         }
       } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")
-      time("curate() end-to-end") {
+      if (want("curate")) time("curate() end-to-end") {
         val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
         println(s"[corpus] curate @ $n docs: ${Curation.curate(docs, out)}")
       }
