@@ -106,7 +106,8 @@ object SparkEntry {
     "window_range_frame" -> ((s, d) => Advanced.qRangeFrame(s, d)),
     "unpivot_daily" -> ((s, d) => Advanced.qUnpivotDaily(s, d)),
     "window_value_bounds" -> ((s, d) => Advanced.qValueBounds(s, d)),
-    "agg_grouping_sets" -> ((s, d) => Advanced.qGroupingSets(s, d))
+    "agg_grouping_sets" -> ((s, d) => Advanced.qGroupingSets(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.qSemanticDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -201,6 +202,8 @@ object SparkEntry {
     "window_range_frame" -> Advanced.oRangeFrame,
     "unpivot_daily" -> Advanced.oUnpivotDaily,
     "window_value_bounds" -> Advanced.oValueBounds,
-    "agg_grouping_sets" -> Advanced.oGroupingSets
+    "agg_grouping_sets" -> Advanced.oGroupingSets,
+    // LSH pairs (deterministic planes) + recursive-CTE closure + keep-min
+    "dedup_semantic" -> Dedup.oSemanticDedup
   )
 }

@@ -585,12 +585,11 @@ object Dedup {
     embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
 
-  /** Full DuckDB twin of [[qEmbeddingNearDupLsh]]: identical plane
-    * literals reproduce the sign buckets and Hamming-1 probes, and the
-    * sequential-fold dot idiom is bit-exact with the fused kernel (see
-    * oEmbeddingNearDup) — so the blocked operator hash-matches. */
-  def oEmbeddingNearDupLsh: String =
-    s"""WITH n AS (
+  /** Shared CTE block reproducing [[embeddingNearDupLsh]] in DuckDB —
+    * ends at `p` = (vec_a, vec_b, cosine ≥ 0.45). Used by the pair query
+    * oracle and composed further by the semantic-dedup oracle. */
+  private def lshPairCtes: String =
+    s"""n AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
@@ -600,12 +599,68 @@ object Dedup {
        |  SELECT vec_id AS vec_a, embedding AS ea, nrm AS na, xor(bucket, m) AS probe
        |  FROM b, (SELECT unnest(${Similarity.probeMasksSql}) AS m)),
        |bb AS (SELECT vec_id AS vec_b, embedding AS eb, nrm AS nb, bucket AS probe FROM b),
-       |p AS (
+       |p0 AS (
        |  SELECT vec_a, vec_b,
        |    list_sum(list_transform(list_zip(ea, eb),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (na * nb) AS cosine
        |  FROM a JOIN bb USING (probe)
-       |  WHERE vec_a < vec_b)
+       |  WHERE vec_a < vec_b),
+       |p AS (SELECT * FROM p0 WHERE cosine >= 0.45)""".stripMargin
+
+  /** Full DuckDB twin of [[qEmbeddingNearDupLsh]]: identical plane
+    * literals reproduce the sign buckets and Hamming-1 probes, and the
+    * sequential-fold dot idiom is bit-exact with the fused kernel (see
+    * oEmbeddingNearDup) — so the blocked operator hash-matches. */
+  def oEmbeddingNearDupLsh: String =
+    s"""WITH $lshPairCtes
        |SELECT vec_a, vec_b, cosine FROM p
-       |WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Semantic deduplication (the SemDeDup idea — Abbas et al. 2023,
+    * arXiv:2303.09540 — re-expressed Spark-first): embedding-space
+    * near-dup pairs from the sign-LSH blocked kernel, transitive closure
+    * over the pair graph, then one canonical survivor (the min vec_id)
+    * per semantic cluster. Output covers EVERY vector — singletons are
+    * their own cluster and are kept — so `filter(col("keep"))` IS the
+    * deduplicated corpus.
+    *
+    * Scale design: inherits the LSH candidate generation (shuffles on
+    * bucket id, never materializes n² pairs) and the bounded
+    * O(log diameter)-capable label-propagation closure; the final
+    * keep-labelling is one left join of labels onto the corpus. */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupLsh(emb, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    emb.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
+
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir), 0.45)
+      .orderBy(col("vec_id"))
+
+  /** Oracle: the LSH pair CTEs + recursive-CTE transitive closure
+    * (cluster id = min reachable vec incl. self), left-joined back onto
+    * the full corpus so singletons appear with keep = true. */
+  def oSemanticDedup: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM p
+       |  UNION SELECT vec_b, vec_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cl AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id,
+       |  coalesce(cl.cluster_id, e.vec_id) AS cluster_id,
+       |  coalesce(cl.cluster_id, e.vec_id) = e.vec_id AS keep
+       |FROM embeddings e LEFT JOIN cl USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 }
