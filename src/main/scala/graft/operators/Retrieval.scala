@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Ranked retrieval over the document corpus: BM25 scoring of a fixed
+  * query-term set, returning the top-k documents.
+  *
+  * BM25(d, Q) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b + b·|d|/avgdl))
+  *
+  * with k1 = 1.2, b = 0.75. The idf term here is the RATIO form
+  * (N − df + 0.5)/(df + 0.5) — the classic formula wraps it in ln(1 + ·),
+  * which is monotone, so the RANKING is identical; the ratio form is pure
+  * rational arithmetic, which both engines evaluate to the same IEEE-754
+  * bits (ln's last bit is libm-dependent — same tradeoff as
+  * [[TextAnalysis.topTerms]]'s tf/df idf surrogate; swapping ln back in is
+  * a one-liner on a real deployment).
+  *
+  * Scale shape (100 TB): the term explode filters to the query terms
+  * BEFORE the tf aggregate, so the shuffle carries only rows for |Q|
+  * terms; df is a |Q|-row broadcast; N and avgdl are a 1-row broadcast
+  * scalar (the q11 pattern); the per-doc score is a map-side expression
+  * and the top-k is TakeOrderedAndProject. Nothing scales with vocabulary
+  * size except the initial explode, which is map-local.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+  val QueryTerms: Seq[String] = Seq("spark", "join", "merge")
+  val TopK = 20
+
+  /** Per-term BM25 partial — written with explicit parentheses so the
+    * DuckDB oracle can mirror the evaluation order token-for-token. */
+  private def bm25Term(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column =
+    ((nDocs - df + lit(0.5)) / (df + lit(0.5))) *
+      ((tf * lit(K1 + 1)) / (tf + lit(K1) * (lit(1 - B) + lit(B) * (dl / avgdl))))
+
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = QueryTerms,
+      k: Int = TopK): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(TextFns.words(col("text"))).as("term"))
+    val tf = words.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(TextFns.words(col("text"))).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("s", bm25Term(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl")))
+    // pivot the |Q| per-term partials to columns and sum them in FIXED
+    // term order — float addition isn't associative, so a data-ordered
+    // sum() would not be reproducible across engines
+    val pivoted = scored.groupBy(col("doc_id"))
+      .agg(terms.map(t => sum(when(col("term") === t, col("s"))).as(s"s_$t")).head,
+        terms.tail.map(t => sum(when(col("term") === t, col("s"))).as(s"s_$t")): _*)
+    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted.withColumn("score", total)
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qBm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, dir))
+
+  def oBm25TopK: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val partials = QueryTerms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    raw"""WITH w AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM w WHERE list_contains($termList, term) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ((n_docs - df + 0.5) / (df + 0.5)) *
+      |      ((tf * ${K1 + 1}) / (tf + $K1 * (${1 - B} + $B * (dl / avgdl)))) AS s
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+      |SELECT doc_id, $partials AS score
+      |FROM scored GROUP BY doc_id
+      |HAVING $partials > 0
+      |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+}
