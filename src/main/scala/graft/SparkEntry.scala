@@ -109,7 +109,9 @@ object SparkEntry {
     "agg_grouping_sets" -> ((s, d) => Advanced.qGroupingSets(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.qSemanticDedup(s, d)),
     "dedup_passages" -> ((s, d) => Passages.qPassageDedup(s, d)),
-    "bm25_topk" -> ((s, d) => Retrieval.qBm25TopK(s, d))
+    "bm25_topk" -> ((s, d) => Retrieval.qBm25TopK(s, d)),
+    "scd2_history" -> ((s, d) => Scd.qScd2History(s, d)),
+    "scd2_apply" -> ((s, d) => Scd.qScd2Apply(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,6 +210,10 @@ object SparkEntry {
     // LSH pairs (deterministic planes) + recursive-CTE closure + keep-min
     "dedup_semantic" -> Dedup.oSemanticDedup,
     "dedup_passages" -> Passages.oPassageDedup,
-    "bm25_topk" -> Retrieval.oBm25TopK
+    "bm25_topk" -> Retrieval.oBm25TopK,
+    // the incremental apply must equal the from-scratch rebuild, so both
+    // SCD2 queries share the full-log oracle
+    "scd2_history" -> Scd.oScd2,
+    "scd2_apply" -> Scd.oScd2
   )
 }

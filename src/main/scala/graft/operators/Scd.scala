@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Slowly-changing-dimension type-2 versioning over an event log, plus the
+  * incremental MERGE that applies a new event batch to existing history —
+  * the warehouse-dimension shape the reference's gold tier implies but its
+  * Postgres loader rebuilds from scratch each run
+  * (/root/reference/sql/schema.sql:15-78 keeps only current rows).
+  *
+  * Concrete instance: each customer's order priority tracked over the
+  * orders table — key = o_custkey, attribute = o_orderpriority, event time
+  * (o_orderdate, o_orderkey) with the order key as the deterministic
+  * tiebreak for same-day orders. Consecutive events with an unchanged
+  * attribute collapse into one version; each version carries
+  * [valid_from, valid_to) and is_current = open.
+  *
+  * Scale shape (100 TB): the build is two windows over the same
+  * (key; time, tie) partitioning — ONE shuffle, reused by both (lag →
+  * collapse, lead/row_number → close versions). The incremental apply
+  * never touches settled history: closed rows pass through untouched,
+  * and only keys present in the batch re-run the collapse over
+  * (open row + batch events) — the work is proportional to the BATCH,
+  * not the dimension, which is what makes daily loads on a 100 TB
+  * dimension feasible.
+  */
+object Scd {
+
+  /** Split date for the apply query/spec: history = orders before this
+    * instant, batch = orders at/after it. */
+  val ApplySplit = "1998-07-01"
+
+  private val key = "o_custkey"
+  private val attr = "o_orderpriority"
+
+  private def events(orders: DataFrame): DataFrame =
+    orders.select(col(key), col(attr).as("priority"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("tie"),
+      lit(null).cast("long").as("v0"))
+
+  /** Collapse an event stream (with optional seed versions `v0` on seed
+    * rows — see [[scd2Apply]]) into SCD2 version rows. */
+  private def buildFromEvents(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("ts"), col("tie"))
+    val changes = ev
+      .withColumn("prev", lag(col("priority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+    val wc = Window.partitionBy(col(key)).orderBy(col("ts"), col("tie"))
+    val wk = Window.partitionBy(col(key))
+    changes
+      .withColumn("rn", row_number().over(wc))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wc))
+      // at most one seed row per key (the open version), always first in
+      // event order — its version number offsets the whole rebuilt run
+      .withColumn("base", max(col("v0")).over(wk))
+      .select(col(key),
+        (coalesce(col("base"), lit(1L)) + col("rn") - 1).as("version"),
+        col("priority"), col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Full SCD2 build from the raw event log. */
+  def scd2Build(orders: DataFrame): DataFrame = buildFromEvents(events(orders))
+
+  /** Incremental merge: apply a batch of new events to existing history.
+    * Precondition (the standard SCD2 load contract): batch events are not
+    * older than the open version's valid_from for their key. Closed
+    * history rows pass through UNCHANGED; each batch key re-collapses
+    * (open row as a seed pseudo-event + its batch events); batch-only
+    * keys build fresh. Result is row-identical to rebuilding from the
+    * full event log. */
+  def scd2Apply(history: DataFrame, batchOrders: DataFrame): DataFrame = {
+    val batch = events(batchOrders)
+    val keys = batch.select(col(key)).distinct()
+    val current = history.filter(col("is_current"))
+    val touchedCurrent = current.join(keys, Seq(key), "left_semi")
+    val untouchedCurrent = current.join(keys, Seq(key), "left_anti")
+    val closed = history.filter(!col("is_current"))
+    // the open version re-enters the collapse as a seed event carrying its
+    // version number; a tie below any real order key pins it first when a
+    // batch event lands on the same timestamp
+    val seeds = touchedCurrent.select(col(key), col("priority"),
+      col("valid_from").as("ts"), lit(-1L).as("tie"),
+      col("version").as("v0"))
+    val rebuilt = buildFromEvents(seeds.unionByName(batch))
+    closed.unionByName(untouchedCurrent).unionByName(rebuilt)
+  }
+
+  private val outOrder = Seq(col(key), col("version"))
+
+  def qScd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Build(Tables.orders(spark, dir)).orderBy(outOrder: _*)
+
+  def qScd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cut = lit(ApplySplit).cast("timestamp")
+    val history = scd2Build(orders.filter(col("o_orderdate") < cut))
+    scd2Apply(history, orders.filter(col("o_orderdate") >= cut))
+      .orderBy(outOrder: _*)
+  }
+
+  /** Oracle for BOTH queries: the apply result must equal the from-scratch
+    * build over the full log, so they share this SQL. */
+  def oScd2: String =
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderpriority AS priority,
+      |         o_orderdate AS ts, o_orderkey AS tie,
+      |         lag(o_orderpriority) OVER w AS prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |c AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> priority)
+      |SELECT o_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  priority, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM c
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tie)
+      |ORDER BY o_custkey, version""".stripMargin
+}
