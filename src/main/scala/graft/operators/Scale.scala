@@ -113,6 +113,72 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** Bloom-filter pre-filtered semi join. At 100 TB the dominant cost of
+    * `big ⋉ small` is shuffling the BIG side; when the small side is too
+    * large to broadcast as a hash relation but its KEY SET fits a few MB
+    * of bloom bits, probing the filter before the shuffle drops the
+    * (1 − selectivity) non-matching majority at the scan, so only
+    * probable matches pay the exchange. This is exactly Spark's own
+    * InjectRuntimeFilter rewrite — materialized here as an explicit
+    * operator so the pre-filter applies regardless of the optimizer's
+    * cost heuristics (and as the place the technique is spec-pinned).
+    *
+    * The probe is `BloomFilterMightContain` over `xxhash64(key)` — the
+    * same codegen'd predicate and hash the runtime-filter rule plants,
+    * pushed to the scan like any other filter. False positives are
+    * removed by the real semi join afterwards, so the RESULT is exactly
+    * the plain semi join's for any fpp; false negatives are impossible
+    * (bloom guarantee), which the spec pins. The filter build is one
+    * map-side aggregate over the small side collected to the driver
+    * (~1.2 MB at the defaults) — control-plane, like a broadcast build. */
+  def bloomPrefilter(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val bf = small.select(xxhash64(col(smallKey)).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    big.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col(bigKey))))))
+  }
+
+  /** The full operator: bloom pre-filter, then the exact semi join that
+    * clears the false positives. Result ≡ `big ⋉ small`. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame =
+    bloomPrefilter(big, small, bigKey, smallKey, expectedItems, fpp)
+      .join(small, col(bigKey) === col(smallKey), "left_semi")
+
+  /** Query instance: lineitem ⋉ urgent orders, aggregated per return
+    * flag. The bloom path must produce the identical aggregate to the
+    * plain semi join the oracle runs. */
+  def qBloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    bloomSemiJoin(Tables.lineitem(spark, dir), urgent,
+      "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def oBloomSemiJoin: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN
+      |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Layout-optimized parquet write: range-repartition on the probe key,
     * then sort within each task, so every output file covers a DISJOINT
     * key range and its parquet row-group min/max statistics actually

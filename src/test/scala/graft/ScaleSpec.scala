@@ -10,6 +10,28 @@ import graft.operators.Scale
 class ScaleSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("bloom pre-filter: no false negatives, real pruning, exact semi-join result") {
+    val lineitem = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = lineitem
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val pre = Scale.bloomPrefilter(lineitem, urgent, "l_orderkey", "o_orderkey",
+      expectedItems = 10000L)
+    // bloom guarantee: every true match survives the pre-filter
+    assert(plain.exceptAll(pre.join(urgent,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")).isEmpty)
+    // and the pre-filter actually prunes the non-matching majority
+    val (total, kept, matches) = (lineitem.count(), pre.count(), plain.count())
+    assert(kept < total, s"pre-filter kept all $total rows")
+    assert(kept < matches + (total - matches) / 10 + 100,
+      s"fpp blowout: $kept kept for $matches true matches of $total")
+    // the full operator is result-identical to the plain semi join
+    val full = Scale.bloomSemiJoin(lineitem, urgent, "l_orderkey", "o_orderkey",
+      expectedItems = 10000L)
+    assert(full.exceptAll(plain).isEmpty && plain.exceptAll(full).isEmpty)
+  }
+
   test("salted aggregation equals direct aggregation (skew-safe path)") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy($"event_type").agg(
