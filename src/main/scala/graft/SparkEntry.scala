@@ -113,7 +113,10 @@ object SparkEntry {
     "scd2_history" -> ((s, d) => Scd.qScd2History(s, d)),
     "scd2_apply" -> ((s, d) => Scd.qScd2Apply(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.qIncrementalDedup(s, d)),
-    "bloom_semi_join" -> ((s, d) => Scale.qBloomSemiJoin(s, d))
+    "bloom_semi_join" -> ((s, d) => Scale.qBloomSemiJoin(s, d)),
+    // PQ ANN: sampled-kmeans codebooks → approximate by construction →
+    // rows-only gate + recall/compression specs (the IVF treatment)
+    "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

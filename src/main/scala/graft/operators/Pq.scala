@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product quantization (PQ) — the memory-bandwidth scale path of the ANN
+  * family (brute force = exact baseline, sign-LSH = hash pruning, IVF =
+  * partition pruning, PQ = compression): each L2-normalized vector is
+  * split into [[M]] subvectors, each quantized to its nearest of [[K]]
+  * per-subspace centroids, so a 64-float (256 B) embedding becomes M = 8
+  * byte-sized codes — 32× smaller. Queries score candidates by
+  * asymmetric distance (ADC): the exact query against the candidate's
+  * RECONSTRUCTION from the codebooks, Σ_j q_j·c_{j,code_j}, then the top
+  * ADC candidates are re-ranked with exact cosine against the true
+  * vectors.
+  *
+  * Scale design: the codebooks are M·K·(D/M) doubles (1k values here) —
+  * driver-trained on a bounded seeded sample and inlined as literal
+  * expressions, like IVF's centroids. The code table is the only thing a
+  * full ADC sweep reads: at 100 TB the 32× compression is the difference
+  * between scanning 100 TB and scanning 3 TB. Encode and ADC are
+  * map-only; the per-query top-R is one window; only the ≤ R·|Q|
+  * re-rank rows touch full vectors. Composes with IVF (FAISS's IVFPQ):
+  * cluster by cell, store codes per cell, probe cells then ADC — the
+  * cell layout is [[Ivf.writeClustered]], unchanged.
+  *
+  * Approximate by construction (codebooks are sampled k-means, ADC is a
+  * lossy score) → rows-only gate + recall/compression specs, same
+  * treatment as IVF.
+  */
+object Pq {
+
+  /** Subspaces; 64 dims → 8 dims per subspace. */
+  val M = 8
+
+  /** Centroids per subspace (codes stay byte-sized up to K = 256). */
+  val K = 32
+
+  val Seed = 42L
+  val TrainSample = 4000
+
+  /** ADC keeps this × k candidates per query for the exact re-rank. */
+  val Refine = 8
+
+  /** Per-subspace codebooks: M × K × (D/M), trained on the same bounded
+    * seeded sample discipline as [[Ivf.trainCentroids]]. Subvectors of
+    * L2-normalized vectors, so summed subspace dots reconstruct cosine. */
+  def trainCodebooks(emb: DataFrame, dim: Int): Seq[Seq[Array[Double]]] = {
+    val d = dim / M
+    val sampled = emb.select(col("embedding"))
+      .orderBy(xxhash64(col("embedding"))).limit(TrainSample)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    (0 until M).map { j =>
+      val feat = sampled.select(array_to_vector(
+        transform(slice(col("embedding"), j * d + 1, d),
+          x => x.cast("double") / col("nrm"))).as("features"))
+      new KMeans().setK(K).setSeed(Seed + j).setMaxIter(10).fit(feat)
+        .clusterCenters.toIndexedSeq.map(_.toArray)
+    }
+  }
+
+  /** Nearest-centroid code for one subspace: argmin ‖s − c‖² ≡
+    * argmin (½‖c‖² − s·c) — one dot per centroid, the ‖c‖² halves are
+    * driver-side constants. Struct sort gives a deterministic (score,
+    * idx) tiebreak like [[Ivf.probeCells]]. */
+  private def codeOf(sub: Column, codebook: Seq[Array[Double]]): Column = {
+    val scored = array(codebook.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(0.5 * c.map(x => x * x).sum) -
+          Similarity.dot(sub, array(c.map(lit).toIndexedSeq: _*))).as("d"),
+        lit(i).as("idx"))
+    }: _*)
+    element_at(sort_array(scored, asc = true), 1).getField("idx")
+  }
+
+  /** (vec_id, codes array<int>) — the 32×-compressed corpus. Map-only. */
+  def encode(emb: DataFrame, books: Seq[Seq[Array[Double]]], dim: Int): DataFrame = {
+    val d = dim / M
+    val n = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    n.select(col("vec_id"), array((0 until M).map { j =>
+      codeOf(transform(slice(col("embedding"), j * d + 1, d),
+        x => x.cast("double") / col("nrm")), books(j))
+    }: _*).as("codes"))
+  }
+
+  /** Reconstruction from codes: concat of the indexed centroids — a pure
+    * codebook-literal lookup, no vector data read. */
+  def decode(codes: Column, books: Seq[Seq[Array[Double]]]): Column =
+    concat((0 until M).map { j =>
+      val bookLit = array(books(j).map(c =>
+        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      element_at(bookLit, element_at(codes, j + 1) + 1)
+    }: _*)
+
+  /** PQ top-k: ADC sweep over the code table, top Refine·k per query,
+    * exact-cosine re-rank of those against true vectors. */
+  def pqTopK(emb: DataFrame, k: Int, nQueries: Int, dim: Int = 64): DataFrame =
+    pqTopKWith(emb, trainCodebooks(emb, dim), k, nQueries, dim)
+
+  def pqTopKWith(emb: DataFrame, books: Seq[Seq[Array[Double]]], k: Int,
+      nQueries: Int, dim: Int = 64): DataFrame = {
+    val codes = encode(emb, books, dim)
+      .select(col("vec_id").as("neighbor_id"),
+        decode(col("codes"), books).as("recon"))
+    // the query stays RAW: dot(q, recon) = ‖q‖·dot(q/‖q‖, recon), and a
+    // per-query positive scale can't change that query's ADC ranking —
+    // while the raw vector lets the re-rank cosine reuse the exact
+    // dot/(qn·cn) operand order of bruteForceTopK, bit-for-bit
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = q.crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", Similarity.dot(col("qe"), col("recon")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * Refine)
+      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"), col("adc"))
+    val exact = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(exact, Seq("neighbor_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("cosine"),
+        col("rank"))
+  }
+
+  /** Codebooks per dataset dir (training is deterministic — caching only
+    * skips recomputation, same discipline as Ivf.quantizers). */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
+
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val books = codebooks.computeIfAbsent(dir,
+      d => trainCodebooks(Tables.embeddings(spark, d), 64))
+    pqTopKWith(Tables.embeddings(spark, dir), books, k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

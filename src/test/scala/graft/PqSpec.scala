@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pq, Similarity}
+
+/** PQ ANN properties on the fixture embeddings: recall against the exact
+  * brute-force baseline, compression shape, and determinism. */
+class PqSpec extends SparkSpecBase {
+
+  lazy val emb = Tables.embeddings(spark, sf)
+  lazy val books = Pq.trainCodebooks(emb, 64)
+
+  test("codes are M byte-sized indices — the 32x compression is real") {
+    val codes = Pq.encode(emb, books, 64).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == Pq.M)
+      assert(cs.forall(c => c >= 0 && c < Pq.K))
+    }
+  }
+
+  test("ADC recall@5 against exact brute force clears 0.6; re-rank scores are exact") {
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, k, nQueries = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pqTopKWith(emb, books, k, nQueries = 50).collect()
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@5 = $recall")
+    // the cosine column is computed from TRUE vectors, not reconstructions:
+    // for overlapping pairs it must equal the brute-force cosine bit-for-bit
+    val exactCos = Similarity.bruteForceTopK(emb, k, nQueries = 50)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
+  test("PQ top-k is deterministic across runs (fixed seed, pinned tiebreaks)") {
+    val a = Pq.pqTopKWith(emb, books, 5, 20).collect().toSeq
+    val b = Pq.pqTopKWith(emb, books, 5, 20).collect().toSeq
+    assert(a == b)
+  }
+}
