@@ -184,7 +184,12 @@ object Probe {
       // released before explain) — execution materializes the shared
       // leg once; the dump is for join-shape inspection only
       "q21_waiting_suppliers" -> "EXISTS/NOT-EXISTS hash semi/anti (lineage view; shared leg cached at execution)",
-      "q11_important_stock" -> "scalar-fraction HAVING via 1-row broadcast (lineage view; per-part agg cached at execution)")
+      "q11_important_stock" -> "scalar-fraction HAVING via 1-row broadcast (lineage view; per-part agg cached at execution)",
+      "dedup_passages" -> "linear passage dedup: segment window + doc reassembly, no pair joins",
+      "bm25_topk" -> "term-filtered tf + broadcast df + 1-row corpus scalar + top-k",
+      "scd2_apply" -> "incremental SCD2 merge: closed rows pass through, batch keys re-collapse",
+      "bloom_semi_join" -> "bloom might_contain pushed to the big-side scan before the shuffle",
+      "dedup_incremental" -> "batch-vs-corpus band candidates (lineage view; shingled legs cached at execution)")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

@@ -116,7 +116,8 @@ object SparkEntry {
     "bloom_semi_join" -> ((s, d) => Scale.qBloomSemiJoin(s, d)),
     // PQ ANN: sampled-kmeans codebooks → approximate by construction →
     // rows-only gate + recall/compression specs (the IVF treatment)
-    "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d))
+    "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

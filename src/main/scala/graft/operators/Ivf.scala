@@ -100,9 +100,13 @@ object Ivf {
   private val quantizers =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
 
+  /** Cached per-dir quantizer (training is deterministic; sharing it with
+    * the IVFPQ query only skips recomputation). */
+  def centroidsFor(dir: String, emb: => DataFrame): Seq[Array[Double]] =
+    quantizers.computeIfAbsent(dir, _ => trainCentroids(emb))
+
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val cents = quantizers.computeIfAbsent(dir,
-      d => trainCentroids(Tables.embeddings(spark, d)))
+    val cents = centroidsFor(dir, Tables.embeddings(spark, dir))
     ivfTopKWith(Tables.embeddings(spark, dir), cents, k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -78,13 +78,22 @@ object Pq {
     element_at(sort_array(scored, asc = true), 1).getField("idx")
   }
 
-  /** (vec_id, codes array<int>) — the 32×-compressed corpus. Map-only. */
+  /** (vec_id, codes array<int>) — the 32×-compressed corpus. Map-only.
+    * The normalized subvectors are projected as their OWN attributes
+    * before quantization: codeOf references each subvector K times (one
+    * dot per centroid), and an inline transform-over-slice expression
+    * would re-evaluate per centroid — the same lambda-inlining trap
+    * TextAnalysis.winnowed documents; the projection boundary pins one
+    * evaluation each. */
   def encode(emb: DataFrame, books: Seq[Seq[Array[Double]]], dim: Int): DataFrame = {
     val d = dim / M
-    val n = emb.withColumn("nrm", Similarity.norm(col("embedding")))
-    n.select(col("vec_id"), array((0 until M).map { j =>
-      codeOf(transform(slice(col("embedding"), j * d + 1, d),
-        x => x.cast("double") / col("nrm")), books(j))
+    val subs = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+      .select(col("vec_id") +: (0 until M).map { j =>
+        transform(slice(col("embedding"), j * d + 1, d),
+          x => x.cast("double") / col("nrm")).as(s"sub_$j")
+      }: _*)
+    subs.select(col("vec_id"), array((0 until M).map { j =>
+      codeOf(col(s"sub_$j"), books(j))
     }: _*).as("codes"))
   }
 
@@ -136,6 +145,50 @@ object Pq {
         col("rank"))
   }
 
+  /** IVFPQ — the FAISS composition of the two index legs: the IVF coarse
+    * quantizer prunes candidates to the queries' nProbe cells, and PQ
+    * codes are what the surviving candidates are SCANNED as. At 100 TB
+    * the corpus is `Ivf.writeClustered` by cell with only (vec_id, cell,
+    * codes) in the hot table: a probe reads nProbe/cells of a 32×-
+    * compressed table — both pruning levers multiply. With nProbe =
+    * cells the cell filter admits everything and the result is EXACTLY
+    * [[pqTopKWith]]'s (spec-pinned), so the approximation added by cell
+    * pruning is isolated and measurable. */
+  def ivfPqTopKWith(emb: DataFrame, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]], k: Int, nQueries: Int,
+      nProbe: Int = Ivf.NProbe, dim: Int = 64): DataFrame = {
+    val cands = encode(emb, books, dim)
+      .join(emb.select(col("vec_id"),
+        Ivf.cellOf(col("embedding"), cents).as("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        decode(col("codes"), books).as("recon"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+      .withColumn("cell",
+        explode(Ivf.probeCells(col("qe"), cents, nProbe).getField("cell")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = q.join(cands, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", Similarity.dot(col("qe"), col("recon")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * Refine)
+      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"), col("adc"))
+    val exact = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(exact, Seq("neighbor_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("cosine"),
+        col("rank"))
+  }
+
   /** Codebooks per dataset dir (training is deterministic — caching only
     * skips recomputation, same discipline as Ivf.quantizers). */
   private val codebooks =
@@ -145,6 +198,14 @@ object Pq {
     val books = codebooks.computeIfAbsent(dir,
       d => trainCodebooks(Tables.embeddings(spark, d), 64))
     pqTopKWith(Tables.embeddings(spark, dir), books, k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = codebooks.computeIfAbsent(dir, _ => trainCodebooks(emb, 64))
+    val cents = Ivf.centroidsFor(dir, emb)
+    ivfPqTopKWith(emb, cents, books, k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -46,4 +46,24 @@ class PqSpec extends SparkSpecBase {
     val b = Pq.pqTopKWith(emb, books, 5, 20).collect().toSeq
     assert(a == b)
   }
+
+  test("IVFPQ with nProbe = cells recovers the full ADC sweep exactly") {
+    val cents = graft.operators.Ivf.trainCentroids(emb)
+    val full = Pq.pqTopKWith(emb, books, 5, 20).collect().toSeq
+    val ivfpq = Pq.ivfPqTopKWith(emb, cents, books, 5, 20,
+      nProbe = graft.operators.Ivf.Cells).collect().toSeq
+    assert(ivfpq == full,
+      "cell pruning with all cells probed must be a no-op")
+  }
+
+  test("IVFPQ at nProbe = 6 keeps useful recall on a 2.7x-pruned scan") {
+    val cents = graft.operators.Ivf.trainCentroids(emb)
+    val exact = Similarity.bruteForceTopK(emb, 5, nQueries = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Pq.ivfPqTopKWith(emb, cents, books, 5, nQueries = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.35, s"IVFPQ recall@5 = $recall")
+  }
 }

@@ -153,6 +153,47 @@ class ScaleSpec extends SparkSpecBase {
       "clustered probe must return exactly the unclustered IVF results")
   }
 
+  test("z-order layout prunes files on the SECOND dimension where 1-D layout cannot") {
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear")
+    try {
+      val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      graft.operators.Scale.writeZOrderLayout(ev, zDir.toString, "user_id", "value",
+        nFiles = 16)
+      graft.operators.Scale.writeRangeLayout(ev, linDir.toString, Seq("user_id"),
+        nFiles = 16)
+      assert(spark.read.parquet(zDir.toString).count() == ev.count())
+      def valueSpans(dir: java.nio.file.Path): Array[(Double, Double)] = {
+        val stream = java.nio.file.Files.list(dir)
+        val files =
+          try stream.filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+          finally stream.close()
+        files.map { f =>
+          val r = spark.read.parquet(f).agg(min("value"), max("value")).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+      }
+      // a predicate on value ONLY: which files could min/max stats skip?
+      val vr = ev.agg(min("value"), max("value")).head()
+      val (vlo, vhi) = (vr.getDouble(0), vr.getDouble(1))
+      val boxLo = vlo + (vhi - vlo) * 0.4
+      val boxHi = vlo + (vhi - vlo) * 0.6
+      def hits(spans: Array[(Double, Double)]): Int =
+        spans.count { case (lo, hi) => hi >= boxLo && lo <= boxHi }
+      val (zSpans, linSpans) = (valueSpans(zDir), valueSpans(linDir))
+      // user_id-sorted files each span ~the full value domain — no skipping
+      assert(hits(linSpans) == linSpans.length,
+        s"1-D layout unexpectedly skipped value-range files: ${linSpans.toSeq}")
+      // z-ordered files tile both dimensions — a middle-20% value slab
+      // must leave at least half the files skippable by footer stats
+      assert(hits(zSpans) <= zSpans.length / 2,
+        s"z-order pruned too little: ${hits(zSpans)} of ${zSpans.length} files hit")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(zDir.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(linDir.toFile)
+    }
+  }
+
   test("range layout yields disjoint per-file key ranges (min/max pruning works)") {
     val out = java.nio.file.Files.createTempDirectory("graft-layout")
     try {
