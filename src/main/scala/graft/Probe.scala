@@ -199,8 +199,11 @@ object Probe {
     sections.foreach { case (name, desc) =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name ($desc)\n\n```\n")
+      // serialized-sketch literals (bloom bits) are hundreds of KB of hex
+      // — elide them; the plan SHAPE is what this file documents
       sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).trim)
+        org.apache.spark.sql.execution.FormattedMode).trim
+        .replaceAll("0x[0-9A-F]{256,}", "0x<sketch-bits elided>"))
       sb.append("\n```\n")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/PLANS.md"),
