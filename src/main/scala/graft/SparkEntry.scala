@@ -117,7 +117,8 @@ object SparkEntry {
     // PQ ANN: sampled-kmeans codebooks → approximate by construction →
     // rows-only gate + recall/compression specs (the IVF treatment)
     "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d)),
-    "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d))
+    "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d)),
+    "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -222,6 +223,9 @@ object SparkEntry {
     "scd2_history" -> Scd.oScd2,
     "scd2_apply" -> Scd.oScd2,
     "dedup_incremental" -> IncrementalDedup.oIncrementalDedup,
-    "bloom_semi_join" -> Scale.oBloomSemiJoin
+    "bloom_semi_join" -> Scale.oBloomSemiJoin,
+    // the merged rollup must equal a from-scratch recompute, so the
+    // oracle recomputes over all events
+    "agg_incremental_merge" -> Rollup.oIncrementalRollup
   )
 }
