@@ -118,7 +118,8 @@ object SparkEntry {
     // rows-only gate + recall/compression specs (the IVF treatment)
     "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d)),
-    "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d))
+    "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,6 +227,7 @@ object SparkEntry {
     "bloom_semi_join" -> Scale.oBloomSemiJoin,
     // the merged rollup must equal a from-scratch recompute, so the
     // oracle recomputes over all events
-    "agg_incremental_merge" -> Rollup.oIncrementalRollup
+    "agg_incremental_merge" -> Rollup.oIncrementalRollup,
+    "text_normalize" -> TextAnalysis.oTextNormalize
   )
 }

@@ -317,6 +317,31 @@ object TextAnalysis {
        |ORDER BY train_doc, test_doc""".stripMargin
   }
 
+  /** Canonicalization pass: Unicode NFC (native [[graft.plans.NormalizeText]]
+    * expression), then the accent-stripped / lowercased / whitespace-
+    * collapsed "folded" form every digest operator should hash at a
+    * multilingual 100 TB scale. Map-only, whole-stage codegen throughout.
+    * The fixture corpus is ASCII, so the ORACLE pins only the engine
+    * wiring; the Unicode semantics (composed ≡ decomposed, ligature
+    * folding, accent strip) are spec-pinned on planted strings in
+    * `PlanSpec`. */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.plans.NormalizeText.normalizeText(col("text"))
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        nfc.as("nfc_text"),
+        trim(regexp_replace(
+          graft.plans.NormalizeText.stripAccents(lower(nfc)), "\\s+", " "))
+          .as("folded_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oTextNormalize: String =
+    raw"""SELECT doc_id, nfc_normalize(text) AS nfc_text,
+      |  trim(regexp_replace(strip_accents(lower(nfc_normalize(text))),
+      |    '\s+', ' ', 'g')) AS folded_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Full DuckDB twin of the winnowing overlap query (w=4, minShared=2,
     * maxFpDocFreq=100): same md5-derived shingle hashes (md5u56Sql),
     * window minima via list slices, distinct fingerprints, hot-

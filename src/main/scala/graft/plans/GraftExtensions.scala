@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * effect at session construction).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimFunction)
+    ext.injectFunction(GraftExtensions.normalizeTextFunction)
+  }
 }
 
 object GraftExtensions {
@@ -33,9 +35,25 @@ object GraftExtensions {
       CosineSimilarity(args.head, args(1))
     })
 
+  /** (identifier, info, builder) for `normalize_text(s[, 'NFC'])`; the
+    * form argument must be a foldable string literal. */
+  val normalizeTextFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("normalize_text"),
+    new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+    (args: Seq[Expression]) => args match {
+      case Seq(s) => NormalizeText(s, "NFC")
+      case Seq(s, f) if f.foldable =>
+        NormalizeText(s, f.eval().toString)
+      case _ => throw new IllegalArgumentException(
+        "normalize_text expects (string[, literal form])")
+    })
+
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimFunction
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(cosineSimFunction, normalizeTextFunction).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
   }
 }

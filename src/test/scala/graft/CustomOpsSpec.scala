@@ -84,6 +84,38 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(viaSql == viaDsl && math.abs(viaSql - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("normalize_text: composed and decomposed forms hash identically after NFC") {
+    import graft.plans.NormalizeText.{normalizeText, stripAccents}
+    val composed = "caf\u00e9"             // é as U+00E9
+    val decomposed = "cafe\u0301"          // e + combining acute
+    val df = Seq((composed, decomposed)).toDF("a", "b")
+    val r = df.select(
+      normalizeText($"a").as("na"), normalizeText($"b").as("nb"),
+      md5(normalizeText($"a")).as("ha"), md5(normalizeText($"b")).as("hb"),
+      stripAccents($"a").as("sa")).head()
+    assert(r.getAs[String]("na") == r.getAs[String]("nb"))
+    assert(r.getAs[String]("ha") == r.getAs[String]("hb"),
+      "digest dedup must see one document, not two")
+    assert(r.getAs[String]("sa") == "cafe")
+    // raw strings really differ (the test would be vacuous otherwise)
+    assert(composed != decomposed)
+  }
+
+  test("normalize_text NFKC folds ligatures and width variants; SQL surface works") {
+    import graft.plans.NormalizeText.normalizeText
+    val df = Seq(("\ufb01le \uff21")).toDF("s") // ﬁ ligature + fullwidth A
+    assert(df.select(normalizeText($"s", "NFKC")).head().getString(0) == "file A")
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT normalize_text('cafe\u0301') = normalize_text('caf\u00e9') AS same")
+      .head().getBoolean(0)
+    assert(viaSql)
+    intercept[IllegalArgumentException] {
+      graft.plans.NormalizeText(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
+
   test("grouping-sets gid distinguishes a NULL-valued subtotal from the grand total") {
     import spark.implicits._
     // event_type NULL is legitimate data (Silver.clean passes it through):
