@@ -145,6 +145,15 @@ object Probe {
           drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
         }
       } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")
+      if (want("passages")) time("passage dedup (linear, no pair join)") {
+        drain(graft.operators.Passages.passageDedup(docs))
+      }
+      if (want("incremental")) time("incremental dedup (batch vs corpus bands)") {
+        val tagged = TextAnalysis.withSplit(docs)
+        drain(graft.operators.IncrementalDedup.incrementalDedup(
+          tagged.filter(col("split") === "train"),
+          tagged.filter(col("split") =!= "train")))
+      }
       if (want("curate")) time("curate() end-to-end") {
         val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
         println(s"[corpus] curate @ $n docs: ${Curation.curate(docs, out)}")

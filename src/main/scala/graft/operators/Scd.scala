@@ -73,22 +73,26 @@ object Scd {
     * (open row as a seed pseudo-event + its batch events); batch-only
     * keys build fresh. Result is row-identical to rebuilding from the
     * full event log. */
-  def scd2Apply(history: DataFrame, batchOrders: DataFrame): DataFrame = {
-    val batch = events(batchOrders)
-    val keys = batch.select(col(key)).distinct()
-    val current = history.filter(col("is_current"))
-    val touchedCurrent = current.join(keys, Seq(key), "left_semi")
-    val untouchedCurrent = current.join(keys, Seq(key), "left_anti")
-    val closed = history.filter(!col("is_current"))
-    // the open version re-enters the collapse as a seed event carrying its
-    // version number; a tie below any real order key pins it first when a
-    // batch event lands on the same timestamp
-    val seeds = touchedCurrent.select(col(key), col("priority"),
-      col("valid_from").as("ts"), lit(-1L).as("tie"),
-      col("version").as("v0"))
-    val rebuilt = buildFromEvents(seeds.unionByName(batch))
-    closed.unionByName(untouchedCurrent).unionByName(rebuilt)
-  }
+  def scd2Apply(history: DataFrame, batchOrders: DataFrame): DataFrame =
+    // history feeds FOUR legs (closed, untouched-current, touched-current,
+    // seeds); cached so its build (or table scan) runs once, not per leg —
+    // in production history is a materialized table and this is a no-op
+    Dedup.withCached(history) { h =>
+      val batch = events(batchOrders)
+      val keys = batch.select(col(key)).distinct()
+      val current = h.filter(col("is_current"))
+      val touchedCurrent = current.join(keys, Seq(key), "left_semi")
+      val untouchedCurrent = current.join(keys, Seq(key), "left_anti")
+      val closed = h.filter(!col("is_current"))
+      // the open version re-enters the collapse as a seed event carrying its
+      // version number; a tie below any real order key pins it first when a
+      // batch event lands on the same timestamp
+      val seeds = touchedCurrent.select(col(key), col("priority"),
+        col("valid_from").as("ts"), lit(-1L).as("tie"),
+        col("version").as("v0"))
+      val rebuilt = buildFromEvents(seeds.unionByName(batch))
+      closed.unionByName(untouchedCurrent).unionByName(rebuilt)
+    }
 
   private val outOrder = Seq(col(key), col("version"))
 
