@@ -34,10 +34,12 @@ object Bench {
       require(f.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names no known queries: ${unknown.mkString(", ")}")
     }
-    // sim_cosine_topk (the compose-from-builtins variant) is bit-identical to
-    // the native-kernel twin but 8.8x slower; it stays in `queries` as the
-    // kernel's oracle twin yet is excluded from the benched set so the round
-    // total doesn't pay for a redundant measurement. Reachable explicitly via
+    // sim_cosine_topk (the compose-from-builtins variant) is bit-identical
+    // to the native-kernel twin — and since Similarity.dot moved onto the
+    // native DotProduct kernel, speed-identical too (0.49 s vs 0.49 s;
+    // the HOF form it originally benched was 8.8x slower). It stays in
+    // `queries` as the kernel's oracle twin yet is excluded from the
+    // benched set as a redundant measurement. Reachable explicitly via
     // SPARK_GRAFT_ONLY=sim_cosine_topk.
     val benchExcluded = Set("sim_cosine_topk")
     val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(

@@ -65,6 +65,8 @@ object SparkEntry {
     "range_join_followups" -> ((s, d) => Ranged.qEventFollowups(s, d)),
     // approximate by construction (cell pruning) → rows-only gate
     "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d)),
+    // per-query score-gap probe breadth (same no-oracle class)
+    "sim_ivf_adaptive_topk" -> ((s, d) => Ivf.qIvfTopKAdaptive(s, d)),
     "setop_intersect" -> ((s, d) => Advanced.qSetIntersect(s, d)),
     "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d)),
     "window_event_deltas" -> ((s, d) => Advanced.qEventDeltas(s, d)),

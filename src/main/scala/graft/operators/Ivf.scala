@@ -50,21 +50,26 @@ object Ivf {
     }
   }
 
-  /** Array of the nProbe highest-dot cells as (score, cell) structs,
-    * best first. Struct ordering sorts by score then cell id — a
-    * deterministic tiebreak for free. */
-  def probeCells(emb: Column, cents: Seq[Array[Double]], nProbe: Int): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+  /** (score, cell) structs, one per centroid — struct ordering compares
+    * score then cell id, a deterministic tiebreak for free. */
+  private def scoredCells(emb: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
       struct(
         Similarity.dot(emb, array(c.map(lit).toIndexedSeq: _*)).as("score"),
         lit(i).as("cell"))
     }: _*)
-    slice(sort_array(scored, asc = false), 1, nProbe)
-  }
 
-  /** The single best cell — the coarse-quantizer assignment. */
+  /** Array of the nProbe highest-dot cells as (score, cell) structs,
+    * best first. */
+  def probeCells(emb: Column, cents: Seq[Array[Double]], nProbe: Int): Column =
+    slice(sort_array(scoredCells(emb, cents), asc = false), 1, nProbe)
+
+  /** The single best cell — the coarse-quantizer assignment. `array_max`
+    * is the O(cells) argmax with the same (score, cell) tiebreak the
+    * descending sort had, minus the sort — this runs once per CORPUS row,
+    * so it's the hot half of the quantizer. */
   def cellOf(emb: Column, cents: Seq[Array[Double]]): Column =
-    element_at(probeCells(emb, cents, 1), 1).getField("cell")
+    array_max(scoredCells(emb, cents)).getField("cell")
 
   /** IVF cosine top-k: exact cosine within the probed cells. Approximate
     * by construction (a true neighbor can live outside every probed
@@ -95,6 +100,53 @@ object Ivf {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Per-query adaptive probe breadth — the score-gap rule: probe every
+    * cell whose coarse score clears `best − margin`, capped at
+    * `maxProbe`. A query that lands squarely inside one cell (big gap to
+    * the runner-up) scans 1–2 cells; a query near a cell boundary (the
+    * case where static nProbe loses recall) automatically widens. The
+    * cap keeps worst-case cost = static nProbe cost; the margin is in
+    * coarse-dot units (normalized centroids, so ∈ [−1, 1] cosine scale).
+    * The best cell always qualifies (best ≥ best − margin), so the scan
+    * is never empty. */
+  def adaptiveProbeCells(emb: Column, cents: Seq[Array[Double]],
+      maxProbe: Int = NProbe, margin: Double = AdaptiveMargin): Column = {
+    val probed = probeCells(emb, cents, maxProbe)
+    val best = element_at(probed, 1).getField("score")
+    filter(probed, s => s.getField("score") >= best - lit(margin))
+  }
+
+  /** Default score-gap margin: on normalized noise-like fixtures the
+    * coarse dots of rank-1 vs rank-6 cells differ by ~0.1–0.2, so 0.05
+    * prunes confident queries hard while keeping boundary queries wide. */
+  val AdaptiveMargin = 0.05
+
+  /** IVF top-k with per-query adaptive probe breadth. With
+    * `margin ≥ 2` (the full cosine range) every one of the `maxProbe`
+    * cells qualifies and this is EXACTLY [[ivfTopKWith]] — spec-pinned,
+    * so the adaptive rule's approximation is isolated and measurable,
+    * the same discipline as IVFPQ's nProbe = cells identity. */
+  def ivfTopKAdaptive(emb: DataFrame, cents: Seq[Array[Double]], k: Int,
+      nQueries: Int, maxProbe: Int = NProbe,
+      margin: Double = AdaptiveMargin): DataFrame = {
+    val n = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val cands = n.withColumn("cell", cellOf(col("embedding"), cents))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(adaptiveProbeCells(col("embedding"), cents, maxProbe, margin)
+          .getField("cell")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(cands, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Trained quantizers per dataset dir (training is deterministic, so
     * caching only skips recomputation — results are unchanged). */
   private val quantizers =
@@ -108,6 +160,12 @@ object Ivf {
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val cents = centroidsFor(dir, Tables.embeddings(spark, dir))
     ivfTopKWith(Tables.embeddings(spark, dir), cents, k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def qIvfTopKAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidsFor(dir, Tables.embeddings(spark, dir))
+    ivfTopKAdaptive(Tables.embeddings(spark, dir), cents, k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
   }
 

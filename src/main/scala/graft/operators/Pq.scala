@@ -14,10 +14,11 @@ import graft.Tables
   * split into [[M]] subvectors, each quantized to its nearest of [[K]]
   * per-subspace centroids, so a 64-float (256 B) embedding becomes M = 8
   * byte-sized codes — 32× smaller. Queries score candidates by
-  * asymmetric distance (ADC): the exact query against the candidate's
-  * RECONSTRUCTION from the codebooks, Σ_j q_j·c_{j,code_j}, then the top
-  * ADC candidates are re-ranked with exact cosine against the true
-  * vectors.
+  * asymmetric distance (ADC): each query builds its M×K lookup table of
+  * partial dots lut[j][c] = q_j·c_{j,c} ONCE, and a candidate scores as
+  * Σ_j lut[j][code_j] — M lookups and adds per candidate, never a
+  * reconstruction or a per-pair dot. The top ADC candidates are then
+  * re-ranked with exact cosine against the true vectors.
   *
   * Scale design: the codebooks are M·K·(D/M) doubles (1k values here) —
   * driver-trained on a bounded seeded sample and inlined as literal
@@ -66,8 +67,9 @@ object Pq {
 
   /** Nearest-centroid code for one subspace: argmin ‖s − c‖² ≡
     * argmin (½‖c‖² − s·c) — one dot per centroid, the ‖c‖² halves are
-    * driver-side constants. Struct sort gives a deterministic (score,
-    * idx) tiebreak like [[Ivf.probeCells]]. */
+    * driver-side constants. `array_min` over (d, idx) structs is the
+    * O(K) argmin with the same deterministic tiebreak a full sort would
+    * give, without sorting or copying the K-element array. */
   private def codeOf(sub: Column, codebook: Seq[Array[Double]]): Column = {
     val scored = array(codebook.zipWithIndex.map { case (c, i) =>
       struct(
@@ -75,7 +77,7 @@ object Pq {
           Similarity.dot(sub, array(c.map(lit).toIndexedSeq: _*))).as("d"),
         lit(i).as("idx"))
     }: _*)
-    element_at(sort_array(scored, asc = true), 1).getField("idx")
+    array_min(scored).getField("idx")
   }
 
   /** (vec_id, codes array<int>) — the 32×-compressed corpus. Map-only.
@@ -98,13 +100,37 @@ object Pq {
   }
 
   /** Reconstruction from codes: concat of the indexed centroids — a pure
-    * codebook-literal lookup, no vector data read. */
+    * codebook-literal lookup, no vector data read. Debug/inspection path;
+    * the ADC sweep never reconstructs (see [[adcOf]]). */
   def decode(codes: Column, books: Seq[Seq[Array[Double]]]): Column =
     concat((0 until M).map { j =>
       val bookLit = array(books(j).map(c =>
         array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
       element_at(bookLit, element_at(codes, j + 1) + 1)
     }: _*)
+
+  /** The per-query ADC lookup table: M × K partial dots
+    * lut[j][c] = q_j · c_{j,c}, computed ONCE per query row (M·K dots of
+    * length D/M). The query stays RAW: dot(q, recon) = ‖q‖·dot(q/‖q‖,
+    * recon), and a per-query positive scale can't change that query's
+    * ADC ranking — while the raw vector lets the re-rank cosine reuse
+    * the exact dot/(qn·cn) operand order of bruteForceTopK, bit-for-bit. */
+  private def lutFor(subCols: Seq[Column],
+      books: Seq[Seq[Array[Double]]]): Column =
+    array((0 until M).map { j =>
+      array(books(j).map(c =>
+        Similarity.dot(subCols(j), array(c.map(lit).toIndexedSeq: _*))): _*)
+    }: _*)
+
+  /** ADC score from the query's LUT and a candidate's codes:
+    * Σ_j lut[j][code_j] — M array lookups and adds per candidate, no
+    * reconstruction, no per-pair dot. Summed j = 0..M−1 left-to-right so
+    * the value is deterministic (and identical between the full sweep and
+    * the IVF-pruned sweep). */
+  private def adcOf(lut: Column, codes: Column): Column =
+    (0 until M).map(j =>
+      element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))
+      .reduceLeft(_ + _)
 
   /** PQ top-k: ADC sweep over the code table, top Refine·k per query,
     * exact-cosine re-rank of those against true vectors. */
@@ -113,30 +139,40 @@ object Pq {
 
   def pqTopKWith(emb: DataFrame, books: Seq[Seq[Array[Double]]], k: Int,
       nQueries: Int, dim: Int = 64): DataFrame = {
+    val d = dim / M
     val codes = encode(emb, books, dim)
-      .select(col("vec_id").as("neighbor_id"),
-        decode(col("codes"), books).as("recon"))
-    // the query stays RAW: dot(q, recon) = ‖q‖·dot(q/‖q‖, recon), and a
-    // per-query positive scale can't change that query's ADC ranking —
-    // while the raw vector lets the re-rank cosine reuse the exact
-    // dot/(qn·cn) operand order of bruteForceTopK, bit-for-bit
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("qn", Similarity.norm(col("qe")))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // query subvectors projected once (the same lambda-inlining
+    // discipline as encode — lutFor references each K times), then the
+    // LUT; the sweep side of the join carries only (query_id, lut)
+    val qsub = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: (0 until M).map { j =>
+        transform(slice(col("embedding"), j * d + 1, d),
+          x => x.cast("double")).as(s"qsub_$j")
+      }: _*)
+    val qlut = qsub.select(col("query_id"),
+      lutFor((0 until M).map(j => col(s"qsub_$j")), books).as("lut"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = q.crossJoin(codes)
+    // windowed rows stay narrow: (query_id, neighbor_id, adc) — the
+    // query vector rejoins only for the ≤ Refine·k·|Q| re-rank rows
+    val shortlist = broadcast(qlut).crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", Similarity.dot(col("qe"), col("recon")))
+      .select(col("query_id"), col("neighbor_id"),
+        adcOf(col("lut"), col("codes")).as("adc"))
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * Refine)
-      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"), col("adc"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val qvec = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
     val exact = emb
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .withColumn("cn", Similarity.norm(col("ce")))
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.join(exact, Seq("neighbor_id"))
+    shortlist.join(broadcast(qvec), Seq("query_id"))
+      .join(exact, Seq("neighbor_id"))
       .withColumn("cosine",
         Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wCos))
@@ -157,30 +193,40 @@ object Pq {
   def ivfPqTopKWith(emb: DataFrame, cents: Seq[Array[Double]],
       books: Seq[Seq[Array[Double]]], k: Int, nQueries: Int,
       nProbe: Int = Ivf.NProbe, dim: Int = 64): DataFrame = {
+    val d = dim / M
     val cands = encode(emb, books, dim)
       .join(emb.select(col("vec_id"),
         Ivf.cellOf(col("embedding"), cents).as("cell")), Seq("vec_id"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"),
-        decode(col("codes"), books).as("recon"))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("qn", Similarity.norm(col("qe")))
-      .withColumn("cell",
-        explode(Ivf.probeCells(col("qe"), cents, nProbe).getField("cell")))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val qsub = emb.filter(col("vec_id") < nQueries)
+      .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qe")) ++
+        (0 until M).map { j =>
+          transform(slice(col("embedding"), j * d + 1, d),
+            x => x.cast("double")).as(s"qsub_$j")
+        }: _*)
+    val qlut = qsub.select(col("query_id"),
+      lutFor((0 until M).map(j => col(s"qsub_$j")), books).as("lut"),
+      explode(Ivf.probeCells(col("qe"), cents, nProbe).getField("cell"))
+        .as("cell"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = q.join(cands, Seq("cell"))
+    val shortlist = broadcast(qlut).join(cands, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", Similarity.dot(col("qe"), col("recon")))
+      .select(col("query_id"), col("neighbor_id"),
+        adcOf(col("lut"), col("codes")).as("adc"))
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * Refine)
-      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"), col("adc"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val qvec = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
     val exact = emb
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .withColumn("cn", Similarity.norm(col("ce")))
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.join(exact, Seq("neighbor_id"))
+    shortlist.join(broadcast(qvec), Seq("query_id"))
+      .join(exact, Seq("neighbor_id"))
       .withColumn("cosine",
         Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wCos))

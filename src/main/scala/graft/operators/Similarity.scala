@@ -23,14 +23,16 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as an ordered left fold in double precision. */
+  /** Σ aᵢ·bᵢ as an ordered left fold in double precision — the native
+    * codegen'd kernel ([[graft.plans.DotProduct]]); bit-identical to the
+    * zip_with/aggregate composition it replaced, minus the per-element
+    * interpreted-lambda overhead that dominated the quantizer paths. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.DotProduct.dotNative(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** ‖a‖ = √(a·a) — the same acc += x·x fold the transform/aggregate
+    * composition ran, through the native kernel. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", norm(col("embedding")))

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /** Native Catalyst expression: cosine similarity of two float vectors.
   *
   * Why a custom Expression instead of the zip_with/aggregate composition
-  * (operators.Similarity.dot): the higher-order-function form allocates
+  * (what operators.Similarity.dot was before it moved onto the
+  * [[DotProduct]] kernel): the higher-order-function form allocates
   * an intermediate array per row-pair and interprets two lambdas per
   * element; this kernel runs a single fused loop over the raw float
   * arrays with no allocation, and participates in whole-stage codegen

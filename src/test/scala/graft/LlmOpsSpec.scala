@@ -191,6 +191,37 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(recall > scanned + 0.1, s"IVF recall $recall ≤ scanned fraction $scanned")
   }
 
+  test("adaptive IVF probe: full margin ≡ static nProbe; tight margin prunes cells, keeps recall") {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.trainCentroids(emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // margin ≥ 2 spans the whole cosine score range → every maxProbe cell
+    // qualifies; the adaptive rule must then be a no-op vs static nProbe
+    val full = Ivf.ivfTopKAdaptive(emb, cents, 5, 20,
+      maxProbe = Ivf.NProbe, margin = 2.0).collect().toSeq
+    val static0 = Ivf.ivfTopKWith(emb, cents, 5, 20).collect().toSeq
+    assert(full == static0, "margin=2 adaptive probe must equal static nProbe")
+    // the default margin must actually prune: mean probed cells strictly
+    // below the static breadth, never zero, never above maxProbe
+    val probed = emb.filter($"vec_id" < 50)
+      .select(size(Ivf.adaptiveProbeCells($"embedding", cents)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(probed.forall(n => n >= 1 && n <= Ivf.NProbe))
+    val mean = probed.sum.toDouble / probed.length
+    assert(mean < Ivf.NProbe, s"adaptive probe never pruned (mean $mean)")
+    // recall at the default margin still beats the (now smaller) scanned
+    // fraction — the boundary queries it keeps wide are the ones recall
+    // depends on
+    val bf = pairs(Similarity.bruteForceTopK(emb, 5, 50))
+    val ada = pairs(Ivf.ivfTopKAdaptive(emb, cents, 5, 50))
+    val recall = ada.intersect(bf).size.toDouble / bf.size
+    val scanned = mean / Ivf.Cells
+    assert(recall > scanned, s"adaptive recall $recall ≤ scanned fraction $scanned")
+  }
+
   test("PII scrub replaces emails/phones/IPs with placeholders and counts them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org or call 555-123-4567 from 10.0.0.7 now"),
