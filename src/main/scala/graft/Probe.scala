@@ -198,7 +198,9 @@ object Probe {
       "bm25_topk" -> "term-filtered tf + broadcast df + 1-row corpus scalar + top-k",
       "scd2_apply" -> "incremental SCD2 merge: closed rows pass through, batch keys re-collapse",
       "bloom_semi_join" -> "bloom might_contain pushed to the big-side scan before the shuffle",
-      "dedup_incremental" -> "batch-vs-corpus band candidates (lineage view; shingled legs cached at execution)")
+      "dedup_incremental" -> "batch-vs-corpus band candidates (lineage view; shingled legs cached at execution)",
+      "sim_ivfpq_topk" -> "IVF cell-pruned PQ sweep: per-query ADC lookup table, codes-only candidates, exact re-rank",
+      "sim_ivf_adaptive_topk" -> "score-gap adaptive probe breadth over the IVF cells")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

@@ -137,26 +137,33 @@ object Pq {
   def pqTopK(emb: DataFrame, k: Int, nQueries: Int, dim: Int = 64): DataFrame =
     pqTopKWith(emb, trainCodebooks(emb, dim), k, nQueries, dim)
 
-  def pqTopKWith(emb: DataFrame, books: Seq[Seq[Array[Double]]], k: Int,
-      nQueries: Int, dim: Int = 64): DataFrame = {
+  /** The per-query LUT frame: (query_id, lut). Query subvectors are
+    * projected once (the same lambda-inlining discipline as encode —
+    * lutFor references each K times). */
+  private def queryLuts(emb: DataFrame, books: Seq[Seq[Array[Double]]],
+      nQueries: Int, dim: Int): DataFrame = {
     val d = dim / M
-    val codes = encode(emb, books, dim)
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
-    // query subvectors projected once (the same lambda-inlining
-    // discipline as encode — lutFor references each K times), then the
-    // LUT; the sweep side of the join carries only (query_id, lut)
     val qsub = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id") +: (0 until M).map { j =>
         transform(slice(col("embedding"), j * d + 1, d),
           x => x.cast("double")).as(s"qsub_$j")
       }: _*)
-    val qlut = qsub.select(col("query_id"),
+    qsub.select(col("query_id"),
       lutFor((0 until M).map(j => col(s"qsub_$j")), books).as("lut"))
+  }
+
+  /** ADC sweep + exact re-rank against an arbitrary (neighbor_id, codes)
+    * table — shared by the encode-inline path ([[pqTopKWith]]) and the
+    * persisted-code-table serving path ([[pqTopKFromCodes]]). */
+  private def sweep(codes: DataFrame, emb: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int, nQueries: Int,
+      dim: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     // windowed rows stay narrow: (query_id, neighbor_id, adc) — the
     // query vector rejoins only for the ≤ Refine·k·|Q| re-rank rows
-    val shortlist = broadcast(qlut).crossJoin(codes)
+    val shortlist = broadcast(queryLuts(emb, books, nQueries, dim))
+      .crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         adcOf(col("lut"), col("codes")).as("adc"))
@@ -180,6 +187,34 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("cosine"),
         col("rank"))
   }
+
+  def pqTopKWith(emb: DataFrame, books: Seq[Seq[Array[Double]]], k: Int,
+      nQueries: Int, dim: Int = 64): DataFrame =
+    sweep(encode(emb, books, dim)
+      .select(col("vec_id").as("neighbor_id"), col("codes")),
+      emb, books, k, nQueries, dim)
+
+  /** The 100 TB serving layout: codebooks trained once, the corpus
+    * encoded once and persisted as (vec_id, codes) — 8 ints per vector,
+    * the 32×-compressed hot table. Returns the codebooks the codes were
+    * built with (queries must build their LUTs from the same books).
+    * Mirrors [[Ivf.writeClustered]]'s build-once discipline. */
+  def writeCodes(emb: DataFrame, path: String,
+      dim: Int = 64): Seq[Seq[Array[Double]]] = {
+    val books = trainCodebooks(emb, dim)
+    encode(emb, books, dim).write.mode("overwrite").parquet(path)
+    books
+  }
+
+  /** Top-k against a persisted code table: the sweep scans ONLY the code
+    * parquet; true vectors are touched just for the ≤ Refine·k·|Q|
+    * re-rank rows. Same codebooks ⇒ codes identical to an inline encode
+    * ⇒ same results as [[pqTopKWith]] (spec-pinned). */
+  def pqTopKFromCodes(codes: DataFrame, emb: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int, nQueries: Int,
+      dim: Int = 64): DataFrame =
+    sweep(codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+      emb, books, k, nQueries, dim)
 
   /** IVFPQ — the FAISS composition of the two index legs: the IVF coarse
     * quantizer prunes candidates to the queries' nProbe cells, and PQ

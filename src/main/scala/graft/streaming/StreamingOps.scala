@@ -155,6 +155,36 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming admission gate for the curation family: each micro-batch
+    * of incoming documents is classified against a STATIC settled corpus
+    * (exact_dup / near_dup / kept) by running
+    * [[graft.operators.IncrementalDedup.incrementalDedup]] inside
+    * foreachBatch. The gate's per-side groupBy band signatures plus the
+    * candidate-verification re-joins are a multi-aggregation shape
+    * streaming append mode can't plan as one continuous query — the same
+    * reason [[streamToGold]] uses foreachBatch. The checkpoint makes
+    * replays re-deliver the same batch to an idempotent consumer rather
+    * than double-classify.
+    *
+    * Horizon semantics (deliberate): the corpus index is static WITHIN
+    * the stream — the daily-settled shape incrementalDedup documents.
+    * Docs admitted by batch N are not visible to batch N+1 until the
+    * corpus table is refreshed out-of-band; the refresh cadence, not
+    * this operator, sets the dedup horizon. (In-stream self-dedup is
+    * [[dedupStream]]'s watermarked job.) */
+  def dedupGateStream(docs: DataFrame, corpus: DataFrame, checkpoint: String,
+      threshold: Double = 0.8)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.operators.IncrementalDedup
+          .incrementalDedup(corpus, batch, threshold), batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch twin of sessionize (same semantics via window functions) — the
     * correctness oracle for the stateful operator and the backfill path. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

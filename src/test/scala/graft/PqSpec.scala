@@ -47,6 +47,17 @@ class PqSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("persisted code table serves the identical top-k (encode-once layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-codes").toString
+    val booksW = Pq.writeCodes(emb, dir)
+    val codes = spark.read.parquet(dir)
+    // the serving scan reads 8 ints per vector, never an embedding
+    assert(codes.schema.fieldNames.toSet == Set("vec_id", "codes"))
+    val served = Pq.pqTopKFromCodes(codes, emb, booksW, 5, 20).collect().toSeq
+    val inline = Pq.pqTopKWith(emb, booksW, 5, 20).collect().toSeq
+    assert(served == inline, "persisted codes must serve the inline-encode results")
+  }
+
   test("IVFPQ with nProbe = cells recovers the full ADC sweep exactly") {
     val cents = graft.operators.Ivf.trainCentroids(emb)
     val full = Pq.pqTopKWith(emb, books, 5, 20).collect().toSeq

@@ -258,6 +258,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("scrub_out").count() == batchDocs.count())
   }
 
+  test("streaming dedup gate classifies micro-batches exactly like the batch incremental dedup") {
+    import graft.operators.{IncrementalDedup, TextAnalysis}
+    val tagged = TextAnalysis.withSplit(Tables.documents(spark, sf))
+    val corpus = tagged.filter($"split" === "train").select("doc_id", "text")
+    val incoming = tagged.filter($"split" =!= "train").select("doc_id", "text")
+    // 3 files + maxFilesPerTrigger=1 → 3 micro-batches: per-doc status
+    // depends only on the static corpus, so batch boundaries must not
+    // change any verdict
+    val d = Files.createTempDirectory("graft-gate-in").toString
+    incoming.repartition(3).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val cp = Files.createTempDirectory("graft-gate-cp").toString
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var batches = 0
+    val q = StreamingOps.dedupGateStream(stream, corpus, cp) { (res, _) =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getString(1)))
+      batches += 1
+    }
+    q.awaitTermination()
+    assert(batches >= 3, s"expected ≥3 micro-batches, saw $batches")
+    val expected = IncrementalDedup.incrementalDedup(corpus, incoming)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.size == expected.size, "every incoming doc classified exactly once")
+    assert(got.toSet == expected, "stream and batch classifications must agree")
+    // replay safety: the classification stream is fully checkpointed —
+    // restarting over the same input re-classifies nothing
+    var replayed = 0
+    val q2 = StreamingOps.dedupGateStream(
+      spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(d), corpus, cp) { (res, _) =>
+      replayed += res.count().toInt
+    }
+    q2.awaitTermination()
+    assert(replayed == 0, s"checkpointed restart re-classified $replayed docs")
+  }
+
   test("multimodal partition-batch decode matches the expression stub shape") {
     val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
       .as[graft.operators.Multimodal.Media]
