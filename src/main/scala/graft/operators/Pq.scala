@@ -87,16 +87,25 @@ object Pq {
     * would re-evaluate per centroid — the same lambda-inlining trap
     * TextAnalysis.winnowed documents; the projection boundary pins one
     * evaluation each. */
-  def encode(emb: DataFrame, books: Seq[Seq[Array[Double]]], dim: Int): DataFrame = {
+  def encode(emb: DataFrame, books: Seq[Seq[Array[Double]]], dim: Int): DataFrame =
+    encodeExtra(emb, books, dim)
+
+  /** encode() plus caller-supplied per-row columns computed in the SAME
+    * corpus pass (IVFPQ rides its coarse cell assignment here — one scan
+    * producing (vec_id, codes, cell), no self-join of two emb
+    * derivations). `extra` columns may reference `embedding`. */
+  private def encodeExtra(emb: DataFrame, books: Seq[Seq[Array[Double]]],
+      dim: Int, extra: (String, Column => Column)*): DataFrame = {
     val d = dim / M
     val subs = emb.withColumn("nrm", Similarity.norm(col("embedding")))
-      .select(col("vec_id") +: (0 until M).map { j =>
+      .select(Seq(col("vec_id"), col("embedding")) ++ (0 until M).map { j =>
         transform(slice(col("embedding"), j * d + 1, d),
           x => x.cast("double") / col("nrm")).as(s"sub_$j")
       }: _*)
-    subs.select(col("vec_id"), array((0 until M).map { j =>
+    subs.select(Seq(col("vec_id"), array((0 until M).map { j =>
       codeOf(col(s"sub_$j"), books(j))
-    }: _*).as("codes"))
+    }: _*).as("codes")) ++
+      extra.map { case (n, f) => f(col("embedding")).as(n) }: _*)
   }
 
   /** Reconstruction from codes: concat of the indexed centroids — a pure
@@ -229,9 +238,8 @@ object Pq {
       books: Seq[Seq[Array[Double]]], k: Int, nQueries: Int,
       nProbe: Int = Ivf.NProbe, dim: Int = 64): DataFrame = {
     val d = dim / M
-    val cands = encode(emb, books, dim)
-      .join(emb.select(col("vec_id"),
-        Ivf.cellOf(col("embedding"), cents).as("cell")), Seq("vec_id"))
+    val cands = encodeExtra(emb, books, dim,
+      "cell" -> (e => Ivf.cellOf(e, cents)))
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     val qsub = emb.filter(col("vec_id") < nQueries)
       .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qe")) ++
