@@ -121,7 +121,8 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d)),
     "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
-    "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d))
+    "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d)),
+    "curation_chunks" -> ((s, d) => Passages.qChunks(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,6 +231,7 @@ object SparkEntry {
     // the merged rollup must equal a from-scratch recompute, so the
     // oracle recomputes over all events
     "agg_incremental_merge" -> Rollup.oIncrementalRollup,
-    "text_normalize" -> TextAnalysis.oTextNormalize
+    "text_normalize" -> TextAnalysis.oTextNormalize,
+    "curation_chunks" -> Passages.oChunks
   )
 }

@@ -72,6 +72,73 @@ object Passages {
   def qPassageDedup(spark: SparkSession, dir: String): DataFrame =
     passageDedup(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- chunks
+
+  /** Chunk width / stride in words for [[chunks]]. Stride < width gives
+    * the overlap (width − stride words) that RAG and embedding pipelines
+    * keep so no sentence is split across a hard boundary without context
+    * on either side. */
+  val ChunkWords = 64
+  val ChunkStride = 48
+
+  /** Sliding-window chunking with overlap — the chunk-for-embedding step
+    * of a training/RAG pipeline (reference stores documents whole:
+    * documents.parquet per TESTDATA.md; chunking is the first derived
+    * granularity an embedding stage needs).
+    *
+    * Chunk `i` covers words `[i·stride, i·stride + width)`; the chunk
+    * count `1 + ceil(max(n − width, 0) / stride)` ends exactly at the
+    * first window that reaches the document tail. With stride < width
+    * the tail chunk always carries ≥ width − stride + 1 words — there is
+    * no runt-chunk drop rule to tune (a property of counting from
+    * `n − width`, not `n`).
+    *
+    * Scale shape (100 TB): map-only — one scan, per-row sequence +
+    * slice, one posexplode; no shuffle at all. The chunk-count and word
+    * arrays are pinned behind projection boundaries so the transform
+    * lambda doesn't re-split the text per chunk (the lambda-inlining
+    * trap [[TextAnalysis]] documents). Downstream embedding/indexing
+    * repartitions by whatever key it needs; chunking itself adds zero
+    * exchanges. */
+  def chunks(docs: DataFrame,
+      width: Int = ChunkWords, stride: Int = ChunkStride): DataFrame = {
+    require(stride > 0 && stride <= width, s"stride $stride vs width $width")
+    val ws = TextFns.words(col("text"))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n"), col("ws"),
+        (lit(1) + ceil(greatest(size(col("ws")) - width, lit(0)) /
+          lit(stride.toDouble)).cast("int")).as("n_chunks"))
+      .select(col("doc_id"), col("n"), posexplode(
+        transform(sequence(lit(0), col("n_chunks") - 1),
+          i => array_join(slice(col("ws"), i * stride + 1, lit(width)), " ")))
+        .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(width), col("n") - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"),
+        col("chunk_text"))
+  }
+
+  def qChunks(spark: SparkSession, dir: String): DataFrame =
+    chunks(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  def oChunks: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(ws) AS n, ws,
+      |         1 + CAST(ceil(greatest(len(ws) - $ChunkWords, 0) / $ChunkStride.0)
+      |               AS BIGINT) AS n_chunks
+      |  FROM w)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |       CAST(least($ChunkWords, n - i*$ChunkStride) AS BIGINT) AS n_tokens,
+      |       array_to_string(ws[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWords], ' ')
+      |         AS chunk_text
+      |FROM c, unnest(range(0, n_chunks)) AS t(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   def oPassageDedup: String =
     raw"""WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

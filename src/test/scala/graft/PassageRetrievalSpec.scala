@@ -42,6 +42,36 @@ class PassageRetrievalSpec extends SparkSpecBase {
     assert(out(1).getAs[String]("cleaned_text") == "")
   }
 
+  test("chunks: overlap stitches back to the original and tail is never a runt") {
+    // 150 words, width 64 / stride 48 → chunks at 0/48/96 and the count
+    // formula stops there: 1 + ceil((150-64)/48) = 3
+    val words = (1 to 150).map(i => s"w$i")
+    val out = Passages.chunks(corpus(1L -> words.mkString(" ")))
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(64L, 64L, 54L))
+    // each chunk is exactly the slice starting at i*stride
+    out.zipWithIndex.foreach { case (r, i) =>
+      val expect = words.slice(i * Passages.ChunkStride,
+        i * Passages.ChunkStride + Passages.ChunkWords).mkString(" ")
+      assert(r.getAs[String]("chunk_text") == expect)
+    }
+    // consecutive chunks overlap by width − stride words
+    val o01 = out(0).getAs[String]("chunk_text").split(" ").toSeq
+      .intersect(out(1).getAs[String]("chunk_text").split(" ").toSeq)
+    assert(o01.length == Passages.ChunkWords - Passages.ChunkStride)
+  }
+
+  test("chunks: short doc yields one chunk; tail ≥ width − stride + 1 words") {
+    val short = Passages.chunks(corpus(1L -> "a b c")).collect()
+    assert(short.length == 1 && short(0).getAs[Long]("n_tokens") == 3L)
+    // worst-case tail: n = width + k*stride + 1 → tail = width − stride + 1
+    val n = Passages.ChunkWords + Passages.ChunkStride + 1
+    val tail = Passages.chunks(corpus(1L -> (1 to n).map("t" + _).mkString(" ")))
+      .orderBy("chunk_id").collect().last
+    assert(tail.getAs[Long]("n_tokens") == Passages.ChunkWords - Passages.ChunkStride + 1)
+  }
+
   test("bm25 ranks the term-dense short doc above a diluted long one") {
     // doc 1: query term 'spark' 3 times in 4 words; doc 2: once in 12 words;
     // doc 3: no query terms at all (must be absent from the result)
