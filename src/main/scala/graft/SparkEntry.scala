@@ -122,7 +122,9 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d)),
     "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d)),
-    "curation_chunks" -> ((s, d) => Passages.qChunks(s, d))
+    "curation_chunks" -> ((s, d) => Passages.qChunks(s, d)),
+    "embed_quantize_stats" -> ((s, d) => Quant.qQuantizeStats(s, d)),
+    "sim_quantized_topk" -> ((s, d) => Quant.qQuantizedTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,6 +234,8 @@ object SparkEntry {
     // oracle recomputes over all events
     "agg_incremental_merge" -> Rollup.oIncrementalRollup,
     "text_normalize" -> TextAnalysis.oTextNormalize,
-    "curation_chunks" -> Passages.oChunks
+    "curation_chunks" -> Passages.oChunks,
+    "embed_quantize_stats" -> Quant.oQuantizeStats,
+    "sim_quantized_topk" -> Quant.oQuantizedTopK
   )
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Symmetric per-vector int8 scalar quantization of embeddings — the
+  * standard 4× memory/bandwidth compression an embedding store applies
+  * before ANN serving (reference stores raw float vectors:
+  * embeddings.parquet per TESTDATA.md; int8 is the first compression
+  * tier, PQ ([[Pq]]) the second).
+  *
+  * Code `qᵢ = round(xᵢ / scale)` with `scale = max|x| / 127`, so codes
+  * span the full [−127, 127] range and at least one element saturates by
+  * construction. Everything downstream of the codes is DETERMINISTIC:
+  * scale is a max (order-independent), round is IEEE-double round-half-
+  * away-from-zero in both engines, and the reconstruction `qᵢ·scale`
+  * reproduces identical double bits — so both the diagnostics query and
+  * the quantized-domain top-k carry full DuckDB hash gates, unlike the
+  * sampled-k-means paths (PQ/IVF) that are approximate by construction.
+  *
+  * Scale shape (100 TB): quantization is map-only (one scan, zero
+  * shuffles); the serving top-k below re-derives dequantized vectors to
+  * keep the oracle twin exact, but a deployment stores the int8 codes +
+  * scale (4.1× smaller than float32) and scans those — the scan cost,
+  * not the arithmetic, is what the compression buys back.
+  */
+object Quant {
+
+  /** Half-range of the int8 code domain. */
+  val Levels = 127
+
+  /** Projection boundary after each derived column so the lambdas below
+    * see a bound attribute, not an inlined aggregate re-evaluated per
+    * element (the trap [[TextAnalysis]] documents for winnowing). */
+  private def withScale(emb: DataFrame, carry: String*): DataFrame = {
+    val kept = carry.map(col)
+    emb
+      .select(col("vec_id") +: kept :+
+        transform(col("embedding"), v => v.cast("double")).as("xd"): _*)
+      .select(col("vec_id") +: kept :+ col("xd") :+
+        (array_max(transform(col("xd"), v => abs(v))) / Levels.toDouble)
+          .as("scale"): _*)
+  }
+
+  /** `round(v/scale)·scale` — the reconstructed (dequantized) element.
+    * Guarded for the all-zero vector (scale 0 → reconstruct 0). */
+  private def deq(v: Column, scale: Column): Column =
+    when(scale === 0d, lit(0d)).otherwise(round(v / scale) * scale)
+
+  /** Per-vector quantization diagnostics: the scale, the ∞-norm
+    * reconstruction error, and how many elements saturate at ±127.
+    * Max/count reductions only — order-independent, so double-bit-exact
+    * against [[oQuantizeStats]]. */
+  def quantizeStats(emb: DataFrame): DataFrame =
+    withScale(emb)
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("xd"),
+          v => abs(v - deq(v, col("scale"))))).as("max_err"),
+        size(filter(col("xd"), v =>
+          when(col("scale") === 0d, lit(false))
+            .otherwise(abs(round(v / col("scale"))) === Levels.toDouble)))
+          .cast("long").as("n_sat"))
+
+  def qQuantizeStats(spark: SparkSession, dir: String): DataFrame =
+    quantizeStats(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  def oQuantizeStats: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, xd,
+       |         list_max(list_transform(xd, v -> abs(v))) / $Levels.0 AS scale
+       |  FROM x)
+       |SELECT vec_id, scale,
+       |  list_max(list_transform(xd, v -> abs(v -
+       |    CASE WHEN scale = 0 THEN 0 ELSE round(v/scale)*scale END))) AS max_err,
+       |  CAST(len(list_filter(xd, v -> CASE WHEN scale = 0 THEN false
+       |    ELSE abs(round(v/scale)) = $Levels.0 END)) AS BIGINT) AS n_sat
+       |FROM s ORDER BY vec_id""".stripMargin
+
+  /** Cosine top-k in the quantized domain: every vector replaced by its
+    * int8 reconstruction, then the same broadcast-queries × corpus scan
+    * + per-query window as [[Similarity.bruteForceTopK]], scored through
+    * the native fused dot kernel. Approximate vs the float top-k (recall
+    * is property-tested), but exactly reproducible — the oracle twin
+    * rebuilds identical dequantized bits. */
+  def quantizedTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val dq = withScale(emb, "label")
+      .select(col("vec_id"), col("label"),
+        transform(col("xd"), v => deq(v, col("scale"))).as("de"))
+      .withColumn("nrm", Similarity.norm(col("de")))
+    val q = dq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("de").as("qe"), col("nrm").as("qn"))
+    val c = dq.select(col("vec_id").as("neighbor_id"), col("de").as("ce"),
+      col("nrm").as("cn"), col("label").as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+  }
+
+  def qQuantizedTopK(spark: SparkSession, dir: String): DataFrame =
+    quantizedTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Full DuckDB twin of [[qQuantizedTopK]]: identical scale (max-based),
+    * identical round-half-away reconstruction, and the sequential-fold
+    * dot/norm idiom that is bit-exact vs the native kernel (see
+    * [[Similarity.oCosineTopK]]). */
+  def oQuantizedTopK: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, label, xd,
+       |         list_max(list_transform(xd, v -> abs(v))) / $Levels.0 AS scale
+       |  FROM x),
+       |d AS (
+       |  SELECT vec_id, label,
+       |         list_transform(xd, v -> CASE WHEN scale = 0 THEN 0
+       |           ELSE round(v/scale)*scale END) AS de
+       |  FROM s),
+       |n AS (
+       |  SELECT vec_id, label, de,
+       |    sqrt(list_sum(list_transform(de, v -> v * v))) AS nrm
+       |  FROM d),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.label AS neighbor_label,
+       |    list_sum(list_transform(list_zip(q.de, c.de),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM p)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Quant, Similarity}
 import graft.functions.TextFns
 
 /** Semantics tests for the training-data-pipeline operators: approximate
@@ -82,6 +82,41 @@ class LlmOpsSpec extends SparkSpecBase {
     // fixture embeddings are unclustered noise, so recall ≈ 0.45 is the
     // data's ceiling — assert we at least beat the scanned fraction.
     assert(recall > 0.31 + 0.04, s"recall $recall not better than scanned fraction")
+  }
+
+  test("int8 quantize stats on known vectors: codes, saturation, zero guard") {
+    // power-of-two components → every intermediate is an exact double
+    // apart from scale itself; expected values mirror the formula with
+    // hand-rounded codes (round half AWAY from zero: -63.5 → -64)
+    val df = Seq((1L, Array(8f, -4f, 1f, 0.5f)), (2L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Quant.quantizeStats(df).orderBy("vec_id").collect()
+    val scale = 8.0 / 127.0
+    val codes = Seq(127L, -64L, 16L, 8L)
+    val expErr = Seq(8.0, -4.0, 1.0, 0.5).zip(codes)
+      .map { case (x, q) => math.abs(x - q * scale) }.max
+    assert(out(0).getAs[Double]("scale") == scale)
+    assert(out(0).getAs[Double]("max_err") == expErr)
+    assert(out(0).getAs[Long]("n_sat") == 1L)
+    // all-zero vector: scale 0 → reconstruct 0, nothing saturates
+    assert(out(1).getAs[Double]("scale") == 0.0)
+    assert(out(1).getAs[Double]("max_err") == 0.0)
+    assert(out(1).getAs[Long]("n_sat") == 0L)
+  }
+
+  test("int8-quantized cosine top-k keeps high recall vs the float top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Similarity.bruteForceTopK(emb, 5, 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = Quant.quantizedTopK(emb, 5, 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(qz).size.toDouble / bf.size
+    // int8 keeps ~2 decimal digits per element; on 64-dim vectors the
+    // cosine perturbation is ~1e-3 — far below typical top-5 margins
+    assert(recall > 0.8, s"quantized recall $recall")
+    // every vector saturates its max element by construction
+    val minSat = Quant.quantizeStats(emb).agg(min("n_sat")).head().getLong(0)
+    assert(minSat >= 1L)
   }
 
   test("cosine is bit-exact on known vectors") {
