@@ -199,8 +199,10 @@ object Probe {
       "scd2_apply" -> "incremental SCD2 merge: closed rows pass through, batch keys re-collapse",
       "bloom_semi_join" -> "bloom might_contain pushed to the big-side scan before the shuffle",
       "dedup_incremental" -> "batch-vs-corpus band candidates (lineage view; shingled legs cached at execution)",
-      "sim_ivfpq_topk" -> "IVF cell-pruned PQ sweep: per-query ADC lookup table, codes-only candidates, exact re-rank",
-      "sim_ivf_adaptive_topk" -> "score-gap adaptive probe breadth over the IVF cells")
+      "sim_ivfpq_topk" -> "IVF cell-pruned PQ sweep: codes+cell from ONE encode scan (no self-join), per-query ADC lookup table, exact re-rank",
+      "sim_ivf_adaptive_topk" -> "score-gap adaptive probe breadth over the IVF cells",
+      "curation_chunks" -> "map-only sliding-window chunking: sequence+slice behind projection boundaries, zero shuffles",
+      "sim_quantized_topk" -> "int8-reconstructed cosine top-k: map-only dequantize, broadcast queries, per-query window")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
