@@ -88,10 +88,23 @@ object Quant {
     * the native fused dot kernel. Approximate vs the float top-k (recall
     * is property-tested), but exactly reproducible — the oracle twin
     * rebuilds identical dequantized bits. */
-  def quantizedTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
-    val dq = withScale(emb, "label")
+  /** The reconstructed corpus as the interpreted HOF composition — kept
+    * as the bit-exactness twin of the native kernel (spec-pinned equal),
+    * the same role the zip_with cosine plays for [[graft.plans.DotProduct]]. */
+  private[graft] def reconstructComposed(emb: DataFrame): DataFrame =
+    withScale(emb, "label")
       .select(col("vec_id"), col("label"),
         transform(col("xd"), v => deq(v, col("scale"))).as("de"))
+
+  /** One fused native pass: maxabs → scale → round-reconstruct
+    * ([[graft.plans.QuantReconstruct]]); replaces three interpreted
+    * lambdas per corpus row. */
+  private[graft] def reconstructNative(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      graft.plans.QuantReconstruct.reconstructNative(col("embedding")).as("de"))
+
+  def quantizedTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val dq = reconstructNative(emb)
       .withColumn("nrm", Similarity.norm(col("de")))
     val q = dq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("de").as("qe"), col("nrm").as("qn"))

@@ -119,6 +119,23 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(minSat >= 1L)
   }
 
+  test("native int8 reconstruct is bit-identical to the HOF composition") {
+    val emb = Tables.embeddings(spark, sf)
+    val native = Quant.reconstructNative(emb)
+    val composed = Quant.reconstructComposed(emb)
+    val diff = native.as("n").join(composed.as("c"), "vec_id")
+      .filter(col("n.de") =!= col("c.de"))
+    assert(diff.count() == 0L)
+    // exact-tie rounding: maxabs 127 → scale exactly 1.0, so ±2.5 are
+    // true binary ties and must go AWAY from zero; zero guard holds
+    val ties = Seq((1L, Array(127f, 2.5f, -2.5f, 1f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Quant.reconstructNative(ties.withColumn("label", lit("")))
+      .orderBy("vec_id").collect()
+    assert(got(0).getSeq[Double](2) == Seq(127.0, 3.0, -3.0, 1.0))
+    assert(got(1).getSeq[Double](2) == Seq(0.0, 0.0))
+  }
+
   test("cosine is bit-exact on known vectors") {
     val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(2.0f, 1.0f, 0.5f))).toDF("a", "b")
     val got = df.select(
