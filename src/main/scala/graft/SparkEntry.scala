@@ -124,7 +124,8 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d)),
     "curation_chunks" -> ((s, d) => Passages.qChunks(s, d)),
     "embed_quantize_stats" -> ((s, d) => Quant.qQuantizeStats(s, d)),
-    "sim_quantized_topk" -> ((s, d) => Quant.qQuantizedTopK(s, d))
+    "sim_quantized_topk" -> ((s, d) => Quant.qQuantizedTopK(s, d)),
+    "text_lm_score" -> ((s, d) => TextAnalysis.qLmScore(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,6 +237,7 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.oTextNormalize,
     "curation_chunks" -> Passages.oChunks,
     "embed_quantize_stats" -> Quant.oQuantizeStats,
-    "sim_quantized_topk" -> Quant.oQuantizedTopK
+    "sim_quantized_topk" -> Quant.oQuantizedTopK,
+    "text_lm_score" -> TextAnalysis.oLmScore
   )
 }

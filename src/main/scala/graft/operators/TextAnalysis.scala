@@ -370,4 +370,78 @@ object TextAnalysis {
        |HAVING count(*) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------- LM quality score
+
+  /** Corpus-frequency language-model quality score — the
+    * perplexity-filter signal (CCNet-style: docs whose n-grams are rare
+    * under a corpus LM are likely garbage), re-expressed so the gate can
+    * be EXACT across engines.
+    *
+    * Per char-trigram `t` with corpus count `c(t)`, the log-probability
+    * `ln c(t) − ln C` is quantized to the integer bucket
+    * `floor(log₂ c(t))`, computed as `length(bin(c)) − 1` — no libm call
+    * (whose last bit is implementation-defined) and no float at all. A
+    * document's score is the occurrence-weighted MEAN bucket of its
+    * trigrams: all-integer sums (associative — any aggregation order
+    * gives identical bits) with one final double division, so the DuckDB
+    * twin hash-matches exactly. Up to the bucketing granularity and the
+    * dropped `ln C` constant this ranks documents like mean log-prob;
+    * `rarest_bucket` (the min) is the "contains at least one
+    * never-seen-elsewhere trigram" flag a filter funnel would gate on.
+    *
+    * Scale shape (100 TB): the trigram explode is map-local; one shuffle
+    * for the per-doc trigram counts; the corpus vocabulary is bounded by
+    * charset³ (~20k observed) — broadcast back to the per-doc side, so
+    * scoring adds ONE aggregation shuffle on doc_id and no vocabulary-
+    * sized join exchange. Counts use the full corpus including the doc
+    * itself (train = score corpus, the usual first-pass setup).
+    */
+  def lmBucketScore(docs: DataFrame): DataFrame = {
+    val s = lower(trim(col("text")))
+    // explode the INDEX sequence and slice in a plain projection — the
+    // substr stays codegen'd; a transform(sequence, i => substr) lambda
+    // here ran interpreted per trigram and cost ~2 s at sf0.1
+    val tris = docs
+      .select(col("doc_id"), s.as("s"))
+      .select(col("doc_id"), col("s"), explode(
+        // sequence(1, n) runs DESCENDING when n < 1 — guard short docs
+        when(length(col("s")) >= 3, sequence(lit(1), length(col("s")) - 2))
+          .otherwise(array())).as("i"))
+      .select(col("doc_id"), col("s").substr(col("i"), lit(3)).as("tri"))
+    // perDoc feeds BOTH the vocabulary rollup and the scoring join —
+    // cache it once or the explode+aggregate runs twice
+    Dedup.withCached(tris.groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("n_occ"))) { perDoc =>
+      val vocab = perDoc.groupBy(col("tri"))
+        .agg(sum(col("n_occ")).as("cnt"))
+        .select(col("tri"), (length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+      perDoc.join(broadcast(vocab), Seq("tri"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n_occ")).as("n_tris"),
+          (sum(col("n_occ") * col("bucket")).cast("double") /
+            sum(col("n_occ")).cast("double")).as("avg_bucket"),
+          min(col("bucket")).as("rarest_bucket"))
+    }
+  }
+
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmBucketScore(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def oLmScore: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, lower(trim(text)) AS s FROM documents),
+      |g AS (
+      |  SELECT doc_id, substr(s, CAST(i AS INTEGER), 3) AS tri
+      |  FROM t, unnest(range(1, greatest(length(s) - 1, 1))) AS u(i)),
+      |d AS (SELECT doc_id, tri, count(*) AS n_occ FROM g GROUP BY 1, 2),
+      |c AS (SELECT tri, CAST(sum(n_occ) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      |b AS (SELECT tri, CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS bucket FROM c)
+      |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_tris,
+      |       CAST(sum(n_occ * bucket) AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE)
+      |         AS avg_bucket,
+      |       CAST(min(bucket) AS BIGINT) AS rarest_bucket
+      |FROM d JOIN b USING (tri)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Quant, Similarity}
+import graft.operators.{Dedup, Quant, Similarity, TextAnalysis}
 import graft.functions.TextFns
 
 /** Semantics tests for the training-data-pipeline operators: approximate
@@ -117,6 +117,29 @@ class LlmOpsSpec extends SparkSpecBase {
     // every vector saturates its max element by construction
     val minSat = Quant.quantizeStats(emb).agg(min("n_sat")).head().getLong(0)
     assert(minSat >= 1L)
+  }
+
+  test("LM bucket score: garbage trigrams rank below corpus-typical text") {
+    // ten docs sharing common running text, one junk doc of trigrams
+    // that appear nowhere else → junk gets the lowest mean bucket and a
+    // rarest_bucket of 0 (count-1 trigrams)
+    val natural = (1L to 10L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val junk = Seq((99L, "zq jx qv xz vj kq zx jq vq"))
+    val out = TextAnalysis.lmBucketScore((natural ++ junk).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_bucket"), r.getAs[Long]("rarest_bucket"))).toMap
+    val junkScore = out(99L)._1
+    assert((1L to 10L).forall(i => out(i)._1 > junkScore),
+      s"junk $junkScore should score below natural ${out(1L)._1}")
+    assert(out(99L)._2 == 0L, "junk doc must contain a count-1 trigram")
+    assert(out(1L)._2 > 0L, "shared text appears 10x -> no rare trigram")
+  }
+
+  test("LM bucket score: sub-trigram docs drop out instead of mis-sequencing") {
+    val out = TextAnalysis.lmBucketScore(
+      Seq((1L, "ab"), (2L, "abcd")).toDF("doc_id", "text")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+    assert(out(0).getAs[Long]("n_tris") == 2L)
   }
 
   test("native int8 reconstruct is bit-identical to the HOF composition") {
