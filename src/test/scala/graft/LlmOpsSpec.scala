@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Quant, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Overlap, Quant, Similarity, TextAnalysis}
 import graft.functions.TextFns
 
 /** Semantics tests for the training-data-pipeline operators: approximate
@@ -117,6 +117,31 @@ class LlmOpsSpec extends SparkSpecBase {
     // every vector saturates its max element by construction
     val minSat = Quant.quantizeStats(emb).agg(min("n_sat")).head().getLong(0)
     assert(minSat >= 1L)
+  }
+
+  test("corpus minhash sketch: union sketch = elementwise min of shard sketches") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Overlap.mergeSigs(Overlap.corpusSig(a), Overlap.corpusSig(b))
+      .collect()(0)
+    val whole = Overlap.corpusSig(docs).collect()(0)
+    (0 until Overlap.NFuncs).foreach { i =>
+      assert(merged.getAs[Long](s"h$i") == whole.getAs[Long](s"h$i"),
+        s"h$i: merged != whole-corpus sketch")
+    }
+  }
+
+  test("overlap estimate: identical corpora -> 1.0; estimate tracks exact") {
+    val sameSig = Overlap.corpusSig(docs).collect()(0)
+    val self = Overlap.mergeSigs(Overlap.corpusSig(docs), Overlap.corpusSig(docs))
+      .collect()(0)
+    (0 until Overlap.NFuncs).foreach(i =>
+      assert(self.getAs[Long](s"h$i") == sameSig.getAs[Long](s"h$i")))
+    val row = Overlap.overlapEstimate(docs).collect()(0)
+    val est = row.getAs[Double]("est_jaccard")
+    val exact = row.getAs[Double]("exact_jaccard")
+    // 64 functions -> stderr ~ sqrt(J(1-J)/64) ≈ 0.06; allow 4 sigma
+    assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
   }
 
   test("LM bucket score: garbage trigrams rank below corpus-typical text") {
