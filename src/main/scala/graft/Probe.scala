@@ -148,11 +148,27 @@ object Probe {
       if (want("passages")) time("passage dedup (linear, no pair join)") {
         drain(graft.operators.Passages.passageDedup(docs))
       }
+      if (want("chunks")) time("chunks (map-only sliding windows)") {
+        drain(graft.operators.Passages.chunks(docs))
+      }
+      if (want("lmscore")) time("lm bucket score (bounded-vocab broadcast)") {
+        drain(TextAnalysis.lmBucketScore(docs))
+      }
       if (want("incremental")) time("incremental dedup (batch vs corpus bands)") {
         val tagged = TextAnalysis.withSplit(docs)
         drain(graft.operators.IncrementalDedup.incrementalDedup(
           tagged.filter(col("split") === "train"),
           tagged.filter(col("split") =!= "train")))
+      }
+      if (want("quantize")) time("int8 reconstruct + quantized topk (vectors)") {
+        // replicate the 5k-vector embeddings table to the same multiple
+        // (1M vectors at the 200 tier); reconstruct is map-only, the
+        // top-k is the broadcast-queries corpus scan
+        val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+          .crossJoin(spark.range(mult).toDF("rep"))
+          .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+            col("embedding"), col("label"))
+        drain(graft.operators.Quant.quantizedTopK(emb, k = 5, nQueries = 50))
       }
       if (want("curate")) time("curate() end-to-end") {
         val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
@@ -202,7 +218,8 @@ object Probe {
       "sim_ivfpq_topk" -> "IVF cell-pruned PQ sweep: codes+cell from ONE encode scan (no self-join), per-query ADC lookup table, exact re-rank",
       "sim_ivf_adaptive_topk" -> "score-gap adaptive probe breadth over the IVF cells",
       "curation_chunks" -> "map-only sliding-window chunking: sequence+slice behind projection boundaries, zero shuffles",
-      "sim_quantized_topk" -> "int8-reconstructed cosine top-k: map-only dequantize, broadcast queries, per-query window")
+      "sim_quantized_topk" -> "int8-reconstructed cosine top-k: map-only dequantize, broadcast queries, per-query window",
+      "sim_int8_topk" -> "code-domain serving top-k: binary int8 codes + precomputed norms, exact integer dots, no float vectors in the scan")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

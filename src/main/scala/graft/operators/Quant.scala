@@ -125,6 +125,87 @@ object Quant {
     quantizedTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
 
+  // ---------------------------------------------------------------- int8 serving
+
+  /** The persisted int8 SERVING layout: each embedding stored as a
+    * `dim`-byte binary code vector plus its precomputed code-domain norm
+    * — 4× smaller than float32 on disk and on every scan. This is the
+    * table a deployment writes once and serves from; [[int8TopK]] reads
+    * it. One map-only pass ([[graft.plans.Int8Vec.Int8Codes]] fuses
+    * maxabs → scale → round into a single codegen'd loop). */
+  def int8ServingTable(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        graft.plans.Int8Vec.codes(col("embedding")).as("codes"))
+      .withColumn("code_norm",
+        sqrt(graft.plans.Int8Vec.dot(col("codes"), col("codes")).cast("double")))
+
+  /** Cosine top-k served PURELY from int8 codes: with symmetric
+    * quantization `x ≈ s·q` the scales cancel in cosine, so ranking
+    * needs only integer code dots — never a dequantized float vector.
+    * Same ranking as [[quantizedTopK]] up to fp association (spec-pinned
+    * equal on the fixture); 4× less scan bandwidth and integer multiply-
+    * adds in the hot loop. Every arithmetic step is exact or singly
+    * rounded (integer dot ≤ 127²·d is an exact long; sqrt/mul/div are
+    * single IEEE ops), so the result is deterministic and carries a full
+    * DuckDB hash gate ([[oInt8TopK]]). */
+  def int8TopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val t = int8ServingTable(emb)
+    val q = t.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("code_norm").as("qn"))
+    val c = t.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"),
+      col("code_norm").as("cn"), col("label").as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        graft.plans.Int8Vec.dot(col("qc"), col("cc")).cast("double") /
+          (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+  }
+
+  def qInt8TopK(spark: SparkSession, dir: String): DataFrame =
+    int8TopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Full DuckDB twin of [[qInt8TopK]]: identical max-based scale and
+    * round-half-away codes (DuckDB `round` rounds half away from zero,
+    * matching [[graft.plans.Int8Vec.Int8Codes]]'s rint-plus-tie-patch),
+    * integer dots (exact — order-independent), and the same
+    * `dot / (sqrt(qq) * sqrt(cc))` rounding sequence. */
+  def oInt8TopK: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, label, xd,
+       |         list_max(list_transform(xd, v -> abs(v))) / $Levels.0 AS scale
+       |  FROM x),
+       |c AS (
+       |  SELECT vec_id, label,
+       |         list_transform(xd, v -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(round(v/scale) AS BIGINT) END) AS q
+       |  FROM s),
+       |n AS (
+       |  SELECT vec_id, label, q,
+       |    sqrt(CAST(list_sum(list_transform(q, v -> v * v)) AS DOUBLE)) AS nrm
+       |  FROM c),
+       |p AS (
+       |  SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+       |    cv.label AS neighbor_label,
+       |    CAST(list_sum(list_transform(list_zip(qv.q, cv.q),
+       |      x -> x[1] * x[2])) AS DOUBLE) / (qv.nrm * cv.nrm) AS cosine
+       |  FROM n qv JOIN n cv ON qv.vec_id < 50 AND cv.vec_id != qv.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM p)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Full DuckDB twin of [[qQuantizedTopK]]: identical scale (max-based),
     * identical round-half-away reconstruction, and the sequential-fold
     * dot/norm idiom that is bit-exact vs the native kernel (see

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimFunction)
     ext.injectFunction(GraftExtensions.normalizeTextFunction)
+    ext.injectFunction(GraftExtensions.int8CodesFunction)
+    ext.injectFunction(GraftExtensions.int8DotFunction)
   }
 }
 
@@ -49,9 +51,32 @@ object GraftExtensions {
         "normalize_text expects (string[, literal form])")
     })
 
+  /** (identifier, info, builder) for `int8_codes(vec)` — the int8
+    * serving-layout encoder ([[Int8Vec.Int8Codes]]). */
+  val int8CodesFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("int8_codes"),
+    new ExpressionInfo(classOf[Int8Vec.Int8Codes].getName, "int8_codes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"int8_codes expects 1 argument, got ${args.length}")
+      Int8Vec.Int8Codes(args.head)
+    })
+
+  /** (identifier, info, builder) for `int8_dot(a, b)` — exact integer
+    * dot over two code vectors ([[Int8Vec.Int8Dot]]). */
+  val int8DotFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("int8_dot"),
+    new ExpressionInfo(classOf[Int8Vec.Int8Dot].getName, "int8_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"int8_dot expects 2 arguments, got ${args.length}")
+      Int8Vec.Int8Dot(args.head, args(1))
+    })
+
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimFunction, normalizeTextFunction).foreach {
+    Seq(cosineSimFunction, normalizeTextFunction,
+        int8CodesFunction, int8DotFunction).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -119,6 +119,55 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(minSat >= 1L)
   }
 
+  test("int8 codes: binary layout is 1 byte/dim and codes·scale = reconstruct") {
+    val emb = Tables.embeddings(spark, sf)
+    // the serving layout really is dim bytes per vector (4× vs float32)
+    val t = Quant.int8ServingTable(emb)
+    val sizes = t.select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(64), s"code sizes $sizes")
+    // fused native encoder agrees bit-for-bit with the reconstruct path:
+    // codes·scale must reproduce exactly the vectors QuantReconstruct builds
+    val both = emb
+      .select(col("vec_id"), graft.plans.Int8Vec.codes(col("embedding")).as("codes"),
+        (array_max(transform(col("embedding"), v => abs(v.cast("double")))) /
+          Quant.Levels.toDouble).as("scale"),
+        graft.plans.QuantReconstruct.reconstructNative(col("embedding")).as("de"))
+      .collect()
+    both.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      val scale = r.getAs[Double]("scale")
+      val de = r.getSeq[Double](r.fieldIndex("de"))
+      assert(codes.length == de.length)
+      codes.zip(de).foreach { case (q, d) =>
+        assert(q.toDouble * scale == d,
+          s"vec ${r.getLong(0)}: code $q · $scale != reconstruct $d")
+      }
+    }
+  }
+
+  test("int8 serving top-k: integer-dot ranking = dequantized-float ranking") {
+    // scales cancel in cosine, so serving from pure int8 dots must rank
+    // identically to the dequantized-float path (same codes underneath;
+    // fp association differs but fixture margins dwarf 1-ulp effects)
+    val emb = Tables.embeddings(spark, sf)
+    val viaInt = Quant.int8TopK(emb, 5, 50)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaFloat = Quant.quantizedTopK(emb, 5, 50)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaInt == viaFloat, "int8-dot ranking diverged from dequantized ranking")
+  }
+
+  test("int8_codes / int8_dot are SQL-callable after extension registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT int8_dot(int8_codes(array(3.0F, -4.0F)), int8_codes(array(3.0F, -4.0F))) AS d")
+      .head().getLong(0)
+    // codes for (3,-4): scale 4/127 → (95, -127); dot = 95² + 127²
+    assert(got == 95L * 95 + 127L * 127, s"got $got")
+  }
+
   test("corpus minhash sketch: union sketch = elementwise min of shard sketches") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 =!= 0)
