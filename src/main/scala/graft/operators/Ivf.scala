@@ -14,7 +14,9 @@ import graft.Tables
   * `nProbe` closest cells.
   *
   * Scale design: the trained centroids are tiny (cells × dims doubles)
-  * and ride along as literal expressions — no broadcast join, no state.
+  * and ride along inside the assignment kernel as a plan reference
+  * object ([[graft.plans.MatVec]]) — no broadcast join, no state, and
+  * generated code that stays O(1) in the cell count.
   * Candidate vectors shuffle once on their cell id; at 100 TB the corpus
   * is written clustered by cell (partitionBy(cell)), making a probe a
   * partition-pruned scan of nProbe/cells of the data. Training runs on a
@@ -50,26 +52,30 @@ object Ivf {
     }
   }
 
-  /** (score, cell) structs, one per centroid — struct ordering compares
-    * score then cell id, a deterministic tiebreak for free. */
-  private def scoredCells(emb: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        Similarity.dot(emb, array(c.map(lit).toIndexedSeq: _*)).as("score"),
-        lit(i).as("cell"))
-    }: _*)
-
   /** Array of the nProbe highest-dot cells as (score, cell) structs,
-    * best first. */
+    * best first. Coarse dots come from the [[graft.plans.MatVec.MatDots]]
+    * reference-object kernel (the literal-per-element composition it
+    * replaces blew Janino's 64 KB method limit at 16×64 and knocked
+    * these stages out of whole-stage codegen); the (score, cell) struct
+    * build and descending sort run on the resulting 16-element array —
+    * query-side only, so the interpreted transform lambda touches
+    * nQueries rows, not the corpus. */
   def probeCells(emb: Column, cents: Seq[Array[Double]], nProbe: Int): Column =
-    slice(sort_array(scoredCells(emb, cents), asc = false), 1, nProbe)
+    slice(
+      sort_array(
+        transform(graft.plans.MatVec.dots(emb, cents),
+          (d, i) => struct(d.as("score"), i.as("cell"))),
+        asc = false),
+      1, nProbe)
 
-  /** The single best cell — the coarse-quantizer assignment. `array_max`
-    * is the O(cells) argmax with the same (score, cell) tiebreak the
-    * descending sort had, minus the sort — this runs once per CORPUS row,
-    * so it's the hot half of the quantizer. */
+  /** The single best cell — the coarse-quantizer assignment. This runs
+    * once per CORPUS row (the hot half of the quantizer), so it is a
+    * single fused argmax kernel ([[graft.plans.MatVec.ArgMaxDot]]):
+    * ties take the larger cell id, bit-replicating the `array_max` over
+    * (score, cell) structs it replaces, and the stage stays codegen'd
+    * regardless of cell count. */
   def cellOf(emb: Column, cents: Seq[Array[Double]]): Column =
-    array_max(scoredCells(emb, cents)).getField("cell")
+    graft.plans.MatVec.argMaxDot(emb, cents)
 
   /** IVF cosine top-k: exact cosine within the probed cells. Approximate
     * by construction (a true neighbor can live outside every probed

@@ -67,26 +67,24 @@ object Pq {
 
   /** Nearest-centroid code for one subspace: argmin ‖s − c‖² ≡
     * argmin (½‖c‖² − s·c) — one dot per centroid, the ‖c‖² halves are
-    * driver-side constants. `array_min` over (d, idx) structs is the
-    * O(K) argmin with the same deterministic tiebreak a full sort would
-    * give, without sorting or copying the K-element array. */
-  private def codeOf(sub: Column, codebook: Seq[Array[Double]]): Column = {
-    val scored = array(codebook.zipWithIndex.map { case (c, i) =>
-      struct(
-        (lit(0.5 * c.map(x => x * x).sum) -
-          Similarity.dot(sub, array(c.map(lit).toIndexedSeq: _*))).as("d"),
-        lit(i).as("idx"))
-    }: _*)
-    array_min(scored).getField("idx")
-  }
+    * driver-side constants. Runs per corpus row per subspace (M·K dots
+    * per row), so it is the fused [[graft.plans.MatVec.NearestCode]]
+    * kernel: the codebook rides as a codegen reference object instead
+    * of K·(D/M) literal subexpressions (which overflowed Janino's 64 KB
+    * method limit and pushed the encode stage to interpreted fallback),
+    * and ties take the smaller index, bit-replicating the `array_min`
+    * over (d, idx) structs it replaces. */
+  private def codeOf(sub: Column, codebook: Seq[Array[Double]]): Column =
+    graft.plans.MatVec.nearestCode(sub, codebook)
 
   /** (vec_id, codes array<int>) — the 32×-compressed corpus. Map-only.
     * The normalized subvectors are projected as their OWN attributes
-    * before quantization: codeOf references each subvector K times (one
-    * dot per centroid), and an inline transform-over-slice expression
-    * would re-evaluate per centroid — the same lambda-inlining trap
-    * TextAnalysis.winnowed documents; the projection boundary pins one
-    * evaluation each. */
+    * before quantization — each is built by one interpreted
+    * transform-over-slice, and the projection boundary pins exactly one
+    * evaluation per row before the fused [[graft.plans.MatVec.NearestCode]]
+    * kernel consumes it (historically this also guarded against the
+    * literal composition re-evaluating the lambda per centroid — the
+    * trap TextAnalysis.winnowed documents). */
   def encode(emb: DataFrame, books: Seq[Seq[Array[Double]]], dim: Int): DataFrame =
     encodeExtra(emb, books, dim)
 
