@@ -364,4 +364,105 @@ object Curation {
 
   private def shinglePairs(docs: DataFrame, threshold: Double): DataFrame =
     Dedup.shingleJaccardPairs(docs.select("doc_id", "text"), threshold)
+
+  /** Per-source document cap: keep at most `cap` docs from each source,
+    * chosen as a deterministic pseudo-random sample (rank by id-hash, not
+    * by id — a raw doc_id prefix would bias toward whatever arrived
+    * first). The standard guard against one crawl domain swamping the
+    * corpus. One shuffle on `source`; each kept row carries its
+    * `rank_in_source` so downstream tightening (cap 100 → cap 10) is a
+    * filter, not a recompute. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= cap)
+  }
+
+  /** Skew path for [[sourceCap]]: a plain ranking window sorts a hot
+    * source's every row on one task. [[Scale.saltedTopNPerKey]] ranks
+    * within (source, salt) first and only re-ranks the ≤ cap×buckets
+    * survivors — exactly equal output, spec-pinned. */
+  def sourceCapSalted(docs: DataFrame, cap: Int, saltBuckets: Int = 16): DataFrame =
+    Scale.saltedTopNPerKey(docs, Seq("source"),
+        Seq(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id")),
+        cap, saltFrom = col("doc_id"), saltBuckets = saltBuckets)
+      .withColumnRenamed("rank", "rank_in_source")
+
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(spark, dir), cap = 15)
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+      .orderBy(col("doc_id"))
+
+  def oSourceCap: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $h, doc_id)
+       |      AS rank_in_source
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rank_in_source AS INTEGER) AS rank_in_source
+       |FROM r WHERE rank_in_source <= 15 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Select documents in descending `priority` order until a global
+    * token budget is spent — the "best data first, stop at N tokens"
+    * selection every budgeted training run performs. A doc is kept iff
+    * the tokens BEFORE it in priority order (`start_tok`) fall under the
+    * budget, so exactly one doc can straddle the boundary (same greedy
+    * boundary rule as [[seqPack]]).
+    *
+    * The naive plan is a running sum over one global window = every row
+    * sorted on a single task. This is instead a distributed prefix sum:
+    * range-partition by (priority desc, doc_id), take ONE action to
+    * collect per-partition token totals (control plane — `nPartitions`
+    * longs), turn their running total into a broadcast per-partition
+    * offset, then a per-partition window adds local running sums to the
+    * offset. Max task = one range partition, any `nPartitions`; the
+    * kept/cut result is identical whatever boundaries the range sampler
+    * picks, because offsets are computed from actual partition totals. */
+  def budgetSelect(docs: DataFrame, priority: Column, budgetTokens: Long,
+      nPartitions: Int = 32): DataFrame = {
+    val slim = docs
+      .select(col("doc_id"), priority.as("prio"),
+        TextFns.tokenCount(col("text")).as("token_count"))
+      .repartitionByRange(nPartitions, col("prio").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    Dedup.withCached(slim) { s =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val totals = s.groupBy(col("_pid")).agg(sum(col("token_count")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+        (pid, acc + t)
+      }.tail.zip(totals).map { case ((pid, cum), (_, t)) => (pid, cum - t) }
+      val w = Window.partitionBy("_pid").orderBy(col("prio").desc, col("doc_id"))
+      s.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+        .withColumn("start_tok",
+          (sum(col("token_count")).over(w) - col("token_count") + col("_off"))
+            .cast("long"))
+        .filter(col("start_tok") < budgetTokens)
+        .drop("_pid", "_off")
+    }
+  }
+
+  def qBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelect(Tables.documents(spark, dir), col("n_chars"),
+        budgetTokens = 12000L, nPartitions = 8)
+      .select(col("doc_id"), col("prio"), col("token_count"), col("start_tok"))
+      .orderBy(col("doc_id"))
+
+  def oBudgetSelect: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars AS prio,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+       |      AS token_count
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, prio, token_count,
+       |    CAST(SUM(token_count) OVER (ORDER BY prio DESC, doc_id)
+       |      - token_count AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, prio, token_count, start_tok
+       |FROM c WHERE start_tok < 12000 ORDER BY doc_id""".stripMargin
 }

@@ -505,4 +505,55 @@ class LlmOpsSpec extends SparkSpecBase {
       assert(maxPack <= totalTok / cap, s"shard $s pack ids not dense")
     }
   }
+
+  test("source cap: quota enforced per source, salted path exactly equal") {
+    import graft.operators.Curation
+    val cap = 5
+    val plain = Curation.sourceCap(docs, cap)
+    val perSource = plain.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inputPerSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputPerSource.foreach { case (src, n) =>
+      assert(perSource(src) == math.min(cap.toLong, n),
+        s"source $src kept ${perSource(src)} of $n at cap $cap")
+    }
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("rank_in_source"))
+    val a = plain.select("doc_id", "rank_in_source").collect().map(key).sortBy(_._1)
+    val b = Curation.sourceCapSalted(docs, cap, saltBuckets = 4)
+      .select("doc_id", "rank_in_source").collect().map(key).sortBy(_._1)
+    assert(a.sameElements(b), "salted source cap diverges from plain window")
+  }
+
+  test("budget select: greedy boundary semantics, invariant to partition count") {
+    import graft.operators.Curation
+    val budget = 5000L
+    val sel = Curation.budgetSelect(docs, col("n_chars"), budget, nPartitions = 5)
+      .orderBy(col("prio").desc, col("doc_id")).collect()
+    assert(sel.nonEmpty, "budget keeps at least the best doc")
+    // start_tok is the exact running sum in (prio desc, doc_id) order and
+    // every kept doc starts under the budget
+    var cum = 0L
+    sel.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == cum,
+        s"doc ${r.getAs[Long]("doc_id")} start ${r.getAs[Long]("start_tok")} != $cum")
+      assert(cum < budget, "kept a doc starting past the budget")
+      cum += r.getAs[Int]("token_count")
+    }
+    // the selection is the PREFIX of the global priority order: the next
+    // doc after the kept set (if any) starts at or past the budget
+    val all = docs.select(col("doc_id"), col("n_chars").as("prio"),
+        graft.functions.TextFns.tokenCount(col("text")).as("tc"))
+      .collect().sortBy(r => (-r.getAs[Long]("prio"), r.getAs[Long]("doc_id")))
+    if (sel.length < all.length)
+      assert(cum >= budget, "stopped early: next doc would still fit")
+    // repartition-count invariance: 2 partitions and 13 give the same set
+    val ids5 = sel.map(_.getAs[Long]("doc_id")).toSet
+    Seq(2, 13).foreach { np =>
+      val ids = Curation.budgetSelect(docs, col("n_chars"), budget, np)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == ids5, s"budget selection changed with nPartitions=$np")
+    }
+  }
 }
