@@ -219,7 +219,9 @@ object Probe {
       "sim_ivf_adaptive_topk" -> "score-gap adaptive probe breadth over the IVF cells",
       "curation_chunks" -> "map-only sliding-window chunking: sequence+slice behind projection boundaries, zero shuffles",
       "sim_quantized_topk" -> "int8-reconstructed cosine top-k: map-only dequantize, broadcast queries, per-query window",
-      "sim_int8_topk" -> "code-domain serving top-k: binary int8 codes + precomputed norms, exact integer dots, no float vectors in the scan")
+      "sim_int8_topk" -> "code-domain serving top-k: binary int8 codes + precomputed norms, exact integer dots, no float vectors in the scan",
+      "curation_source_cap" -> "per-source quota: one shuffle on source, rank-limited window (salted two-phase twin for hot domains)",
+      "curation_budget_select" -> "distributed prefix sum: range partition on priority, broadcast per-partition offsets, per-partition running window — no global single-task sort")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
