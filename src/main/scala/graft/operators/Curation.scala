@@ -405,6 +405,64 @@ object Curation {
        |FROM r WHERE rank_in_source <= 15 ORDER BY doc_id""".stripMargin
   }
 
+  /** Rebalance the corpus to target per-source proportions: find the
+    * largest total T such that every declared source can contribute its
+    * share (T = min over sources of count/share), then keep each
+    * source's floor(T × share) lowest-id-hash docs — the "data mixture"
+    * step of a pretraining corpus build, here as exact-count selection
+    * rather than rate sampling, so output proportions hit the target up
+    * to floor. Shares in basis points; all arithmetic is integer, so the
+    * DuckDB twin is bit-exact. Undeclared sources are dropped (the
+    * mixture defines the corpus).
+    *
+    * Scale shape: per-source counts are one partial-agg shuffle of a
+    * #sources-row result (control plane, like [[budgetSelect]]'s
+    * offsets); caps broadcast back; then the [[sourceCap]] ranking
+    * window — swap in [[Scale.saltedTopNPerKey]] per hot source if a
+    * single domain dominates. */
+  def sourceMix(docs: DataFrame, sharesBp: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = sharesBp.map { case (src, bp) =>
+      cnts.getOrElse(src, 0L) * 10000L / bp
+    }.min
+    val caps = sharesBp.toSeq.map { case (src, bp) => (src, t * bp / 10000L) }
+    val w = Window.partitionBy("source")
+      .orderBy(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id"))
+    docs.join(broadcast(caps.toDF("source", "_cap")), "source")
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= col("_cap"))
+      .drop("_cap")
+  }
+
+  def qSourceMix(spark: SparkSession, dir: String): DataFrame =
+    sourceMix(Tables.documents(spark, dir),
+        Map("src0" -> 4000, "src1" -> 4000, "src2" -> 2000))
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+      .orderBy(col("doc_id"))
+
+  def oSourceMix: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH s(source, share_bp) AS (
+       |  VALUES ('src0', 4000), ('src1', 4000), ('src2', 2000)),
+       |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |t AS (
+       |  SELECT min(n * 10000 // share_bp) AS cap_t
+       |  FROM cnt JOIN s USING (source)),
+       |caps AS (
+       |  SELECT source, (SELECT cap_t FROM t) * share_bp // 10000 AS cap
+       |  FROM s),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rk AS INTEGER) AS rank_in_source
+       |FROM r JOIN caps USING (source) WHERE rk <= cap
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Select documents in descending `priority` order until a global
     * token budget is spent — the "best data first, stop at N tokens"
     * selection every budgeted training run performs. A doc is kept iff

@@ -526,6 +526,29 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(a.sameElements(b), "salted source cap diverges from plain window")
   }
 
+  test("source mix: exact target proportions, undeclared sources dropped") {
+    import graft.operators.Curation
+    val shares = Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000)
+    val mixed = Curation.sourceMix(docs, shares)
+    val out = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(shares.keySet), "undeclared source leaked through")
+    val cnts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = shares.map { case (s, bp) => cnts.getOrElse(s, 0L) * 10000L / bp }.min
+    shares.foreach { case (s, bp) =>
+      val expect = t * bp / 10000L
+      assert(out.getOrElse(s, 0L) == expect,
+        s"source $s kept ${out.getOrElse(s, 0L)}, mixture demands $expect")
+    }
+    // maximality: growing T by one source's granularity would overdraw
+    // the binding source (the one whose count/share set T)
+    val binding = shares.minBy { case (s, bp) => cnts.getOrElse(s, 0L) * 10000L / bp }
+    assert((t + 10000 / binding._2 + 1) * binding._2 / 10000L
+      > cnts.getOrElse(binding._1, 0L),
+      "T is not maximal: the binding source could contribute more")
+  }
+
   test("budget select: greedy boundary semantics, invariant to partition count") {
     import graft.operators.Curation
     val budget = 5000L
