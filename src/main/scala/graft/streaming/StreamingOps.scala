@@ -185,6 +185,34 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  case class Doc(doc_id: Long, source: String)
+  case class Admitted(doc_id: Long, source: String, rank_in_source: Int)
+
+  /** Streaming per-source quota admission — the arrival-order twin of
+    * [[graft.operators.Curation.sourceCap]]: admit each source's first
+    * `cap` documents across micro-batches, then drop the rest forever.
+    * State is ONE counter per source with no timeout (a quota is
+    * permanent) — the smallest possible streaming state, so quota state
+    * at 100 TB is #sources longs regardless of throughput. Within a
+    * batch, docs are processed in doc_id order, so shuffle partitioning
+    * inside the batch cannot reorder admission; across batches, arrival
+    * order IS the rank, and each admitted doc carries it. */
+  def quotaAdmitStream(docs: Dataset[Doc], cap: Int): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[Doc], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, cap - admitted).toInt
+          val take = rows.toSeq.sortBy(_.doc_id).take(room)
+          state.update(admitted + take.size)
+          take.iterator.zipWithIndex.map { case (d, i) =>
+            Admitted(d.doc_id, d.source, (admitted + i + 1).toInt)
+          }
+      }
+  }
+
   /** Batch twin of sessionize (same semantics via window functions) — the
     * correctness oracle for the stateful operator and the backfill path. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

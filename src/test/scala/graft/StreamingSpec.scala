@@ -295,6 +295,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == 0, s"checkpointed restart re-classified $replayed docs")
   }
 
+  test("streaming quota admission caps each source across batches like the batch window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = 3
+    val all = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val src = MemoryStream[(Long, String)]
+    val ds = src.toDS().map { case (id, s) => StreamingOps.Doc(id, s) }
+    val q = StreamingOps.quotaAdmitStream(ds, cap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    // feed in 3 doc_id-ordered micro-batches so arrival order is doc_id
+    // order — then the batch twin is a plain rank window
+    all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+      src.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("quota_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val expected = Tables.documents(spark, sf)
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter($"rank_in_source" <= cap)
+      .select($"doc_id", $"source", $"rank_in_source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(streamed == expected,
+      s"stream admitted ${streamed.size}, batch twin ${expected.size}")
+    // quota is permanent: replaying docs of a source whose quota is
+    // spent admits nothing (sources with fewer than cap docs still have
+    // room, so replay only the saturated ones)
+    val saturated = all.groupBy(_._2).filter(_._2.length >= cap).keySet
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.quotaAdmitStream(
+        src2.toDS().map { case (id, s) => StreamingOps.Doc(id, s) }, cap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out2").start()
+    src2.addData(all.toSeq)
+    q2.processAllAvailable()
+    val afterFirst = spark.table("quota_out2").count()
+    src2.addData(all.filter(d => saturated.contains(d._2)).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("quota_out2").count() == afterFirst,
+      "spent quota re-admitted replayed docs")
+  }
+
   test("multimodal partition-batch decode matches the expression stub shape") {
     val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
       .as[graft.operators.Multimodal.Media]
