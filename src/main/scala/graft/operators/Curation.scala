@@ -463,6 +463,76 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-weighted mixture: like [[sourceMix]] but shares are over
+    * TOKENS — the unit pretraining mixtures are actually specified in.
+    * T = the largest token total every declared source can supply at its
+    * share; each source then contributes docs in id-hash order until its
+    * floor(T × share) token cap, with [[budgetSelect]]'s greedy boundary
+    * rule (the doc straddling the cap is kept — `start_tok < cap`).
+    * Integer arithmetic throughout → bit-exact DuckDB twin.
+    *
+    * Scale shape: per-source token totals are one partial-agg shuffle of
+    * a #sources-row result (control plane); caps broadcast back; one
+    * running-sum window per source, skew-safe the same way seqPack's
+    * shard windows are (a source's docs sort together, never the
+    * corpus). The token projection is computed once and cached across
+    * the totals pass and the selection pass. */
+  def sourceMixTokens(docs: DataFrame, sharesBp: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slim = docs.select(col("doc_id"), col("source"),
+      TextFns.tokenCount(col("text")).as("token_count"))
+    Dedup.withCached(slim) { s =>
+      val totals = s.groupBy("source").agg(sum(col("token_count")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val t = sharesBp.map { case (src, bp) =>
+        totals.getOrElse(src, 0L) * 10000L / bp
+      }.min
+      val caps = sharesBp.toSeq.map { case (src, bp) => (src, t * bp / 10000L) }
+      val w = Window.partitionBy("source")
+        .orderBy(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id"))
+      s.join(broadcast(caps.toDF("source", "_cap")), "source")
+        .withColumn("start_tok",
+          (sum(col("token_count")).over(w) - col("token_count")).cast("long"))
+        .filter(col("start_tok") < col("_cap"))
+        .withColumnRenamed("_cap", "source_token_cap")
+    }
+  }
+
+  def qSourceMixTokens(spark: SparkSession, dir: String): DataFrame =
+    sourceMixTokens(Tables.documents(spark, dir),
+        Map("src3" -> 5000, "src4" -> 3000, "src5" -> 2000))
+      .select(col("doc_id"), col("source"), col("token_count"),
+        col("start_tok"), col("source_token_cap"))
+      .orderBy(col("doc_id"))
+
+  def oSourceMixTokens: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH sh(source, share_bp) AS (
+       |  VALUES ('src3', 5000), ('src4', 3000), ('src5', 2000)),
+       |tk AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+       |      AS token_count
+       |  FROM documents),
+       |cnt AS (SELECT source, SUM(token_count) AS n FROM tk GROUP BY source),
+       |t AS (
+       |  SELECT min(n * 10000 // share_bp) AS cap_t
+       |  FROM cnt JOIN sh USING (source)),
+       |caps AS (
+       |  SELECT source, CAST((SELECT cap_t FROM t) * share_bp // 10000 AS BIGINT)
+       |    AS source_token_cap
+       |  FROM sh),
+       |r AS (
+       |  SELECT doc_id, source, token_count,
+       |    CAST(SUM(token_count) OVER (PARTITION BY source ORDER BY $h, doc_id)
+       |      - token_count AS BIGINT) AS start_tok
+       |  FROM tk)
+       |SELECT doc_id, source, token_count, start_tok, source_token_cap
+       |FROM r JOIN caps USING (source) WHERE start_tok < source_token_cap
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Select documents in descending `priority` order until a global
     * token budget is spent — the "best data first, stop at N tokens"
     * selection every budgeted training run performs. A doc is kept iff

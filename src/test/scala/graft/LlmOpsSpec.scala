@@ -549,6 +549,34 @@ class LlmOpsSpec extends SparkSpecBase {
       "T is not maximal: the binding source could contribute more")
   }
 
+  test("token mixture: per-source token caps honored with one straddler at most") {
+    import graft.operators.Curation
+    val shares = Map("src0" -> 6000, "src1" -> 4000)
+    val mixed = Curation.sourceMixTokens(docs, shares).collect()
+    assert(mixed.nonEmpty, "mixture kept nothing")
+    assert(mixed.map(_.getAs[String]("source")).toSet.subsetOf(shares.keySet),
+      "undeclared source leaked through")
+    mixed.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val cap = rows.head.getAs[Long]("source_token_cap")
+      // every kept doc starts under the cap; kept tokens overshoot the
+      // cap only by the straddler's tail
+      rows.foreach(r => assert(r.getAs[Long]("start_tok") < cap))
+      val kept = rows.map(_.getAs[Int]("token_count").toLong).sum
+      val straddler = rows.maxBy(_.getAs[Long]("start_tok"))
+      assert(kept - straddler.getAs[Int]("token_count") < cap,
+        s"source $src kept $kept tokens against cap $cap")
+      // caps follow the declared proportions exactly (integer floor)
+      val t = cap * 10000L / shares(src)
+      val other = shares.keys.find(_ != src).get
+      val otherCap = mixed.filter(_.getAs[String]("source") == other)
+        .head.getAs[Long]("source_token_cap")
+      // t is reconstructed from a floored cap, so allow the floor slack
+      // of both shares when cross-checking the ratio
+      assert(math.abs(otherCap - t * shares(other) / 10000L) <= 2,
+        "caps do not follow the declared share ratio")
+    }
+  }
+
   test("budget select: greedy boundary semantics, invariant to partition count") {
     import graft.operators.Curation
     val budget = 5000L
