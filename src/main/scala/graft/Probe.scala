@@ -222,7 +222,8 @@ object Probe {
       "sim_int8_topk" -> "code-domain serving top-k: binary int8 codes + precomputed norms, exact integer dots, no float vectors in the scan",
       "curation_source_cap" -> "per-source quota: one shuffle on source, rank-limited window (salted two-phase twin for hot domains)",
       "curation_budget_select" -> "distributed prefix sum: range partition on priority, broadcast per-partition offsets, per-partition running window — no global single-task sort",
-      "curation_source_mix" -> "mixture rebalance: control-plane count collect → broadcast caps join → per-source rank window, exact floor(T×share) per source")
+      "curation_source_mix" -> "mixture rebalance: control-plane count collect → broadcast caps join → per-source rank window, exact floor(T×share) per source",
+      "curation_source_mix_tokens" -> "token-weighted mixture: cached token projection → control-plane totals → per-source running-sum window against broadcast token caps")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
