@@ -15,7 +15,8 @@ case class CurationReport(
     afterQuality: Long,
     afterDedup: Long,
     splitCounts: Map[String, Long],
-    trainPacks: Long)
+    trainPacks: Long,
+    afterMixture: Option[Long] = None)
 
 /** Training-data curation operators beyond the reference's surface:
   * PII scrubbing, within-document repetition scoring, per-stratum
@@ -323,7 +324,8 @@ object Curation {
     * corpus swap in a shuffle anti-join by lifting the hint). */
   def curate(docs: DataFrame, outDir: String,
       jaccardThreshold: Double = 0.8, capacity: Int = 2048,
-      nShards: Int = 8): CurationReport = {
+      nShards: Int = 8,
+      mixtureBp: Option[Map[String, Int]] = None): CurationReport = {
     val spark = docs.sparkSession
     // 1. quality funnel — verdict computed alongside the original
     // columns, so survivors come out of the same fused scan (no
@@ -342,14 +344,26 @@ object Curation {
     val victims = Dedup.dupClusters(shinglePairs(kept, jaccardThreshold))
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val deduped = kept.join(broadcast(victims), Seq("doc_id"), "left_anti")
+    // 2b. optional token-weighted mixture rebalance (shares over tokens,
+    // [[sourceMixTokens]]): when on, afterDedup needs its own count
+    // because the split ledger below then counts the post-mixture corpus
+    // survivors come back as a doc_id semi join so the mixture's window
+    // shuffles only its narrow projection, never the text column
+    val (mixed, afterDedupExplicit) = mixtureBp match {
+      case Some(shares) =>
+        (deduped.join(sourceMixTokens(deduped, shares).select("doc_id"),
+          Seq("doc_id"), "left_semi"), Some(deduped.count()))
+      case None => (deduped, None)
+    }
     // 3. deterministic split, then write partitioned by split
-    val tagged = TextAnalysis.withSplit(deduped)
+    val tagged = TextAnalysis.withSplit(mixed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tagged.drop("bucket").write.mode("overwrite")
       .partitionBy("split").parquet(s"$outDir/corpus")
     val splitCounts = tagged.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val afterDedup = splitCounts.values.sum
+    val afterDedup = afterDedupExplicit.getOrElse(splitCounts.values.sum)
+    val afterMixture = mixtureBp.map(_ => splitCounts.values.sum)
     // 4. pack the train split; manifest is the batching layer's read
     // plan. Its row count rides the write as an observe() metric — no
     // read-back of the file just written.
@@ -359,7 +373,8 @@ object Curation {
       .write.mode("overwrite").parquet(s"$outDir/train_pack_manifest")
     val trainPacks = packObs.get("rows").asInstanceOf[Long]
     kept.unpersist(); tagged.unpersist()
-    CurationReport(input, afterQuality, afterDedup, splitCounts, trainPacks)
+    CurationReport(input, afterQuality, afterDedup, splitCounts, trainPacks,
+      afterMixture)
   }
 
   private def shinglePairs(docs: DataFrame, threshold: Double): DataFrame =

@@ -483,6 +483,25 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(r2 == r, s"rebuild diverged: $r2 vs $r")
   }
 
+  test("curate() with a mixture stage rebalances the written corpus to declared sources") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-mix").toString
+    val shares = Map("src0" -> 6000, "src1" -> 4000)
+    val r = graft.operators.Curation.curate(docs, out,
+      mixtureBp = Some(shares))
+    assert(r.afterMixture.isDefined, "mixture count missing from the ledger")
+    assert(r.afterMixture.get <= r.afterDedup,
+      s"mixture grew the corpus: $r")
+    assert(r.splitCounts.values.sum == r.afterMixture.get,
+      "split ledger counts something other than the mixed corpus")
+    val curated = spark.read.parquet(s"$out/corpus")
+    assert(curated.count() == r.afterMixture.get)
+    assert(curated.select("source").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(shares.keySet), "undeclared source in the written corpus")
+    // the no-mixture path is unchanged: ledger has no mixture entry
+    val out2 = java.nio.file.Files.createTempDirectory("graft-curate-nomix").toString
+    assert(graft.operators.Curation.curate(docs, out2).afterMixture.isEmpty)
+  }
+
   test("sequence packing: contiguous shard layout, offsets within capacity") {
     val cap = 256
     val packed = graft.operators.Curation.seqPack(docs, cap, nShards = 4)
