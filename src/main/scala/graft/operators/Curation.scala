@@ -312,7 +312,9 @@ object Curation {
 
   /** The full corpus build, composed from the operators above: quality
     * funnel → near-dup removal (cluster survivor = min doc_id, the A8
-    * dedup rule lifted to transitive groups) → deterministic split →
+    * dedup rule lifted to transitive groups) → optional token-weighted
+    * mixture rebalance (`mixtureBp`, [[sourceMixTokens]]; off by
+    * default) → deterministic split →
     * train-shard packing. Writes the curated corpus partitioned by
     * split (so a trainer's `split=train` read partition-prunes) plus
     * the pack manifest, and returns the per-stage shrinkage ledger.
