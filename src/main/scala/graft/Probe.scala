@@ -174,6 +174,24 @@ object Probe {
         val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
         println(s"[corpus] curate @ $n docs: ${Curation.curate(docs, out)}")
       }
+      // the mixture/cap/budget family: all linear (one window on source
+      // / one range-partitioned prefix sum); the replicated corpus has
+      // no source column, so derive a 20-way synthetic one
+      if (want("mixture")) {
+        val sourced = docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+        time("source cap (rank window)") {
+          drain(Curation.sourceCap(sourced, 10000))
+        }
+        time("token mixture (control-plane caps + running window)") {
+          drain(Curation.sourceMixTokens(sourced,
+            Map("src0" -> 3000, "src1" -> 3000, "src2" -> 4000)))
+        }
+        time("budget select (distributed prefix sum)") {
+          drain(Curation.budgetSelect(sourced, length(col("text")),
+            budgetTokens = n * 50L, nPartitions = 32))
+        }
+      }
       docs.unpersist()
     }
     spark.stop()
