@@ -480,6 +480,64 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-snapshot corpus diff: classify every doc_id as added /
+    * removed / changed / unchanged between two corpus versions by
+    * comparing content digests — the audit step of a versioned corpus
+    * (what actually moved between releases, and how much re-tokenizing
+    * / re-embedding the delta costs downstream).
+    *
+    * Scale shape: each side collapses to (doc_id, digest) at scan time
+    * — text never crosses the join — then one full-outer sort-merge on
+    * doc_id. With both snapshots bucketed by doc_id the exchange
+    * disappears entirely ([[Scale.writeBucketed]]); at 100 TB this is
+    * the digest-manifest comparison pattern, and the manifests
+    * themselves are reusable across diffs. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(df: DataFrame, digest: String) =
+      df.select(col("doc_id"), md5(col("text").cast("binary")).as(digest))
+    side(oldDocs, "old_digest")
+      .join(side(newDocs, "new_digest"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") =!= col("new_digest"), "changed")
+          .otherwise("unchanged"))
+  }
+
+  /** The fixture has one snapshot, so the query leg derives a second
+    * one deterministically: drop doc_id % 10 == 0, edit % 10 == 1,
+    * append fresh ids past the max — the oracle applies the same drift. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val next = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 2)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    corpusDiff(docs, next)
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oCorpusDiff: String =
+    """WITH nxt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 2),
+      |o AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
+      |n AS (SELECT doc_id, md5(text) AS new_digest FROM nxt)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.old_digest <> n.new_digest THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Token-weighted mixture: like [[sourceMix]] but shares are over
     * TOKENS — the unit pretraining mixtures are actually specified in.
     * T = the largest token total every declared source can supply at its

@@ -596,6 +596,26 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus diff classifies planted adds, removals, and edits exactly") {
+    import graft.operators.Curation
+    val next = docs.filter(col("doc_id") % 7 =!= 0)          // remove %7==0
+      .withColumn("text", when(col("doc_id") % 7 === 1,      // edit %7==1
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 2)      // add shifted ids
+        .withColumn("doc_id", col("doc_id") + lit(900000L)))
+    val diff = Curation.corpusDiff(docs, next).collect()
+    val byStatus = diff.groupBy(_.getAs[String]("status"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byStatus.getOrElse("removed", Set.empty) == ids.filter(_ % 7 == 0))
+    assert(byStatus.getOrElse("changed", Set.empty) == ids.filter(_ % 7 == 1))
+    assert(byStatus.getOrElse("added", Set.empty)
+      == ids.filter(_ % 7 == 2).map(_ + 900000L))
+    assert(byStatus.getOrElse("unchanged", Set.empty)
+      == ids.filter(i => i % 7 != 0 && i % 7 != 1))
+    assert(diff.length == ids.size + ids.count(_ % 7 == 2), "every id classified once")
+  }
+
   test("budget select: greedy boundary semantics, invariant to partition count") {
     import graft.operators.Curation
     val budget = 5000L
