@@ -25,30 +25,49 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read the nanos as long and truncate to microseconds — the
-    * same conversion DuckDB applies, so oracle timestamps agree. */
+  /** events.parquet has shipped `ts` two ways across fixture generations:
+    * TIMESTAMP(NANOS) (read as long under the legacy flag, truncated to
+    * micros here) and TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+    * Normalize both to session-zone TIMESTAMP — sessions pin UTC, so the
+    * wall-clock values (and every derived year/month/window) are identical
+    * either way, and DuckDB's native read of the same file agrees. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(table(s, d, "events"))
   }
-  /** Raw on-disk schema of events.parquet under nanosAsLong (ts is INT64
-    * nanoseconds) — what a streaming reader must declare. */
+
+  /** Fallback streaming schema when the landing directory has no files
+    * to infer from yet — the current fixture shape (micros → NTZ). */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
-  /** Streaming twin of `events`: file-source read of a landing directory
-    * with the same nanos→micros conversion. */
+  /** Streaming twin of `events`: file-source read of a landing directory.
+    * Streaming readers must declare a schema; infer it from the files
+    * already landed (a one-time control-plane footer read) so either
+    * fixture generation streams correctly, then apply the same ts
+    * normalization as the batch path. */
   def eventsStream(s: SparkSession, landingDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsRawSchema).parquet(landingDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val schema =
+      try s.read.parquet(landingDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsRawSchema }
+    normalizeTs(s.readStream.schema(schema).parquet(landingDir))
   }
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
