@@ -63,9 +63,9 @@ object SparkEntry {
     "pivot_daily_counts" -> ((s, d) => Advanced.qPivotDaily(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.qEmbeddingNearDup(s, d)),
     "range_join_followups" -> ((s, d) => Ranged.qEventFollowups(s, d)),
-    // approximate by construction (cell pruning) → rows-only gate
+    // approximate vs brute force, but deterministic given the trained
+    // (seeded, cached) quantizer → generated full oracle twin
     "sim_ivf_topk" -> ((s, d) => Ivf.qIvfTopK(s, d)),
-    // per-query score-gap probe breadth (same no-oracle class)
     "sim_ivf_adaptive_topk" -> ((s, d) => Ivf.qIvfTopKAdaptive(s, d)),
     "setop_intersect" -> ((s, d) => Advanced.qSetIntersect(s, d)),
     "setop_except" -> ((s, d) => Advanced.qSetExcept(s, d)),
@@ -121,8 +121,8 @@ object SparkEntry {
     "scd2_apply" -> ((s, d) => Scd.qScd2Apply(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.qIncrementalDedup(s, d)),
     "bloom_semi_join" -> ((s, d) => Scale.qBloomSemiJoin(s, d)),
-    // PQ ANN: sampled-kmeans codebooks → approximate by construction →
-    // rows-only gate + recall/compression specs (the IVF treatment)
+    // PQ ANN: sampled-kmeans codebooks, deterministic + cached →
+    // generated full oracle twins (plus recall/compression specs)
     "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d)),
     "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
@@ -253,5 +253,12 @@ object SparkEntry {
     "sim_int8_topk" -> Quant.oInt8TopK,
     "text_lm_score" -> TextAnalysis.oLmScore,
     "dedup_overlap_estimate" -> Overlap.oOverlapEstimate
-  )
+  ) ++
+    // The sampled-k-means ANN twins are GENERATED from the trained
+    // centroids/codebooks (deterministic: fixed seeds, bounded
+    // xxhash64-ordered samples, cached per dataset). Verify runs every
+    // query before dumping oracleSql, so by dump time the caches hold
+    // the literals to inline — the sign-LSH hyperplane pattern, extended
+    // to trained quantizers. Empty (→ rows-only gate) if untrained.
+    Ivf.oracleEntries ++ Pq.oracleEntries
 }

@@ -175,6 +175,116 @@ object Ivf {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The single trained quantizer this JVM has seen, if unambiguous.
+    * Verify runs every query BEFORE dumping oracleSql, so by dump time
+    * the cache holds exactly the one dataset's centroids — which makes
+    * the "random" k-means quantizer a fixed literal the DuckDB twin can
+    * inline (the sign-LSH hyperplane precedent). With zero or multiple
+    * dirs cached the twin would be wrong for at least one of them, so
+    * the entry is omitted (→ rows-only gate) instead. */
+  def cachedCentroids: Option[(String, Seq[Array[Double]])] =
+    if (quantizers.size == 1) {
+      val e = quantizers.entrySet.iterator.next
+      Some(e.getKey -> e.getValue)
+    } else None
+
+  /** Oracle entries generated AFTER training (empty until then). */
+  def oracleEntries: Map[String, String] = cachedCentroids match {
+    case Some((_, cents)) => Map(
+      "sim_ivf_topk" -> oIvfTopK(cents),
+      "sim_ivf_adaptive_topk" -> oIvfTopKAdaptive(cents))
+    case None => Map.empty
+  }
+
+  /** One double as a DuckDB literal that parses AS DOUBLE. A plain
+    * decimal literal ("0.123…") parses as DECIMAL, and DECIMAL→DOUBLE
+    * double-rounds (hugeint / 10^s in float arithmetic) — measured 1-ulp
+    * off the Java double for 17-digit values. An exponent forces the
+    * strtod path, which round-trips Double.toString exactly. */
+  private[operators] def dLit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  private[operators] def vecLit(v: Array[Double]): String =
+    v.map(dLit).mkString("[", ", ", "]")
+
+  /** Centroid literal table (cell, cv): Double.toString round-trips the
+    * exact bits, so both engines score bit-identical coarse dots. */
+  private[operators] def centValuesSql(cents: Seq[Array[Double]]): String =
+    cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${vecLit(c)})" }.mkString(", ")
+
+  /** Shared twin prefix: norms, centroid literals, all vec×cell coarse
+    * scores (the sequential-fold dot idiom, bit-exact with [[graft.plans.MatVec]]
+    * — each kernel dot is the same left-to-right `acc += x·c`), and the
+    * cell assignment (ties take the LARGER cell, replicating ArgMaxDot's
+    * `acc >= best` scan). */
+  private def ivfBaseSql(cents: Seq[Array[Double]]): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT * FROM (VALUES ${centValuesSql(cents)}) t(cell, cv)),
+       |scored AS (
+       |  SELECT vec_id, embedding, nrm, cell,
+       |    list_sum(list_transform(list_zip(embedding, cv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS score
+       |  FROM n CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn, cell
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |        FROM scored)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Shared twin suffix: probed-cell join, exact cosine, per-query rank. */
+  private val ivfTailSql: String =
+    s"""p AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(list_zip(qe, ce),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qn * cn) AS cosine
+       |  FROM probe JOIN assign USING (cell)
+       |  WHERE query_id != neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM p)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Full DuckDB twin of [[qIvfTopK]]: the trained centroids are inlined
+    * as literals (training is deterministic — fixed seed, bounded
+    * xxhash64-ordered sample — and cached per dataset), so the twin
+    * reproduces cell assignment, the top-nProbe probe order (ties to the
+    * larger cell, matching sort_array desc on (score, cell) structs),
+    * and bit-identical cosines. */
+  def oIvfTopK(cents: Seq[Array[Double]]): String =
+    s"""${ivfBaseSql(cents)},
+       |probe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |        FROM scored WHERE vec_id < 50)
+       |  WHERE rn <= $NProbe),
+       |$ivfTailSql""".stripMargin
+
+  /** Full DuckDB twin of [[qIvfTopKAdaptive]]: same base; the probe set
+    * keeps the top-maxProbe cells whose coarse score clears
+    * best − margin (the score-gap rule over the same bit-identical
+    * scores; the margin literal parses to the same double both sides). */
+  def oIvfTopKAdaptive(cents: Seq[Array[Double]]): String =
+    s"""${ivfBaseSql(cents)},
+       |probe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell
+       |  FROM (SELECT *,
+       |          row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn,
+       |          max(score) OVER (PARTITION BY vec_id) AS best
+       |        FROM scored WHERE vec_id < 50)
+       |  WHERE rn <= $NProbe
+       |    AND score >= best - CAST('${java.lang.Double.toString(AdaptiveMargin)}' AS DOUBLE)),
+       |$ivfTailSql""".stripMargin
+
   /** The 100 TB layout: corpus written partitionBy(cell), so a probe is
     * a partition-pruned scan of its cells' files only. Returns the
     * centroids the layout was built with (the probe side must use the

@@ -288,6 +288,163 @@ object Pq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The single trained codebook set this JVM has seen, if unambiguous —
+    * the same cache-to-oracle bridge as [[Ivf.cachedCentroids]]. */
+  def cachedCodebooks: Option[(String, Seq[Seq[Array[Double]]])] =
+    if (codebooks.size == 1) {
+      val e = codebooks.entrySet.iterator.next
+      Some(e.getKey -> e.getValue)
+    } else None
+
+  /** Oracle entries generated AFTER training (empty until then). The
+    * IVFPQ twin needs the IVF quantizer too, and both caches must refer
+    * to the same dataset. */
+  def oracleEntries: Map[String, String] =
+    (cachedCodebooks, Ivf.cachedCentroids) match {
+      case (Some((bd, books)), Some((cd, cents))) if bd == cd =>
+        Map("sim_pq_topk" -> oPqTopK(books),
+          "sim_ivfpq_topk" -> oIvfPqTopK(cents, books))
+      case (Some((_, books)), None) =>
+        Map("sim_pq_topk" -> oPqTopK(books))
+      case _ => Map.empty
+    }
+
+  /** Codebook literal table (j, c, cv, half): half = ½‖c‖² folded
+    * left-to-right, the exact [[graft.plans.MatVec.Mat.halfNorms]]
+    * constant, inlined so the twin never re-derives it in different
+    * fp order. */
+  private def bookValuesSql(books: Seq[Seq[Array[Double]]]): String =
+    (for {
+      j <- books.indices
+      c <- books(j).indices
+    } yield {
+      val cw = books(j)(c)
+      val half = 0.5 * cw.map(x => x * x).sum
+      s"($j, $c, ${Ivf.vecLit(cw)}, ${Ivf.dLit(half)})"
+    }).mkString(", ")
+
+  private val jsSql: String =
+    (0 until M).mkString("(SELECT unnest([", ", ", "]) AS j)")
+
+  /** Shared twin prefix: norms, codebook literals, per-(vec, subspace)
+    * normalized subvectors, nearest-code assignment (argmin of
+    * ½‖c‖² − s·c, ties to the SMALLER index — NearestCode's strict `<`
+    * scan), the per-vector code list, and each query's raw-subvector
+    * LUT — all on the sequential-fold dot idiom that is bit-exact with
+    * the fused kernels. */
+  private def pqBaseSql(books: Seq[Seq[Array[Double]]]): String = {
+    val d = 64 / M
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |book AS (SELECT * FROM (VALUES ${bookValuesSql(books)}) t(j, c, cv, half)),
+       |js AS $jsSql,
+       |subv AS (
+       |  SELECT vec_id, j,
+       |    list_transform(list_slice(embedding, j*$d+1, j*$d+$d),
+       |      x -> CAST(x AS DOUBLE) / nrm) AS sub
+       |  FROM n CROSS JOIN js),
+       |dist AS (
+       |  SELECT vec_id, j, c,
+       |    half - list_sum(list_transform(list_zip(sub, cv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dd
+       |  FROM subv JOIN book USING (j)),
+       |codes AS (
+       |  SELECT vec_id, list(c ORDER BY j) AS codes
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id, j ORDER BY dd ASC, c ASC) AS rn
+       |        FROM dist)
+       |  WHERE rn = 1 GROUP BY vec_id),
+       |qsub AS (
+       |  SELECT vec_id AS query_id, j,
+       |    list_transform(list_slice(embedding, j*$d+1, j*$d+$d),
+       |      x -> CAST(x AS DOUBLE)) AS qs
+       |  FROM n CROSS JOIN js WHERE vec_id < 50),
+       |lutv AS (
+       |  SELECT query_id, j, c,
+       |    list_sum(list_transform(list_zip(qs, cv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS v
+       |  FROM qsub JOIN book USING (j)),
+       |luts AS (
+       |  SELECT query_id, list(lv ORDER BY j) AS lut
+       |  FROM (SELECT query_id, j, list(v ORDER BY c) AS lv
+       |        FROM lutv GROUP BY query_id, j)
+       |  GROUP BY query_id)""".stripMargin
+  }
+
+  /** ADC as the explicit left-associated 8-term chain — literally
+    * [[adcOf]]'s reduceLeft, no aggregate-order assumptions. */
+  private val adcChainSql: String =
+    (0 until M).map(j => s"lut[${j + 1}][codes[${j + 1}]+1]").mkString(" + ")
+
+  /** Shared twin suffix from the (query_id, neighbor_id, adc) pair set:
+    * top Refine·k by ADC (ties to the smaller neighbor), exact-cosine
+    * re-rank of the shortlist. */
+  private val pqTailSql: String =
+    s"""short AS (
+       |  SELECT query_id, neighbor_id, adc
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r
+       |        FROM adc)
+       |  WHERE r <= ${5 * Refine}),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 50),
+       |cv2 AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn FROM n),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adc,
+       |    list_sum(list_transform(list_zip(qe, ce),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qn * cn) AS cosine
+       |  FROM short s JOIN qv USING (query_id) JOIN cv2 USING (neighbor_id))
+       |SELECT query_id, neighbor_id, adc, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM rer)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Full DuckDB twin of [[qPqTopK]]: trained codebooks inlined as
+    * literals (training is deterministic and cached per dataset), codes
+    * and LUTs rebuilt bit-identically, ADC summed in fixed j order. */
+  def oPqTopK(books: Seq[Seq[Array[Double]]]): String =
+    s"""${pqBaseSql(books)},
+       |adc AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, $adcChainSql AS adc
+       |  FROM luts CROSS JOIN codes c
+       |  WHERE query_id != c.vec_id),
+       |$pqTailSql""".stripMargin
+
+  /** Full DuckDB twin of [[qIvfPqTopK]]: the PQ base plus the IVF
+    * centroid literals; the ADC sweep only sees (query, candidate) pairs
+    * whose candidate cell is among the query's top-nProbe probe cells. */
+  def oIvfPqTopK(cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): String =
+    s"""${pqBaseSql(books)},
+       |cent AS (SELECT * FROM (VALUES ${Ivf.centValuesSql(cents)}) tc(cell, ccv)),
+       |cscored AS (
+       |  SELECT n.vec_id, cent.cell,
+       |    list_sum(list_transform(list_zip(n.embedding, ccv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS score
+       |  FROM n CROSS JOIN cent),
+       |cellof AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |        FROM cscored)
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cell
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |        FROM cscored WHERE vec_id < 50)
+       |  WHERE rn <= ${Ivf.NProbe}),
+       |adc AS (
+       |  SELECT qp.query_id, c.vec_id AS neighbor_id, $adcChainSql AS adc
+       |  FROM qprobe qp
+       |    JOIN cellof cf USING (cell)
+       |    JOIN codes c ON c.vec_id = cf.vec_id
+       |    JOIN luts ON luts.query_id = qp.query_id
+       |  WHERE qp.query_id != c.vec_id),
+       |$pqTailSql""".stripMargin
+
   def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val books = codebooks.computeIfAbsent(dir, _ => trainCodebooks(emb, 64))
