@@ -125,6 +125,11 @@ object SparkEntry {
     // generated full oracle twins (plus recall/compression specs)
     "sim_pq_topk" -> ((s, d) => Pq.qPqTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Pq.qIvfPqTopK(s, d)),
+    // persisted-index serving paths: build once per dataset (amortized
+    // like a production index build), measured queries scan the codes /
+    // pruned cell partitions only
+    "sim_pq_serving_topk" -> ((s, d) => Pq.qPqTopKServing(s, d)),
+    "sim_ivf_clustered_topk" -> ((s, d) => Ivf.qIvfTopKClustered(s, d)),
     "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d)),
     "curation_chunks" -> ((s, d) => Passages.qChunks(s, d)),

@@ -192,8 +192,39 @@ object Ivf {
   def oracleEntries: Map[String, String] = cachedCentroids match {
     case Some((_, cents)) => Map(
       "sim_ivf_topk" -> oIvfTopK(cents),
-      "sim_ivf_adaptive_topk" -> oIvfTopKAdaptive(cents))
+      "sim_ivf_adaptive_topk" -> oIvfTopKAdaptive(cents),
+      // clustered serving layout: same quantizer ⇒ same results
+      "sim_ivf_clustered_topk" -> oIvfTopK(cents))
     case None => Map.empty
+  }
+
+  /** Build-once clustered layouts per dataset dir (the serving
+    * deployment shape — see [[writeClustered]]); shares [[quantizers]],
+    * so probes — and results — match the inline path (spec-pinned). */
+  private val servingClustered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def servingClusteredFor(spark: SparkSession, dir: String): String =
+    servingClustered.computeIfAbsent(dir, { d =>
+      val cents = centroidsFor(d, Tables.embeddings(spark, d))
+      val path = s"target/serving/ivf_clustered_${Integer.toHexString(d.hashCode)}"
+      Tables.embeddings(spark, d)
+        .withColumn("cell", cellOf(col("embedding"), cents))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    })
+
+  /** The 100 TB read shape, benchable: top-k against the PERSISTED
+    * cell-partitioned layout — the probe is a partition-pruned scan of
+    * the queries' ≤ nProbe cells' files only (build amortized out, like
+    * a production index). Same quantizer ⇒ same results as [[qIvfTopK]],
+    * so it shares the generated [[oIvfTopK]] twin. */
+  def qIvfTopKClustered(spark: SparkSession, dir: String): DataFrame = {
+    val path = servingClusteredFor(spark, dir)
+    val cents = quantizers.get(dir)
+    ivfTopKClustered(spark.read.parquet(path),
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 50), cents, k = 5)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** One double as a DuckDB literal that parses AS DOUBLE. A plain

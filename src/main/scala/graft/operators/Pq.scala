@@ -281,6 +281,39 @@ object Pq {
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
 
+  /** Build-once persisted code tables per dataset dir — the serving
+    * deployment shape: codebooks trained and the corpus encoded ONCE
+    * (the warm pass in a bench, the index build in production), every
+    * subsequent query scanning only the 32×-compressed code parquet.
+    * Shares [[codebooks]], so codes — and therefore results — are
+    * bit-identical to the inline-encode path (spec-pinned). */
+  private val servingCodes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def servingCodesFor(spark: SparkSession, dir: String): String =
+    servingCodes.computeIfAbsent(dir, { d =>
+      val books = codebooks.computeIfAbsent(d,
+        dd => trainCodebooks(Tables.embeddings(spark, dd), 64))
+      val path = s"target/serving/pq_codes_${Integer.toHexString(d.hashCode)}"
+      encode(Tables.embeddings(spark, d), books, 64)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The 100 TB read shape, benchable: top-k against the PERSISTED code
+    * table (train + encode + write happen once per dataset and are
+    * amortized out, exactly like a production index build) — the ADC
+    * sweep reads 8 ints per vector instead of re-deriving codes from
+    * 64 floats in-query. Same codebooks ⇒ same results as [[qPqTopK]],
+    * so it shares the generated [[oPqTopK]] twin. */
+  def qPqTopKServing(spark: SparkSession, dir: String): DataFrame = {
+    val path = servingCodesFor(spark, dir)
+    val books = codebooks.get(dir)
+    pqTopKFromCodes(spark.read.parquet(path), Tables.embeddings(spark, dir),
+      books, k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val books = codebooks.computeIfAbsent(dir,
       d => trainCodebooks(Tables.embeddings(spark, d), 64))
@@ -303,9 +336,12 @@ object Pq {
     (cachedCodebooks, Ivf.cachedCentroids) match {
       case (Some((bd, books)), Some((cd, cents))) if bd == cd =>
         Map("sim_pq_topk" -> oPqTopK(books),
+          // persisted-code serving path: same codebooks ⇒ same results
+          "sim_pq_serving_topk" -> oPqTopK(books),
           "sim_ivfpq_topk" -> oIvfPqTopK(cents, books))
       case (Some((_, books)), None) =>
-        Map("sim_pq_topk" -> oPqTopK(books))
+        Map("sim_pq_topk" -> oPqTopK(books),
+          "sim_pq_serving_topk" -> oPqTopK(books))
       case _ => Map.empty
     }
 
