@@ -51,6 +51,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("user_id"),
           org.apache.spark.sql.functions.col("session_start"))),
     "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d)),
+    "multimodal_decode" -> ((s, d) => Multimodal.qMultimodalDecode(s, d)),
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
@@ -199,6 +200,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.oSimhashPairs,
     "text_winnowing_overlap" -> TextAnalysis.oWinnowingOverlap,
     "multimodal_features" -> Multimodal.oMultimodalFeatures,
+    // real javax.imageio/javax.sound PNG+WAV round trip; the twin
+    // recomputes the decoded stats from the generation formulas
+    "multimodal_decode" -> Multimodal.oMultimodalDecode,
     "dedup_clusters" -> Dedup.oDedupClusters,
     "text_top_ngrams" -> TextAnalysis.oTopNgrams,
     "text_top_terms" -> TextAnalysis.oTopTerms,

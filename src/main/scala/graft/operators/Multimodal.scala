@@ -8,13 +8,17 @@ import graft.Tables
 /** Multimodal column plumbing: media payloads as opaque binary columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The actual codec step is a STUB — no image/audio libraries exist in
-  * this environment — but everything Spark-side is real: schema (binary +
-  * metadata struct), batch shape (mapPartitions = the JVM analog of a
-  * vectorized pandas-batch UDF), deterministic fake features so outputs
-  * are testable, and partitioning that keeps one payload per row without
-  * driver materialization. Swap `decodeStub` for a real codec and the
-  * plumbing is unchanged.
+  * The image and audio codec steps are REAL: PNG/JPEG decode via the
+  * JDK's `javax.imageio` and WAV/PCM decode via `javax.sound.sampled`,
+  * both run inside `mapPartitions` (the JVM analog of a vectorized
+  * pandas-batch UDF, and the amortization point for codec init). Only
+  * container formats the JDK ships no codec for (mp4) fall back to a
+  * deterministic payload-hash feature, clearly marked. The fixtures
+  * carry no media bytes, so image/audio payloads are generated
+  * deterministically from `doc_id` on executors — which also lets the
+  * DuckDB oracle reproduce the decoded pixel/sample statistics in
+  * closed form: the correctness gate covers a real encode→decode
+  * round trip, not a simulated one.
   */
 object Multimodal {
 
@@ -45,24 +49,96 @@ object Multimodal {
   def decodeStubExpr(payload: Column, dims: Int = 8): Column =
     array((0 until dims).map(i => stubFeature(payload, i)): _*)
 
-  /** STUB decode, partition-batch form: the mapPartitions iterator is
-    * where a real codec would amortize per-batch init (model load, native
-    * buffers) — same role as mapInPandas batches in the Python API. */
+  /** Partition-batch decode. Image payloads that parse under
+    * `javax.imageio` yield REAL features (dimensions + per-channel
+    * means, normalized); WAV payloads that parse under
+    * `javax.sound.sampled` yield real sample statistics. Payloads no
+    * JDK codec accepts (mp4, or non-media bytes) fall back to the
+    * deterministic payload-hash features so the pipeline stays total —
+    * the same contract a production decode stage needs when fed a
+    * corrupt blob. */
   def decodeStub(m: Media, dims: Int = 8): MediaFeatures = {
-    val feats = Array.tabulate(dims) { i =>
-      // ??? real codec goes here; fake = byte-sum rolling hash per dim
-      var h = 1125899906842597L + i
-      var j = 0
-      while (j < m.payload.length) { h = 31 * h + m.payload(j); j += 1 }
-      math.abs(h % 100000L) / 100000.0
-    }
+    val real =
+      if (m.mime.startsWith("image/")) imageFeatures(m.payload, dims)
+      else if (m.mime == "audio/wav") wavFeatures(m.payload, dims)
+      else None
+    val feats = real.getOrElse(hashFeatures(m.payload, dims))
     MediaFeatures(m.doc_id, m.mime, m.payload.length, feats)
   }
+
+  /** Fallback for undecodable payloads: rolling-hash per dim in [0,1). */
+  def hashFeatures(payload: Array[Byte], dims: Int): Array[Double] =
+    Array.tabulate(dims) { i =>
+      var h = 1125899906842597L + i
+      var j = 0
+      while (j < payload.length) { h = 31 * h + payload(j); j += 1 }
+      math.abs(h % 100000L) / 100000.0
+    }
+
+  /** Real image features: [w/MAXDIM, h/MAXDIM, bands/4, mean_band0/255,
+    * mean_band1/255, ...] padded/truncated to `dims`. None when the
+    * bytes aren't a decodable image. */
+  def imageFeatures(payload: Array[Byte], dims: Int): Option[Array[Double]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val r = img.getRaster
+      val bands = r.getNumBands
+      val sums = new Array[Long](bands)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sums(b) += r.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Double](dims)
+      out(0) = w / 4096.0
+      if (dims > 1) out(1) = h / 4096.0
+      if (dims > 2) out(2) = bands / 4.0
+      var i = 3
+      while (i < dims) {
+        if (i - 3 < bands) out(i) = sums(i - 3).toDouble / (w.toLong * h) / 255.0
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Real WAV features via `javax.sound.sampled`: [sampleRate/48k,
+    * channels/4, frames/1e6, mean byte-sample/255, ...]. None when the
+    * bytes aren't a parseable WAV. */
+  def wavFeatures(payload: Array[Byte], dims: Int): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        var sum = 0L
+        var j = 0
+        while (j < data.length) { sum += (data(j) & 0xff); j += 1 }
+        val out = new Array[Double](dims)
+        out(0) = fmt.getSampleRate / 48000.0
+        if (dims > 1) out(1) = fmt.getChannels / 4.0
+        if (dims > 2) out(2) = frames / 1e6
+        if (dims > 3 && data.nonEmpty) out(3) = sum.toDouble / data.length / 255.0
+        Some(out)
+      } finally in.close()
+    } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None }
 
   def decodePartitions(media: Dataset[Media], dims: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
-      // per-partition init happens once here (codec handles, buffers)
+      // per-partition init happens once here: the in-memory codec path
+      // (ImageIO plugin lookup caches per classloader; disk cache off)
+      javax.imageio.ImageIO.setUseCache(false)
       iter.map(m => decodeStub(m, dims))
     }
   }
@@ -107,6 +183,131 @@ object Multimodal {
        |  $norm
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  // ---- real codec round trip -----------------------------------------
+
+  /** Deterministic fixture PNG for a doc: 8×(1+doc_id%13) RGB with
+    * pixel(x,y,c) = (doc_id + 7c + 31(y·W+x)) mod 256. PNG is lossless,
+    * so decode returns these exact values — which is what lets the
+    * DuckDB oracle recompute the decoded statistics in closed form. */
+  def pngFor(docId: Long): Array[Byte] = {
+    val w = 8; val h = 1 + (docId % 13).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          r.setSample(x, y, c, ((docId + 7L * c + 31L * (y * w + x)) % 256L).toInt)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic fixture WAV: 8 kHz mono unsigned 8-bit PCM,
+    * 32+(doc_id%41) samples, sample(j) = (doc_id + 17j) mod 256. */
+  def wavFor(docId: Long): Array[Byte] = {
+    val n = 32 + (docId % 41).toInt
+    val samples = Array.tabulate(n)(j => ((docId + 17L * j) % 256L).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int, channels: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      wav_frames: Long, wav_rate_hz: Int, wav_channels: Int, wav_byte_sum: Long)
+
+  /** Encode→decode round trip over REAL codecs: per doc, build the
+    * fixture PNG and WAV on the executor, decode them back through
+    * `javax.imageio` / `javax.sound.sampled`, and emit the decoded
+    * dimensions and channel statistics. Map-only (no shuffle; the
+    * orderBy is presentation) — at 100 TB this is the canonical "decode
+    * + feature-extract" scan shape, with codec init amortized once per
+    * partition. The oracle reproduces every value arithmetically from
+    * the generation formulas, so the hash gate proves the codecs
+    * actually ran and returned the bytes we encoded. */
+  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(pngFor(id)))
+        val w = img.getWidth; val h = img.getHeight
+        val r = img.getRaster
+        val sums = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) { sums(c) += r.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wavFor(id)))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        in.close()
+        var s = 0L
+        var j = 0
+        while (j < data.length) { s += (data(j) & 0xff); j += 1 }
+        val npix = w.toLong * h
+        DecodedMedia(id, w, h, r.getNumBands,
+          sums(0), sums(1), sums(2),
+          sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix,
+          frames, fmt.getSampleRate.toInt, fmt.getChannels, s)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB twin: the pixel/sample formulas summed over `range()` —
+    * exact integer sums, then the same IEEE double division as the
+    * Spark side, so the hash compare is bit-exact. */
+  def oMultimodalDecode: String =
+    """WITH px AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM(CASE WHEN c.c = 0 THEN (d.doc_id + 7*c.c + 31*k.k) % 256 END) AS BIGINT) AS sum_r,
+      |    CAST(SUM(CASE WHEN c.c = 1 THEN (d.doc_id + 7*c.c + 31*k.k) % 256 END) AS BIGINT) AS sum_g,
+      |    CAST(SUM(CASE WHEN c.c = 2 THEN (d.doc_id + 7*c.c + 31*k.k) % 256 END) AS BIGINT) AS sum_b
+      |  FROM documents d, range(0, 3) c(c), range(0, 104) k(k)
+      |  WHERE k.k < 8 * (1 + d.doc_id % 13)
+      |  GROUP BY d.doc_id),
+      |wav AS (
+      |  SELECT d.doc_id,
+      |    CAST(32 + d.doc_id % 41 AS BIGINT) AS wav_frames,
+      |    CAST(SUM((d.doc_id + 17*j.j) % 256) AS BIGINT) AS wav_byte_sum
+      |  FROM documents d, range(0, 72) j(j)
+      |  WHERE j.j < 32 + d.doc_id % 41
+      |  GROUP BY d.doc_id)
+      |SELECT p.doc_id,
+      |  8 AS width, CAST(1 + p.doc_id % 13 AS INTEGER) AS height, 3 AS channels,
+      |  p.sum_r, p.sum_g, p.sum_b,
+      |  CAST(p.sum_r AS DOUBLE) / (8 * (1 + p.doc_id % 13)) AS mean_r,
+      |  CAST(p.sum_g AS DOUBLE) / (8 * (1 + p.doc_id % 13)) AS mean_g,
+      |  CAST(p.sum_b AS DOUBLE) / (8 * (1 + p.doc_id % 13)) AS mean_b,
+      |  w.wav_frames, 8000 AS wav_rate_hz, 1 AS wav_channels, w.wav_byte_sum
+      |FROM px p JOIN wav w USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** STUB resize: cap the payload at `maxBytes` before decoding — the
     * binary-slice expression is the real plumbing (a codec resize slots

@@ -198,4 +198,37 @@ class CustomOpsSpec extends SparkSpecBase {
     // distinct payloads produce distinct feature vectors (hash sensitivity)
     assert(rows.map(_.getSeq[Double](1)).distinct.length > 40)
   }
+
+  test("png/wav codec round trip returns the exact encoded pixels/samples") {
+    import graft.operators.Multimodal
+    // driver-side unit check of the codec formulas the oracle mirrors
+    for (id <- Seq(0L, 1L, 12L, 13L, 40L, 97L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngFor(id)))
+      assert(img.getWidth == 8 && img.getHeight == 1 + (id % 13).toInt)
+      val r = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until 8; c <- 0 until 3)
+        assert(r.getSample(x, y, c) == ((id + 7L * c + 31L * (y * 8 + x)) % 256L).toInt,
+          s"doc $id pixel ($x,$y,$c)")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.wavFor(id)))
+      val data = in.readAllBytes(); in.close()
+      assert(data.length == 32 + (id % 41).toInt)
+      data.zipWithIndex.foreach { case (b, j) =>
+        assert((b & 0xff) == ((id + 17L * j) % 256L).toInt, s"doc $id sample $j")
+      }
+    }
+    // distributed path: decodeStub routes real PNG/WAV payloads through the
+    // real codecs (feature 0/1 = w/4096, h/4096 for images)
+    val media = Seq(
+      Multimodal.Media(5L, "image/png", Multimodal.pngFor(5L)),
+      Multimodal.Media(6L, "audio/wav", Multimodal.wavFor(6L)),
+      Multimodal.Media(7L, "video/mp4", Array[Byte](1, 2, 3))).toDS()
+    val feats = Multimodal.decodePartitions(media).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    assert(feats(5L)(0) == 8 / 4096.0 && feats(5L)(1) == (1 + 5 % 13) / 4096.0)
+    assert(feats(6L)(0) == 8000 / 48000.0 && feats(6L)(1) == 1 / 4.0)
+    // undecodable container falls back to the deterministic hash features
+    assert(feats(7L).sameElements(Multimodal.hashFeatures(Array[Byte](1, 2, 3), 8)))
+  }
 }
