@@ -58,6 +58,17 @@ class LlmOpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairsBlocked(docs, 7, nBlocks = 14, keep = 8)
     }
+    // the auto dial: picks (8,2) below the measured ~4M-doc crossover,
+    // (14,8) above it, and returns the identical verified pairs on
+    // either side of the switch (cost-only, like every complete config)
+    assert(Dedup.simhashBlockingFor(100000L) == ((8, 2)))
+    assert(Dedup.simhashBlockingFor(100000000L) == ((14, 8)))
+    val autoSmall = Dedup.simhashPairsAuto(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoLarge = Dedup.simhashPairsAuto(docs, 6, estimatedDocs = Some(100000000L))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoSmall == wide && autoLarge == wide,
+      s"auto dial changed results: small ${autoSmall.size}, large ${autoLarge.size}, expected ${wide.size}")
   }
 
   test("dup clusters: hash-min propagation finds transitive components") {
