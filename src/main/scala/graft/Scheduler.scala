@@ -56,23 +56,27 @@ final class Scheduler(
   /** Run `body` at every aligned boundary, `maxTicks` times (the test /
     * bounded-operations entry; a service caller passes Int.MaxValue).
     * Returns one [[Tick]] per fired boundary; boundaries that passed
-    * while a run was active appear as skipped ticks (catchup=False). */
-  def loop[T](maxTicks: Int)(body: => T): Seq[Tick[T]] = {
+    * while a run was active appear as skipped ticks (catchup=False).
+    * `onTick` fires as each tick resolves — an unbounded service logs
+    * through it, since the returned Seq only materializes on exit. */
+  def loop[T](maxTicks: Int, onTick: Tick[T] => Unit = (_: Tick[T]) => ())
+      (body: => T): Seq[Tick[T]] = {
     val out = Vector.newBuilder[Tick[T]]
     var fired = 0
+    def emit(t: Tick[T]): Unit = { out += t; onTick(t) }
     while (fired < maxTicks) {
       val now = clock()
       val boundary = nextBoundary(now)
       sleeper(boundary - now)
       fired += 1
-      out += Tick(boundary, runGated(body))
+      emit(Tick(boundary, runGated(body)))
       // boundaries that elapsed DURING the run are dropped, not caught
       // up — surface them as explicit skipped ticks for observability
       val after = clock()
       var missed = boundary + intervalMs
       while (missed <= after && fired < maxTicks) {
         onSkip(missed)
-        out += Tick(missed, None)
+        emit(Tick(missed, None))
         fired += 1
         missed += intervalMs
       }
@@ -93,6 +97,7 @@ object Scheduler {
     * `weather_pipeline` with its stock settings. */
   def schedule(spark: SparkSession, cfg: Pipeline.Config,
       intervalMs: Long = 60L * 60 * 1000,
-      maxTicks: Int = Int.MaxValue): Seq[Tick[Pipeline.Report]] =
-    new Scheduler(intervalMs).loop(maxTicks)(Pipeline.run(spark, cfg))
+      maxTicks: Int = Int.MaxValue,
+      onTick: Tick[Pipeline.Report] => Unit = _ => ()): Seq[Tick[Pipeline.Report]] =
+    new Scheduler(intervalMs).loop(maxTicks, onTick)(Pipeline.run(spark, cfg))
 }

@@ -80,4 +80,32 @@ class SchedulerSpec extends AnyFunSuite {
     assert(sched.nextBoundary(5000L) == 6000L, "strictly-after semantics")
     assert(sched.nextBoundary(5999L) == 6000L)
   }
+
+  test("Service arg parsing: DAG-stock defaults, overrides, loud failures") {
+    val sc = Service.parse(Seq("--source", "/landing", "--warehouse", "/wh"))
+    assert(sc.pipeline.sourceDir == "/landing" && sc.pipeline.warehouseDir == "/wh")
+    assert(sc.pipeline.jdbcUrl.isEmpty)
+    assert(sc.intervalMs == 60L * 60 * 1000 && sc.maxTicks == Int.MaxValue)
+    // stock DAG retry posture rides along (retries=3, 5min delay, 2h timeout)
+    assert(sc.pipeline.retry ==
+      StageRunner.RetryPolicy(3, 5 * 60 * 1000L, 2L * 60 * 60 * 1000))
+
+    val sc2 = Service.parse(Seq("--source", "s", "--warehouse", "w",
+      "--jdbc-url", "jdbc:derby:x", "--interval-minutes", "15",
+      "--max-ticks", "4", "--max-null-ratio", "0.25",
+      "--retries", "1", "--retry-delay-minutes", "1"))
+    assert(sc2.pipeline.jdbcUrl.contains("jdbc:derby:x"))
+    assert(sc2.intervalMs == 15L * 60 * 1000 && sc2.maxTicks == 4)
+    assert(sc2.pipeline.maxNullRatio == 0.25)
+    assert(sc2.pipeline.retry.retries == 1 &&
+      sc2.pipeline.retry.retryDelayMs == 60 * 1000L)
+
+    intercept[IllegalArgumentException](Service.parse(Seq("--warehouse", "w")))
+    intercept[IllegalArgumentException](Service.parse(Seq(
+      "--source", "s", "--warehouse", "w", "--retention-days", "30")))
+    intercept[IllegalArgumentException](Service.parse(Seq(
+      "--source", "s", "--warehouse", "w", "--interval-minutes", "0")))
+    intercept[IllegalArgumentException](Service.parse(Seq(
+      "--source", "s", "--warehouse")))
+  }
 }
