@@ -64,9 +64,22 @@ object Tables {
     * normalization as the batch path. */
   def eventsStream(s: SparkSession, landingDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NonFatal, not just AnalysisException: a corrupt or half-written
+    // producer file in the landing dir throws SparkException/IOException
+    // from the footer read, and inference failing must degrade to the
+    // declared fallback, not fail stream definition. The fallback is
+    // logged because its NTZ ts only matches the current (micros)
+    // fixture generation — if nanos-generation files land later, the
+    // mismatch surfaces here, not as a silent bad cast downstream.
     val schema =
       try s.read.parquet(landingDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventsRawSchema }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"landing schema inference failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); using declared fallback eventsRawSchema")
+          eventsRawSchema
+      }
     normalizeTs(s.readStream.schema(schema).parquet(landingDir))
   }
 

@@ -21,6 +21,18 @@ class StreamingSpec extends SparkSpecBase {
 
   private def streamEvents(dir: String) = Tables.eventsStream(spark, dir)
 
+  test("stream definition survives a corrupt landing file (schema fallback)") {
+    // a half-written producer file throws SparkException (not
+    // AnalysisException) from the inference footer read; the stream must
+    // still define, degrading to the declared fallback schema
+    val d = Files.createTempDirectory("graft-corrupt").toString
+    Files.write(Paths.get(s"$d/half_written.parquet"),
+      "PAR1 this is not a parquet footer".getBytes("UTF-8"))
+    val stream = Tables.eventsStream(spark, d)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSet == Tables.eventsRawSchema.fieldNames.toSet)
+  }
+
   test("watermarked hourly window agg matches the batch groupBy") {
     val dir = eventsDir()
     val q = StreamingOps.hourlyAggStream(streamEvents(dir))
