@@ -145,6 +145,9 @@ object Probe {
           drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
         }
       } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")
+      if (want("codec")) time("multimodal codec round trip (PNG+WAV, map-only)") {
+        drain(graft.operators.Multimodal.decodeRoundTrip(docs))
+      }
       if (want("passages")) time("passage dedup (linear, no pair join)") {
         drain(graft.operators.Passages.passageDedup(docs))
       }

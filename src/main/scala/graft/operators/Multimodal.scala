@@ -241,9 +241,16 @@ object Multimodal {
     * partition. The oracle reproduces every value arithmetically from
     * the generation formulas, so the hash gate proves the codecs
     * actually ran and returned the bytes we encoded. */
-  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeRoundTrip(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The round-trip scan over any docs frame (probe entry: the scaling
+    * harness feeds replicated corpora through it to measure codec
+    * throughput at the 10^5–10^6-doc tiers). */
+  def decodeRoundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val ids = docs.select(col("doc_id")).as[Long]
     ids.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false)
       iter.map { id =>
@@ -277,7 +284,7 @@ object Multimodal {
           sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix,
           frames, fmt.getSampleRate.toInt, fmt.getChannels, s)
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF()
   }
 
   /** DuckDB twin: the pixel/sample formulas summed over `range()` —
