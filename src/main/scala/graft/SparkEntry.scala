@@ -52,6 +52,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("session_start"))),
     "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.qMultimodalDecode(s, d)),
+    "classify_lang_nb" -> ((s, d) => Classify.qClassifyLang(s, d)),
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
@@ -269,5 +270,7 @@ object SparkEntry {
     // query before dumping oracleSql, so by dump time the caches hold
     // the literals to inline — the sign-LSH hyperplane pattern, extended
     // to trained quantizers. Empty (→ rows-only gate) if untrained.
-    Ivf.oracleEntries ++ Pq.oracleEntries
+    Ivf.oracleEntries ++ Pq.oracleEntries ++
+    // trained NB classifier: fixed-point integer model inlined the same way
+    Classify.oracleEntries
 }

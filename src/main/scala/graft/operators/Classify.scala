@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Trained text classification — the fastText-LID-shaped curation
+  * operator: a multinomial Naive Bayes model trained distributively on
+  * the labelled train split, broadcast, and applied map-side to the
+  * whole corpus (language ID, quality-tier routing, source attribution).
+  *
+  * Scale design (100 TB): training is ONE pass over the train split —
+  * explode words, partial-agg counts per (label, gram) — with the model
+  * capped at `maxVocab` grams by global frequency (deterministic
+  * tie-break), so the collected model is bounded regardless of corpus
+  * size, exactly the sampled-k-means discipline (`Pq.trainCodebooks`).
+  * Prediction broadcasts the model and runs explode → broadcast-join →
+  * per-doc hash-agg → one window on doc_id; shuffle carries only
+  * (doc_id, label, partial integer sums).
+  *
+  * Determinism discipline: log-probabilities are FIXED-POINT BIGINTs
+  * (`ln(p) · 10^12`, rounded once on the driver at train time), so
+  * prediction is pure integer arithmetic — no libm call happens at
+  * query time in either engine, and the DuckDB twin (generated after
+  * training with the model inlined as literals, the trained-quantizer
+  * oracle pattern) hash-matches bit-for-bit including scores and
+  * margins. Ties break lexicographically by label.
+  */
+object Classify {
+
+  /** Fixed-point scale: ln(p) is rounded to units of 10^-12 at train
+    * time. Doc scores are sums of a few hundred such values — well
+    * inside BIGINT range (|ln p| < 30 → |fixed| < 3·10^13/word). */
+  val LogScale: Double = 1e12
+
+  /** A trained model: `labels` sorted; per-label fixed-point priors
+    * ln(n_l/n) and unknown-gram defaults ln(1/(tokens_l + V)); per-gram
+    * per-label smoothed ln((cnt+1)/(tokens_l + V)). */
+  case class NbModel(
+      labels: IndexedSeq[String],
+      priors: IndexedSeq[Long],
+      defaults: IndexedSeq[Long],
+      gramLogp: Map[String, IndexedSeq[Long]],
+      vocabSize: Long) {
+    require(labels.nonEmpty, "model needs at least one label")
+  }
+
+  /** One distributed counting pass + a model-sized collect. The cap
+    * keeps the model broadcast-sized at any corpus scale: top `maxVocab`
+    * grams by total count across labels (ties broken by gram, so the
+    * trained model — and therefore the generated oracle — is stable). */
+  def trainNaiveBayes(train: DataFrame, labelCol: String = "lang",
+      maxVocab: Int = 50000): NbModel = {
+    val words = train.select(col(labelCol).as("label"),
+      explode(TextFns.words(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the vocab cap is itself distributed: per-gram totals, then a
+    // TakeOrdered top-maxVocab (per-partition top-k, no global sort or
+    // single-partition window), then a broadcast semi-join — the only
+    // collected rows are the capped model
+    val keptGrams = words.groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(maxVocab).select("w")
+    val kept = words.groupBy("label", "w").count()
+      .join(broadcast(keptGrams), Seq("w"), "left_semi")
+      .select("label", "w", "count").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docCounts = train.groupBy(col(labelCol).as("label")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val labels = docCounts.keys.toIndexedSeq.sorted
+    val nDocs = docCounts.values.sum.toDouble
+    // token totals per label over the FULL split (capped grams change
+    // which grams carry their own logp, not the denominators)
+    val tokenTotals = words.groupBy("label").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vocabSize = kept.map(_._2).distinct.length.toLong
+    def fx(x: Double): Long = math.round(math.log(x) * LogScale)
+    val priors = labels.map(l => fx(docCounts(l) / nDocs))
+    val defaults = labels.map(l =>
+      fx(1.0 / (tokenTotals.getOrElse(l, 0L) + vocabSize)))
+    val byGram = kept.groupBy(_._2).map { case (g, rows) =>
+      val perLabel = rows.map(r => (r._1, r._3)).toMap
+      g -> labels.map(l =>
+        fx((perLabel.getOrElse(l, 0L) + 1.0) /
+          (tokenTotals.getOrElse(l, 0L) + vocabSize)))
+    }
+    words.unpersist()
+    NbModel(labels, priors, defaults, byGram, vocabSize)
+  }
+
+  /** Broadcast-model prediction: one explode, one broadcast join, one
+    * per-doc integer aggregation, one window. Emits the winning label
+    * plus its fixed-point score and the margin to the runner-up (0 when
+    * there is no runner-up) — integers, so the gate is exact. */
+  def predict(docs: DataFrame, model: NbModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = model.labels.size
+    val langDim = (0 until L).map(i =>
+      (i, model.labels(i), model.priors(i), model.defaults(i)))
+      .toDF("lidx", "label", "prior", "dflt")
+    val modelDf = model.gramLogp.toSeq.flatMap { case (g, lps) =>
+      lps.zipWithIndex.map { case (lp, i) => (g, i, lp) }
+    }.toDF("w", "lidx", "logp")
+    val words = docs.select(col("doc_id"),
+      explode(TextFns.words(col("text"))).as("w"))
+    val scored = words
+      .crossJoin(broadcast(langDim))
+      .join(broadcast(modelDf), Seq("w", "lidx"), "left")
+      .select(col("doc_id"), col("label"), col("prior"),
+        coalesce(col("logp"), col("dflt")).as("lp"))
+    val sums = scored.groupBy("doc_id", "label", "prior")
+      .agg(sum("lp").as("s"))
+      .select(col("doc_id"), col("label"), (col("prior") + col("s")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))
+    sums
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("margin",
+        coalesce(col("score") - lead("score", 1).over(w), lit(0L)))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("label").as("pred_lang"),
+        col("score"), col("margin"))
+  }
+
+  /** Models per dataset dir (training is deterministic; caching only
+    * skips recomputation — the Pq.codebooks discipline). */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[String, NbModel]()
+
+  private[graft] def modelFor(spark: SparkSession, dir: String): NbModel =
+    models.computeIfAbsent(dir, { d =>
+      val split = TextAnalysis.withSplit(Tables.documents(spark, d))
+      trainNaiveBayes(split.filter(col("split") === "train"))
+    })
+
+  /** Train on the deterministic train split, predict the whole corpus. */
+  def qClassifyLang(spark: SparkSession, dir: String): DataFrame =
+    predict(Tables.documents(spark, dir), modelFor(spark, dir))
+      .orderBy("doc_id")
+
+  /** The single trained model this JVM has seen, if unambiguous — the
+    * cache-to-oracle bridge (`Pq.cachedCodebooks`). */
+  def cachedModel: Option[NbModel] =
+    if (models.size == 1) Some(models.values.iterator.next) else None
+
+  /** Generated after training: the fixed-point model inlined as VALUES
+    * literals. Both engines then do identical integer arithmetic — the
+    * smoothing/log math happened exactly once, on the driver. */
+  def oracleEntries: Map[String, String] =
+    cachedModel.map(m => Map("classify_lang_nb" -> oClassifyLang(m)))
+      .getOrElse(Map.empty)
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private[graft] def oClassifyLang(m: NbModel): String = {
+    val langRows = m.labels.indices.map(i =>
+      s"(${i}, ${sqlStr(m.labels(i))}, ${m.priors(i)}, ${m.defaults(i)})")
+      .mkString(", ")
+    val modelRows = m.gramLogp.toSeq.sortBy(_._1).flatMap { case (g, lps) =>
+      lps.zipWithIndex.map { case (lp, i) => s"(${sqlStr(g)}, $i, $lp)" }
+    }.mkString(", ")
+    s"""WITH langs(lidx, label, prior, dflt) AS (VALUES $langRows),
+       |model(w, lidx, logp) AS (VALUES $modelRows),
+       |wrd AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT d.doc_id, l.label, l.prior, COALESCE(mo.logp, l.dflt) AS lp
+       |  FROM wrd d CROSS JOIN langs l
+       |  LEFT JOIN model mo ON mo.w = d.w AND mo.lidx = l.lidx),
+       |sums AS (
+       |  SELECT doc_id, label, CAST(prior + SUM(lp) AS BIGINT) AS score
+       |  FROM scored GROUP BY doc_id, label, prior),
+       |ranked AS (
+       |  SELECT doc_id, label, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rnk,
+       |    CAST(COALESCE(score - lead(score) OVER (
+       |      PARTITION BY doc_id ORDER BY score DESC, label), 0) AS BIGINT) AS margin
+       |  FROM sums)
+       |SELECT doc_id, label AS pred_lang, score, margin
+       |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classify
+
+/** Trained Naive Bayes classifier: accuracy on separable planted data,
+  * integer-exact determinism, tie-break, vocab-cap, and unknown-gram
+  * semantics. The fixture-corpus gate itself is the DuckDB oracle
+  * (`classify_lang_nb`, generated from the trained model). */
+class ClassifySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def planted(n: Int) = {
+    // three classes with disjoint vocabularies — NB must be perfect here
+    val vocab = Map(
+      "aa" -> Seq("alpha", "apex", "arrow", "atlas"),
+      "bb" -> Seq("bravo", "basin", "birch", "bolt"),
+      "cc" -> Seq("cedar", "comet", "coral", "crane"))
+    (0 until n).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val ws = vocab(lang)
+      val text = (0 until 8).map(j => ws((i + j) % ws.size)).mkString(" ")
+      (i.toLong, text, lang)
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  test("disjoint-vocab classes classify perfectly, train and held-out") {
+    val docs = planted(90)
+    val model = Classify.trainNaiveBayes(docs.filter($"doc_id" < 60))
+    assert(model.labels == IndexedSeq("aa", "bb", "cc"))
+    val preds = Classify.predict(docs, model)
+      .join(docs, "doc_id")
+      .select($"doc_id", $"pred_lang", $"lang", $"margin").collect()
+    assert(preds.length == 90)
+    preds.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)} misclassified")
+      assert(r.getLong(3) > 0, s"doc ${r.getLong(0)}: separable data must have margin")
+    }
+  }
+
+  test("prediction is integer-deterministic and ties break to the smallest label") {
+    // two labels with IDENTICAL training text: every doc scores equal →
+    // the lexicographic tie-break must pick "aa" with margin 0
+    val train = Seq((1L, "x y z", "bb"), (2L, "x y z", "aa")).toDF("doc_id", "text", "lang")
+    val model = Classify.trainNaiveBayes(train)
+    val out = Classify.predict(Seq((10L, "x y")).toDF("doc_id", "text"), model).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "aa" && out(0).getLong(3) == 0L)
+    // repeated runs produce identical rows (pure integer arithmetic)
+    val docs = planted(30)
+    val m2 = Classify.trainNaiveBayes(docs)
+    val a = Classify.predict(docs, m2).orderBy("doc_id").collect().toSeq
+    val b = Classify.predict(docs, m2).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("unknown grams fall back to the per-label default (priors decide)") {
+    val train = Seq((1L, "alpha alpha", "aa"), (2L, "bravo", "bb"),
+      (3L, "alpha apex", "aa")).toDF("doc_id", "text", "lang")
+    val model = Classify.trainNaiveBayes(train)
+    // a doc of entirely unseen words: score_l = prior_l + n·default_l.
+    // bb trained on FEWER tokens, so its unknown-gram default
+    // ln(1/(tokens+V)) is larger and outweighs aa's 2/3 prior:
+    // aa = ln(2/3)+2·ln(1/7), bb = ln(1/3)+2·ln(1/4) → bb wins
+    val out = Classify.predict(Seq((9L, "zzz qqq")).toDF("doc_id", "text"), model)
+      .collect()
+    assert(out(0).getString(1) == "bb")
+    val expected = model.priors(1) +
+      2 * model.defaults(1) // two unknown tokens
+    assert(out(0).getLong(2) == expected, "score must be the exact integer sum")
+  }
+
+  test("vocab cap keeps the top-frequency grams with deterministic ties") {
+    val train = Seq(
+      (1L, "hot hot hot warm warm cold", "aa"),
+      (2L, "hot warm cold cool cool", "bb")).toDF("doc_id", "text", "lang")
+    val capped = Classify.trainNaiveBayes(train, maxVocab = 2)
+    // totals: hot=4, warm=3, cold=2, cool=2 → top-2 = {hot, warm}
+    assert(capped.gramLogp.keySet == Set("hot", "warm"))
+    assert(capped.vocabSize == 2)
+    // cap at 3: cold vs cool tie on count 2 → lexicographic keeps "cold"
+    val cap3 = Classify.trainNaiveBayes(train, maxVocab = 3)
+    assert(cap3.gramLogp.keySet == Set("hot", "warm", "cold"))
+  }
+
+  test("corpus query trains on the split, predicts every doc, and the generated oracle carries the model") {
+    val out = Classify.qClassifyLang(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs, "every doc gets a prediction")
+    val model = Classify.cachedModel.get
+    val sql = Classify.oClassifyLang(model)
+    // every label and a sample gram literal must be inlined
+    model.labels.foreach(l => assert(sql.contains(s"'$l'")))
+    assert(sql.contains(model.priors.head.toString))
+  }
+}
