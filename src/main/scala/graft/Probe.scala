@@ -244,7 +244,10 @@ object Probe {
       "curation_source_cap" -> "per-source quota: one shuffle on source, rank-limited window (salted two-phase twin for hot domains)",
       "curation_budget_select" -> "distributed prefix sum: range partition on priority, broadcast per-partition offsets, per-partition running window — no global single-task sort",
       "curation_source_mix" -> "mixture rebalance: control-plane count collect → broadcast caps join → per-source rank window, exact floor(T×share) per source",
-      "curation_source_mix_tokens" -> "token-weighted mixture: cached token projection → control-plane totals → per-source running-sum window against broadcast token caps")
+      "curation_source_mix_tokens" -> "token-weighted mixture: cached token projection → control-plane totals → per-source running-sum window against broadcast token caps",
+      "multimodal_decode" -> "real-codec round trip: map-only mapPartitions scan (PNG+WAV decode per row), zero shuffles before the presentation sort",
+      "classify_lang_nb" -> "broadcast-model NB prediction: explode → broadcast joins → per-doc integer hash-agg → one window on doc_id",
+      "sim_pq_serving_topk" -> "persisted-code PQ serving: 32×-compressed code scan + broadcast ADC LUT, no vector data read")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
