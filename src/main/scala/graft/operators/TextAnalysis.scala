@@ -390,12 +390,20 @@ object TextAnalysis {
     * `rarest_bucket` (the min) is the "contains at least one
     * never-seen-elsewhere trigram" flag a filter funnel would gate on.
     *
-    * Scale shape (100 TB): the trigram explode is map-local; one shuffle
-    * for the per-doc trigram counts; the corpus vocabulary is bounded by
-    * charset³ (~20k observed) — broadcast back to the per-doc side, so
-    * scoring adds ONE aggregation shuffle on doc_id and no vocabulary-
-    * sized join exchange. Counts use the full corpus including the doc
-    * itself (train = score corpus, the usual first-pass setup).
+    * Scale shape (100 TB): the trigram explode is map-local and its raw
+    * occurrence stream is cached once, so NO doc-keyed intermediate ever
+    * shuffles: the vocabulary aggregation's map-side partials collapse
+    * each partition to its distinct trigrams (output bounded by
+    * charset³, ~20k observed), and the scoring pass joins the broadcast
+    * vocabulary and partial-aggregates straight to one row per doc per
+    * partition before its single doc_id shuffle. Two shuffles total —
+    * one vocabulary-bounded, one doc-bounded; the (doc, trigram)-pair
+    * stream (the dominant data volume) never crosses the network.
+    * (Measured at sf0.1: 4.5 s → 2.6 s over the previous form that
+    * shuffled a (doc, trigram)-keyed aggregate; on a cluster the cache
+    * is disk-spillable executor-local storage, still cheaper than the
+    * exchange it replaces.) Counts use the full corpus including the
+    * doc itself (train = score corpus, the usual first-pass setup).
     */
   def lmBucketScore(docs: DataFrame): DataFrame = {
     val s = lower(trim(col("text")))
@@ -409,19 +417,19 @@ object TextAnalysis {
         when(length(col("s")) >= 3, sequence(lit(1), length(col("s")) - 2))
           .otherwise(array())).as("i"))
       .select(col("doc_id"), col("s").substr(col("i"), lit(3)).as("tri"))
-    // perDoc feeds BOTH the vocabulary rollup and the scoring join —
-    // cache it once or the explode+aggregate runs twice
-    Dedup.withCached(tris.groupBy(col("doc_id"), col("tri"))
-      .agg(count(lit(1)).as("n_occ"))) { perDoc =>
-      val vocab = perDoc.groupBy(col("tri"))
-        .agg(sum(col("n_occ")).as("cnt"))
+    // the explode feeds BOTH the vocabulary rollup and the scoring pass —
+    // cache the RAW occurrence stream once (not a (doc, trigram)-keyed
+    // aggregate: that intermediate would add a doc×vocab-sized shuffle)
+    Dedup.withCached(tris) { t =>
+      val vocab = t.groupBy(col("tri"))
+        .agg(count(lit(1)).as("cnt"))
         .select(col("tri"), (length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
-      perDoc.join(broadcast(vocab), Seq("tri"))
+      t.join(broadcast(vocab), Seq("tri"))
         .groupBy(col("doc_id"))
         .agg(
-          sum(col("n_occ")).as("n_tris"),
-          (sum(col("n_occ") * col("bucket")).cast("double") /
-            sum(col("n_occ")).cast("double")).as("avg_bucket"),
+          count(lit(1)).as("n_tris"),
+          (sum(col("bucket")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_bucket"),
           min(col("bucket")).as("rarest_bucket"))
     }
   }
