@@ -118,8 +118,11 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"excluded":$excludedJson,"sf":"$sfDir"}"""
     println(summary)
-    // the file copy is the durable record of the full per-query breakdown
-    val out = java.nio.file.Paths.get("target", "bench.json")
+    // the file copy is the durable record of the full per-query breakdown;
+    // SPARK_GRAFT_ONLY iteration runs land in a separate file so they
+    // can't clobber the last full-suite record
+    val out = java.nio.file.Paths.get("target",
+      if (only.isEmpty) "bench.json" else "bench_only.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (spreadLine + "\n" + line + "\n" + summary + "\n").getBytes("UTF-8"))
