@@ -124,6 +124,56 @@ object Classify {
         col("score"), col("margin"))
   }
 
+  /** Map-only prediction: the model rides as LITERAL map/array
+    * expressions (vocab → fixed-point log-prob per label) and each row
+    * classifies itself in a single projection — no join, no aggregation,
+    * NO shuffle. This is the serving/streaming shape: stateless, so it
+    * drops into a streaming select unchanged, and at 100 TB the scan is
+    * the only cost. The HOF fold runs interpreted per token (unlike the
+    * relational [[predict]], whose joins/aggs are codegen'd), so bulk
+    * backfills should prefer [[predict]]; results are identical
+    * (integer arithmetic, spec-pinned equal). */
+  def predictCols(model: NbModel): Seq[org.apache.spark.sql.Column] = {
+    val L = model.labels.size
+    val grams = model.gramLogp.keys.toSeq.sorted
+    val ws = TextFns.words(col("text"))
+    val scores = (0 until L).map { i =>
+      val m = map_from_arrays(
+        typedLit(grams), typedLit(grams.map(g => model.gramLogp(g)(i))))
+      aggregate(ws, lit(model.priors(i)),
+        (acc, w) => acc + coalesce(element_at(m, w), lit(model.defaults(i))))
+    }
+    // argmax with the smallest-label tie-break: max over (score, L-1-i)
+    // structs — ties on score pick the larger reversed index = the
+    // lexicographically smaller label
+    val cands = array((0 until L).map(i =>
+      struct(scores(i).as("score"), lit(L - 1 - i).as("ri"))): _*)
+    val best = array_max(cands)
+    val ranked = sort_array(cands, asc = false)
+    val margin =
+      if (L == 1) lit(0L)
+      else (element_at(ranked, 1).getField("score") -
+        element_at(ranked, 2).getField("score"))
+    Seq(
+      element_at(typedLit(model.labels.toSeq), lit(L) - best.getField("ri"))
+        .as("pred_lang"),
+      best.getField("score").as("score"),
+      margin.as("margin"))
+  }
+
+  /** Stateless streaming/batch admission gate: keep only docs the model
+    * assigns to `keep` with at least `minMargin` confidence. Being one
+    * projection + filter, it composes into any streaming query with no
+    * state and no output-mode constraints. */
+  def classifyAdmit(docs: DataFrame, model: NbModel, keep: Set[String],
+      minMargin: Long = 0L): DataFrame = {
+    val cols = predictCols(model)
+    docs.withColumns(Map(
+        "pred_lang" -> cols(0), "score" -> cols(1), "margin" -> cols(2)))
+      .filter(col("pred_lang").isin(keep.toSeq: _*) &&
+        col("margin") >= minMargin)
+  }
+
   /** Models per dataset dir (training is deterministic; caching only
     * skips recomputation — the Pq.codebooks discipline). */
   private val models =

@@ -84,6 +84,37 @@ class ClassifySpec extends SparkSpecBase {
     assert(cap3.gramLogp.keySet == Set("hot", "warm", "cold"))
   }
 
+  test("map-only expression prediction equals the relational path, batch and streaming") {
+    val docs = planted(60)
+    val model = Classify.trainNaiveBayes(docs)
+    val relational = Classify.predict(docs, model)
+      .orderBy("doc_id").collect().toSeq
+    val mapOnly = docs.select((col("doc_id") +: Classify.predictCols(model)): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(relational == mapOnly,
+      "expression form must produce identical (pred, score, margin) rows")
+    // expression form has no exchange before the presentation sort
+    val plan = docs.select(Classify.predictCols(model): _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-only path must not shuffle:\n$plan")
+
+    // stateless → streams: admit only class "aa" from a landing dir
+    val d = java.nio.file.Files.createTempDirectory("graft-classify").toString
+    docs.write.mode("overwrite").parquet(d)
+    val streamed = Classify.classifyAdmit(
+      spark.readStream.schema(docs.schema).parquet(d), model, Set("aa"))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("classify_admit_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("classify_admit_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Classify.classifyAdmit(docs, model, Set("aa"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty,
+      s"streaming admission ${got.size} docs != batch ${want.size}")
+  }
+
   test("corpus query trains on the split, predicts every doc, and the generated oracle carries the model") {
     val out = Classify.qClassifyLang(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
