@@ -53,6 +53,8 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.qMultimodalDecode(s, d)),
     "classify_lang_nb" -> ((s, d) => Classify.qClassifyLang(s, d)),
+    "gapfill_hourly" -> ((s, d) => Temporal.qGapFillHourly(s, d)),
+    "funnel_view_click_purchase" -> ((s, d) => Temporal.qEventFunnel(s, d)),
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
@@ -204,6 +206,8 @@ object SparkEntry {
     // real javax.imageio/javax.sound PNG+WAV round trip; the twin
     // recomputes the decoded stats from the generation formulas
     "multimodal_decode" -> Multimodal.oMultimodalDecode,
+    "gapfill_hourly" -> Temporal.oGapFillHourly,
+    "funnel_view_click_purchase" -> Temporal.oEventFunnel,
     "dedup_clusters" -> Dedup.oDedupClusters,
     "text_top_ngrams" -> TextAnalysis.oTopNgrams,
     "text_top_terms" -> TextAnalysis.oTopTerms,

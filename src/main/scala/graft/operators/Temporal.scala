@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exprs
+
+/** Time-series densification and ordered-sequence analytics over the
+  * events stream — the temporal operators a warehouse adds on top of
+  * plain windows: gap-filling with interpolation (dashboard-ready
+  * regular grids from irregular events) and step funnels (ordered
+  * conversion chains).
+  */
+object Temporal {
+
+  /** Epoch hour of a timestamp: seconds truncate toward zero (all
+    * fixture data is post-1970; mirrored as floor(epoch()) in DuckDB). */
+  private def epochHour(ts: org.apache.spark.sql.Column) =
+    floor(ts.cast("long") / lit(3600)).cast("long")
+
+  /** Hourly gap-fill with linear interpolation, per user: aggregate
+    * observed events to an exact hourly mean (decimal-sum discipline),
+    * expand each user's [first, last] hour to a dense grid, and fill
+    * missing hours by interpolating between the bracketing observations.
+    *
+    * Scale shape: everything is keyed by user_id — the hourly aggregate,
+    * the span expansion, the grid join, and the fill window share one
+    * partitioning, so the plan is one logical shuffle plus the window
+    * sort; the grid explode is map-side. Span length is bounded by the
+    * retention window (hours per user ≤ retention), so the expansion is
+    * a constant factor, never n².
+    *
+    * Exactness: hourly means are exact decimal sums ÷ counts (one double
+    * division); interpolation is `vp + ((vn−vp)·Δh)/span` with the
+    * operation order written identically in the DuckDB twin, so the
+    * doubles are bit-equal. Observed hours keep their mean untouched
+    * (`is_observed` = true). */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("user_id"), epochHour(col("ts")).as("hr"), col("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"), col("hr"))
+      .agg(Exprs.exactAvg(col("value")).as("v"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val joined = grid.join(hourly, Seq("user_id", "hr"), "left")
+    // both brackets as RUNNING frames (unbounded-preceding..current is
+    // incremental in Spark's window engine): "previous observation" over
+    // the ascending sort, "next observation" as the same running frame
+    // over the DESCENDING sort — an unbounded-FOLLOWING frame here would
+    // re-scan to the partition end for every row, O(span²) per user
+    // (measured: 20 s → 2.8 s at sf0.1 for this query)
+    val wPrev = Window.partitionBy("user_id").orderBy(col("hr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(col("hr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
+    val prevH = last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev)
+    val nextV = last(col("v"), ignoreNulls = true).over(wNext)
+    val nextH = last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext)
+    joined
+      .withColumn("pv", prevV).withColumn("ph", prevH)
+      .withColumn("nv", nextV).withColumn("nh", nextH)
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + ((col("nv") - col("pv")) * (col("hr") - col("ph")).cast("double")) /
+            (col("nh") - col("ph")).cast("double")))
+      .select(col("user_id"), col("hr").as("epoch_hr"),
+        col("filled").as("value"), col("v").isNotNull.as("is_observed"))
+  }
+
+  def qGapFillHourly(spark: SparkSession, dir: String): DataFrame =
+    gapFillHourly(Tables.events(spark, dir)).orderBy("user_id", "epoch_hr")
+
+  def oGapFillHourly: String =
+    """WITH hourly AS (
+      |  SELECT user_id, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+      |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(value) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT s.user_id, g.hr
+      |  FROM span s, LATERAL (SELECT unnest(range(s.lo, s.hi + 1)) AS hr) g),
+      |joined AS (
+      |  SELECT g.user_id, g.hr, h.v FROM grid g
+      |  LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr),
+      |filled AS (
+      |  SELECT user_id, hr, v,
+      |    last_value(v IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY hr
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY hr
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    first_value(v IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY hr
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY hr
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      |  FROM joined)
+      |SELECT user_id, hr AS epoch_hr,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + ((nv - pv) * CAST(hr - ph AS DOUBLE)) / CAST(nh - ph AS DOUBLE)
+      |  END AS value,
+      |  v IS NOT NULL AS is_observed
+      |FROM filled ORDER BY user_id, epoch_hr""".stripMargin
+
+  /** Ordered conversion funnel: the earliest chain s1 → s2 → s3 per
+    * user, each step strictly after the previous step's earliest
+    * completion (the standard "first conversion path" definition).
+    *
+    * Scale shape: three aggregations all keyed by user_id (the funnel's
+    * natural partitioning) — step N's frame joins step N−1's tiny
+    * (≤ one row per user) result back to the events of type N, so
+    * every exchange is user-keyed and the event table is scanned once
+    * per step with the type filter pushed to the scan. No windows over
+    * the full event stream, no cross-step explosion. */
+  def eventFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "three-step funnel")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === steps(0))
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === steps(1))
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === steps(2))
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("steps_reached"))
+  }
+
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventFunnel(Tables.events(spark, dir)).orderBy("user_id")
+
+  def oEventFunnel: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+      |SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+      |  CAST(1 + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+      |    AS steps_reached
+      |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |LEFT JOIN t3 ON t1.user_id = t3.user_id
+      |ORDER BY t1.user_id""".stripMargin
+}

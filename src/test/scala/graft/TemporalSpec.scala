@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Gap-fill interpolation and funnel ordering semantics on planted
+  * fixtures; the corpus-level gates are the DuckDB oracles. */
+class TemporalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap-fill densifies each user's span and interpolates linearly") {
+    // user 1: hours 0, 3 observed (values 10.0, 40.0) → hours 1, 2
+    // interpolate to 20, 30; user 2: single hour → no gaps
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 00:50:00"), 10.0), // same hour, same value
+      (1L, ts("2024-01-01 03:30:00"), 40.0),
+      (2L, ts("2024-01-01 05:00:00"), 7.5))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.gapFillHourly(ev)
+      .orderBy("user_id", "epoch_hr").collect()
+    val hr0 = ts("2024-01-01 00:00:00").getTime / 3600000
+    assert(got.length == 5, s"4 hours for user 1 + 1 for user 2: ${got.toSeq}")
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(1)).toSeq == Seq(hr0, hr0 + 1, hr0 + 2, hr0 + 3))
+    assert(u1.map(_.getDouble(2)).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(u1.map(_.getBoolean(3)).toSeq == Seq(true, false, false, true))
+    // observed hours carry the exact hourly mean, not an interpolation
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getDouble(2) == 7.5 && u2(0).getBoolean(3))
+  }
+
+  test("funnel requires strict ordering: later steps only count after earlier ones") {
+    val ev = Seq(
+      // user 1: full ordered chain
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: purchase BEFORE the first view → stops at click
+      (2L, "purchase", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // user 3: click before view → stops at step 1
+      (3L, "click", ts("2024-01-01 09:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      // user 4: no view at all → not in the funnel
+      (4L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Temporal.eventFunnel(ev).orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1), s"got $got")
+    // the earliest qualifying chain is reported
+    val u1 = Temporal.eventFunnel(ev).filter($"user_id" === 1L).head()
+    assert(u1.getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(u1.getTimestamp(3) == ts("2024-01-01 10:10:00"))
+  }
+
+  test("corpus gap-fill output is dense and anchored on observed hours") {
+    val out = Temporal.qGapFillHourly(spark, sf)
+    val perUser = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max("epoch_hr") - min("epoch_hr") + 1).as("span"),
+        sum(when($"is_observed", 1).otherwise(0)).as("obs"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "grid must cover the span densely")
+      assert(r.getLong(3) > 0, "every user has at least one observation")
+    }
+  }
+}
