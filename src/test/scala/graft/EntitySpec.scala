@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Entity
+
+/** Deletion-neighborhood blocking completeness vs brute force on planted
+  * substitution / insertion / deletion cases; the corpus gate is the
+  * DuckDB n² oracle (`entity_edit_pairs`). */
+class EntitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("blocked edit pairs equal brute force across edit kinds") {
+    val rows = Seq(
+      (1L, "acme corp"),     // base
+      (2L, "acme corq"),     // substitution (dist 1)
+      (3L, "acme cor"),      // deletion (dist 1)
+      (4L, "acme corps"),    // insertion (dist 1)
+      (5L, "acme corp"),     // exact duplicate (dist 0)
+      (6L, "acme co"),       // dist 2 from base — excluded
+      (7L, "zenith ltd"))    // unrelated
+      .toDF("id", "name")
+    val blocked = Entity.editPairs(rows, "id", "name")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocking missed ${brute -- blocked}, extra ${blocked -- brute}")
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((1L, 4L)) && brute.contains((1L, 5L)))
+    assert(!brute.contains((1L, 6L)) && !brute.exists(_._2 == 7L))
+    // dist-1 neighbors of the DELETION also pair with it (3,5 is dist 1)
+    val dists = Entity.editPairs(rows, "id", "name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(dists((1L, 5L)) == 0 && dists((1L, 2L)) == 1)
+    // maxEdit > 1 is refused, not silently incomplete
+    intercept[IllegalArgumentException] {
+      Entity.editPairs(rows, "id", "name", maxEdit = 2)
+    }
+  }
+}
