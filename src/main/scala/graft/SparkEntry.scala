@@ -56,6 +56,7 @@ object SparkEntry {
     "gapfill_hourly" -> ((s, d) => Temporal.qGapFillHourly(s, d)),
     "funnel_view_click_purchase" -> ((s, d) => Temporal.qEventFunnel(s, d)),
     "entity_edit_pairs" -> ((s, d) => Entity.qCustomerEditPairs(s, d)),
+    "anomaly_rolling_z" -> ((s, d) => Temporal.qRollingAnomalies(s, d)),
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
@@ -211,6 +212,7 @@ object SparkEntry {
     "funnel_view_click_purchase" -> Temporal.oEventFunnel,
     // blocked fuzzy matching must equal the oracle's n² brute force
     "entity_edit_pairs" -> Entity.oCustomerEditPairs,
+    "anomaly_rolling_z" -> Temporal.oRollingAnomalies,
     "dedup_clusters" -> Dedup.oDedupClusters,
     "text_top_ngrams" -> TextAnalysis.oTopNgrams,
     "text_top_terms" -> TextAnalysis.oTopTerms,

@@ -111,6 +111,85 @@ object Temporal {
       |  v IS NOT NULL AS is_observed
       |FROM filled ORDER BY user_id, epoch_hr""".stripMargin
 
+  /** Rolling z-score anomaly detection per user: each event scored
+    * against the previous `window` events' mean/variance (current row
+    * excluded — an outlier must not mask itself).
+    *
+    * Exactness: with S = Σv and Q = Σv² over the trailing window as
+    * EXACT decimals (values are ≤2-decimal measures), the z-score test
+    * z² > k² is the polynomial identity (n·x − S)² > k²·(n·Q − S²) —
+    * no sqrt, no libm, every comparison exact, so the anomaly FLAG
+    * itself hash-matches across engines, not just approximately. z² is
+    * emitted as one double division of two exact decimals (bit-equal in
+    * the twin). Scale shape: one window shuffle on user_id; the frame is
+    * a bounded ROWS frame, incremental in the window engine.
+    *
+    * `minHistory` suppresses scores until the window has enough
+    * observations for a meaningful baseline. */
+  def rollingAnomalies(events: DataFrame, window: Int = 24, k: Int = 3,
+      minHistory: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-window, -1)
+    // every intermediate is cast to an explicitly BOUNDED decimal type
+    // (measure < 10^6, window ≤ 999 rows) so no product ever reaches the
+    // 38-digit cap where Spark/DuckDB would silently round the scale —
+    // unchecked growth hits 38 at the s² term and breaks exactness
+    val d = col("value").cast(DecimalType(8, 2))
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        d.as("d"),
+        sum(d).over(w).cast(DecimalType(12, 2)).as("s"),
+        sum((d * d).cast(DecimalType(16, 4))).over(w)
+          .cast(DecimalType(20, 4)).as("q"),
+        count(col("value")).over(w).cast(DecimalType(3, 0)).as("n"))
+      .filter(col("n") >= minHistory)
+      .withColumn("num",
+        ((col("n") * col("d") - col("s")) * (col("n") * col("d") - col("s")))
+          .cast(DecimalType(30, 4)))
+      .withColumn("den",
+        (col("n") * col("q") - col("s") * col("s")).cast(DecimalType(30, 4)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        // zero-variance history (den = 0): z is undefined — NULL in both
+        // engines explicitly, rather than engine-specific inf/error; the
+        // FLAG still fires there (num > 0 means any deviation from a
+        // constant baseline is infinitely surprising)
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("z2"),
+        (col("num") > lit(k * k) * col("den")).as("is_anomaly"))
+  }
+
+  def qRollingAnomalies(spark: SparkSession, dir: String): DataFrame =
+    rollingAnomalies(Tables.events(spark, dir))
+      .orderBy("user_id", "ts", "event_id")
+
+  def oRollingAnomalies: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(value AS DECIMAL(8,2)) AS d
+      |  FROM events WHERE value IS NOT NULL),
+      |win AS (
+      |  SELECT user_id, event_id, ts, value, d,
+      |    CAST(SUM(d) OVER w AS DECIMAL(12,2)) AS s,
+      |    CAST(SUM(CAST(d * d AS DECIMAL(16,4))) OVER w AS DECIMAL(20,4)) AS q,
+      |    CAST(COUNT(d) OVER w AS DECIMAL(3,0)) AS n
+      |  FROM v
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |nd AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST((n * d - s) * (n * d - s) AS DECIMAL(30,4)) AS num,
+      |    CAST(n * q - s * s AS DECIMAL(30,4)) AS den
+      |  FROM win WHERE n >= 12)
+      |SELECT user_id, event_id, ts, value,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS z2,
+      |  num > 9 * den AS is_anomaly
+      |FROM nd
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** Ordered conversion funnel: the earliest chain s1 → s2 → s3 per
     * user, each step strictly after the previous step's earliest
     * completion (the standard "first conversion path" definition).

@@ -60,6 +60,28 @@ class TemporalSpec extends SparkSpecBase {
     assert(u1.getTimestamp(3) == ts("2024-01-01 10:10:00"))
   }
 
+  test("rolling z-score flags a planted spike and only the spike") {
+    // 20 steady values then one spike for user 1; user 2 all steady.
+    // window=5, minHistory=3 keeps the fixture small.
+    val base = (0 until 20).map(i =>
+      (1L, 100L + i, ts(f"2024-01-01 ${i / 4}%02d:${(i % 4) * 15}%02d:00"), 10.0 + (i % 2) * 0.5))
+    val spike = Seq((1L, 200L, ts("2024-01-01 06:00:00"), 500.0))
+    val other = (0 until 6).map(i =>
+      (2L, 300L + i, ts(f"2024-01-01 0$i:00:00"), 3.0))
+    val ev = (base ++ spike ++ other).toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.rollingAnomalies(ev, window = 5, k = 3, minHistory = 3)
+      .collect()
+    val anomalies = got.filter(_.getBoolean(5)).map(_.getLong(1)).toSet
+    assert(anomalies == Set(200L), s"expected only the spike, got $anomalies")
+    // z² of steady rows is small; the spike's z² is enormous
+    val spikeZ = got.find(_.getLong(1) == 200L).get.getDouble(4)
+    assert(spikeZ > 1000, s"spike z² $spikeZ")
+    // zero-variance baseline (user 2, all equal): z² is NULL by contract
+    // and equal values are NOT flagged (num = 0)
+    val steady = got.filter(r => r.getLong(0) == 2L)
+    assert(steady.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+  }
+
   test("corpus gap-fill output is dense and anchored on observed hours") {
     val out = Temporal.qGapFillHourly(spark, sf)
     val perUser = out.groupBy("user_id")
