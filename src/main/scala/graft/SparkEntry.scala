@@ -143,7 +143,21 @@ object SparkEntry {
     "sim_quantized_topk" -> ((s, d) => Quant.qQuantizedTopK(s, d)),
     "sim_int8_topk" -> ((s, d) => Quant.qInt8TopK(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalysis.qLmScore(s, d)),
-    "dedup_overlap_estimate" -> ((s, d) => Overlap.qOverlapEstimate(s, d))
+    "dedup_overlap_estimate" -> ((s, d) => Overlap.qOverlapEstimate(s, d)),
+    // trained BPE subword tokenizer applied corpus-wide (native expr)
+    "tokenize_bpe" -> ((s, d) => Tokenize.qTokenize(s, d)),
+    // changelog fold + incremental CDC merge (apply ≡ rebuild)
+    "cdc_build_state" -> ((s, d) => Cdc.qCdcBuild(s, d)),
+    "cdc_apply_state" -> ((s, d) => Cdc.qCdcApply(s, d)),
+    // persisted inverted-index serving path (index built once per
+    // dataset, amortized; shares the inline bm25 oracle)
+    "bm25_serving_topk" -> ((s, d) => Retrieval.qBm25Serving(s, d)),
+    // one-pass declarative data-quality contract over the events stream
+    "quality_expectations" -> ((s, d) => Expectations.qExpectations(s, d)),
+    // size-weighted Bernoulli sample with Horvitz-Thompson weights
+    "curation_weighted_sample" -> ((s, d) => Sampling.qWeightedSample(s, d)),
+    // fixed-bucket histogram drift between baseline and current windows
+    "monitor_value_drift" -> ((s, d) => Monitor.qValueDrift(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,7 +285,15 @@ object SparkEntry {
     "sim_quantized_topk" -> Quant.oQuantizedTopK,
     "sim_int8_topk" -> Quant.oInt8TopK,
     "text_lm_score" -> TextAnalysis.oLmScore,
-    "dedup_overlap_estimate" -> Overlap.oOverlapEstimate
+    "dedup_overlap_estimate" -> Overlap.oOverlapEstimate,
+    // the incremental apply must equal the from-scratch fold, so both
+    // CDC queries share the full-log oracle
+    "cdc_build_state" -> Cdc.oCdcState,
+    "cdc_apply_state" -> Cdc.oCdcState,
+    "bm25_serving_topk" -> Retrieval.oBm25TopK,
+    "quality_expectations" -> Expectations.oExpectations,
+    "curation_weighted_sample" -> Sampling.oWeightedSample,
+    "monitor_value_drift" -> Monitor.oValueDrift
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
@@ -281,5 +303,7 @@ object SparkEntry {
     // to trained quantizers. Empty (→ rows-only gate) if untrained.
     Ivf.oracleEntries ++ Pq.oracleEntries ++
     // trained NB classifier: fixed-point integer model inlined the same way
-    Classify.oracleEntries
+    Classify.oracleEntries ++
+    // trained BPE tokenizer: merge list inlined, recursive-CTE replay
+    Tokenize.oracleEntries
 }

@@ -100,4 +100,32 @@ class PassageRetrievalSpec extends SparkSpecBase {
       4L -> "spark words")).collect()
     assert(out.head.getLong(0) == 1L, "rare-term doc should rank first")
   }
+
+  test("persisted inverted index serves identical bm25 results") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.writeIndex(docs, dir)
+    val inline = Retrieval.bm25TopK(docs).collect().toSeq
+    val served = Retrieval.bm25FromIndex(spark, dir).collect().toSeq
+    assert(inline.nonEmpty && served == inline)
+  }
+
+  test("index postings are term-range-partitioned: query filter skips files") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("bm25skip").toString
+    Retrieval.writeIndex(docs, dir, nFiles = 8)
+    // per-file term ranges must be disjoint — the precondition for
+    // min/max file skipping on a term predicate
+    val ranges = spark.read.parquet(s"$dir/postings")
+      .select(input_file_name().as("f"), col("term"))
+      .groupBy("f").agg(min("term").as("lo"), max("term").as("hi"))
+      .orderBy("lo").collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getString(2) <= b.getString(1),
+          s"overlapping term ranges: ${a.getString(2)} vs ${b.getString(1)}")
+      case _ =>
+    }
+  }
 }
