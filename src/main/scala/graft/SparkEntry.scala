@@ -157,7 +157,9 @@ object SparkEntry {
     // size-weighted Bernoulli sample with Horvitz-Thompson weights
     "curation_weighted_sample" -> ((s, d) => Sampling.qWeightedSample(s, d)),
     // fixed-bucket histogram drift between baseline and current windows
-    "monitor_value_drift" -> ((s, d) => Monitor.qValueDrift(s, d))
+    "monitor_value_drift" -> ((s, d) => Monitor.qValueDrift(s, d)),
+    // Misra-Gries candidates + exact recount: bounded-state exact top-k
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -293,7 +295,8 @@ object SparkEntry {
     "bm25_serving_topk" -> Retrieval.oBm25TopK,
     "quality_expectations" -> Expectations.oExpectations,
     "curation_weighted_sample" -> Sampling.oWeightedSample,
-    "monitor_value_drift" -> Monitor.oValueDrift
+    "monitor_value_drift" -> Monitor.oValueDrift,
+    "text_heavy_hitters" -> TextAnalysis.oHeavyHitters
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -434,6 +434,90 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-wide top-k terms by total occurrences, computed EXACTLY via
+    * a Misra-Gries candidate pass: each partition keeps a bounded
+    * `summarySize`-entry frequency summary (the decrement-all step
+    * evicts infrequent keys), the unioned candidate keys are exactly
+    * recounted with a broadcast semi join, and the top-k is taken from
+    * the recount.
+    *
+    * Why the sketch makes the EXACT answer cheaper at 100 TB: the naive
+    * plan's map-side partial aggregation holds a hash table proportional
+    * to the DISTINCT terms per partition — unbounded vocabulary (typos,
+    * ids, numbers) means unbounded executor state and a vocabulary-sized
+    * shuffle. MG caps map-side state at `summarySize` entries and the
+    * recount shuffle at the candidate set. Correctness is not
+    * probabilistic: any term with global count > N/(m+1) must exceed
+    * n_p/(m+1) on at least one partition (pigeonhole over partitions),
+    * so it survives as a candidate; the operator VERIFIES the k-th
+    * recounted frequency clears that threshold and falls back to the
+    * full aggregation otherwise — the oracle gate compares against the
+    * plain exact SQL either way. */
+  def heavyHitters(docs: DataFrame, k: Int = 20,
+      summarySize: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextFns.words(col("text"))).as("term"))
+    // one corpus pass: MG summary keys per partition, plus a marker row
+    // carrying the partition's element count (so the guarantee threshold
+    // needs no second scan).   cannot occur in a split token.
+    val Marker = " total"
+    val summaries = words.as[String].mapPartitions { it =>
+      val m = summarySize
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      var seen = 0L
+      it.foreach { w =>
+        seen += 1
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1)
+          case None =>
+            if (counts.size < m) counts.update(w, 1L)
+            else {
+              // MG decrement step: all keys lose 1, zeros evict, the
+              // arriving key is dropped — amortized O(1) per element
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counts.keysIterator.foreach { key =>
+                val c = counts(key) - 1
+                if (c == 0) dead += key else counts.update(key, c)
+              }
+              dead.foreach(counts.remove)
+            }
+        }
+      }
+      counts.keysIterator.map(w => (w, 0L)) ++ Iterator((Marker, seen))
+    }.toDF("term", "n_part")
+    // sketch-sized collect (≤ partitions·summarySize rows): control plane
+    val summaryRows = summaries.collect()
+    val total = summaryRows.filter(_.getString(0) == Marker).map(_.getLong(1)).sum
+    val candidates = summaryRows.map(_.getString(0)).filter(_ != Marker)
+      .distinct.toSeq.toDF("term")
+    val exact = words
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    // guarantee check: the k-th candidate frequency must clear the MG
+    // survival threshold, else candidates might miss a true top-k term
+    val rows = exact.collect()
+    val threshold = total / (summarySize + 1)
+    if (rows.length >= k && rows.last.getLong(1) > threshold)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), exact.schema)
+    else
+      words.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(k)
+  }
+
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir))
+
+  def oHeavyHitters: String =
+    raw"""WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents)
+      |SELECT term, CAST(count(*) AS BIGINT) AS n
+      |FROM w GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     lmBucketScore(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 

@@ -185,6 +185,54 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC apply: fold an event changelog into a versioned
+    * current-state parquet table, one [[graft.operators.Cdc.cdcApply]]
+    * merge per micro-batch. Each batch writes a NEW version directory
+    * and then swaps the `LATEST` pointer file — readers always see a
+    * complete snapshot (the Bronze sink-log swap discipline). Versions
+    * increment from the pointer, never from the batch id (batch ids
+    * reset across runs; a version named after one could collide with
+    * the very directory the lazy merge is reading). Replay safety needs
+    * no write-side dedup because re-merging an already-applied batch is
+    * CONTENT-idempotent: per key the snapshot row is that batch's
+    * winner or later, so it wins the re-merge (or ties with the
+    * identical original row), and a tombstone-latest key stays absent.
+    * Merge cost per batch tracks the batch (cdcApply's semi-join
+    * restriction), so the stream's steady-state cost is independent of
+    * accumulated state size — the lakehouse MERGE INTO loop without a
+    * table format. */
+  def cdcApplyStream(changes: DataFrame, stateDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val ptr = java.nio.file.Paths.get(stateDir, "LATEST")
+        val cur =
+          if (java.nio.file.Files.exists(ptr))
+            Some(java.nio.file.Files.readString(ptr).trim)
+          else None
+        val snapshot = cur.map(v => spark.read.parquet(s"$stateDir/$v"))
+          .getOrElse( // empty state with the exact output schema
+            graft.operators.Cdc.cdcBuild(
+              graft.operators.Cdc.asChangelog(batch.limit(0))))
+        val merged = graft.operators.Cdc.cdcApply(snapshot, batch)
+        val v = "v" + (cur.map(_.drop(1).toLong + 1).getOrElse(0L))
+        merged.write.mode("overwrite").parquet(s"$stateDir/$v")
+        java.nio.file.Files.writeString(ptr, v)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Read the state table a [[cdcApplyStream]] maintains. */
+  def cdcCurrentState(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(stateDir, "LATEST")).trim
+    spark.read.parquet(s"$stateDir/$v")
+  }
+
   case class Doc(doc_id: Long, source: String)
   case class Admitted(doc_id: Long, source: String, rank_in_source: Int)
 

@@ -76,4 +76,33 @@ class CdcSpec extends SparkSpecBase {
     val b = Cdc.qCdcApply(spark, dir).collect().toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("streaming CDC apply maintains state across restarts, idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val all = log.collect().toSeq
+
+    val src = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    src.addData(all.take(5).map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4))): _*)
+    StreamingOps.cdcApplyStream(src.toDF().toDF(cols: _*), stateDir, ckpt)
+      .awaitTermination()
+    // restart with the remaining changes — a new run, same checkpoint
+    val src2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    src2.addData(all.drop(5).map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4))): _*)
+    StreamingOps.cdcApplyStream(src2.toDF().toDF(cols: _*), stateDir,
+      java.nio.file.Files.createTempDirectory("cdc-ckpt2").toString)
+      .awaitTermination()
+
+    val streamed = StreamingOps.cdcCurrentState(spark, stateDir)
+      .orderBy("user_id").collect().toSeq
+    val rebuilt = Cdc.cdcBuild(Cdc.asChangelog(log)).orderBy("user_id")
+      .collect().toSeq
+    assert(streamed == rebuilt)
+  }
 }
