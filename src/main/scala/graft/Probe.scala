@@ -157,6 +157,15 @@ object Probe {
       if (want("lmscore")) time("lm bucket score (bounded-vocab broadcast)") {
         drain(TextAnalysis.lmBucketScore(docs))
       }
+      if (want("tokenize")) time("bpe tokenize (trained model, map-only)") {
+        // train once on the base corpus (the amortized index-build cost);
+        // the measured leg is the apply scan over the replicated corpus
+        drain(graft.operators.Tokenize.tokenizeSummary(docs,
+          graft.operators.Tokenize.modelFor(spark, "/root/testdata/sf0.1")))
+      }
+      if (want("heavyhitters")) time("heavy hitters (MG candidates + recount)") {
+        drain(TextAnalysis.heavyHitters(docs))
+      }
       if (want("incremental")) time("incremental dedup (batch vs corpus bands)") {
         val tagged = TextAnalysis.withSplit(docs)
         drain(graft.operators.IncrementalDedup.incrementalDedup(
@@ -247,7 +256,13 @@ object Probe {
       "curation_source_mix_tokens" -> "token-weighted mixture: cached token projection → control-plane totals → per-source running-sum window against broadcast token caps",
       "multimodal_decode" -> "real-codec round trip: map-only mapPartitions scan (PNG+WAV decode per row), zero shuffles before the presentation sort",
       "classify_lang_nb" -> "broadcast-model NB prediction: explode → broadcast joins → per-doc integer hash-agg → one window on doc_id",
-      "sim_pq_serving_topk" -> "persisted-code PQ serving: 32×-compressed code scan + broadcast ADC LUT, no vector data read")
+      "sim_pq_serving_topk" -> "persisted-code PQ serving: 32×-compressed code scan + broadcast ADC LUT, no vector data read",
+      "tokenize_bpe" -> "trained-BPE tokenize: map-only native expression (model as plan reference object), zero shuffles before the presentation sort",
+      "cdc_apply_state" -> "incremental CDC merge: broadcast-semi batch-key restriction + anti pass-through, merge window over batch-sized input",
+      "bm25_serving_topk" -> "inverted-index serving: term filter PUSHED to the postings scan (range-laid-out files skip on min/max), no document text read",
+      "quality_expectations" -> "one-pass contract: every rule metric in a single partial+final aggregate over one scan, exploded to the report",
+      "curation_weighted_sample" -> "weighted Bernoulli sample: integer hash compare in the scan projection, map-only, zero shuffles",
+      "monitor_value_drift" -> "drift histogram: conditional partial agg to ≤10 groups, dense spine left join, 1-row totals broadcast")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

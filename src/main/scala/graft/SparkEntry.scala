@@ -159,7 +159,9 @@ object SparkEntry {
     // fixed-bucket histogram drift between baseline and current windows
     "monitor_value_drift" -> ((s, d) => Monitor.qValueDrift(s, d)),
     // Misra-Gries candidates + exact recount: bounded-state exact top-k
-    "text_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(s, d))
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(s, d)),
+    // leakage-aware split: contaminated train docs quarantined at split time
+    "corpus_split_decontaminated" -> ((s, d) => TextAnalysis.qDecontaminatedSplit(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -296,7 +298,8 @@ object SparkEntry {
     "quality_expectations" -> Expectations.oExpectations,
     "curation_weighted_sample" -> Sampling.oWeightedSample,
     "monitor_value_drift" -> Monitor.oValueDrift,
-    "text_heavy_hitters" -> TextAnalysis.oHeavyHitters
+    "text_heavy_hitters" -> TextAnalysis.oHeavyHitters,
+    "corpus_split_decontaminated" -> TextAnalysis.oDecontaminatedSplit
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

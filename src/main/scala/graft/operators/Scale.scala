@@ -113,6 +113,27 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable distinct-count STATE (DataSketches HLL): per-day user
+    * sketches persisted as binary columns, re-aggregable later without
+    * touching the raw events. This is what [[qSketchStats]]'s
+    * `approx_count_distinct` cannot do — it emits a number, not state —
+    * and at 100 TB it is the difference between "distinct users last
+    * N days" being a sum-sized merge of N tiny sketches and a full
+    * re-scan of N days of events. Sketch merges (register-wise max)
+    * are associative/commutative, so daily sketches roll up across any
+    * partitioning, and a late-arriving day simply re-merges. */
+  def dailyUserSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Merge persisted daily sketches into a range estimate — the read
+    * path: N sketch rows in, one estimate out, raw data untouched. */
+  def mergedDistinctUsers(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("est_users"),
+      sum(col("n_events")).as("n_events"))
+
   /** Bloom-filter pre-filtered semi join. At 100 TB the dominant cost of
     * `big ⋉ small` is shuffling the BIG side; when the small side is too
     * large to broadcast as a hash relation but its KEY SET fits a few MB

@@ -297,6 +297,55 @@ object TextAnalysis {
     contamination(Tables.documents(spark, dir))
       .orderBy(col("train_doc"), col("test_doc"))
 
+  /** Leakage-aware split: the deterministic hash split with
+    * contaminated TRAIN docs (≥ minShared shared 3-gram shingles with
+    * any test doc) reassigned to a `quarantined` bucket — the eval
+    * firewall applied AT SPLIT TIME instead of as a post-hoc report.
+    * Test/val assignments never change (they are the thing being
+    * protected); dropping vs re-routing quarantined docs is the
+    * caller's policy, the operator only labels. Scale shape: the
+    * [[contamination]] candidate join (shared-shingle generated, never
+    * train×test) plus one broadcast-left join of the (small) quarantine
+    * list against the split — no new corpus-scale work. */
+  def decontaminatedSplit(docs: DataFrame, minShared: Int = 5): DataFrame = {
+    val quarantine = contamination(docs, minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    withSplit(docs)
+      .select(col("doc_id"), col("split"))
+      .join(broadcast(quarantine), Seq("doc_id"), "left")
+      .withColumn("final_split",
+        when(col("split") === "train" && col("hit"), "quarantined")
+          .otherwise(col("split")))
+      .select(col("doc_id"), col("split"), col("final_split"))
+  }
+
+  def qDecontaminatedSplit(spark: SparkSession, dir: String): DataFrame =
+    decontaminatedSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def oDecontaminatedSplit: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split, CASE WHEN len(ws) >= 3
+       |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+       |    ELSE [array_to_string(ws, ' ')] END AS shingles FROM s),
+       |cont AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM sh a JOIN sh b ON a.split = 'train' AND b.split = 'test'
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) >= 5)
+       |SELECT s.doc_id, s.split,
+       |  CASE WHEN s.split = 'train' AND s.doc_id IN (SELECT doc_id FROM cont)
+       |    THEN 'quarantined' ELSE s.split END AS final_split
+       |FROM s ORDER BY s.doc_id""".stripMargin
+  }
+
   def oContamination: String = {
     val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
     s"""WITH s AS (

@@ -231,4 +231,34 @@ class CustomOpsSpec extends SparkSpecBase {
     // undecodable container falls back to the deterministic hash features
     assert(feats(7L).sameElements(Multimodal.hashFeatures(Array[Byte](1, 2, 3), 8)))
   }
+
+  test("decontaminated split quarantines only leaking train docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // find one test-split doc and one train-split doc id under the
+    // deterministic hash split, then plant the test doc's text into the
+    // train doc — that train doc must land in quarantine
+    val base = (1L to 60L).map(i =>
+      (i, (1 to 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val split = TextAnalysis.withSplit(base)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val testId = split.collectFirst { case (id, "test") => id }.get
+    val trainIds = split.collect { case (id, "train") => id }.toSeq.sorted
+    val leakId = trainIds.head
+    val docs = base.withColumn("text",
+      when($"doc_id" === leakId,
+        base.filter($"doc_id" === testId).select("text").collect()(0).getString(0))
+        .otherwise($"text"))
+    val out = TextAnalysis.decontaminatedSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(leakId) == ("train", "quarantined"))
+    // everyone else keeps their split; test/val rows are never touched
+    out.foreach { case (id, (s, f)) =>
+      if (id != leakId) assert(s == f, s"doc $id moved from $s to $f")
+      if (s != "train") assert(f == s)
+    }
+    assert(out.size == 60)
+  }
 }

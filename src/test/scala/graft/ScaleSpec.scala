@@ -241,4 +241,25 @@ class ScaleSpec extends SparkSpecBase {
     assert(r.getAs[Long]("distinct_users") == 2, "nulls must not count as a user")
     assert(r.getAs[Double]("min_value") == 1.5 && r.getAs[Double]("max_value") == 3.5)
   }
+
+  test("daily HLL sketches merge to the whole-range estimate, near exact") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val daily = Scale.dailyUserSketches(events)
+    assert(daily.count() == 30, "one sketch row per day")
+    val merged = Scale.mergedDistinctUsers(daily).collect()(0)
+    // merged-daily estimate must equal the single-pass whole-range
+    // sketch (register-wise max is associative across any grouping)
+    val whole = events
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.lit(12))).as("est"))
+      .collect()(0).getLong(0)
+    assert(merged.getLong(0) == whole, "merge-of-days must equal one pass")
+    // and land within HLL tolerance of the exact count (150 users)
+    val exact = events.select("user_id").distinct().count()
+    assert(math.abs(merged.getLong(0) - exact).toDouble / exact < 0.05,
+      s"estimate ${merged.getLong(0)} vs exact $exact")
+    assert(merged.getLong(1) == events.count())
+  }
 }
