@@ -50,13 +50,19 @@ object Monitor {
       .agg(sum(when(col("period") === "base", 1L).otherwise(0L)).as("n_base"),
         sum(when(col("period") === "curr", 1L).otherwise(0L)).as("n_curr"))
     val spine = spark.range(0, NBuckets).select(col("id").as("bucket"))
-    val totals = counts.agg(sum("n_base").as("t_base"), sum("n_curr").as("t_curr"))
-    val pB = col("n_base") / col("t_base")
-    val pC = col("n_curr") / col("t_curr")
+    // totals via an unpartitioned whole-frame window over the (≤ nBuckets)
+    // report rows — NOT a separate aggregate leg, which would re-derive
+    // the counts subtree and scan the events twice (plan-audited: this
+    // keeps the query at ONE corpus scan; the single-partition window
+    // touches 10 rows)
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pB = col("n_base") / sum(col("n_base")).over(whole)
+    val pC = col("n_curr") / sum(col("n_curr")).over(whole)
     spine
       .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_base", "n_curr"))
-      .crossJoin(broadcast(totals))
       .withColumn("p_base", pB)
       .withColumn("p_curr", pC)
       .withColumn("contrib",
