@@ -111,6 +111,25 @@ object Tokenize {
       .orderBy("doc_id")
   }
 
+  /** Persist a trained model as a tab-separated merge list (rank order
+    * is the line order). A tokenizer that cannot be saved pins serving
+    * to the training JVM; this is the hand-off artifact a separate
+    * serving/streaming cluster loads. Tabs/newlines cannot appear in
+    * merge symbols (they come from whitespace-split words). */
+  def saveModel(model: Bpe, path: java.nio.file.Path): Unit =
+    java.nio.file.Files.write(path,
+      model.merges.map(ab => s"${ab(0)}\t${ab(1)}")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  def loadModel(path: java.nio.file.Path): Bpe =
+    new Bpe(java.nio.file.Files.readAllLines(path).toArray(Array.empty[String])
+      .filter(_.nonEmpty)
+      .map { line =>
+        val t = line.split("\t", -1)
+        require(t.length == 2, s"malformed merge line: $line")
+        Array(t(0), t(1))
+      })
+
   /** Models per dataset dir (training is deterministic; the cache only
     * skips recomputation — the `Classify.modelFor` discipline). */
   private val models =

@@ -78,6 +78,34 @@ class TokenizeSpec extends SparkSpecBase {
     assert(out.getInt(1) == 0 && out.getString(2) == "")
   }
 
+  test("model round-trips through save/load and is stateless-streamable") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = Tokenize.trainBpe(docs, numMerges = 60)
+    val path = java.nio.file.Files.createTempFile("bpe", ".tsv")
+    Tokenize.saveModel(m, path)
+    val loaded = Tokenize.loadModel(path)
+    assert(loaded == m)
+    // the apply expression is a stateless projection, so it drops into a
+    // streaming select unchanged (the classify-admission property)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    src.addData((1L, "the theta"), (2L, "then"))
+    val q = src.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), BpeTokens.bpeTokens(
+        graft.functions.TextFns.words(col("text")), loaded).as("toks"))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("bpe_stream").orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val batch = Seq((1L, "the theta"), (2L, "then")).toDF("doc_id", "text")
+      .select(col("doc_id"), BpeTokens.bpeTokens(
+        graft.functions.TextFns.words(col("text")), loaded).as("toks"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getSeq[String](1)).toSeq == batch.map(_.getSeq[String](1)).toSeq)
+  }
+
   test("summary query runs end-to-end on the fixture corpus") {
     val out = Tokenize.qTokenize(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
