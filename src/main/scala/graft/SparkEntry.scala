@@ -161,7 +161,9 @@ object SparkEntry {
     // Misra-Gries candidates + exact recount: bounded-state exact top-k
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(s, d)),
     // leakage-aware split: contaminated train docs quarantined at split time
-    "corpus_split_decontaminated" -> ((s, d) => TextAnalysis.qDecontaminatedSplit(s, d))
+    "corpus_split_decontaminated" -> ((s, d) => TextAnalysis.qDecontaminatedSplit(s, d)),
+    // chain-dependent per-key rate limiting (recursive-CTE twin)
+    "debounce_events" -> ((s, d) => Temporal.qDebounce(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -299,7 +301,8 @@ object SparkEntry {
     "curation_weighted_sample" -> Sampling.oWeightedSample,
     "monitor_value_drift" -> Monitor.oValueDrift,
     "text_heavy_hitters" -> TextAnalysis.oHeavyHitters,
-    "corpus_split_decontaminated" -> TextAnalysis.oDecontaminatedSplit
+    "corpus_split_decontaminated" -> TextAnalysis.oDecontaminatedSplit,
+    "debounce_events" -> Temporal.oDebounce
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -240,4 +240,72 @@ object Temporal {
       |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
       |LEFT JOIN t3 ON t1.user_id = t3.user_id
       |ORDER BY t1.user_id""".stripMargin
+
+  // --- debounce (chain-dependent rate limiting) -----------------------
+
+  /** Microsecond epoch of a Timestamp (getTime is millis — it would
+    * truncate the fixture's microsecond timestamps). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Per-key debounce: keep an event only if it is at least `delta`
+    * after the last KEPT event of that key (the first event is always
+    * kept). This is CHAIN-dependent — whether an event survives depends
+    * on which earlier events survived — so no window/lag composition
+    * expresses it (lag-based thinning drops different rows: a burst of
+    * N events inside Δ keeps 1 here but re-arms on every dropped event
+    * there). The per-key greedy scan is genuine sequential-per-group
+    * logic, so this uses the typed API's `flatMapSortedGroups`: ONE
+    * shuffle on the key, and the sort rides the shuffle's secondary
+    * sort rather than materializing per-group arrays — per-executor
+    * state is one long per open group. Uses: burst collapse / alert
+    * throttling / keyframe sampling in event and sensor pipelines.
+    *
+    * The DuckDB twin replays the same chain as a recursive CTE (one
+    * kept event per key per recursion step, `min_by` over the
+    * rn-ordered remainder), so the gate is a full hash match. */
+  def debounce(events: DataFrame, deltaSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val deltaMicros = deltaSeconds * 1000000L
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (_, it) =>
+        var lastKept = Long.MinValue / 2
+        it.filter { e =>
+          val t = micros(e._2)
+          if (t >= lastKept + deltaMicros) { lastKept = t; true } else false
+        }
+      }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
+  val DebounceSeconds: Long = 12 * 3600L
+
+  def qDebounce(spark: SparkSession, dir: String): DataFrame =
+    debounce(Tables.events(spark, dir), DebounceSeconds).orderBy("event_id")
+
+  def oDebounce: String =
+    s"""WITH RECURSIVE e AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |k(user_id, ts, event_id, rn) AS (
+      |  SELECT user_id, min_by(ts, rn), min_by(event_id, rn),
+      |    CAST(min(rn) AS BIGINT)
+      |  FROM e GROUP BY user_id
+      |  UNION ALL
+      |  SELECT k.user_id, min_by(n.ts, n.rn), min_by(n.event_id, n.rn),
+      |    CAST(min(n.rn) AS BIGINT)
+      |  FROM k JOIN e n ON n.user_id = k.user_id
+      |    AND n.ts >= k.ts + INTERVAL ${DebounceSeconds} SECOND
+      |  GROUP BY k.user_id, k.ts, k.event_id, k.rn)
+      |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+      |FROM k JOIN e ON k.user_id = e.user_id AND k.rn = e.rn
+      |ORDER BY e.event_id""".stripMargin
 }

@@ -233,6 +233,36 @@ object StreamingOps {
     spark.read.parquet(s"$stateDir/$v")
   }
 
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+
+  /** Streaming debounce — the arrival-order twin of
+    * [[graft.operators.Temporal.debounce]]: per key, admit an event only
+    * if ≥ `deltaSeconds` after the last ADMITTED event, with the last-
+    * admitted micros as the only state (one long per key, no timeout —
+    * the quota-admission state discipline). Within a micro-batch events
+    * sort by (ts, event_id) so intra-batch order is deterministic;
+    * across batches the chain carries through GroupState, so a burst
+    * split across batch boundaries still collapses to one admit. */
+  def debounceStream(events: Dataset[Ev],
+      deltaSeconds: Long): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val deltaMicros = deltaSeconds * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Ev], state: GroupState[Long]) => {
+          var lastKept = state.getOption.getOrElse(Long.MinValue / 2)
+          val kept = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).filter { e =>
+            val t = micros(e.ts)
+            if (t >= lastKept + deltaMicros) { lastKept = t; true } else false
+          }
+          state.update(lastKept)
+          kept.iterator
+        })
+  }
+
   case class Doc(doc_id: Long, source: String)
   case class Admitted(doc_id: Long, source: String, rank_in_source: Int)
 

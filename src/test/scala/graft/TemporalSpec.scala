@@ -82,6 +82,52 @@ class TemporalSpec extends SparkSpecBase {
     assert(steady.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
 
+  test("debounce is chain-dependent: a burst inside delta keeps only its head") {
+    // user 1: 10:00, 10:30, 10:50, 11:10 with delta=1h — chain keeps
+    // 10:00 and 11:10; lag-based thinning would re-arm on 10:30/10:50
+    // and drop 11:10 (gap to 10:50 is 20 min) — the distinguishing case
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0),
+      (3L, ts("2024-01-01 10:50:00"), 1L, "view", 1.0),
+      (4L, ts("2024-01-01 11:10:00"), 1L, "view", 1.0),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = Temporal.debounce(ev, 3600L).orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+    // simultaneous events: only the smaller event_id survives
+    val dup = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 9L, "view", 1.0),
+      (11L, ts("2024-01-01 10:00:00"), 9L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Temporal.debounce(dup, 60L).collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("streaming debounce carries the chain across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Ev
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.debounceStream(src.toDS(), 3600L)
+      .writeStream.format("memory").queryName("debounced")
+      .outputMode("append").start()
+    // batch 1: head of a burst admitted
+    src.addData(Ev(1L, ts("2024-01-01 10:00:00"), 1L),
+      Ev(1L, ts("2024-01-01 10:30:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: still inside the burst window of the ADMITTED head →
+    // dropped; then one past the window → admitted
+    src.addData(Ev(1L, ts("2024-01-01 10:50:00"), 3L),
+      Ev(1L, ts("2024-01-01 11:10:00"), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("debounced").orderBy("event_id")
+      .collect().map(_.getLong(2)).toSeq
+    assert(admitted == Seq(1L, 4L))
+  }
+
   test("corpus gap-fill output is dense and anchored on observed hours") {
     val out = Temporal.qGapFillHourly(spark, sf)
     val perUser = out.groupBy("user_id")
