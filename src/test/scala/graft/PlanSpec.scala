@@ -152,4 +152,43 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("bm25 serving pushes the query-term filter into the postings scan") {
+    val plan = physicalPlan(graft.operators.Retrieval.qBm25Serving(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
+  test("tokenize and weighted sample are map-only up to the presentation sort") {
+    // exactly ONE Exchange each — the rangepartitioning for the final
+    // orderBy; any more means the map-only claim regressed
+    Seq(
+      physicalPlan(graft.operators.Tokenize.qTokenize(spark, sf)),
+      physicalPlan(graft.operators.Sampling.qWeightedSample(spark, sf))
+    ).foreach { plan =>
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"expected ≤1 exchange, got $exchanges:\n$plan")
+    }
+  }
+
+  test("expectations contract evaluates as one aggregate over one scan") {
+    val plan = physicalPlan(
+      graft.operators.Expectations.qExpectations(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
+  test("drift monitor scans events exactly once") {
+    val plan = physicalPlan(graft.operators.Monitor.qValueDrift(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
+  test("debounce shuffles once on the key with a secondary sort, no array build") {
+    val plan = physicalPlan(
+      graft.operators.Temporal.debounce(Tables.events(spark, sf), 3600L))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(plan.contains("Sort") && plan.contains("MapGroups"), plan)
+  }
 }
