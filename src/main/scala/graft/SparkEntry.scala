@@ -163,7 +163,9 @@ object SparkEntry {
     // leakage-aware split: contaminated train docs quarantined at split time
     "corpus_split_decontaminated" -> ((s, d) => TextAnalysis.qDecontaminatedSplit(s, d)),
     // chain-dependent per-key rate limiting (recursive-CTE twin)
-    "debounce_events" -> ((s, d) => Temporal.qDebounce(s, d))
+    "debounce_events" -> ((s, d) => Temporal.qDebounce(s, d)),
+    // real WAV decode + DFT: detected peak must equal the generated bin
+    "multimodal_spectral" -> ((s, d) => Multimodal.qMultimodalSpectral(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,7 +304,8 @@ object SparkEntry {
     "monitor_value_drift" -> Monitor.oValueDrift,
     "text_heavy_hitters" -> TextAnalysis.oHeavyHitters,
     "corpus_split_decontaminated" -> TextAnalysis.oDecontaminatedSplit,
-    "debounce_events" -> Temporal.oDebounce
+    "debounce_events" -> Temporal.oDebounce,
+    "multimodal_spectral" -> Multimodal.oMultimodalSpectral
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

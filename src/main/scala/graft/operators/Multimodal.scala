@@ -352,4 +352,87 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.flatMap(m => sampleFramesStub(m))
   }
+
+  // --- spectral feature extraction (real DFT over real WAV decode) ----
+
+  /** Tone-WAV samples per doc: one full-scale sine at EXACT DFT bin
+    * k = 1 + doc_id mod 31 of an N=64-sample window (8 kHz mono u8).
+    * Integer-bin tones make the spectrum provably concentrated: the
+    * bin-k magnitude is ~N/2·amplitude while 8-bit quantization noise
+    * spreads ≤ ~N/2 per bin, so the argmax is exact — which is what
+    * lets the ORACLE be closed-form (peak bin = the generation formula)
+    * instead of re-running a DFT in SQL. */
+  val ToneN = 64
+  val ToneRateHz = 8000
+
+  def toneBin(docId: Long): Int = 1 + (docId % 31).toInt
+
+  def toneWavFor(docId: Long): Array[Byte] = {
+    val k = toneBin(docId)
+    val samples = Array.tabulate(ToneN) { j =>
+      (127 + math.round(100.0 *
+        math.sin(2.0 * math.Pi * k * j / ToneN))).toInt.toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(ToneRateHz.toFloat, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, ToneN.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Dominant non-DC DFT bin of unsigned-8-bit samples — the real
+    * spectral computation (N ≤ a few hundred: the direct O(N²) DFT is
+    * a few thousand fused multiply-adds per row, cheaper than FFT
+    * bookkeeping at this window size; swap in radix-2 for long
+    * windows). Ties break to the lower bin. */
+  def dominantBin(samples: Array[Byte]): Int = {
+    val n = samples.length
+    var best = 1; var bestMag = -1.0
+    var k = 1
+    while (k <= n / 2) {
+      var re = 0.0; var im = 0.0
+      var j = 0
+      while (j < n) {
+        val v = (samples(j) & 0xff).toDouble
+        val ang = -2.0 * math.Pi * k * j / n
+        re += v * math.cos(ang); im += v * math.sin(ang)
+        j += 1
+      }
+      val mag = re * re + im * im
+      if (mag > bestMag) { bestMag = mag; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** Per doc: synthesize the tone WAV, decode it back through the REAL
+    * `javax.sound.sampled` codec, run the DFT, emit the detected peak.
+    * Map-only scan (codec init amortized per partition); the closed-form
+    * oracle hash-gates that codec + DFT recover every generated tone
+    * bit-exactly. */
+  def spectralPeaks(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(toneWavFor(id)))
+        val samples = try in.readAllBytes() finally in.close()
+        val bin = dominantBin(samples)
+        (id, samples.length, bin, bin * ToneRateHz / ToneN)
+      }
+    }.toDF("doc_id", "n_samples", "peak_bin", "peak_hz")
+  }
+
+  def qMultimodalSpectral(spark: SparkSession, dir: String): DataFrame =
+    spectralPeaks(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Closed-form twin: the detected peak must BE the generated bin. */
+  def oMultimodalSpectral: String =
+    s"""SELECT doc_id, $ToneN AS n_samples,
+      |  CAST(1 + doc_id % 31 AS INTEGER) AS peak_bin,
+      |  CAST((1 + doc_id % 31) * ${ToneRateHz / ToneN} AS INTEGER) AS peak_hz
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -232,6 +232,23 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(feats(7L).sameElements(Multimodal.hashFeatures(Array[Byte](1, 2, 3), 8)))
   }
 
+  test("DFT recovers the generated tone bin through the real WAV codec") {
+    import graft.operators.Multimodal
+    // direct DFT sanity off the codec path: pure bin-5 sine → bin 5
+    val pure = Array.tabulate(64)(j =>
+      (127 + math.round(100.0 * math.sin(2.0 * math.Pi * 5 * j / 64))).toInt.toByte)
+    assert(Multimodal.dominantBin(pure) == 5)
+    // full path: synthesize → WAV encode → decode → DFT, every bin 1..31
+    (0L to 30L).foreach { id =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.toneWavFor(id)))
+      val s = try in.readAllBytes() finally in.close()
+      assert(s.length == Multimodal.ToneN)
+      assert(Multimodal.dominantBin(s) == Multimodal.toneBin(id),
+        s"doc $id: peak bin mismatch")
+    }
+  }
+
   test("decontaminated split quarantines only leaking train docs") {
     import spark.implicits._
     import graft.operators.TextAnalysis
