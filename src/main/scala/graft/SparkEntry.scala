@@ -165,7 +165,11 @@ object SparkEntry {
     // chain-dependent per-key rate limiting (recursive-CTE twin)
     "debounce_events" -> ((s, d) => Temporal.qDebounce(s, d)),
     // real WAV decode + DFT: detected peak must equal the generated bin
-    "multimodal_spectral" -> ((s, d) => Multimodal.qMultimodalSpectral(s, d))
+    "multimodal_spectral" -> ((s, d) => Multimodal.qMultimodalSpectral(s, d)),
+    // real PNG decode + deterministic NN resize to a fixed tile
+    "multimodal_resize" -> ((s, d) => Multimodal.qMultimodalResize(s, d)),
+    // weekly cohort retention table (first-seen cohorts × week offsets)
+    "cohort_retention" -> ((s, d) => Temporal.qCohortRetention(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,7 +309,9 @@ object SparkEntry {
     "text_heavy_hitters" -> TextAnalysis.oHeavyHitters,
     "corpus_split_decontaminated" -> TextAnalysis.oDecontaminatedSplit,
     "debounce_events" -> Temporal.oDebounce,
-    "multimodal_spectral" -> Multimodal.oMultimodalSpectral
+    "multimodal_spectral" -> Multimodal.oMultimodalSpectral,
+    "multimodal_resize" -> Multimodal.oMultimodalResize,
+    "cohort_retention" -> Temporal.oCohortRetention
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -353,6 +353,67 @@ object Multimodal {
     media.flatMap(m => sampleFramesStub(m))
   }
 
+  // --- real raster resize (decode → nearest-neighbor → stats) ---------
+
+  /** Fixed output tile for the resize path: every image, whatever its
+    * source dims, lands on OutW×OutH — the uniform-tensor shape an
+    * embedding/vision stage needs. */
+  val OutW = 4
+  val OutH = 4
+
+  /** Per doc: decode the fixture PNG through the REAL `javax.imageio`
+    * codec, nearest-neighbor resample the raster to OutW×OutH
+    * (src = (x·w÷OutW, y·h÷OutH), integer floors — deterministic,
+    * unlike AWT's area-averaging resamplers whose arithmetic no SQL
+    * twin could replay), and emit per-channel sums of the resized
+    * tile. Map-only; codec init amortized per partition. The oracle
+    * reproduces the sums arithmetically from the pixel generation
+    * formula composed with the SAME floor sampling — so the gate
+    * proves decode AND resampling both ran exactly. */
+  def resizeStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(pngFor(id)))
+        val w = img.getWidth; val h = img.getHeight
+        val r = img.getRaster
+        val sums = new Array[Long](3)
+        var j = 0
+        while (j < OutH) {
+          val sy = j * h / OutH
+          var i = 0
+          while (i < OutW) {
+            val sx = i * w / OutW
+            var c = 0
+            while (c < 3) { sums(c) += r.getSample(sx, sy, c); c += 1 }
+            i += 1
+          }
+          j += 1
+        }
+        (id, OutW, OutH, sums(0), sums(1), sums(2))
+      }
+    }.toDF("doc_id", "out_w", "out_h", "rsum_c0", "rsum_c1", "rsum_c2")
+  }
+
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    resizeStats(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Pixel formula ∘ floor sampling, summed over the output grid. */
+  def oMultimodalResize: String = {
+    def channel(c: Int) =
+      s"CAST(sum((doc_id + ${7 * c} + 31 * ((jy * h // $OutH) * 8 + " +
+        s"(ix * 8 // $OutW))) % 256) AS BIGINT) AS rsum_c$c"
+    s"""WITH g AS (
+      |  SELECT d.doc_id, 1 + d.doc_id % 13 AS h, i.range AS ix, j.range AS jy
+      |  FROM documents d, range($OutW) i, range($OutH) j)
+      |SELECT doc_id, $OutW AS out_w, $OutH AS out_h,
+      |  ${channel(0)}, ${channel(1)}, ${channel(2)}
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --- spectral feature extraction (real DFT over real WAV decode) ----
 
   /** Tone-WAV samples per doc: one full-scale sine at EXACT DFT bin

@@ -241,6 +241,65 @@ object Temporal {
       |LEFT JOIN t3 ON t1.user_id = t3.user_id
       |ORDER BY t1.user_id""".stripMargin
 
+  // --- cohort retention ------------------------------------------------
+
+  /** Weekly cohort retention: users grouped by first-seen week, each
+    * cohort's active-user count per week offset, and the retention
+    * ratio — the table behind every retention curve. ISO week
+    * truncation (Monday start) matches between engines, both weeks are
+    * truncated before differencing so offsets are exact multiples of 7
+    * days, and retention is one exact integer division.
+    *
+    * Scale shape: one shuffle to find first-seen weeks (partial min),
+    * one distinct on (user, week) — both partial-aggregable — then a
+    * user-keyed join that reuses the distinct's partitioning, and a
+    * #cohorts×#offsets-sized aggregate. Nothing holds per-user state
+    * beyond the aggregation buffers. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val counts = activity.join(firsts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, Seq("cohort_week"))
+      .withColumn("retention", col("active_users") / col("cohort_size"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(spark, dir))
+
+  val oCohortRetention: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+      |counts AS (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+      |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+      |  FROM activity a JOIN firsts f USING (user_id)
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM firsts GROUP BY 1)
+      |SELECT cohort_week, week_offset, active_users, cohort_size,
+      |  CAST(active_users AS DOUBLE) / cohort_size AS retention
+      |FROM counts JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // --- debounce (chain-dependent rate limiting) -----------------------
 
   /** Microsecond epoch of a Timestamp (getTime is millis — it would

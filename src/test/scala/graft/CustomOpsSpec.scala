@@ -249,6 +249,21 @@ class CustomOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("NN resize samples exactly the formula pixels through the codec") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Seq(3L, 7L, 12L) // heights 4, 8, 13 — incl. non-divisible
+    val out = Multimodal.resizeStats(ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    ids.foreach { id =>
+      val h = 1 + (id % 13).toInt
+      def expect(c: Int): Long =
+        (for (j <- 0 until 4; i <- 0 until 4)
+          yield (id + 7 * c + 31 * ((j * h / 4) * 8 + (i * 8 / 4))) % 256).sum
+      assert(out(id) == ((expect(0), expect(1), expect(2))), s"doc $id")
+    }
+  }
+
   test("decontaminated split quarantines only leaking train docs") {
     import spark.implicits._
     import graft.operators.TextAnalysis

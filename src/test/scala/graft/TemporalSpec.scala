@@ -82,6 +82,26 @@ class TemporalSpec extends SparkSpecBase {
     assert(steady.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
 
+  test("cohort retention: offsets count from first-seen week, ratios exact") {
+    // users 1,2 first seen in week of Jan 1 (Mon); user 1 returns two
+    // weeks later; user 3 starts the next week
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L), // cohort W0
+      (2L, ts("2024-01-03 10:00:00"), 1L),
+      (3L, ts("2024-01-16 10:00:00"), 1L), // W0 + offset 2
+      (4L, ts("2024-01-04 10:00:00"), 2L), // cohort W0, never returns
+      (5L, ts("2024-01-09 10:00:00"), 3L)  // cohort W1
+    ).map { case (e, t, u) => (e, t, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Temporal.cohortRetention(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 2)) == ((1L, 2L, 0.5)))
+    assert(out(("2024-01-08", 0)) == ((1L, 1L, 1.0)))
+    assert(out.size == 3, "no phantom offsets")
+  }
+
   test("debounce is chain-dependent: a burst inside delta keeps only its head") {
     // user 1: 10:00, 10:30, 10:50, 11:10 with delta=1h — chain keeps
     // 10:00 and 11:10; lag-based thinning would re-arm on 10:30/10:50
