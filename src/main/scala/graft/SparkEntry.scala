@@ -169,7 +169,9 @@ object SparkEntry {
     // real PNG decode + deterministic NN resize to a fixed tile
     "multimodal_resize" -> ((s, d) => Multimodal.qMultimodalResize(s, d)),
     // weekly cohort retention table (first-seen cohorts × week offsets)
-    "cohort_retention" -> ((s, d) => Temporal.qCohortRetention(s, d))
+    "cohort_retention" -> ((s, d) => Temporal.qCohortRetention(s, d)),
+    // first-view → first-purchase latency percentiles (exact interp.)
+    "conversion_latency" -> ((s, d) => Temporal.qConversionLatency(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,7 +313,8 @@ object SparkEntry {
     "debounce_events" -> Temporal.oDebounce,
     "multimodal_spectral" -> Multimodal.oMultimodalSpectral,
     "multimodal_resize" -> Multimodal.oMultimodalResize,
-    "cohort_retention" -> Temporal.oCohortRetention
+    "cohort_retention" -> Temporal.oCohortRetention,
+    "conversion_latency" -> Temporal.oConversionLatency
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -241,6 +241,75 @@ object Temporal {
       |LEFT JOIN t3 ON t1.user_id = t3.user_id
       |ORDER BY t1.user_id""".stripMargin
 
+  // --- conversion latency ----------------------------------------------
+
+  /** Time-to-convert: per user, the latency from FIRST view to the
+    * first purchase at or after it, summarized as exact interpolated
+    * percentiles (the `percentile`/`quantile_cont` cross-engine
+    * discipline) plus conversion counts — the funnel's "how long", next
+    * to [[eventFunnel]]'s "how many".
+    *
+    * Scale shape: both firsts are conditional min aggregates in ONE
+    * user-keyed pass (no join); latencies are integer microsecond
+    * deltas; the percentile summary reduces #users rows to one. */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("first_view_us"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("first_purchase_any_us"))
+    // the purchase must not precede the first view; re-derive the
+    // first qualifying purchase with a second conditional min keyed on
+    // the (broadcast-joined) first view — still join-free per user in
+    // the common case where purchases follow views, exact in all cases
+    val qualified = events
+      .join(perUser.select(col("user_id"), col("first_view_us")), Seq("user_id"))
+      .groupBy(col("user_id"), col("first_view_us"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        unix_micros(col("ts")) >= col("first_view_us"),
+        unix_micros(col("ts")))).as("first_purchase_us"))
+    val lat = qualified
+      .withColumn("latency_s",
+        ((col("first_purchase_us") - col("first_view_us")) / lit(1000000L))
+          .cast("double"))
+    lat.agg(
+      count(lit(1)).as("n_users"),
+      count(col("first_view_us")).as("n_viewers"),
+      count(col("latency_s")).as("n_converted"),
+      expr("percentile(latency_s, 0.25)").as("p25_s"),
+      expr("percentile(latency_s, 0.5)").as("p50_s"),
+      expr("percentile(latency_s, 0.9)").as("p90_s"))
+  }
+
+  def qConversionLatency(spark: SparkSession, dir: String): DataFrame =
+    conversionLatency(Tables.events(spark, dir))
+
+  val oConversionLatency: String =
+    """WITH fv AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us
+      |  FROM events GROUP BY user_id),
+      |q AS (
+      |  SELECT e.user_id, fv.first_view_us,
+      |    min(CASE WHEN e.event_type = 'purchase'
+      |             AND epoch_us(e.ts) >= fv.first_view_us
+      |        THEN epoch_us(e.ts) END) AS first_purchase_us
+      |  FROM events e JOIN fv USING (user_id)
+      |  GROUP BY e.user_id, fv.first_view_us),
+      |lat AS (
+      |  SELECT user_id, first_view_us,
+      |    CAST((first_purchase_us - first_view_us) / 1000000 AS DOUBLE) AS latency_s
+      |  FROM q)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(first_view_us) AS BIGINT) AS n_viewers,
+      |  CAST(count(latency_s) AS BIGINT) AS n_converted,
+      |  quantile_cont(latency_s, 0.25) AS p25_s,
+      |  quantile_cont(latency_s, 0.5) AS p50_s,
+      |  quantile_cont(latency_s, 0.9) AS p90_s
+      |FROM lat""".stripMargin
+
   // --- cohort retention ------------------------------------------------
 
   /** Weekly cohort retention: users grouped by first-seen week, each

@@ -82,6 +82,22 @@ class TemporalSpec extends SparkSpecBase {
     assert(steady.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
 
+  test("conversion latency: purchases before the first view never count") {
+    val ev = Seq(
+      // user 1: purchase BEFORE first view (ignored), converts 90s after
+      (1L, ts("2024-01-01 09:00:00"), 1L, "purchase", 1.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (3L, ts("2024-01-01 10:01:30"), 1L, "purchase", 1.0),
+      // user 2: views, never converts
+      (4L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0),
+      // user 3: purchase only — not a viewer, not a converter
+      (5L, ts("2024-01-01 12:00:00"), 3L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.conversionLatency(ev).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getDouble(4) == 90.0, "median latency must be the 90s conversion")
+  }
+
   test("cohort retention: offsets count from first-seen week, ratios exact") {
     // users 1,2 first seen in week of Jan 1 (Mon); user 1 returns two
     // weeks later; user 3 starts the next week
