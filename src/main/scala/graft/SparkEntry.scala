@@ -171,7 +171,19 @@ object SparkEntry {
     // weekly cohort retention table (first-seen cohorts × week offsets)
     "cohort_retention" -> ((s, d) => Temporal.qCohortRetention(s, d)),
     // first-view → first-purchase latency percentiles (exact interp.)
-    "conversion_latency" -> ((s, d) => Temporal.qConversionLatency(s, d))
+    "conversion_latency" -> ((s, d) => Temporal.qConversionLatency(s, d)),
+    // crawl-front-door ops: markup boilerplate extraction (map-only) and
+    // two-level domain-reputation admission (control-plane agg)
+    "text_html_extract" -> ((s, d) => WebText.qHtmlExtract(s, d)),
+    "curation_domain_reputation" -> ((s, d) => WebText.qDomainReputation(s, d)),
+    // exact fixed-point PageRank over the purchase graph (BIGINT ranks)
+    "graph_pagerank" -> ((s, d) => Graph.qPageRank(s, d)),
+    // hashing-trick TF-IDF features (bounded width, integer idf)
+    "text_hashed_tfidf" -> ((s, d) => Features.qHashedTfIdf(s, d)),
+    // full-outer per-day placements-vs-shipments reconciliation
+    "join_full_outer_recon" -> ((s, d) => Joins.qDailyReconciliation(s, d)),
+    // k-means corpus clustering (generated inlined-centroid twin)
+    "cluster_kmeans" -> ((s, d) => Ivf.qKmeansClusters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -314,7 +326,12 @@ object SparkEntry {
     "multimodal_spectral" -> Multimodal.oMultimodalSpectral,
     "multimodal_resize" -> Multimodal.oMultimodalResize,
     "cohort_retention" -> Temporal.oCohortRetention,
-    "conversion_latency" -> Temporal.oConversionLatency
+    "conversion_latency" -> Temporal.oConversionLatency,
+    "text_html_extract" -> WebText.oHtmlExtract,
+    "curation_domain_reputation" -> WebText.oDomainReputation,
+    "graph_pagerank" -> Graph.oPageRank,
+    "text_hashed_tfidf" -> Features.oHashedTfIdf,
+    "join_full_outer_recon" -> Joins.oDailyReconciliation
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

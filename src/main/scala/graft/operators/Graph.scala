@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative link-analysis over a relationship graph — PageRank in exact
+  * fixed-point arithmetic, the reputation/centrality primitive a
+  * crawl-pipeline uses to weight domains (and a second iterative-engine
+  * capability next to Dedup's connected components).
+  *
+  * Graph: the customer–supplier purchase graph — a distinct
+  * (custkey, suppkey) edge wherever a customer's order contains a
+  * supplier's line — walked in BOTH directions (random walk on the
+  * bipartite graph), so the scores are co-purchase centrality: a
+  * supplier is central when many well-connected customers buy from it.
+  *
+  * Exactness: ranks are BIGINT fixed-point (10^12 = probability 1).
+  * Share division and the damping blend both use FLOOR integer division
+  * (`div` / DuckDB `//`), and integer sums are order-independent — so
+  * after any number of iterations the scores are bit-equal across
+  * engines and the gate is a full hash match, with no libm, doubles, or
+  * rounding-mode traps anywhere. Dropped remainders stay in [0, outdeg)
+  * per share — a deterministic ≤nanoscale mass leak both engines agree
+  * on, NOT a numerical error.
+  *
+  * Scale shape: edges materialize once (one distinct shuffle) and are
+  * cached; each iteration is one src-keyed join (ranks table = #nodes
+  * rows, partition-sized everywhere) + one dst-keyed partial-agg sum.
+  * Iterations are a fixed small constant (PageRank converges
+  * geometrically; 3 damped rounds separate the score tiers). No
+  * collect(), no driver loop over data — the driver only composes 3
+  * plan stages, like [[Dedup.dupClustersLogRounds]].
+  */
+object Graph {
+
+  /** Fixed-point scale: 1.0 of rank mass = 10^12. */
+  val Scale = 1000000000000L
+
+  /** Damping factor 0.85 as an integer percent pair. */
+  val DampNum = 85
+  val DampDen = 100
+
+  val Iterations = 3
+
+  /** Distinct customer↔supplier purchase edges, both directions.
+    * Node ids are disjoint by parity: customer c → 2c, supplier s →
+    * 2s+1. */
+  def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** `Iterations` damped fixed-point PageRank rounds over (src, dst)
+    * edges. Every node appears as a src (edges are bidirectional), so
+    * out-degrees double as the node list. */
+  def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
+    val cached = edges.cache()
+    val deg = cached.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val n1 = deg.agg(count(lit(1)).as("nn"))
+    // init = floor(Scale / N), carried per row so the blend needs no
+    // further scalar joins
+    var ranks = deg.crossJoin(broadcast(n1))
+      .withColumn("init_fp", expr(s"${Scale}L div nn"))
+      .select(col("node"), col("outdeg"), col("init_fp"),
+        col("init_fp").as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      val inflow = cached
+        .join(ranks.select(col("node").as("src"),
+          expr("rank_fp div outdeg").as("share")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("inflow"))
+      ranks = ranks.drop("rank_fp")
+        .join(inflow, Seq("node"), "left")
+        .withColumn("rank_fp",
+          expr(s"((${DampDen - DampNum} * init_fp) + ($DampNum * coalesce(inflow, 0L))) div $DampDen"))
+        .drop("inflow")
+    }
+    ranks.select(col("node"), col("outdeg"), col("rank_fp"))
+  }
+
+  /** Top-20 centrality table over the purchase graph. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = pageRank(purchaseEdges(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+    ranked
+      .withColumn("node_type",
+        when(col("node") % 2 === 0, "customer").otherwise("supplier"))
+      .withColumn("entity_key",
+        expr("CASE WHEN node % 2 = 0 THEN node div 2 ELSE (node - 1) div 2 END"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("node_id"), col("node_type"), col("entity_key"),
+        col("outdeg"), col("rank_fp"))
+  }
+
+  private def iterSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT d.node, d.outdeg, d.init_fp,
+       |    CAST(((${DampDen - DampNum} * d.init_fp)
+       |          + ($DampNum * COALESCE(f.inflow, 0))) // $DampDen AS BIGINT) AS rank_fp
+       |  FROM $prev d LEFT JOIN (
+       |    SELECT e.dst AS node, sum(p.rank_fp // p.outdeg) AS inflow
+       |    FROM edges e JOIN $prev p ON e.src = p.node GROUP BY e.dst) f
+       |  USING (node))""".stripMargin
+
+  /** Twin: identical integer recurrence, iterations unrolled as chained
+    * CTEs (`//` = the same floor division). */
+  def oPageRank: String = {
+    val iters = (1 to Iterations)
+      .map(i => iterSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |n1 AS (SELECT count(*) AS nn FROM deg),
+       |r0 AS (
+       |  SELECT node, outdeg, $Scale // nn AS init_fp, $Scale // nn AS rank_fp
+       |  FROM deg CROSS JOIN n1),
+       |$iters
+       |SELECT node AS node_id,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  CASE WHEN node % 2 = 0 THEN node // 2 ELSE (node - 1) // 2 END AS entity_key,
+       |  outdeg, rank_fp
+       |FROM r$Iterations
+       |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+  }
+}

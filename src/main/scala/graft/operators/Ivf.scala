@@ -194,9 +194,38 @@ object Ivf {
       "sim_ivf_topk" -> oIvfTopK(cents),
       "sim_ivf_adaptive_topk" -> oIvfTopKAdaptive(cents),
       // clustered serving layout: same quantizer ⇒ same results
-      "sim_ivf_clustered_topk" -> oIvfTopK(cents))
+      "sim_ivf_clustered_topk" -> oIvfTopK(cents),
+      "cluster_kmeans" -> oKmeansClusters(cents))
     case None => Map.empty
   }
+
+  /** K-means corpus clustering as a first-class operator (topic/domain
+    * bucketing for curation dashboards and stratified sampling) — the
+    * IVF coarse quantizer surfaced as an assignment table: every vector
+    * with its cluster and the cluster's population. Assignment is the
+    * one codegen'd [[cellOf]] pass; sizes are a ≤Cells-row control-plane
+    * aggregate broadcast back — no per-cluster shuffle, no skewed
+    * window (16 clusters over 100 TB would serialize a
+    * Window.partitionBy(cluster) into 16 giant partitions). */
+  def qKmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidsFor(dir, Tables.embeddings(spark, dir))
+    val assigned = Tables.embeddings(spark, dir)
+      .withColumn("cluster", cellOf(col("embedding"), cents))
+      .select(col("vec_id"), col("cluster"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Generated twin: the shared assignment CTEs + per-cell sizes. */
+  def oKmeansClusters(cents: Seq[Array[Double]]): String =
+    s"""${ivfBaseSql(cents)},
+       |sizes AS (SELECT cell, count(*) AS cluster_size FROM assign GROUP BY cell)
+       |SELECT neighbor_id AS vec_id, cell AS cluster, cluster_size
+       |FROM assign JOIN sizes USING (cell)
+       |ORDER BY vec_id""".stripMargin
 
   /** Build-once clustered layouts per dataset dir (the serving
     * deployment shape — see [[writeClustered]]); shares [[quantizers]],

@@ -129,4 +129,41 @@ object Joins {
   def oTop10Orders: String =
     """SELECT * FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Full-outer reconciliation — the one join type the other queries
+    * never exercise as a result shape: per-day order placements vs
+    * line shipments, keeping days present on either side only (the
+    * shipment calendar extends months past the last order date). Both
+    * inputs pre-aggregate to #days rows BEFORE the full-outer join, so
+    * the join itself is calendar-sized at any data scale. */
+  def qDailyReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("orders_placed"))
+    val shipped = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("lines_shipped"))
+    placed.join(shipped, Seq("d"), "full_outer")
+      .select(col("d"),
+        col("orders_placed").isNotNull.as("has_orders"),
+        col("lines_shipped").isNotNull.as("has_shipments"),
+        coalesce(col("orders_placed"), lit(0L)).as("orders_placed"),
+        coalesce(col("lines_shipped"), lit(0L)).as("lines_shipped"))
+      .orderBy(col("d"))
+  }
+
+  def oDailyReconciliation: String =
+    """WITH placed AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS orders_placed
+      |  FROM orders GROUP BY 1),
+      |shipped AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS lines_shipped
+      |  FROM lineitem GROUP BY 1)
+      |SELECT d,
+      |  orders_placed IS NOT NULL AS has_orders,
+      |  lines_shipped IS NOT NULL AS has_shipments,
+      |  COALESCE(orders_placed, 0) AS orders_placed,
+      |  COALESCE(lines_shipped, 0) AS lines_shipped
+      |FROM placed FULL JOIN shipped USING (d)
+      |ORDER BY d""".stripMargin
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Features, Graph, Ivf, Joins, WebText}
+
+/** Specs for the crawl-front-door, graph, and feature-hashing operators:
+  * HTML extraction recovers content and drops boilerplate; domain
+  * reputation applies the two-level rule; PageRank conserves fixed-point
+  * mass and ranks hubs above leaves; hashed TF-IDF is bounded-width;
+  * the full-outer reconciliation keeps one-sided days; k-means cluster
+  * sizes partition the corpus. */
+class WebGraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("html extraction strips boilerplate, decodes entities, keeps content") {
+    val df = Seq((1L, "srcA",
+      "hello world &" /* raw & must survive untouched */)).toDF("doc_id", "source", "text")
+    val html = df.withColumn("html",
+      WebText.syntheticHtml($"doc_id", $"source", $"text"))
+    val out = html.select(
+      WebText.extractTitle($"html").as("title"),
+      WebText.extractContent($"html").as("content")).head()
+    assert(out.getString(0) == "srcA #1")
+    // nav/footer/script/style gone; h1 entity decoded; body preserved
+    assert(out.getString(1) == "srcA #1 & friends hello world &")
+  }
+
+  test("entity decode order: &amp;lt; yields the literal string &lt;, not <") {
+    val df = Seq(("<p>a &amp;lt; b</p>")).toDF("html")
+    val got = df.select(WebText.extractContent($"html")).head().getString(0)
+    assert(got == "a &lt; b")
+  }
+
+  test("html extraction round-trips on the real fixture corpus") {
+    val out = WebText.qHtmlExtract(spark, sf).cache()
+    assert(out.filter(!$"roundtrip_ok").count() == 0)
+    // extraction actually removed boilerplate on every doc
+    assert(out.filter($"extracted_chars" >= $"html_chars").count() == 0)
+  }
+
+  test("domain reputation: doc admitted iff its own keep AND source keep-rate clears the bar") {
+    val out = WebText.qDomainReputation(spark, sf).cache()
+    val bad = out.filter($"admitted" =!= ($"doc_keep" && $"source_reputable"))
+    assert(bad.count() == 0)
+    val repBad = out.filter($"source_reputable" =!=
+      ($"source_kept" * 100 >= $"source_total" * WebText.RepMinKeepPct))
+    assert(repBad.count() == 0)
+    // per-source totals really partition the corpus
+    val n = out.count()
+    val sums = out.select($"source", $"source_total").distinct()
+      .agg(sum($"source_total")).head().getLong(0)
+    assert(sums == n)
+  }
+
+  test("pagerank: hub node outranks leaves; star graph is exact") {
+    // star: 1 hub (node 0) <-> 4 leaves; bidirectional edges
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 3)
+      .orderBy($"node").collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    // N=5, init = 2*10^11. Hand-rolled recurrence (floor div):
+    // leaf share: hub rank/4 each round; hub gets 4 leaf shares
+    val init = Graph.Scale / 5
+    var hub = init; var leaf = init
+    for (_ <- 1 to 3) {
+      val hubIn = 4 * (leaf / 1) // each leaf has outdeg 1
+      val leafIn = hub / 4
+      val h2 = (15 * init + 85 * hubIn) / 100
+      val l2 = (15 * init + 85 * leafIn) / 100
+      hub = h2; leaf = l2
+    }
+    assert(r(0L) == hub, s"hub ${r(0L)} != expected $hub")
+    assert(r(1L) == leaf && r(2L) == leaf && r(3L) == leaf && r(4L) == leaf)
+    assert(r(0L) > r(1L))
+  }
+
+  test("pagerank on the purchase graph: mass approximately conserved, top-20 well-formed") {
+    val edges = Graph.purchaseEdges(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
+    val ranks = Graph.pageRank(edges).cache()
+    val n = ranks.count()
+    val total = ranks.agg(sum($"rank_fp")).head().getLong(0)
+    // floor-division leaks < 1 unit per share per round; with 3 rounds
+    // and #edges shares the loss is far below 0.1% of Scale
+    assert(total <= Graph.Scale && total > Graph.Scale - Graph.Scale / 1000,
+      s"mass $total vs ${Graph.Scale} over $n nodes")
+    val top = Graph.qPageRank(spark, sf).collect()
+    assert(top.length == 20)
+    assert(top.map(_.getLong(4)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("hashed tf-idf: bounded width, ranks contiguous, weight consistent") {
+    val out = Features.qHashedTfIdf(spark, sf).cache()
+    assert(out.filter($"bucket" < 0 || $"bucket" >= Features.Buckets).count() == 0)
+    assert(out.filter($"rank" > Features.TopSlots).count() == 0)
+    // per-doc ranks are 1..k with weights non-increasing
+    val perDoc = out.groupBy($"doc_id").agg(
+      count(lit(1)).as("k"), max($"rank").as("maxr"),
+      min($"rank").as("minr")).filter($"maxr" =!= $"k" || $"minr" =!= 1)
+    assert(perDoc.count() == 0)
+    val docs = Tables.documents(spark, sf).count()
+    val badW = out.filter($"weight" =!=
+      $"tf" * expr(s"(${docs}L * ${Features.IdfScale}) div df"))
+    assert(badW.count() == 0)
+  }
+
+  test("full-outer reconciliation keeps one-sided days from both calendars") {
+    val out = Joins.qDailyReconciliation(spark, sf).cache()
+    assert(out.filter(!$"has_orders" && !$"has_shipments").count() == 0)
+    // the shipment calendar extends past the last order date
+    assert(out.filter($"has_shipments" && !$"has_orders").count() > 0)
+    assert(out.filter($"has_orders" && $"orders_placed" === 0).count() == 0)
+    // counts reconcile to the base tables
+    val placed = out.agg(sum($"orders_placed")).head().getLong(0)
+    assert(placed == Tables.orders(spark, sf).count())
+    val shipped = out.agg(sum($"lines_shipped")).head().getLong(0)
+    assert(shipped == Tables.lineitem(spark, sf).count())
+  }
+
+  test("k-means clustering: sizes partition the corpus, assignment matches cellOf") {
+    val out = Ivf.qKmeansClusters(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n)
+    val sums = out.select($"cluster", $"cluster_size").distinct()
+      .agg(sum($"cluster_size")).head().getLong(0)
+    assert(sums == n)
+    assert(out.select($"cluster").distinct().count() <= Ivf.Cells)
+  }
+}
