@@ -183,7 +183,13 @@ object SparkEntry {
     // full-outer per-day placements-vs-shipments reconciliation
     "join_full_outer_recon" -> ((s, d) => Joins.qDailyReconciliation(s, d)),
     // k-means corpus clustering (generated inlined-centroid twin)
-    "cluster_kmeans" -> ((s, d) => Ivf.qKmeansClusters(s, d))
+    "cluster_kmeans" -> ((s, d) => Ivf.qKmeansClusters(s, d)),
+    // golden-record consolidation (match → closure → survivorship)
+    "entity_golden_record" -> ((s, d) => Entity.qGoldenRecords(s, d)),
+    // degree-ordered triangle counting over the co-purchase graph
+    "graph_triangles" -> ((s, d) => Graph.qTriangles(s, d)),
+    // optimizer statistics: exact vs estimated join cardinalities
+    "plan_join_cardinality" -> ((s, d) => Planning.qJoinCardinality(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,7 +337,10 @@ object SparkEntry {
     "curation_domain_reputation" -> WebText.oDomainReputation,
     "graph_pagerank" -> Graph.oPageRank,
     "text_hashed_tfidf" -> Features.oHashedTfIdf,
-    "join_full_outer_recon" -> Joins.oDailyReconciliation
+    "join_full_outer_recon" -> Joins.oDailyReconciliation,
+    "entity_golden_record" -> Entity.oGoldenRecords,
+    "graph_triangles" -> Graph.oTriangles,
+    "plan_join_cardinality" -> Planning.oJoinCardinality
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

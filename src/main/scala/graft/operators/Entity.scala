@@ -69,4 +69,83 @@ object Entity {
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY custkey_a, custkey_b""".stripMargin
+
+  /** Golden-record consolidation — the step after matching: match pairs
+    * are closed into entity clusters (transitive: A≈B and B≈C merge all
+    * three even when A,C differ by 2 edits — [[graft.operators.Dedup.dupClusters]]
+    * reused on the id graph), then one survivor row per entity under
+    * explicit survivorship rules: identity fields from the lowest-key
+    * member (deterministic "first registered wins"), account balance as
+    * the exact-decimal max and sum across members.
+    *
+    * Matches require an exact blocking attribute (`blockCol`, e.g.
+    * nation) on top of the fuzzy name rule — the practical guard
+    * against closure collapse: on sequentially-numbered synthetic
+    * names, unblocked edit-1 chains transitively merge the entire
+    * table into one entity (measured: 1 cluster at sf0.01); with the
+    * block, clusters stay entity-sized (max 17).
+    *
+    * Scale shape: the pair graph is candidate-generated (deletion-1
+    * blocking), clustering touches only MATCHED ids (a small fraction of
+    * any real corpus), and the final merge is one hash aggregate over
+    * the full table after a left join against the broadcast-sized
+    * cluster map. Singletons never enter the fixpoint. */
+  def goldenRecords(df: DataFrame, idCol: String, nameCol: String,
+      balCol: String, blockCol: String): DataFrame = {
+    val blocks = df.select(col(idCol).as("bid"), col(blockCol).as("blk"))
+    val pairs = editPairs(df, idCol, nameCol)
+      .join(blocks.select(col("bid").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
+      .join(blocks.select(col("bid").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
+      .filter(col("blk_a") === col("blk_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    df.join(clusters, df(idCol) === clusters("doc_id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("entity_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col(idCol)).as("min_key"),
+        max(col(idCol)).as("max_key"),
+        min_by(col(nameCol), col(idCol)).as("golden_name"),
+        // the fixture stores balances as DOUBLE; decimal intermediates
+        // keep the merge sums exact (the Tpch.scala discipline)
+        max(col(balCol).cast("decimal(15,2)")).as("max_acctbal"),
+        sum(col(balCol).cast("decimal(15,2)")).as("total_acctbal"))
+  }
+
+  def qGoldenRecords(spark: SparkSession, dir: String): DataFrame =
+    goldenRecords(Tables.customer(spark, dir), "c_custkey", "c_name",
+      "c_acctbal", "c_nationkey")
+      .orderBy(col("entity_id"))
+
+  /** Twin: n² match pairs → recursive-CTE closure (cluster id = min
+    * reachable key, the oDedupClusters idiom) → the same survivorship
+    * aggregate. */
+  def oGoldenRecords: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |    AND a.c_nationkey = b.c_nationkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |cl AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src)
+      |SELECT COALESCE(cl.cluster_id, c.c_custkey) AS entity_id,
+      |  count(*) AS n_members,
+      |  min(c.c_custkey) AS min_key,
+      |  max(c.c_custkey) AS max_key,
+      |  min_by(c.c_name, c.c_custkey) AS golden_name,
+      |  max(CAST(c.c_acctbal AS DECIMAL(15,2))) AS max_acctbal,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(15,2))) AS DECIMAL(25,2)) AS total_acctbal
+      |FROM customer c LEFT JOIN cl ON c.c_custkey = cl.doc_id
+      |GROUP BY entity_id
+      |ORDER BY entity_id""".stripMargin
 }

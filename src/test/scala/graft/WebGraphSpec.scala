@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Features, Graph, Ivf, Joins, WebText}
+import graft.operators.{Entity, Features, Graph, Ivf, Joins, Planning, WebText}
 
 /** Specs for the crawl-front-door, graph, and feature-hashing operators:
   * HTML extraction recovers content and drops boilerplate; domain
@@ -116,6 +116,85 @@ class WebGraphSpec extends SparkSpecBase {
     assert(placed == Tables.orders(spark, sf).count())
     val shipped = out.agg(sum($"lines_shipped")).head().getLong(0)
     assert(shipped == Tables.lineitem(spark, sf).count())
+  }
+
+  test("triangle counting: planted 4-clique yields known per-node counts") {
+    // K4 on {1,2,3,4} plus a pendant 5: C(3,2)=3 triangles per K4 node
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = Graph.triangleCounts(edges).orderBy($"node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 4L, 3L)))
+    // pendant node 5 participates in no triangle → absent
+    assert(!got.exists(_._1 == 5L))
+  }
+
+  test("triangle counts are orientation-independent: degree order equals id order") {
+    val edges = Graph.coPurchaseEdges(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
+    val degOrdered = Graph.triangleCounts(edges)
+      .orderBy($"node").collect().toSeq
+    // id-ordered enumeration (the oracle's shape) as the independent twin
+    val e = edges.select($"u".as("src"), $"v".as("dst"),
+      lit(0L).as("rv")).cache()
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      // path wedges a→b→c close on the (a, c) edge
+      .join(e.select($"src".as("a"), $"dst".as("c")), Seq("a", "c"), "left_semi")
+    val roles = tris.select($"a".as("node"))
+      .union(tris.select($"b".as("node")))
+      .union(tris.select($"c".as("node")))
+    val deg = e.select($"src".as("node")).union(e.select($"dst".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    val idOrdered = roles.groupBy($"node").agg(count(lit(1)).as("triangles"))
+      .join(deg, Seq("node")).select($"node", $"degree", $"triangles")
+      .orderBy($"node").collect().toSeq
+    assert(degOrdered == idOrdered)
+  }
+
+  test("golden records: members partition the table, survivorship rules hold") {
+    val out = Entity.qGoldenRecords(spark, sf).cache()
+    val cust = Tables.customer(spark, sf)
+    assert(out.agg(sum($"n_members")).head().getLong(0) == cust.count())
+    // singleton entities carry their own key and name
+    val single = out.filter($"n_members" === 1)
+    assert(single.filter($"entity_id" =!= $"min_key").count() == 0)
+    // entity id is always the minimum member key (min-survivor rule)
+    assert(out.filter($"entity_id" =!= $"min_key").count() == 0)
+    // merged entities exist on this fixture and stay entity-sized
+    val merged = out.filter($"n_members" > 1)
+    assert(merged.count() > 0)
+    assert(out.agg(max($"n_members")).head().getLong(0) < 50)
+  }
+
+  test("join cardinality: actual matches the real join; key-FK estimate is exact") {
+    val stats = Planning.qJoinCardinality(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ol = stats("orders_lineitem")
+    val realOl = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(ol.getLong(5) == realOl)
+    val co = stats("customer_orders")
+    val realCo = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+      col("c_custkey") === col("o_custkey")).count()
+    assert(co.getLong(5) == realCo)
+    // FK-clean fixture joins: the uniform model is already exact
+    assert(ol.getLong(6) == ol.getLong(5) && co.getLong(6) == co.getLong(5))
+  }
+
+  test("join cardinality on a skewed join: heavy-hitter estimate beats uniform") {
+    // one hot key (1000×1000) + 99 singletons: uniform underestimates ~80×
+    val hot = (1 to 1000).map(_ => 1L) ++ (2L to 100L)
+    val l = hot.toDF("k1")
+    val r = hot.toDF("k2")
+    val row = Planning.joinCardinality(l, "k1", r, "k2", "skewed").head()
+    val actual = row.getLong(5)
+    assert(actual == 1000L * 1000 + 99)
+    // top-100 covers every key → the heavy estimate is exact
+    assert(row.getLong(7) == actual)
+    assert(row.getLong(9) < row.getLong(8),
+      s"heavy err ${row.getLong(9)} !< uniform err ${row.getLong(8)}")
   }
 
   test("k-means clustering: sizes partition the corpus, assignment matches cellOf") {
