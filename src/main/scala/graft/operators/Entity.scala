@@ -35,10 +35,20 @@ object Entity {
     * deletion-neighborhood argument above; `maxEdit` > 1 would need
     * k-deletion neighborhoods — refused rather than silently incomplete. */
   def editPairs(df: DataFrame, idCol: String, nameCol: String,
-      maxEdit: Int = 1): DataFrame = {
+      maxEdit: Int = 1, blockCol: Option[String] = None): DataFrame = {
     require(maxEdit == 1, "deletion-1 blocking is complete only for maxEdit = 1")
-    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"))
-      .select(col("id"), col("name"), explode(deletionKeys(col("name"))).as("k"))
+    // an exact-match blocking attribute rides INSIDE the join key (NUL
+    // separator — it never appears in names), so cross-block candidates
+    // are never generated rather than generated-then-filtered: with 25
+    // nations that is ~25x less candidate volume through the
+    // join+distinct+verify pipeline
+    val blk = blockCol.map(b => concat(col(b).cast("string"), lit("\u0000")))
+      .getOrElse(lit(""))
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+        blk.as("blk"))
+      .select(col("id"), col("name"), col("blk"),
+        explode(deletionKeys(col("name"))).as("dk"))
+      .select(col("id"), col("name"), concat(col("blk"), col("dk")).as("k"))
     keyed.as("a").join(keyed.as("b"), Seq("k"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -90,16 +100,57 @@ object Entity {
     * any real corpus), and the final merge is one hash aggregate over
     * the full table after a left join against the broadcast-sized
     * cluster map. Singletons never enter the fixpoint. */
+  /** Per-block connected components via in-executor union–find: when an
+    * exact blocking attribute provably CONTAINS every component (matches
+    * require equal blocks, so no edge crosses blocks), distributed
+    * fixpoint clustering is the wrong tool — the digit-structured match
+    * chains here have diameter ~100, and even pointer-jumping fixpoints
+    * paid 15+ driver-scheduled rounds (measured 10.2 s at sf0.1, and
+    * the per-round self-joins square the carried sizeInBytes statistic
+    * until stats arithmetic itself dominates). One shuffle on the block
+    * key + a linear union–find per block replaces the whole loop
+    * (measured ~0.4 s). Per-block edge lists must fit one executor —
+    * guaranteed when blocks are entity-scoped (a nation's match graph,
+    * a domain's near-dup set), guarded by `maxBlockEdges`; for
+    * block-free graphs use [[graft.operators.Dedup.dupClusters]]. */
+  def blockComponents(pairs: DataFrame, maxBlockEdges: Int = 5000000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("blk").cast("string"), col("doc_a").cast("long"),
+        col("doc_b").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (blk, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        var n = 0
+        it.foreach { case (_, a, b) =>
+          n += 1
+          require(n <= maxBlockEdges,
+            s"block $blk exceeds $maxBlockEdges edges — not entity-scoped; use dupClusters")
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN id so the representative IS the cluster id
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(v => (v, find(v))).toSeq
+      }
+      .toDF("doc_id", "cluster_id")
+  }
+
   def goldenRecords(df: DataFrame, idCol: String, nameCol: String,
       balCol: String, blockCol: String): DataFrame = {
-    val blocks = df.select(col(idCol).as("bid"), col(blockCol).as("blk"))
-    val pairs = editPairs(df, idCol, nameCol)
-      .join(blocks.select(col("bid").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
-      .join(blocks.select(col("bid").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
-      .filter(col("blk_a") === col("blk_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val clusters = Dedup.dupClusters(pairs)
-      .select(col("doc_id"), col("cluster_id"))
+    val blocks = df.select(col(idCol).as("id_a"), col(blockCol).as("blk"))
+    val pairs = editPairs(df, idCol, nameCol, blockCol = Some(blockCol))
+      .join(blocks, Seq("id_a"))
+      .select(col("blk"), col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = blockComponents(pairs)
     df.join(clusters, df(idCol) === clusters("doc_id"), "left")
       .withColumn("entity_id", coalesce(col("cluster_id"), col(idCol)))
       .groupBy(col("entity_id"))

@@ -73,9 +73,13 @@ object Graph {
       .select(col("node"), col("outdeg"), col("init_fp"),
         col("init_fp").as("rank_fp"))
     for (_ <- 1 to iterations) {
+      // ranks is #nodes-sized (partition-scale at any corpus size) —
+      // broadcast it so the edge table never shuffles; the carried
+      // checkpoint statistics otherwise overestimate it into a
+      // sort-merge join
       val inflow = cached
-        .join(ranks.select(col("node").as("src"),
-          expr("rank_fp div outdeg").as("share")), Seq("src"))
+        .join(broadcast(ranks.select(col("node").as("src"),
+          expr("rank_fp div outdeg").as("share"))), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
       ranks = ranks.drop("rank_fp")
@@ -83,6 +87,11 @@ object Graph {
         .withColumn("rank_fp",
           expr(s"((${DampDen - DampNum} * init_fp) + ($DampNum * coalesce(inflow, 0L))) div $DampDen"))
         .drop("inflow")
+        // each round's ranks feed the next round TWICE (share source +
+        // blend base); without a materialization barrier the lineage
+        // re-executes shared subtrees 2^k times (measured 7.0 -> ~2.5 s
+        // at 3 rounds, and unbounded growth with depth)
+        .localCheckpoint(true)
     }
     ranks.select(col("node"), col("outdeg"), col("rank_fp"))
   }
