@@ -189,7 +189,13 @@ object SparkEntry {
     // degree-ordered triangle counting over the co-purchase graph
     "graph_triangles" -> ((s, d) => Graph.qTriangles(s, d)),
     // optimizer statistics: exact vs estimated join cardinalities
-    "plan_join_cardinality" -> ((s, d) => Planning.qJoinCardinality(s, d))
+    "plan_join_cardinality" -> ((s, d) => Planning.qJoinCardinality(s, d)),
+    // bounded multi-source BFS reach histogram over the purchase graph
+    "graph_bfs_reach" -> ((s, d) => Graph.qBfsReach(s, d)),
+    // exact integer covariance moments over the int8 code domain
+    "embed_covariance" -> ((s, d) => Quant.qCodeCovariance(s, d)),
+    // the full ANSI ranking-function family over one window
+    "window_rank_variants" -> ((s, d) => Advanced.qRankVariants(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -340,7 +346,10 @@ object SparkEntry {
     "join_full_outer_recon" -> Joins.oDailyReconciliation,
     "entity_golden_record" -> Entity.oGoldenRecords,
     "graph_triangles" -> Graph.oTriangles,
-    "plan_join_cardinality" -> Planning.oJoinCardinality
+    "plan_join_cardinality" -> Planning.oJoinCardinality,
+    "graph_bfs_reach" -> Graph.oBfsReach,
+    "embed_covariance" -> Quant.oCodeCovariance,
+    "window_rank_variants" -> Advanced.oRankVariants
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

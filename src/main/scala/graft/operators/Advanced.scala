@@ -360,4 +360,44 @@ object Advanced {
       |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events""".stripMargin
+
+  /** The full ANSI ranking-function family over ONE window, with
+    * deliberate ties (price bucket) so rank/dense_rank/row_number
+    * genuinely diverge: gap semantics (rank skips after ties),
+    * dense semantics (no skips), the value-tie-broken row_number,
+    * percent_rank = (rank−1)/(rows−1) and cume_dist as exact
+    * small-integer ratios (bit-identical doubles in both engines), and
+    * ntile(4) quartiles. One window shuffle on the partition key. */
+  def qRankVariants(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("bucket"), col("o_orderkey"))
+    val wTies = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("bucket"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .withColumn("bucket", expr("CAST(floor(o_totalprice) AS BIGINT) div 10000"))
+      .select(col("o_custkey"), col("o_orderkey"), col("bucket"),
+        row_number().over(w).as("rn"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        percent_rank().over(wTies).as("prnk"),
+        cume_dist().over(wTies).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def oRankVariants: String =
+    """SELECT o_custkey, o_orderkey, bucket,
+      |  CAST(row_number() OVER wo AS INTEGER) AS rn,
+      |  CAST(rank() OVER wt AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER wt AS INTEGER) AS drnk,
+      |  percent_rank() OVER wt AS prnk,
+      |  cume_dist() OVER wt AS cdist,
+      |  CAST(ntile(4) OVER wo AS INTEGER) AS quartile
+      |FROM (SELECT *, CAST(floor(o_totalprice) AS BIGINT) // 10000 AS bucket
+      |      FROM orders WHERE o_custkey < 200)
+      |WINDOW wo AS (PARTITION BY o_custkey ORDER BY bucket, o_orderkey),
+      |       wt AS (PARTITION BY o_custkey ORDER BY bucket)
+      |ORDER BY o_custkey, rn""".stripMargin
 }

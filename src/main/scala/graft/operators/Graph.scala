@@ -201,6 +201,83 @@ object Graph {
       |GROUP BY node, degree
       |ORDER BY triangles DESC, node LIMIT 25""".stripMargin
 
+  /** Bounded multi-source BFS: minimum hop count from a source node set,
+    * depth-limited. Frontier expansion is one edges⋈frontier join + an
+    * anti-join against the settled set per level — the frontier and
+    * settled tables are #nodes-sized (partition-scale), the edge table
+    * is the only big operand and is probed on its partitioned src key;
+    * per-level checkpoints keep lineage (and carried size statistics)
+    * flat, the [[pageRank]] lesson. Depth is a small constant: reach
+    * analyses ask "within k hops", not full shortest paths. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val cached = edges.cache()
+    var settled = sources.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = settled.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = cached
+        .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h)).localCheckpoint(true)
+      // settled is a union of already-checkpointed levels — re-reading
+      // it is a cached-block scan, so no checkpoint (and no extra job)
+      settled = settled.union(next)
+      frontier = next.select(col("node"))
+    }
+    settled
+  }
+
+  /** Reach histogram of the purchase graph from one nation's suppliers:
+    * how much of the customer/supplier universe lies within k hops
+    * (hop −1 = unreached at depth [[BfsMaxHops]]). */
+  val BfsMaxHops = 4
+  val BfsSourceNation = 0
+
+  def qBfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir)).cache()
+    val sources = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === BfsSourceNation)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+      // sources must exist in the graph (suppliers with no lines never
+      // appear as nodes and would distort the unreached count)
+      .join(edges.select(col("src").as("node")).distinct(), Seq("node"),
+        "left_semi")
+    val dist = bfsHops(edges, sources, BfsMaxHops)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    nodes.join(dist, Seq("node"), "left")
+      .withColumn("hop", coalesce(col("hop"), lit(-1)))
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  /** Twin: bounded recursive expansion — UNION dedups (node, hop) pairs
+    * so the recursion terminates at the depth bound; min hop per node,
+    * then the same histogram. */
+  def oBfsReach: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |sources AS (
+       |  SELECT s_suppkey * 2 + 1 AS node FROM supplier
+       |  WHERE s_nationkey = $BfsSourceNation
+       |    AND s_suppkey * 2 + 1 IN (SELECT node FROM nodes)),
+       |walk(node, hop) AS (
+       |  SELECT node, 0 FROM sources
+       |  UNION
+       |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.hop < $BfsMaxHops),
+       |dist AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+       |SELECT CAST(COALESCE(d.hop, -1) AS INTEGER) AS hop,
+       |       count(*) AS n_nodes
+       |FROM nodes n LEFT JOIN dist d USING (node)
+       |GROUP BY 1 ORDER BY hop""".stripMargin
+
   private def iterSql(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT d.node, d.outdeg, d.init_fp,

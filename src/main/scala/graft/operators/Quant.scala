@@ -239,4 +239,77 @@ object Quant {
        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |      FROM p)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Dimensions covered by the covariance statistics query (pairs grow
+    * quadratically in this; 16 dims = 136 upper-triangle entries). */
+  val CovDims = 16
+
+  /** Exact integer covariance statistics over the int8 CODE domain —
+    * the embedding-drift / PCA-preprocessing statistic, computable at
+    * any corpus size in ONE partial+final aggregate pass: for each dim
+    * pair i ≤ j the moments (n, Σcᵢ, Σcⱼ, Σcᵢcⱼ) and the covariance
+    * numerator n·Σcᵢcⱼ − Σcᵢ·Σcⱼ. All BIGINT (|c| ≤ 127, so even
+    * exabyte-scale counts stay far from overflow) — integer sums are
+    * order-independent, hence the full cross-engine hash gate that
+    * float covariance could never carry. The moment vector is also
+    * MERGEABLE (add counterpart sums), the same incremental contract as
+    * [[graft.operators.Rollup]]. No shuffle: the aggregate reduces to
+    * one row; the pair melt is driver-composed projection. */
+  def codeCovariance(emb: DataFrame, dims: Int = CovDims): DataFrame = {
+    val pairs = for (i <- 0 until dims; j <- i until dims) yield (i, j)
+    val base = withScale(emb).select(
+      transform(col("xd"), v =>
+        when(col("scale") === 0d, 0d).otherwise(round(v / col("scale"))))
+        .cast("array<long>").as("c"))
+    def c(i: Int) = element_at(col("c"), i + 1)
+    val moments =
+      (0 until dims).map(i => sum(c(i)).as(s"m_$i")) ++
+        pairs.map { case (i, j) => sum(c(i) * c(j)).as(s"p_${i}_${j}") }
+    val agged = base.agg(count(lit(1)).as("n"), moments: _*)
+    agged
+      .select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"), col("n"),
+          col(s"m_$i").as("sum_i"), col(s"m_$j").as("sum_j"),
+          col(s"p_${i}_${j}").as("sum_ij"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("cov_num",
+        col("n") * col("sum_ij") - col("sum_i") * col("sum_j"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def qCodeCovariance(spark: SparkSession, dir: String): DataFrame =
+    codeCovariance(Tables.embeddings(spark, dir))
+
+  /** Twin: same codes, one MATERIALIZED aggregate row, the pair melt as
+    * a generated union over the 1-row CTE. */
+  def oCodeCovariance: String = {
+    val dims = CovDims
+    val pairs = for (i <- 0 until dims; j <- i until dims) yield (i, j)
+    val momentCols =
+      (0 until dims).map(i =>
+        s"CAST(sum(c[${i + 1}]) AS BIGINT) AS m_$i") ++
+        pairs.map { case (i, j) =>
+          s"CAST(sum(c[${i + 1}] * c[${j + 1}]) AS BIGINT) AS p_${i}_$j" }
+    val branches = pairs.map { case (i, j) =>
+      s"SELECT $i AS i, $j AS j, n, m_$i AS sum_i, m_$j AS sum_j, p_${i}_$j AS sum_ij FROM a"
+    }
+    s"""WITH x AS (
+       |  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT xd, list_max(list_transform(xd, v -> abs(v))) / $Levels.0 AS scale
+       |  FROM x),
+       |codes AS (
+       |  SELECT list_transform(xd, v -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(round(v/scale) AS BIGINT) END) AS c
+       |  FROM s),
+       |a AS MATERIALIZED (
+       |  SELECT count(*) AS n, ${momentCols.mkString(", ")}
+       |  FROM codes)
+       |SELECT i, j, n, sum_i, sum_j, sum_ij,
+       |       n * sum_ij - sum_i * sum_j AS cov_num
+       |FROM (${branches.mkString(" UNION ALL ")})
+       |ORDER BY i, j""".stripMargin
+  }
 }

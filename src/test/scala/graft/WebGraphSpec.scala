@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Entity, Features, Graph, Ivf, Joins, Planning, WebText}
+import graft.operators.{Advanced, Entity, Features, Graph, Ivf, Joins, Planning, Quant, WebText}
 
 /** Specs for the crawl-front-door, graph, and feature-hashing operators:
   * HTML extraction recovers content and drops boilerplate; domain
@@ -195,6 +195,66 @@ class WebGraphSpec extends SparkSpecBase {
     assert(row.getLong(7) == actual)
     assert(row.getLong(9) < row.getLong(8),
       s"heavy err ${row.getLong(9)} !< uniform err ${row.getLong(8)}")
+  }
+
+  test("bfs: planted path graph yields exact hops and leaves far nodes unreached") {
+    // path 1-2-3-4-5-6-7, bidirectional; source {1}, depth 4
+    val und = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
+    val edges = und.select($"u".as("src"), $"v".as("dst"))
+      .union(und.select($"v".as("src"), $"u".as("dst")))
+    val dist = Graph.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // 6 and 7 are beyond depth 4 → absent from the settled set
+    assert(!dist.contains(6L) && !dist.contains(7L))
+  }
+
+  test("bfs reach histogram partitions the node universe") {
+    val out = Graph.qBfsReach(spark, sf).cache()
+    val edges = Graph.purchaseEdges(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val nNodes = edges.select($"src").distinct().count()
+    assert(out.agg(sum($"n_nodes")).head().getLong(0) == nNodes)
+    assert(out.filter($"hop" < -1 || $"hop" > Graph.BfsMaxHops).count() == 0)
+  }
+
+  test("int8 code covariance: planted two-vector fixture has hand-checked moments") {
+    // v1 = [127, 0], v2 = [127, 127] (scales 1.0): codes equal values
+    val emb = Seq((1L, Array(127f, 0f)), (2L, Array(127f, 127f)))
+      .toDF("vec_id", "embedding")
+    val got = Quant.codeCovariance(emb, dims = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (0,0): n=2 s_i=s_j=254 s_ij=2*127^2=32258; cov=2*32258-254^2=0
+    assert(got((0, 0)) == ((2L, 254L, 254L, 32258L, 0L)))
+    // (0,1): s_j=127, s_ij=127^2; cov=2*16129-254*127=0
+    assert(got((0, 1)) == ((2L, 254L, 127L, 16129L, 0L)))
+    // (1,1): s=127, s_ij=16129; cov=2*16129-16129=16129
+    assert(got((1, 1)) == ((2L, 127L, 127L, 16129L, 16129L)))
+  }
+
+  test("covariance diagonal is non-negative and n is the corpus size") {
+    val out = Quant.qCodeCovariance(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.filter($"n" =!= n).count() == 0)
+    assert(out.filter($"i" === $"j" && $"cov_num" < 0).count() == 0)
+    assert(out.count() == Quant.CovDims * (Quant.CovDims + 1) / 2)
+  }
+
+  test("rank variants: gap vs dense semantics, bounded percent ranks, quartiles") {
+    val out = Advanced.qRankVariants(spark, sf).cache()
+    assert(out.filter($"rnk" < $"drnk").count() == 0)
+    assert(out.filter($"prnk" < 0 || $"prnk" > 1).count() == 0)
+    assert(out.filter($"cdist" <= 0 || $"cdist" > 1).count() == 0)
+    assert(out.filter($"quartile" < 1 || $"quartile" > 4).count() == 0)
+    // rn is a permutation of 1..k per customer
+    val bad = out.groupBy($"o_custkey").agg(
+      count(lit(1)).as("k"), max($"rn").as("maxrn"),
+      countDistinct($"rn").as("drn"))
+      .filter($"maxrn" =!= $"k" || $"drn" =!= $"k")
+    assert(bad.count() == 0)
+    // ties exist somewhere → rank gaps (rnk > drnk on some row)
+    assert(out.filter($"rnk" > $"drnk").count() > 0)
   }
 
   test("k-means clustering: sizes partition the corpus, assignment matches cellOf") {
