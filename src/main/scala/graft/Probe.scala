@@ -262,7 +262,16 @@ object Probe {
       "bm25_serving_topk" -> "inverted-index serving: term filter PUSHED to the postings scan (range-laid-out files skip on min/max), no document text read",
       "quality_expectations" -> "one-pass contract: every rule metric in a single partial+final aggregate over one scan, exploded to the report",
       "curation_weighted_sample" -> "weighted Bernoulli sample: integer hash compare in the scan projection, map-only, zero shuffles",
-      "monitor_value_drift" -> "drift histogram: conditional partial agg to ≤10 groups, dense spine left join, 1-row totals broadcast")
+      "monitor_value_drift" -> "drift histogram: conditional partial agg to ≤10 groups, dense spine left join, 1-row totals broadcast",
+      "text_html_extract" -> "crawl text extraction: zone-drop + tag-flatten + entity-decode regex pipeline fused into the scan projection, map-only",
+      "curation_domain_reputation" -> "two-level admission: funnel signals once per doc, #sources control-plane agg, broadcast reputation rejoin",
+      "graph_pagerank" -> "fixed-point PageRank: cached bidirectional edges, broadcast ranks per round, dst-keyed partial-agg inflow (lineage view; rounds checkpoint at execution)",
+      "entity_golden_record" -> "golden records: block-keyed FastSS candidates -> per-block union-find (one shuffle, no fixpoint) -> survivorship hash agg",
+      "graph_triangles" -> "degree-ordered wedge join + closure semi-join on the sparse co-purchase projection",
+      "plan_join_cardinality" -> "optimizer stats: per-key count aggregates, 1-row scalar crossJoins, top-H heavy-hitter probe — the join itself never materializes",
+      "graph_bfs_reach" -> "bounded BFS: broadcast frontier joins + anti-join vs settled, per-level checkpoints (lineage view)",
+      "embed_covariance" -> "int8-code covariance: ONE partial+final aggregate (153 moments), driver-composed pair melt, zero data shuffles",
+      "cluster_kmeans" -> "k-means assignment: fused argmax kernel in the scan, ≤16-row sizes broadcast back")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
