@@ -195,7 +195,11 @@ object SparkEntry {
     // exact integer covariance moments over the int8 code domain
     "embed_covariance" -> ((s, d) => Quant.qCodeCovariance(s, d)),
     // the full ANSI ranking-function family over one window
-    "window_rank_variants" -> ((s, d) => Advanced.qRankVariants(s, d))
+    "window_rank_variants" -> ((s, d) => Advanced.qRankVariants(s, d)),
+    // PPJoin-style prefix-filtered exact Jaccard (≡ the exact operator)
+    "dedup_jaccard_prefix" -> ((s, d) => Dedup.qJaccardPrefix(s, d)),
+    // zero-order-hold time-weighted average, exact integer cents
+    "temporal_time_weighted_avg" -> ((s, d) => Temporal.qTimeWeightedAvg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -349,7 +353,11 @@ object SparkEntry {
     "plan_join_cardinality" -> Planning.oJoinCardinality,
     "graph_bfs_reach" -> Graph.oBfsReach,
     "embed_covariance" -> Quant.oCodeCovariance,
-    "window_rank_variants" -> Advanced.oRankVariants
+    "window_rank_variants" -> Advanced.oRankVariants,
+    // prefix filtering changes candidates, never results — shares the
+    // exact-Jaccard twin (the dedup_minhash_lsh precedent)
+    "dedup_jaccard_prefix" -> Dedup.oNgramJaccard,
+    "temporal_time_weighted_avg" -> Temporal.oTimeWeightedAvg
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -436,4 +436,51 @@ object Temporal {
       |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
       |FROM k JOIN e ON k.user_id = e.user_id AND k.rn = e.rn
       |ORDER BY e.event_id""".stripMargin
+
+  /** Time-weighted average per user — the metrics/IoT aggregate where a
+    * plain mean over-weights bursty sampling: each reading holds until
+    * the next one (zero-order hold), so its weight is its holding
+    * duration. All arithmetic is exact integer: values become CENTS via
+    * the shared round-half-away double→BIGINT path, durations are
+    * microsecond deltas from one lag window, and the final average is a
+    * floor division — so the gate is a full hash match, with overflow
+    * headroom audited (|cents| ≤ 10⁵ × span ≤ 10¹³ µs « 2⁶³; the span
+    * is wall-clock, so headroom is SF-independent). One window shuffle
+    * on user_id feeding a partial-agg'd hash aggregate; single-reading
+    * users have no holding interval and are reported with NULL twa
+    * rather than dropped. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("dt_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        coalesce(sum(col("dt_us")), lit(0L)).as("span_us"),
+        sum(col("cents") * col("dt_us")).as("weighted_cents_us"))
+      .withColumn("twa_cents",
+        expr("CASE WHEN span_us > 0 THEN weighted_cents_us div span_us END"))
+  }
+
+  def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvg(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  def oTimeWeightedAvg: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_us(ts) AS dt_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_samples,
+      |  CAST(COALESCE(sum(dt_us), 0) AS BIGINT) AS span_us,
+      |  CAST(sum(cents * dt_us) AS BIGINT) AS weighted_cents_us,
+      |  CASE WHEN CAST(COALESCE(sum(dt_us), 0) AS BIGINT) > 0
+      |    THEN CAST(sum(cents * dt_us) AS BIGINT) // CAST(sum(dt_us) AS BIGINT)
+      |  END AS twa_cents
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Advanced, Entity, Features, Graph, Ivf, Joins, Planning, Quant, WebText}
+import graft.operators.{Advanced, Dedup, Entity, Features, Graph, Ivf, Joins, Planning, Quant, Temporal, WebText}
+import graft.sinks.Jsonl
 
 /** Specs for the crawl-front-door, graph, and feature-hashing operators:
   * HTML extraction recovers content and drops boilerplate; domain
@@ -255,6 +256,53 @@ class WebGraphSpec extends SparkSpecBase {
     assert(bad.count() == 0)
     // ties exist somewhere → rank gaps (rnk > drnk on some row)
     assert(out.filter($"rnk" > $"drnk").count() > 0)
+  }
+
+  test("prefix-filtered jaccard equals the shared-shingle exact operator") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.shingleJaccardPairs(docs, 0.8)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val prefix = Dedup.jaccardPrefixPairs(docs, 0.8)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(prefix == exact)
+    assert(exact.nonEmpty) // the fixture plants near-dups; equality must not be vacuous
+  }
+
+  test("prefix bound rejects a mismatched rational") {
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPrefixPairs(Tables.documents(spark, sf), 0.7)
+    }
+  }
+
+  test("time-weighted average: hand-computed zero-order hold, single readings get NULL") {
+    val ev = Seq(
+      // user 1: 10.00 for 2s, then 30.00 for 6s -> twa = (1000*2e6+3000*6e6)/8e6 = 2500
+      (1L, "2024-01-01 00:00:00", 10.0, 101L),
+      (2L, "2024-01-01 00:00:02", 30.0, 101L),
+      (3L, "2024-01-01 00:00:08", 99.0, 101L), // last reading holds nothing
+      (4L, "2024-01-01 00:00:00", 55.5, 202L)  // single reading
+    ).toDF("event_id", "s", "value", "user_id")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val got = Temporal.timeWeightedAvg(ev).orderBy($"user_id").collect()
+    assert(got(0).getLong(0) == 101L && got(0).getLong(1) == 3L)
+    assert(got(0).getLong(2) == 8000000L)
+    assert(got(0).getLong(4) == 2500L)
+    assert(got(1).getLong(0) == 202L && got(1).isNullAt(4))
+  }
+
+  test("jsonl export round-trips the corpus and the manifest reconciles") {
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Jsonl.exportCorpus(docs, path, shards = 4)
+    val back = Jsonl.readBack(spark, path, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    val man = Jsonl.manifest(spark, path).cache()
+    assert(man.count() == 4)
+    assert(man.agg(sum($"rows")).head().getLong(0) == docs.count())
+    // round-robin sharding: sizes even within a factor of 2
+    val sizes = man.select($"rows").collect().map(_.getLong(0))
+    assert(sizes.max <= 2 * math.max(1L, sizes.min))
   }
 
   test("k-means clustering: sizes partition the corpus, assignment matches cellOf") {
