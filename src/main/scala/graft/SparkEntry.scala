@@ -199,7 +199,9 @@ object SparkEntry {
     // PPJoin-style prefix-filtered exact Jaccard (≡ the exact operator)
     "dedup_jaccard_prefix" -> ((s, d) => Dedup.qJaccardPrefix(s, d)),
     // zero-order-hold time-weighted average, exact integer cents
-    "temporal_time_weighted_avg" -> ((s, d) => Temporal.qTimeWeightedAvg(s, d))
+    "temporal_time_weighted_avg" -> ((s, d) => Temporal.qTimeWeightedAvg(s, d)),
+    // hopping (sliding) window aggregate — the batch twin of a live hop
+    "window_hopping_agg" -> ((s, d) => Temporal.qHoppingAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,7 +359,8 @@ object SparkEntry {
     // prefix filtering changes candidates, never results — shares the
     // exact-Jaccard twin (the dedup_minhash_lsh precedent)
     "dedup_jaccard_prefix" -> Dedup.oNgramJaccard,
-    "temporal_time_weighted_avg" -> Temporal.oTimeWeightedAvg
+    "temporal_time_weighted_avg" -> Temporal.oTimeWeightedAvg,
+    "window_hopping_agg" -> Temporal.oHoppingAgg
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -469,6 +469,42 @@ object Temporal {
   def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
     timeWeightedAvg(Tables.events(spark, dir)).orderBy(col("user_id"))
 
+  /** Hopping (sliding) time-window aggregate — `window(ts, 1h, 30m)`:
+    * every event lands in exactly size/slide = 2 overlapping windows,
+    * the streaming-dashboard shape run in batch (the same `window()`
+    * expression Structured Streaming plans, so numbers here are the
+    * batch twins of a live hop dashboard). Spark expands each row into
+    * its covering windows BEFORE the aggregate, so partial aggregation
+    * still applies: the shuffle carries (windows × groups) partials,
+    * size/slide × the tumbling cost — the dial a 100 TB deployment
+    * tunes by widening the slide. Exact integer cent sums. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  def qHoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    hoppingAgg(Tables.events(spark, dir))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Twin: each event's 2 covering 30-minute-aligned window starts via
+    * explicit unnest (b and b − 30 min where b = time_bucket(30m, ts));
+    * epoch-aligned exactly like Spark's window(). */
+  def oHoppingAgg: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+      |            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+      |      AS w_start
+      |  FROM events)
+      |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+      |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM e GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
   def oTimeWeightedAvg: String =
     """WITH d AS (
       |  SELECT user_id,

@@ -305,6 +305,40 @@ class WebGraphSpec extends SparkSpecBase {
     assert(sizes.max <= 2 * math.max(1L, sizes.min))
   }
 
+  test("hopping windows: every event lands in exactly size/slide windows") {
+    val out = Temporal.qHoppingAgg(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    // 1h window / 30m slide -> each event counted twice across windows
+    assert(out.agg(sum($"n")).head().getLong(0) == 2 * nEvents)
+    // windows are 30-minute-aligned and exactly one hour wide
+    assert(out.filter(unix_seconds($"w_start") % 1800 =!= 0).count() == 0)
+    assert(out.filter(unix_seconds($"w_end") - unix_seconds($"w_start") =!= 3600)
+      .count() == 0)
+  }
+
+  test("html extraction is stateless and streams: file stream equals batch") {
+    val docs = Tables.documents(spark, sf)
+    def extracted(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id",
+      WebText.extractTitle(WebText.syntheticHtml($"doc_id", $"source", $"text"))
+        .as("title"),
+      md5(WebText.extractContent(
+        WebText.syntheticHtml($"doc_id", $"source", $"text"))).as("content_hash"))
+    // map-only: no exchange anywhere in the extraction plan
+    val plan = extracted(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
+    val d = java.nio.file.Files.createTempDirectory("graft-webtext").toString
+    docs.write.mode("overwrite").parquet(d)
+    val q = extracted(spark.readStream.schema(docs.schema).parquet(d))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("webtext_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("webtext_stream_out").orderBy($"doc_id").collect().toSeq
+    val want = extracted(docs).orderBy($"doc_id").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("k-means clustering: sizes partition the corpus, assignment matches cellOf") {
     val out = Ivf.qKmeansClusters(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()
