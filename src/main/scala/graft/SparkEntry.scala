@@ -201,7 +201,18 @@ object SparkEntry {
     // zero-order-hold time-weighted average, exact integer cents
     "temporal_time_weighted_avg" -> ((s, d) => Temporal.qTimeWeightedAvg(s, d)),
     // hopping (sliding) window aggregate — the batch twin of a live hop
-    "window_hopping_agg" -> ((s, d) => Temporal.qHoppingAgg(s, d))
+    "window_hopping_agg" -> ((s, d) => Temporal.qHoppingAgg(s, d)),
+    // suffix-dedup granularity: every duplicated ≥8-word run removed at
+    // all but its first corpus occurrence (stride-1 window keys)
+    "dedup_substring_spans" -> ((s, d) => Spans.qSubstringSpans(s, d)),
+    // explicit shard→merge moments state (skew/kurtosis from merged sums)
+    "stats_moments_merge" -> ((s, d) => Moments.qMomentsMerge(s, d)),
+    // quintile RFM customer segmentation over the orders fact
+    "serving_rfm" -> ((s, d) => Rfm.qRfm(s, d)),
+    // positional-index consecutive-phrase search (top corpus trigram)
+    "retrieval_phrase" -> ((s, d) => Phrase.qPhraseSearch(s, d)),
+    // SCD2 time travel: dimension state as of a fixed instant
+    "scd2_asof" -> ((s, d) => Scd.qScd2Asof(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -360,7 +371,12 @@ object SparkEntry {
     // exact-Jaccard twin (the dedup_minhash_lsh precedent)
     "dedup_jaccard_prefix" -> Dedup.oNgramJaccard,
     "temporal_time_weighted_avg" -> Temporal.oTimeWeightedAvg,
-    "window_hopping_agg" -> Temporal.oHoppingAgg
+    "window_hopping_agg" -> Temporal.oHoppingAgg,
+    "dedup_substring_spans" -> Spans.oSubstringSpans,
+    "stats_moments_merge" -> Moments.oMomentsMerge,
+    "serving_rfm" -> Rfm.oRfm,
+    "retrieval_phrase" -> Phrase.oPhraseSearch,
+    "scd2_asof" -> Scd.oScd2Asof
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -107,6 +107,49 @@ object Scd {
       .orderBy(outOrder: _*)
   }
 
+  // ------------------------------------------------------------- time travel
+
+  /** Snapshot instant for the as-of query/spec. */
+  val SnapshotAt = "1997-06-15"
+
+  /** Time travel: the dimension state as of `at` — the one SCD2 read
+    * shape every consumer runs ("what did this customer look like when
+    * the order shipped"). A row is live at `at` iff
+    * valid_from ≤ at < valid_to (open versions have no valid_to). On a
+    * persisted history table this is a pure scan-side filter — Catalyst
+    * pushes both bounds into the parquet reader, and a valid_from
+    * partition layout makes it a partition prune; no join against the
+    * event log, no window re-run. */
+  def asOfSnapshot(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
+    history
+      .filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .select(col(key), col("version"), col("priority"), col("valid_from"))
+
+  def qScd2Asof(spark: SparkSession, dir: String): DataFrame =
+    asOfSnapshot(scd2Build(Tables.orders(spark, dir)),
+      lit(SnapshotAt).cast("timestamp"))
+      .orderBy(col(key))
+
+  def oScd2Asof: String =
+    s"""WITH ch AS (
+      |  SELECT o_custkey, o_orderpriority AS priority,
+      |         o_orderdate AS ts, o_orderkey AS tie,
+      |         lag(o_orderpriority) OVER w AS prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |c AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> priority),
+      |v AS (
+      |  SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version,
+      |         priority, ts AS valid_from, lead(ts) OVER w AS valid_to
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tie))
+      |SELECT o_custkey, version, priority, valid_from
+      |FROM v
+      |WHERE valid_from <= TIMESTAMP '$SnapshotAt 00:00:00'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$SnapshotAt 00:00:00')
+      |ORDER BY o_custkey""".stripMargin
+
   /** Oracle for BOTH queries: the apply result must equal the from-scratch
     * build over the full log, so they share this SQL. */
   def oScd2: String =
