@@ -212,7 +212,11 @@ object SparkEntry {
     // positional-index consecutive-phrase search (top corpus trigram)
     "retrieval_phrase" -> ((s, d) => Phrase.qPhraseSearch(s, d)),
     // SCD2 time travel: dimension state as of a fixed instant
-    "scd2_asof" -> ((s, d) => Scd.qScd2Asof(s, d))
+    "scd2_asof" -> ((s, d) => Scd.qScd2Asof(s, d)),
+    // JL random-projection coarse search + exact cosine re-rank
+    "sim_rp_topk" -> ((s, d) => Rp.qRpTopK(s, d)),
+    // trained PCA projection (sampled covariance + Jacobi, map-only apply)
+    "embed_pca_project" -> ((s, d) => Pca.qPcaProject(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,7 +380,9 @@ object SparkEntry {
     "stats_moments_merge" -> Moments.oMomentsMerge,
     "serving_rfm" -> Rfm.oRfm,
     "retrieval_phrase" -> Phrase.oPhraseSearch,
-    "scd2_asof" -> Scd.oScd2Asof
+    "scd2_asof" -> Scd.oScd2Asof,
+    // seed-4242 planes are fixed literals → full hash gate
+    "sim_rp_topk" -> Rp.oRpTopK
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
@@ -388,5 +394,7 @@ object SparkEntry {
     // trained NB classifier: fixed-point integer model inlined the same way
     Classify.oracleEntries ++
     // trained BPE tokenizer: merge list inlined, recursive-CTE replay
-    Tokenize.oracleEntries
+    Tokenize.oracleEntries ++
+    // trained PCA components inlined the same way
+    Pca.oracleEntries
 }
