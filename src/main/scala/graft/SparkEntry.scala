@@ -216,7 +216,9 @@ object SparkEntry {
     // JL random-projection coarse search + exact cosine re-rank
     "sim_rp_topk" -> ((s, d) => Rp.qRpTopK(s, d)),
     // trained PCA projection (sampled covariance + Jacobi, map-only apply)
-    "embed_pca_project" -> ((s, d) => Pca.qPcaProject(s, d))
+    "embed_pca_project" -> ((s, d) => Pca.qPcaProject(s, d)),
+    // RAKE keyword extraction (stopword-free runs, deg/freq scoring)
+    "text_rake_keywords" -> ((s, d) => Rake.qRakeKeywords(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,7 +384,8 @@ object SparkEntry {
     "retrieval_phrase" -> Phrase.oPhraseSearch,
     "scd2_asof" -> Scd.oScd2Asof,
     // seed-4242 planes are fixed literals → full hash gate
-    "sim_rp_topk" -> Rp.oRpTopK
+    "sim_rp_topk" -> Rp.oRpTopK,
+    "text_rake_keywords" -> Rake.oRakeKeywords
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

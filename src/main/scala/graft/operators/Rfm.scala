@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,6 +58,81 @@ object Rfm {
 
   def qRfm(spark: SparkSession, dir: String): DataFrame =
     rfm(Tables.orders(spark, dir)).orderBy(col("o_custkey"))
+
+  // ------------------------------------------------------ scale path
+
+  /** Global rank of each row under (metric, custkey) without a global
+    * sort: range-partition on the order key, collect per-partition
+    * counts (control plane — nPartitions longs), broadcast the running
+    * offsets back, and add them to per-partition row_numbers — the
+    * [[Curation.budgetSelect]] distributed-prefix-sum pattern applied
+    * to ranking. Max task = one range partition at any entity count. */
+  private def globalRank(df: DataFrame, metric: Column, out: String,
+      nPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.repartitionByRange(nPartitions, metric, col("o_custkey"))
+      .withColumn("_pid", spark_partition_id())
+    Dedup.withCached(p) { s =>
+      val counts = s.groupBy(col("_pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+        (pid, acc + c)
+      }.tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }
+      val w = Window.partitionBy(col("_pid")).orderBy(metric, col("o_custkey"))
+      s.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+        .withColumn(out, (row_number().over(w) + col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    }
+  }
+
+  /** ANSI ntile from a 1-based global rank: the first n mod k buckets
+    * take ceil(n/k) rows. Doubles are exact below 2⁵³ so the floor
+    * divisions are exact at any realistic entity count. */
+  private def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val r = n % k
+    val big = q + 1
+    when(rank <= lit(r * big), floor((rank - 1) / lit(big.toDouble)).cast("int") + 1)
+      .otherwise((lit(r) + floor((rank - lit(r * big) - 1) / lit(q.toDouble)).cast("int") + 1)
+        .cast("int"))
+  }
+
+  /** [[rfm]] without any single-task global sort: each quintile comes
+    * from a distributed global rank + the closed-form ntile bucket.
+    * Row-identical to [[rfm]] (spec-pinned) — this is the form that
+    * holds at billions of entities, where three ntile windows would
+    * serialize the whole dimension through one task each. */
+  def rfmScalable(orders: DataFrame, nPartitions: Int = 8): DataFrame = {
+    val base = orders.groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("m_dec"))
+    Dedup.withCached(base) { b =>
+      val n = b.count()
+      val ranked = Seq(
+        (col("last_order"), "r_rank"),
+        (col("n_orders"), "f_rank"),
+        (col("m_dec"), "m_rank"))
+        .foldLeft(b) { case (df, (m, out)) => globalRank(df, m, out, nPartitions) }
+      ranked
+        .withColumn("r_score", ntileFromRank(col("r_rank"), n, 5))
+        .withColumn("f_score", ntileFromRank(col("f_rank"), n, 5))
+        .withColumn("m_score", ntileFromRank(col("m_rank"), n, 5))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("m_score") >= 4, "big_spender")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .otherwise("regular"))
+        .select(col("o_custkey"), col("last_order"), col("n_orders"),
+          col("m_dec").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"), col("segment"))
+    }
+  }
 
   def oRfm: String =
     """WITH base AS (

@@ -52,6 +52,17 @@ class MomentsRfmSpec extends SparkSpecBase {
     r.unpersist()
   }
 
+  test("scalable rfm (distributed rank + closed-form ntile) equals the window form") {
+    val orders = graft.Tables.orders(spark, sf)
+    val a = Rfm.rfm(orders)
+    val b = Rfm.rfmScalable(orders, nPartitions = 5)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+    assert(a.count() == b.count() && a.count() > 0)
+    // partition-count invariance (offsets derive from actual counts)
+    val c = Rfm.rfmScalable(orders, nPartitions = 2)
+    assert(a.exceptAll(c).count() == 0L && c.exceptAll(a).count() == 0L)
+  }
+
   test("rfm on a tiny fact: higher spend/recent/frequent ranks higher") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
