@@ -218,7 +218,11 @@ object SparkEntry {
     // trained PCA projection (sampled covariance + Jacobi, map-only apply)
     "embed_pca_project" -> ((s, d) => Pca.qPcaProject(s, d)),
     // RAKE keyword extraction (stopword-free runs, deg/freq scoring)
-    "text_rake_keywords" -> ((s, d) => Rake.qRakeKeywords(s, d))
+    "text_rake_keywords" -> ((s, d) => Rake.qRakeKeywords(s, d)),
+    // SCD2 point-in-time join via union-ordering (no inequality join)
+    "scd2_pit_join" -> ((s, d) => Pit.qPitJoin(s, d)),
+    // exact percentile_disc from distributed ranks (no global sort)
+    "agg_quantiles_scalable" -> ((s, d) => Quantiles.qQuantilesScalable(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -385,7 +389,9 @@ object SparkEntry {
     "scd2_asof" -> Scd.oScd2Asof,
     // seed-4242 planes are fixed literals → full hash gate
     "sim_rp_topk" -> Rp.oRpTopK,
-    "text_rake_keywords" -> Rake.oRakeKeywords
+    "text_rake_keywords" -> Rake.oRakeKeywords,
+    "scd2_pit_join" -> Pit.oPitJoin,
+    "agg_quantiles_scalable" -> Quantiles.oQuantilesScalable
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
