@@ -271,7 +271,16 @@ object Probe {
       "plan_join_cardinality" -> "optimizer stats: per-key count aggregates, 1-row scalar crossJoins, top-H heavy-hitter probe — the join itself never materializes",
       "graph_bfs_reach" -> "bounded BFS: broadcast frontier joins + anti-join vs settled, per-level checkpoints (lineage view)",
       "embed_covariance" -> "int8-code covariance: ONE partial+final aggregate (153 moments), driver-composed pair melt, zero data shuffles",
-      "cluster_kmeans" -> "k-means assignment: fused argmax kernel in the scan, ≤16-row sizes broadcast back")
+      "cluster_kmeans" -> "k-means assignment: fused argmax kernel in the scan, ≤16-row sizes broadcast back",
+      "dedup_substring_spans" -> "suffix-dedup granularity: stride-1 window first-occurrence + covered-position left join + doc reassembly, linear, no pair joins",
+      "stats_moments_merge" -> "mergeable moments: shard partial agg → addition merge → one fixed-order finalize expression",
+      "serving_rfm" -> "RFM quintiles: one custkey agg + three ntile windows (scale twin rfmScalable: distributed rank + closed-form ntile, spec-pinned equal)",
+      "retrieval_phrase" -> "positional phrase search: per-term-filtered postings equi-joined on (doc, pos−i) start",
+      "scd2_pit_join" -> "PIT join via union-ordering: dims+facts in ONE key shuffle, running last(ignoreNulls) — no inequality join",
+      "sim_rp_topk" -> "JL random projection: 16 plane dots in the scan, coarse top-20 window, exact cosine re-rank sharing the query partitioning",
+      "embed_pca_project" -> "trained PCA apply: 8 ordered-fold dots against literal components, map-only, zero shuffles",
+      "text_rake_keywords" -> "RAKE: run-assembly windows, vocabulary partial-agg broadcast back, phrase reassembly, TakeOrdered(25)",
+      "agg_quantiles_scalable" -> "exact quantiles, no global sort: range partition + broadcast offsets + per-partition rank + target-rank broadcast join")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

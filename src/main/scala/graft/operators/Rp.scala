@@ -50,10 +50,13 @@ object Rp {
       Similarity.dot(emb, array(pl.map(lit).toIndexedSeq: _*)) / nrm
     }: _*)
 
-  /** Ordered left-fold dot of two projected (double) vectors — the same
-    * accumulation order as the twin's sequential list_sum. */
+  /** Ordered left-fold dot of two projected (double) vectors through the
+    * codegen'd kernel — same accumulation order as the twin's sequential
+    * list_reduce (an interpreted zip_with/aggregate lambda here cost the
+    * coarse pass 2.7 s at sf0.1; the kernel is the whole point of
+    * [[graft.plans.DotProduct]]). */
   private def projDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    Similarity.dot(a, b)
 
   /** Coarse top-m in projected space per query, exact cosine re-rank to
     * top-k. m = corpus − 1 makes the coarse stage vacuous and the result
