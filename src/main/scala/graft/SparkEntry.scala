@@ -222,7 +222,13 @@ object SparkEntry {
     // SCD2 point-in-time join via union-ordering (no inequality join)
     "scd2_pit_join" -> ((s, d) => Pit.qPitJoin(s, d)),
     // exact percentile_disc from distributed ranks (no global sort)
-    "agg_quantiles_scalable" -> ((s, d) => Quantiles.qQuantilesScalable(s, d))
+    "agg_quantiles_scalable" -> ((s, d) => Quantiles.qQuantilesScalable(s, d)),
+    // contrastive hard negatives: nearest different-label vectors
+    "sim_hard_negatives" -> ((s, d) => Pairs.qHardNegatives(s, d)),
+    // deterministic per-epoch corpus shuffle (no RNG, no global sort)
+    "curation_epoch_shuffle" -> ((s, d) => Pairs.qEpochShuffle(s, d)),
+    // PMI-ranked collocations (integer surrogate, association not count)
+    "text_pmi_bigrams" -> ((s, d) => Colloc.qPmiBigrams(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -391,7 +397,10 @@ object SparkEntry {
     "sim_rp_topk" -> Rp.oRpTopK,
     "text_rake_keywords" -> Rake.oRakeKeywords,
     "scd2_pit_join" -> Pit.oPitJoin,
-    "agg_quantiles_scalable" -> Quantiles.oQuantilesScalable
+    "agg_quantiles_scalable" -> Quantiles.oQuantilesScalable,
+    "sim_hard_negatives" -> Pairs.oHardNegatives,
+    "curation_epoch_shuffle" -> Pairs.oEpochShuffle,
+    "text_pmi_bigrams" -> Colloc.oPmiBigrams
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Training-pair construction: contrastive hard negatives and the
+  * deterministic epoch shuffle — the two map-side artifacts a
+  * contrastive/causal trainer asks the data layer for.
+  */
+object Pairs {
+
+  // ------------------------------------------------------ hard negatives
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most similar vectors with a DIFFERENT label —
+    * the near-boundary impostors that carry most of the gradient
+    * signal. The brute-force form here is the labelled exact baseline
+    * (the [[Similarity.bruteForceTopK]] discipline); at corpus scale
+    * the candidate leg rides any of the ANN paths (LSH/IVF/PQ/RP) with
+    * the label-mismatch filter applied before the re-rank window.
+    */
+  def hardNegatives(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val n = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
+  }
+
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
+  def oHardNegatives: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, q.label AS query_label,
+      |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+      |  FROM n q JOIN n c ON q.vec_id < 50 AND c.label != q.label)
+      |SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM p)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------- epoch shuffle
+
+  val Epochs = 2
+
+  /** Deterministic per-epoch corpus shuffle: training order for epoch e
+    * is the ascending order of `md5u56(doc_id || ':' || e)` — a seeded
+    * pseudo-random permutation that is reproducible (restart-safe,
+    * auditable) and different every epoch, with no RNG state anywhere.
+    * Positions come from [[Scale.globalRank]], so there is no global
+    * single-task sort; the hash key is uniform by construction, which
+    * makes the range partitioning skew-free. */
+  def epochShuffle(docs: DataFrame, epochs: Int = Epochs,
+      nPartitions: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"))
+      .crossJoin(broadcast((0 until epochs).toDF("epoch")))
+      .withColumn("shuffle_key",
+        TextFns.md5u56(concat_ws(":", col("doc_id"), col("epoch"))))
+    val ranked = Scale.globalRank(keyed,
+      Seq(col("epoch"), col("shuffle_key"), col("doc_id")), "position",
+      nPartitions)
+    // rank is global across epochs (epoch leads the order); rebase it
+    // to a per-epoch 1-based position with one count collect
+    val perEpoch = ranked.groupBy(col("epoch")).agg(min(col("position")).as("base"))
+    ranked.join(broadcast(perEpoch), Seq("epoch"))
+      .select(col("epoch"), (col("position") - col("base") + 1).as("position"),
+        col("doc_id"), col("shuffle_key"))
+  }
+
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir))
+      .orderBy(col("epoch"), col("position"))
+
+  def oEpochShuffle: String = {
+    val h = TextFns.md5u56Sql("concat(doc_id, ':', epoch)")
+    s"""WITH k AS (
+      |  SELECT doc_id, epoch, $h AS shuffle_key
+      |  FROM documents, (SELECT unnest(range(0, $Epochs)) AS epoch)),
+      |r AS (
+      |  SELECT epoch, doc_id, shuffle_key,
+      |    row_number() OVER (PARTITION BY epoch
+      |                       ORDER BY shuffle_key, doc_id) AS position
+      |  FROM k)
+      |SELECT CAST(epoch AS INTEGER) AS epoch, CAST(position AS BIGINT) AS position,
+      |       doc_id, shuffle_key
+      |FROM r ORDER BY epoch, position""".stripMargin
+  }
+}

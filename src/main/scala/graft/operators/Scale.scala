@@ -11,6 +11,36 @@ import graft.Tables
   */
 object Scale {
 
+  /** Global 1-based rank under `order` (which must end in a tiebreaker
+    * making it a total order) without a global single-task sort:
+    * range-partition on the order columns, collect per-partition counts
+    * (control plane — nPartitions longs), broadcast the running offsets
+    * back, add them to per-partition row_numbers. Max task = one range
+    * partition at any row count; the result is invariant to
+    * nPartitions because offsets come from actual partition counts.
+    * The shared machinery under [[Curation.budgetSelect]]'s prefix sum,
+    * [[Rfm.rfmScalable]]'s quintiles, and
+    * [[Quantiles.quantilesScalable]]'s percentile selection. */
+  def globalRank(df: DataFrame, order: Seq[Column], out: String,
+      nPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.repartitionByRange(nPartitions, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    Dedup.withCached(p) { s =>
+      val counts = s.groupBy(col("_pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+        (pid, acc + c)
+      }.tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(order: _*)
+      s.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+        .withColumn(out, (row_number().over(w) + col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    }
+  }
+
   /** Two-phase salted aggregation for skewed group keys: partial
     * aggregate by (keys, salt) — spreading a hot key over `saltBuckets`
     * reducers — then final-combine by keys. Works for any associative
