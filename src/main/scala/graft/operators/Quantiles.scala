@@ -28,23 +28,11 @@ object Quantiles {
     val spark = events.sparkSession
     import spark.implicits._
     val slim = events.select(col("event_id"), col("value"))
-      .repartitionByRange(nPartitions, col("value"), col("event_id"))
-      .withColumn("_pid", spark_partition_id())
-    Dedup.withCached(slim) { s =>
-      val counts = s.groupBy(col("_pid")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = counts.map(_._2).sum
-      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
-        (pid, acc + c)
-      }.tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }
-      val targets = ps.map(p => p -> math.ceil(p * n).toLong)
-      val w = Window.partitionBy(col("_pid"))
-        .orderBy(col("value"), col("event_id"))
-      s.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
-        .withColumn("rn", row_number().over(w) + col("_off"))
-        .join(broadcast(targets.toDF("p", "rn")), Seq("rn"))
-        .select(col("p"), col("value"))
-    }
+    val n = slim.count()
+    val targets = ps.map(p => p -> math.ceil(p * n).toLong)
+    Scale.globalRank(slim, Seq(col("value"), col("event_id")), "rn", nPartitions)
+      .join(broadcast(targets.toDF("p", "rn")), Seq("rn"))
+      .select(col("p"), col("value"))
   }
 
   def qQuantilesScalable(spark: SparkSession, dir: String): DataFrame =

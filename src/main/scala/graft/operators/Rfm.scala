@@ -61,30 +61,12 @@ object Rfm {
 
   // ------------------------------------------------------ scale path
 
-  /** Global rank of each row under (metric, custkey) without a global
-    * sort: range-partition on the order key, collect per-partition
-    * counts (control plane — nPartitions longs), broadcast the running
-    * offsets back, and add them to per-partition row_numbers — the
-    * [[Curation.budgetSelect]] distributed-prefix-sum pattern applied
-    * to ranking. Max task = one range partition at any entity count. */
+  /** Global rank under (metric, custkey) via [[Scale.globalRank]] —
+    * no single-task sort; max task = one range partition at any entity
+    * count. */
   private def globalRank(df: DataFrame, metric: Column, out: String,
-      nPartitions: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = df.repartitionByRange(nPartitions, metric, col("o_custkey"))
-      .withColumn("_pid", spark_partition_id())
-    Dedup.withCached(p) { s =>
-      val counts = s.groupBy(col("_pid")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
-        (pid, acc + c)
-      }.tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }
-      val w = Window.partitionBy(col("_pid")).orderBy(metric, col("o_custkey"))
-      s.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
-        .withColumn(out, (row_number().over(w) + col("_off")).cast("long"))
-        .drop("_pid", "_off")
-    }
-  }
+      nPartitions: Int): DataFrame =
+    Scale.globalRank(df, Seq(metric, col("o_custkey")), out, nPartitions)
 
   /** ANSI ntile from a 1-based global rank: the first n mod k buckets
     * take ceil(n/k) rows. Doubles are exact below 2⁵³ so the floor
