@@ -228,7 +228,11 @@ object SparkEntry {
     // deterministic per-epoch corpus shuffle (no RNG, no global sort)
     "curation_epoch_shuffle" -> ((s, d) => Pairs.qEpochShuffle(s, d)),
     // PMI-ranked collocations (integer surrogate, association not count)
-    "text_pmi_bigrams" -> ((s, d) => Colloc.qPmiBigrams(s, d))
+    "text_pmi_bigrams" -> ((s, d) => Colloc.qPmiBigrams(s, d)),
+    // content-defined chunking: shift-robust rolling-hash boundaries
+    "curation_cdc_chunks" -> ((s, d) => CdcChunks.qCdcChunks(s, d)),
+    // inverse-frequency class weights for loss balancing
+    "curation_class_weights" -> ((s, d) => CdcChunks.qClassWeights(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,7 +404,9 @@ object SparkEntry {
     "agg_quantiles_scalable" -> Quantiles.oQuantilesScalable,
     "sim_hard_negatives" -> Pairs.oHardNegatives,
     "curation_epoch_shuffle" -> Pairs.oEpochShuffle,
-    "text_pmi_bigrams" -> Colloc.oPmiBigrams
+    "text_pmi_bigrams" -> Colloc.oPmiBigrams,
+    "curation_cdc_chunks" -> CdcChunks.oCdcChunks,
+    "curation_class_weights" -> CdcChunks.oClassWeights
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
