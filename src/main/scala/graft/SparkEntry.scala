@@ -232,7 +232,11 @@ object SparkEntry {
     // content-defined chunking: shift-robust rolling-hash boundaries
     "curation_cdc_chunks" -> ((s, d) => CdcChunks.qCdcChunks(s, d)),
     // inverse-frequency class weights for loss balancing
-    "curation_class_weights" -> ((s, d) => CdcChunks.qClassWeights(s, d))
+    "curation_class_weights" -> ((s, d) => CdcChunks.qClassWeights(s, d)),
+    // first-order Markov transition matrix over per-user event streams
+    "temporal_transitions" -> ((s, d) => Transitions.qTransitions(s, d)),
+    // Tukey fences from exact no-sort quartiles + per-type violations
+    "quality_outlier_fences" -> ((s, d) => Transitions.qOutlierFences(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -406,7 +410,9 @@ object SparkEntry {
     "curation_epoch_shuffle" -> Pairs.oEpochShuffle,
     "text_pmi_bigrams" -> Colloc.oPmiBigrams,
     "curation_cdc_chunks" -> CdcChunks.oCdcChunks,
-    "curation_class_weights" -> CdcChunks.oClassWeights
+    "curation_class_weights" -> CdcChunks.oClassWeights,
+    "temporal_transitions" -> Transitions.oTransitions,
+    "quality_outlier_fences" -> Transitions.oOutlierFences
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
