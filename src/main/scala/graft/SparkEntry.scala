@@ -236,7 +236,9 @@ object SparkEntry {
     // first-order Markov transition matrix over per-user event streams
     "temporal_transitions" -> ((s, d) => Transitions.qTransitions(s, d)),
     // Tukey fences from exact no-sort quartiles + per-type violations
-    "quality_outlier_fences" -> ((s, d) => Transitions.qOutlierFences(s, d))
+    "quality_outlier_fences" -> ((s, d) => Transitions.qOutlierFences(s, d)),
+    // persisted-projection RP serving: narrow coarse scan + late fetch
+    "sim_rp_serving_topk" -> ((s, d) => Rp.qRpTopKServing(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -412,7 +414,9 @@ object SparkEntry {
     "curation_cdc_chunks" -> CdcChunks.oCdcChunks,
     "curation_class_weights" -> CdcChunks.oClassWeights,
     "temporal_transitions" -> Transitions.oTransitions,
-    "quality_outlier_fences" -> Transitions.oOutlierFences
+    "quality_outlier_fences" -> Transitions.oOutlierFences,
+    // serving path is result-identical to the inline RP by construction
+    "sim_rp_serving_topk" -> Rp.oRpTopK
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -91,6 +91,73 @@ object Rp {
     rpTopK(Tables.embeddings(spark, dir), k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
 
+  // ------------------------------------------------------- serving path
+
+  /** Persist the projected table — the narrow artifact the coarse pass
+    * scans at serving time: RpDims doubles + the norm per vector
+    * instead of 64 floats. Built once per corpus (the
+    * [[Pq.writeCodes]]/[[Retrieval.writeIndex]] amortization
+    * discipline). */
+  def writeProjections(emb: DataFrame, path: String): Unit = {
+    val n = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    n.select(col("vec_id"), col("nrm"),
+      project(col("embedding"), col("nrm")).as("proj"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Serve top-k from the persisted projections: the all-pairs coarse
+    * stage touches ONLY the projected table; full vectors are read
+    * late — one vec_id equi-join fetches the ≤ m·nQueries re-rank rows
+    * (late materialization, the columnar-serving shape). Results are
+    * identical to [[rpTopK]] by construction: same projections, same
+    * fold, same windows — so it shares [[oRpTopK]]. */
+  def rpTopKServing(spark: SparkSession, projPath: String, emb: DataFrame,
+      k: Int, nQueries: Int, m: Int = CoarseM): DataFrame = {
+    val proj = spark.read.parquet(projPath)
+    val q = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("proj").as("qp"),
+        col("nrm").as("qn"))
+    val c = proj.select(col("vec_id").as("neighbor_id"),
+      col("proj").as("cp"), col("nrm").as("cn"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val cand = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse", projDot(col("qp"), col("cp")))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= m)
+      .select(col("query_id"), col("neighbor_id"), col("qn"), col("cn"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(broadcast(vecs.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "qe")), Seq("query_id"))
+      .join(vecs.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("embedding", "ce"), Seq("neighbor_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Projection tables per dataset (build once, amortized). */
+  private val servingProj =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def projectionsFor(spark: SparkSession, dir: String): String =
+    servingProj.computeIfAbsent(dir, { d =>
+      val path = s"target/serving/rp_proj_${Integer.toHexString(d.hashCode)}"
+      writeProjections(Tables.embeddings(spark, d), path)
+      path
+    })
+
+  def qRpTopKServing(spark: SparkSession, dir: String): DataFrame =
+    rpTopKServing(spark, projectionsFor(spark, dir),
+      Tables.embeddings(spark, dir), k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
   /** One projection element as DuckDB SQL. The plane literals are
     * emitted as CAST('…' AS DOUBLE) (a bare full-precision decimal
     * lexes as DECIMAL(20,19) whose →DOUBLE conversion is off by an ulp;

@@ -47,6 +47,14 @@ class RpPcaSpec extends SparkSpecBase {
     }
   }
 
+  test("rp serving path equals the inline path row-for-row") {
+    val a = graft.operators.Rp.qRpTopK(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = graft.operators.Rp.qRpTopKServing(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("jacobi solves a known symmetric matrix") {
     val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
     assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
