@@ -238,7 +238,9 @@ object SparkEntry {
     // Tukey fences from exact no-sort quartiles + per-type violations
     "quality_outlier_fences" -> ((s, d) => Transitions.qOutlierFences(s, d)),
     // persisted-projection RP serving: narrow coarse scan + late fetch
-    "sim_rp_serving_topk" -> ((s, d) => Rp.qRpTopKServing(s, d))
+    "sim_rp_serving_topk" -> ((s, d) => Rp.qRpTopKServing(s, d)),
+    // last-touch attribution via the union-ordering trick (no theta join)
+    "temporal_attribution" -> ((s, d) => Attribution.qAttribution(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,7 +418,8 @@ object SparkEntry {
     "temporal_transitions" -> Transitions.oTransitions,
     "quality_outlier_fences" -> Transitions.oOutlierFences,
     // serving path is result-identical to the inline RP by construction
-    "sim_rp_serving_topk" -> Rp.oRpTopK
+    "sim_rp_serving_topk" -> Rp.oRpTopK,
+    "temporal_attribution" -> Attribution.oAttribution
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

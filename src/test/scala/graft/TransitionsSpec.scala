@@ -43,6 +43,27 @@ class TransitionsSpec extends SparkSpecBase {
     m.unpersist()
   }
 
+  test("last-touch attribution: window cutoff, tie order, and none-bucket") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: click then view then purchase → view wins (latest touch)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      // u2: touch 8 days before purchase → outside window → none
+      (4L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-09 10:00:01"), 2L, "purchase", 1.0, "{}"),
+      // u3: purchase with no touch at all → none
+      (6L, ts("2024-01-05 10:00:00"), 3L, "purchase", 1.0, "{}"),
+      // u4: touch at the same instant as the purchase → attributed
+      (7L, ts("2024-01-05 10:00:00"), 4L, "click", 1.0, "{}"),
+      (8L, ts("2024-01-05 10:00:00"), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Attribution.lastTouch(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view" -> 1L, "none" -> 2L, "click" -> 1L))
+  }
+
   test("outlier fences: planted extremes are counted on the right sides") {
     import spark.implicits._
     val base = (1 to 100).map(i =>
