@@ -263,6 +263,47 @@ object StreamingOps {
         })
   }
 
+  case class TEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  case class Attributed(user_id: Long, event_id: Long, attributed_type: String)
+
+  /** Streaming last-touch attribution — the live twin of
+    * [[graft.operators.Attribution.lastTouch]]: per user, the state is
+    * just (last touch type, last touch micros) — two values regardless
+    * of throughput — and every purchase is attributed THE MOMENT it
+    * arrives, against the touch state accumulated so far. Same arrival-
+    * order contract as [[debounceStream]]: batches arrive in event-time
+    * order; within a batch, rows sort by (ts, purchase-after-touch,
+    * event_id), so a same-instant touch is visible to its purchase even
+    * when both land in one micro-batch. */
+  def attributionStream(events: Dataset[TEv],
+      windowDays: Int = graft.operators.Attribution.WindowDays): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    val horizon = windowDays.toLong * 86400L * 1000000L
+    val touchTypes = graft.operators.Attribution.TouchTypes.toSet
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long), Attributed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TEv], state: GroupState[(String, Long)]) =>
+          var (lt, lts) = state.getOption.getOrElse(("", Long.MinValue / 2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attributed]
+          rows.toSeq
+            .sortBy(e => (micros(e.ts), if (touchTypes(e.event_type)) 0 else 1,
+              e.event_id))
+            .foreach { e =>
+              if (touchTypes(e.event_type)) { lt = e.event_type; lts = micros(e.ts) }
+              else if (e.event_type == "purchase") {
+                val a = if (lt.nonEmpty && micros(e.ts) - lts <= horizon) lt
+                        else "none"
+                out += Attributed(user, e.event_id, a)
+              }
+            }
+          state.update((lt, lts))
+          out.iterator
+      }
+  }
+
   case class Doc(doc_id: Long, source: String)
   case class Admitted(doc_id: Long, source: String, rank_in_source: Int)
 

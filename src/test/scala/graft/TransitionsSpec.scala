@@ -64,6 +64,34 @@ class TransitionsSpec extends SparkSpecBase {
     assert(out == Map("view" -> 1L, "none" -> 2L, "click" -> 1L))
   }
 
+  test("streaming attribution equals the batch twin across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(e => (e._2.getTime, e._3))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.attributionStream(
+      src.toDS().map { case (u, t, i, e) => StreamingOps.TEv(u, t, i, e) })
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+      src.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .groupBy(col("attributed_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Attribution.lastTouch(Tables.events(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.values.sum > 0)
+  }
+
   test("outlier fences: planted extremes are counted on the right sides") {
     import spark.implicits._
     val base = (1 to 100).map(i =>
