@@ -240,7 +240,9 @@ object SparkEntry {
     // persisted-projection RP serving: narrow coarse scan + late fetch
     "sim_rp_serving_topk" -> ((s, d) => Rp.qRpTopKServing(s, d)),
     // last-touch attribution via the union-ordering trick (no theta join)
-    "temporal_attribution" -> ((s, d) => Attribution.qAttribution(s, d))
+    "temporal_attribution" -> ((s, d) => Attribution.qAttribution(s, d)),
+    // perceptual image hash (aHash) over the real PNG decode path
+    "multimodal_ahash" -> ((s, d) => Multimodal.qMultimodalAhash(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -419,7 +421,8 @@ object SparkEntry {
     "quality_outlier_fences" -> Transitions.oOutlierFences,
     // serving path is result-identical to the inline RP by construction
     "sim_rp_serving_topk" -> Rp.oRpTopK,
-    "temporal_attribution" -> Attribution.oAttribution
+    "temporal_attribution" -> Attribution.oAttribution,
+    "multimodal_ahash" -> Multimodal.oMultimodalAhash
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

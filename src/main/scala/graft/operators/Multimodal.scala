@@ -496,4 +496,95 @@ object Multimodal {
       |  CAST(1 + doc_id % 31 AS INTEGER) AS peak_bin,
       |  CAST((1 + doc_id % 31) * ${ToneRateHz / ToneN} AS INTEGER) AS peak_hz
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- perceptual image hash (aHash over the real decode path) -------
+
+  /** aHash grid (8×8 = 64 bits, emitted as two 32-bit halves so no
+    * BIGINT ever carries bit 63). */
+  val AhN = 8
+
+  /** Average-hash of a decoded image: NN floor-resample to AhN×AhN,
+    * integer grayscale ⌊(r+g+b)/3⌋ per cell, bit (y·AhN+x) set iff
+    * 64·gray > Σgray (strict integer compare — no float mean anywhere).
+    * Every step is integer arithmetic over losslessly-decoded pixels,
+    * which is what lets the DuckDB twin recompute the hash in closed
+    * form and what makes the hash identical for any two images whose
+    * resampled grayscales agree — the near-dup invariance the spec pins
+    * with noisy variants. */
+  def ahashOf(img: java.awt.image.BufferedImage): (Long, Long, Int) = {
+    val w = img.getWidth; val h = img.getHeight
+    val r = img.getRaster
+    val gray = new Array[Long](AhN * AhN)
+    var total = 0L
+    var j = 0
+    while (j < AhN) {
+      val sy = j * h / AhN
+      var i = 0
+      while (i < AhN) {
+        val sx = i * w / AhN
+        val g = (r.getSample(sx, sy, 0) + r.getSample(sx, sy, 1) +
+          r.getSample(sx, sy, 2)) / 3
+        gray(j * AhN + i) = g
+        total += g
+        i += 1
+      }
+      j += 1
+    }
+    var lo = 0L; var hi = 0L; var bits = 0
+    var k = 0
+    while (k < AhN * AhN) {
+      if (gray(k) * (AhN * AhN).toLong > total) {
+        bits += 1
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (lo, hi, bits)
+  }
+
+  /** Per doc: real PNG decode → aHash. Map-only scan; hashes land in a
+    * fixed-width (doc_id, lo, hi, popcount) table — the image-dedup
+    * index you'd band-join at corpus scale exactly like
+    * [[graft.operators.Dedup.simhashCandidatesBlocked]] does for text. */
+  def ahashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(pngFor(id)))
+        val (lo, hi, bits) = ahashOf(img)
+        (id, lo, hi, bits)
+      }
+    }.toDF("doc_id", "ahash_lo", "ahash_hi", "n_bits_set")
+  }
+
+  def qMultimodalAhash(spark: SparkSession, dir: String): DataFrame =
+    ahashes(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Closed-form twin: pixel formula ∘ floor sampling ∘ integer
+    * grayscale ∘ strict-mean threshold, re-run in SQL. */
+  def oMultimodalAhash: String =
+    s"""WITH g AS (
+      |  SELECT d.doc_id, j.range AS j, i.range AS i,
+      |    ((d.doc_id + 0 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256
+      |     + (d.doc_id + 7 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256
+      |     + (d.doc_id + 14 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256) // 3 AS gray
+      |  FROM documents d, range($AhN) i, range($AhN) j),
+      |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+      |b AS (
+      |  SELECT g.doc_id, j * $AhN + i AS k,
+      |    CASE WHEN gray * ${AhN * AhN} > total THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN t USING (doc_id))
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << CAST(k AS INTEGER))
+      |           ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << CAST(k - 32 AS INTEGER))
+      |           ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |  CAST(sum(bit) AS INTEGER) AS n_bits_set
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

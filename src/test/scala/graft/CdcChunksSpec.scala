@@ -64,6 +64,32 @@ class CdcChunksSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("aHash is invariant to small pixel noise and flips on inversion") {
+    import graft.operators.Multimodal
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val r = im.getRaster
+      for (y <- 0 until 32; x <- 0 until 32; c <- 0 until 3)
+        r.setSample(x, y, c, math.max(0, math.min(255, f(x, y))))
+      im
+    }
+    // left half dark, right half bright
+    val base = img((x, _) => if (x < 16) 40 else 200)
+    // ±3 deterministic pixel noise: same threshold verdicts
+    val noisy = img((x, y) => (if (x < 16) 40 else 200) + ((x + y) % 7) - 3)
+    val inverted = img((x, _) => if (x < 16) 200 else 40)
+    val hb = Multimodal.ahashOf(base)
+    assert(Multimodal.ahashOf(noisy) == hb)
+    val hi = Multimodal.ahashOf(inverted)
+    assert((hi._1, hi._2) != ((hb._1, hb._2)))
+    // popcount reconciles with the halves
+    assert(java.lang.Long.bitCount(hb._1) + java.lang.Long.bitCount(hb._2)
+      == hb._3)
+    // half the tile is above the mean in this pattern
+    assert(hb._3 == 32)
+  }
+
   test("class weights are exact inverse-frequency surrogates") {
     import spark.implicits._
     val docs = (Seq.fill(6)("en") ++ Seq.fill(3)("de") ++ Seq.fill(1)("fr"))
