@@ -242,7 +242,9 @@ object SparkEntry {
     // last-touch attribution via the union-ordering trick (no theta join)
     "temporal_attribution" -> ((s, d) => Attribution.qAttribution(s, d)),
     // perceptual image hash (aHash) over the real PNG decode path
-    "multimodal_ahash" -> ((s, d) => Multimodal.qMultimodalAhash(s, d))
+    "multimodal_ahash" -> ((s, d) => Multimodal.qMultimodalAhash(s, d)),
+    // image near-dup pairs: banded aHash join + exact Hamming verify
+    "multimodal_ahash_pairs" -> ((s, d) => Multimodal.qMultimodalAhashPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,7 +424,8 @@ object SparkEntry {
     // serving path is result-identical to the inline RP by construction
     "sim_rp_serving_topk" -> Rp.oRpTopK,
     "temporal_attribution" -> Attribution.oAttribution,
-    "multimodal_ahash" -> Multimodal.oMultimodalAhash
+    "multimodal_ahash" -> Multimodal.oMultimodalAhash,
+    "multimodal_ahash_pairs" -> Multimodal.oMultimodalAhashPairs
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

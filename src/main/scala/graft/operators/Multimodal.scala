@@ -563,6 +563,85 @@ object Multimodal {
   def qMultimodalAhash(spark: SparkSession, dir: String): DataFrame =
     ahashes(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Max Hamming distance for image near-dup pairs. 4 disjoint 16-bit
+    * bands are COMPLETE for Hamming ≤ 3 (pigeonhole: 3 flipped bits
+    * can't touch all 4 bands), so the blocked candidate set provably
+    * contains every qualifying pair and the O(n²) oracle twin is
+    * result-equal. */
+  val AhMaxHamming = 3
+
+  /** Image near-dup pairs: band-join the aHash table (the
+    * [[graft.operators.Dedup]] SimHash machinery applied to the visual
+    * domain), then verify candidates by exact popcount Hamming. The
+    * fixture's pixel formula cycles with doc_id mod lcm(256,13), so
+    * genuinely identical images exist in-corpus — the pairs are real,
+    * not planted. Scale shape: 4 band-keyed shuffles of a fixed-width
+    * hash table; candidate volume is governed by band width exactly as
+    * in text SimHash; image payloads never join. */
+  def ahashPairs(docs: DataFrame): DataFrame = {
+    val h = ahashes(docs)
+    Dedup.withCached(h) { hh =>
+      val bands = hh.select(col("doc_id"),
+        posexplode(array(
+          col("ahash_lo").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("ahash_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("ahash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("band", "bval")))
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val ha = hh.select(col("doc_id").as("doc_a"),
+        col("ahash_lo").as("lo_a"), col("ahash_hi").as("hi_a"))
+      val hb = hh.select(col("doc_id").as("doc_b"),
+        col("ahash_lo").as("lo_b"), col("ahash_hi").as("hi_b"))
+      cands.join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
+        .withColumn("hamming",
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
+        .filter(col("hamming") <= AhMaxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
+  }
+
+  def qMultimodalAhashPairs(spark: SparkSession, dir: String): DataFrame =
+    ahashPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** O(n²) twin over the closed-form hashes — result-equal because the
+    * banding is complete for the Hamming bound. */
+  def oMultimodalAhashPairs: String =
+    s"""WITH g AS (
+      |  SELECT d.doc_id, j.range AS j, i.range AS i,
+      |    ((d.doc_id + 0 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256
+      |     + (d.doc_id + 7 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256
+      |     + (d.doc_id + 14 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256) // 3 AS gray
+      |  FROM documents d, range($AhN) i, range($AhN) j),
+      |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+      |b AS (
+      |  SELECT g.doc_id, j * $AhN + i AS k,
+      |    CASE WHEN gray * ${AhN * AhN} > total THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN t USING (doc_id)),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << CAST(k AS INTEGER))
+      |             ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << CAST(k - 32 AS INTEGER))
+      |             ELSE 0 END) AS BIGINT) AS hi
+      |  FROM b GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS INTEGER)
+      |    AS hamming
+      |FROM h a JOIN h c ON a.doc_id < c.doc_id
+      |WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= $AhMaxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Closed-form twin: pixel formula ∘ floor sampling ∘ integer
     * grayscale ∘ strict-mean threshold, re-run in SQL. */
   def oMultimodalAhash: String =

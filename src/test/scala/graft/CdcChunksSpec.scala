@@ -90,6 +90,24 @@ class CdcChunksSpec extends SparkSpecBase {
     assert(hb._3 == 32)
   }
 
+  test("banded aHash pairs equal the driver-side brute force (pigeonhole completeness)") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val blocked = Multimodal.ahashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = Multimodal.ahashes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, loA, hiA) <- hashes
+      (b, loB, hiB) <- hashes
+      if a < b
+      ham = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+      if ham <= Multimodal.AhMaxHamming
+    } yield (a, b, ham)).toSet
+    assert(blocked == brute)
+    assert(blocked.nonEmpty, "fixture cycle should produce real image dups")
+  }
+
   test("class weights are exact inverse-frequency surrogates") {
     import spark.implicits._
     val docs = (Seq.fill(6)("en") ++ Seq.fill(3)("de") ++ Seq.fill(1)("fr"))
