@@ -244,7 +244,11 @@ object SparkEntry {
     // perceptual image hash (aHash) over the real PNG decode path
     "multimodal_ahash" -> ((s, d) => Multimodal.qMultimodalAhash(s, d)),
     // image near-dup pairs: banded aHash join + exact Hamming verify
-    "multimodal_ahash_pairs" -> ((s, d) => Multimodal.qMultimodalAhashPairs(s, d))
+    "multimodal_ahash_pairs" -> ((s, d) => Multimodal.qMultimodalAhashPairs(s, d)),
+    // per-type exact five-number summary (partitioned quartile ranks)
+    "profile_boxplot" -> ((s, d) => Mining.qBoxplot(s, d)),
+    // market-basket association rules over (user, day) baskets
+    "mining_assoc_rules" -> ((s, d) => Mining.qAssocRules(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -425,7 +429,9 @@ object SparkEntry {
     "sim_rp_serving_topk" -> Rp.oRpTopK,
     "temporal_attribution" -> Attribution.oAttribution,
     "multimodal_ahash" -> Multimodal.oMultimodalAhash,
-    "multimodal_ahash_pairs" -> Multimodal.oMultimodalAhashPairs
+    "multimodal_ahash_pairs" -> Multimodal.oMultimodalAhashPairs,
+    "profile_boxplot" -> Mining.oBoxplot,
+    "mining_assoc_rules" -> Mining.oAssocRules
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

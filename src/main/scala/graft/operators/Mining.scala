@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pattern mining over the event stream: per-group exact distribution
+  * profiles (boxplot five-number summaries) and market-basket
+  * association rules between event types.
+  */
+object Mining {
+
+  /** Five-number summary per event_type — exact percentile_disc at the
+    * GROUP grain: ranks come from one partitioned window (each
+    * partition is a type, so no global single-task sort exists to
+    * avoid), quartile rows are selected by rank = ⌈p·n_g⌉, and one
+    * conditional aggregate folds the three quartile picks back into a
+    * row per group alongside min/max/count. */
+  def boxplot(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n_g")).cast("long"),
+        col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("v_min"),
+        pick(0.25).as("q1"),
+        pick(0.5).as("median"),
+        pick(0.75).as("q3"),
+        max(col("value")).as("v_max"))
+  }
+
+  def qBoxplot(spark: SparkSession, dir: String): DataFrame =
+    boxplot(Tables.events(spark, dir)).orderBy(col("event_type"))
+
+  def oBoxplot: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n_g
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(value) AS v_min,
+      |  max(CASE WHEN rn = CAST(ceil(0.25 * n_g) AS BIGINT) THEN value END) AS q1,
+      |  max(CASE WHEN rn = CAST(ceil(0.5 * n_g) AS BIGINT) THEN value END) AS median,
+      |  max(CASE WHEN rn = CAST(ceil(0.75 * n_g) AS BIGINT) THEN value END) AS q3,
+      |  max(value) AS v_max
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- association rules
+
+  val MinSupport = 20
+
+  /** Association rules between event types over (user, day) baskets:
+    * for each ordered pair A→B of DISTINCT types co-present in a
+    * basket, support count, confidence ⌊n_ab·1000/n_a⌋ and lift
+    * ⌊n_ab·N·1000/(n_a·n_b)⌋ — all exact integer surrogates (the PMI
+    * discipline at basket grain).
+    *
+    * Scale shape (100 TB): baskets reduce to DISTINCT (user, day, type)
+    * — one partial-agg shuffle; pairing self-joins the deduped basket
+    * table on the basket key (rows per basket ≤ |types|, so the join
+    * fans out ≤ |types|² per basket, a constant); type-level counts are
+    * a ≤|types|-row broadcast. Nothing scales with raw event volume
+    * past the first distinct. */
+  def assocRules(events: DataFrame, minSupport: Int = MinSupport): DataFrame = {
+    val basket = events.select(col("user_id"),
+      to_date(col("ts")).as("day"), col("event_type")).distinct()
+    val nBaskets = basket.select(col("user_id"), col("day")).distinct().count()
+    val typeCounts = basket.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("antecedent"),
+        col("n_t").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(typeCounts.select(col("event_type").as("consequent"),
+        col("n_t").as("n_b"))), Seq("consequent"))
+      .withColumn("confidence_milli",
+        floor(col("n_ab") * lit(1000L) / col("n_a")).cast("long"))
+      .withColumn("lift_milli",
+        floor(col("n_ab") * lit(nBaskets) * lit(1000L) /
+          (col("n_a") * col("n_b"))).cast("long"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"), col("confidence_milli"), col("lift_milli"))
+  }
+
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRules(Tables.events(spark, dir))
+      .orderBy(col("antecedent"), col("consequent"))
+
+  def oAssocRules: String =
+    s"""WITH basket AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |nb AS (SELECT count(*) AS n_baskets
+      |       FROM (SELECT DISTINCT user_id, day FROM basket)),
+      |tc AS (SELECT event_type, count(*) AS n_t FROM basket GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |         count(*) AS n_ab
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |   AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
+      |SELECT p.antecedent, p.consequent, CAST(p.n_ab AS BIGINT) AS n_ab,
+      |  CAST(ta.n_t AS BIGINT) AS n_a, CAST(tb.n_t AS BIGINT) AS n_b,
+      |  CAST(floor(p.n_ab * 1000 / ta.n_t) AS BIGINT) AS confidence_milli,
+      |  CAST(floor(p.n_ab * n_baskets * 1000 / (ta.n_t * tb.n_t)) AS BIGINT)
+      |    AS lift_milli
+      |FROM p JOIN tc ta ON p.antecedent = ta.event_type
+      |       JOIN tc tb ON p.consequent = tb.event_type, nb
+      |ORDER BY antecedent, consequent""".stripMargin
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mining
+
+/** Boxplot and association-rule semantics on hand-built data. */
+class MiningSpec extends SparkSpecBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("boxplot five-number summary on known values") {
+    import spark.implicits._
+    // values 1..8 for one type: q1 = rank ceil(2) = 2, median = rank 4,
+    // q3 = rank 6
+    val events = (1 to 8).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 1L, "a", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Mining.boxplot(events).collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("v_min") == 1.0)
+    assert(r.getAs[Double]("q1") == 2.0)
+    assert(r.getAs[Double]("median") == 4.0)
+    assert(r.getAs[Double]("q3") == 6.0)
+    assert(r.getAs[Double]("v_max") == 8.0)
+  }
+
+  test("boxplot quartiles are ordered on the fixture and n reconciles") {
+    val out = Mining.qBoxplot(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vs = Seq(r.getAs[Double]("v_min"), r.getAs[Double]("q1"),
+        r.getAs[Double]("median"), r.getAs[Double]("q3"),
+        r.getAs[Double]("v_max"))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, r.toString)
+    }
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("association rules: confidence and lift on a planted basket corpus") {
+    import spark.implicits._
+    // 10 baskets (users, one day): 8 contain a+b, 2 contain only c.
+    // n_a = n_b = 8, n_ab = 8, N = 10:
+    //   confidence(a→b) = 1000, lift = ⌊8·10·1000/64⌋ = 1250
+    val rows = (1 to 8).flatMap(u => Seq(
+      (u * 10L, ts("2024-01-01 10:00:00"), u.toLong, "a", 1.0, "{}"),
+      (u * 10L + 1, ts("2024-01-01 11:00:00"), u.toLong, "b", 1.0, "{}"))) ++
+      Seq((900L, ts("2024-01-01 10:00:00"), 9L, "c", 1.0, "{}"),
+        (910L, ts("2024-01-01 10:00:00"), 10L, "c", 1.0, "{}"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Mining.assocRules(events, minSupport = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    assert(out(("a", "b")) == ((8L, 1000L, 1250L)))
+    assert(out(("b", "a")) == ((8L, 1000L, 1250L)))
+    assert(!out.keySet.exists(p => p._1 == "c" || p._2 == "c"))
+  }
+
+  test("association rules ignore repeated events inside a basket") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "a", 1.0, "{}"), // dup type
+      (3L, ts("2024-01-01 11:00:00"), 1L, "b", 1.0, "{}"),
+      (4L, ts("2024-01-02 10:00:00"), 1L, "a", 1.0, "{}"), // next day
+      (5L, ts("2024-01-02 11:00:00"), 1L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Mining.assocRules(events, minSupport = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // two baskets, each contributing ONE a→b co-presence
+    assert(out(("a", "b")) == 2L)
+  }
+}
