@@ -151,6 +151,12 @@ object Probe {
       if (want("passages")) time("passage dedup (linear, no pair join)") {
         drain(graft.operators.Passages.passageDedup(docs))
       }
+      if (want("spans")) time("substring span dedup (stride-1 windows)") {
+        drain(graft.operators.Spans.substringSpanDedup(docs))
+      }
+      if (want("cdcchunks")) time("content-defined chunks + first occurrence") {
+        drain(graft.operators.CdcChunks.cdcChunks(docs))
+      }
       if (want("chunks")) time("chunks (map-only sliding windows)") {
         drain(graft.operators.Passages.chunks(docs))
       }

@@ -248,7 +248,11 @@ object SparkEntry {
     // per-type exact five-number summary (partitioned quartile ranks)
     "profile_boxplot" -> ((s, d) => Mining.qBoxplot(s, d)),
     // market-basket association rules over (user, day) baskets
-    "mining_assoc_rules" -> ((s, d) => Mining.qAssocRules(s, d))
+    "mining_assoc_rules" -> ((s, d) => Mining.qAssocRules(s, d)),
+    // daily new/active/cumulative users (running distinct for free)
+    "serving_user_growth" -> ((s, d) => Growth.qUserGrowth(s, d)),
+    // exact percentile-rank feature transform (no global sort)
+    "feature_rank_normalize" -> ((s, d) => Growth.qRankNormalize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -431,7 +435,9 @@ object SparkEntry {
     "multimodal_ahash" -> Multimodal.oMultimodalAhash,
     "multimodal_ahash_pairs" -> Multimodal.oMultimodalAhashPairs,
     "profile_boxplot" -> Mining.oBoxplot,
-    "mining_assoc_rules" -> Mining.oAssocRules
+    "mining_assoc_rules" -> Mining.oAssocRules,
+    "serving_user_growth" -> Growth.oUserGrowth,
+    "feature_rank_normalize" -> Growth.oRankNormalize
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
