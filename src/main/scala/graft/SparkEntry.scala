@@ -252,7 +252,11 @@ object SparkEntry {
     // daily new/active/cumulative users (running distinct for free)
     "serving_user_growth" -> ((s, d) => Growth.qUserGrowth(s, d)),
     // exact percentile-rank feature transform (no global sort)
-    "feature_rank_normalize" -> ((s, d) => Growth.qRankNormalize(s, d))
+    "feature_rank_normalize" -> ((s, d) => Growth.qRankNormalize(s, d)),
+    // one-row dataset-card stats block (all exact ints / milli ratios)
+    "curation_dataset_card" -> ((s, d) => DatasetCard.qDatasetCard(s, d)),
+    // Heaps-law vocabulary growth (running distinct via first-bucket)
+    "text_vocab_growth" -> ((s, d) => DatasetCard.qVocabGrowth(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -437,7 +441,9 @@ object SparkEntry {
     "profile_boxplot" -> Mining.oBoxplot,
     "mining_assoc_rules" -> Mining.oAssocRules,
     "serving_user_growth" -> Growth.oUserGrowth,
-    "feature_rank_normalize" -> Growth.oRankNormalize
+    "feature_rank_normalize" -> Growth.oRankNormalize,
+    "curation_dataset_card" -> DatasetCard.oDatasetCard,
+    "text_vocab_growth" -> DatasetCard.oVocabGrowth
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -40,6 +40,51 @@ class GrowthSpec extends SparkSpecBase {
     assert(out.forall(r => r.getLong(2) >= r.getLong(1)))
   }
 
+  test("dataset card fields reconcile against direct computations") {
+    import graft.operators.DatasetCard
+    val docs = Tables.documents(spark, sf)
+    val r = DatasetCard.datasetCard(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_langs") ==
+      docs.select(col("lang")).distinct().count())
+    assert(r.getAs[Long]("avg_words") ==
+      r.getAs[Long]("n_words") / r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("dup_rate_milli") <= 1000L)
+    assert(r.getAs[Long]("len_ok_milli") <= 1000L)
+  }
+
+  test("dataset card counts planted exact duplicates") {
+    import spark.implicits._
+    import graft.operators.DatasetCard
+    val docs = Seq(
+      (1L, "same text here", "en", "a", 14L),
+      (2L, "same text here", "en", "a", 14L),
+      (3L, "unique text", "de", "b", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = DatasetCard.datasetCard(docs).collect().head
+    assert(r.getAs[Long]("dup_docs") == 2L)
+    assert(r.getAs[Long]("dup_rate_milli") == 666L)
+    assert(r.getAs[Long]("n_langs") == 2L && r.getAs[Long]("n_sources") == 2L)
+  }
+
+  test("vocab growth: cumulative vocabulary equals exact distinct words") {
+    import graft.operators.DatasetCard
+    val docs = Tables.documents(spark, sf)
+    val out = DatasetCard.vocabGrowth(docs).orderBy(col("bucket")).collect()
+    assert(out.length == DatasetCard.GrowthBuckets)
+    val vocab = docs.select(explode(
+      graft.functions.TextFns.words(col("text"))).as("w"))
+      .distinct().count()
+    assert(out.last.getLong(3) == vocab)
+    // growth is monotone and new_words sums to the vocabulary
+    val news = out.map(_.getLong(2))
+    assert(out.map(_.getLong(3)).toSeq == news.scanLeft(0L)(_ + _).tail.toSeq)
+    // tokens per bucket reconcile with the corpus total
+    assert(out.map(_.getLong(1)).sum ==
+      docs.select(org.apache.spark.sql.functions.sum(
+        graft.functions.TextFns.wordCount(col("text")))).collect().head.getLong(0))
+  }
+
   test("rank normalization matches the single-sort window transform") {
     val events = Tables.events(spark, sf)
     val got = Growth.rankNormalize(events, nPartitions = 5)
