@@ -256,7 +256,11 @@ object SparkEntry {
     // one-row dataset-card stats block (all exact ints / milli ratios)
     "curation_dataset_card" -> ((s, d) => DatasetCard.qDatasetCard(s, d)),
     // Heaps-law vocabulary growth (running distinct via first-bucket)
-    "text_vocab_growth" -> ((s, d) => DatasetCard.qVocabGrowth(s, d))
+    "text_vocab_growth" -> ((s, d) => DatasetCard.qVocabGrowth(s, d)),
+    // cross-table FK audit (anti-join orphan scan per relationship)
+    "quality_referential" -> ((s, d) => Integrity.qReferential(s, d)),
+    // per-user consecutive-day streaks (gaps and islands)
+    "temporal_streaks" -> ((s, d) => Integrity.qStreaks(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,7 +447,9 @@ object SparkEntry {
     "serving_user_growth" -> Growth.oUserGrowth,
     "feature_rank_normalize" -> Growth.oRankNormalize,
     "curation_dataset_card" -> DatasetCard.oDatasetCard,
-    "text_vocab_growth" -> DatasetCard.oVocabGrowth
+    "text_vocab_growth" -> DatasetCard.oVocabGrowth,
+    "quality_referential" -> Integrity.oReferential,
+    "temporal_streaks" -> Integrity.oStreaks
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -85,6 +85,43 @@ class GrowthSpec extends SparkSpecBase {
         graft.functions.TextFns.wordCount(col("text")))).collect().head.getLong(0))
   }
 
+  test("referential audit flags planted orphans and passes the clean fixture") {
+    import graft.operators.Integrity
+    val clean = Integrity.qReferential(spark, sf).collect()
+    assert(clean.length == 4)
+    assert(clean.forall(_.getAs[Boolean]("ok")), clean.mkString("; "))
+    // planted orphan: an order pointing at a missing customer
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    val bad = orders.limit(1)
+      .withColumn("o_custkey", lit(999999L))
+      .unionByName(orders)
+    val cust = Tables.customer(spark, sf)
+    val total = bad.agg(count(lit(1))).collect().head.getLong(0)
+    val orphans = bad.join(
+      cust.select(col("c_custkey").as("o_custkey")).distinct(),
+      Seq("o_custkey"), "left_anti").count()
+    assert(orphans == 1L && total == orders.count() + 1)
+  }
+
+  test("streaks: gaps split islands, consecutive days extend them") {
+    import spark.implicits._
+    import graft.operators.Integrity
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-02 18:00:00"), 1L, "view", 1.0, "{}"), // same day
+      (4L, ts("2024-01-05 10:00:00"), 1L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-06 10:00:00"), 1L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-07 10:00:00"), 1L, "view", 1.0, "{}"),
+      (7L, ts("2024-03-01 10:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Integrity.streaks(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 3L, 2L))) // days 1,2 + 5,6,7
+    assert(out(2L) == ((1L, 1L, 1L)))
+  }
+
   test("rank normalization matches the single-sort window transform") {
     val events = Tables.events(spark, sf)
     val got = Growth.rankNormalize(events, nPartitions = 5)
