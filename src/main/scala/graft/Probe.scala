@@ -286,7 +286,13 @@ object Probe {
       "sim_rp_topk" -> "JL random projection: 16 plane dots in the scan, coarse top-20 window, exact cosine re-rank sharing the query partitioning",
       "embed_pca_project" -> "trained PCA apply: 8 ordered-fold dots against literal components, map-only, zero shuffles",
       "text_rake_keywords" -> "RAKE: run-assembly windows, vocabulary partial-agg broadcast back, phrase reassembly, TakeOrdered(25)",
-      "agg_quantiles_scalable" -> "exact quantiles, no global sort: range partition + broadcast offsets + per-partition rank + target-rank broadcast join")
+      "agg_quantiles_scalable" -> "exact quantiles, no global sort: range partition + broadcast offsets + per-partition rank + target-rank broadcast join",
+      "curation_cdc_chunks" -> "content-defined chunking: two reused (doc,pos) windows + one chunk-text first-occurrence shuffle",
+      "multimodal_ahash_pairs" -> "banded image near-dup: 4×16-bit band self-join on the hash table + exact popcount verify (payloads never join)",
+      "mining_assoc_rules" -> "market basket: basket dedup FIRST, then basket-key self-join (≤|types|² fan-out per basket) + broadcast type counts",
+      "serving_user_growth" -> "running distinct for free: user-grain min-agg → day-grain news → ≤#days cumulative window",
+      "quality_referential" -> "FK audit: per-relation left-anti orphan scans, dimension parents broadcast, 1-row partials unioned",
+      "curation_dataset_card" -> "dataset card: one corpus fold + fingerprint dup scan, control-plane combine to a single row")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
