@@ -260,7 +260,11 @@ object SparkEntry {
     // cross-table FK audit (anti-join orphan scan per relationship)
     "quality_referential" -> ((s, d) => Integrity.qReferential(s, d)),
     // per-user consecutive-day streaks (gaps and islands)
-    "temporal_streaks" -> ((s, d) => Integrity.qStreaks(s, d))
+    "temporal_streaks" -> ((s, d) => Integrity.qStreaks(s, d)),
+    // customer-cohort LTV triangle (first-order-year × order-year)
+    "serving_cohort_ltv" -> ((s, d) => Ltv.qCohortLtv(s, d)),
+    // weekly revenue with exact week-over-week delta surrogate
+    "window_period_change" -> ((s, d) => Ltv.qWeeklyChange(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,7 +453,9 @@ object SparkEntry {
     "curation_dataset_card" -> DatasetCard.oDatasetCard,
     "text_vocab_growth" -> DatasetCard.oVocabGrowth,
     "quality_referential" -> Integrity.oReferential,
-    "temporal_streaks" -> Integrity.oStreaks
+    "temporal_streaks" -> Integrity.oStreaks,
+    "serving_cohort_ltv" -> Ltv.oCohortLtv,
+    "window_period_change" -> Ltv.oWeeklyChange
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

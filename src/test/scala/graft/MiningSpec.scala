@@ -57,6 +57,38 @@ class MiningSpec extends SparkSpecBase {
     assert(!out.keySet.exists(p => p._1 == "c" || p._2 == "c"))
   }
 
+  test("cohort LTV triangle: offsets, sizes, and revenue reconcile") {
+    import graft.operators.Ltv
+    val orders = Tables.orders(spark, sf)
+    val out = Ltv.cohortLtv(orders).cache()
+    // every customer's cohort row exists at offset 0
+    assert(out.filter(col("year_offset") === 0).count() ==
+      out.select(col("cohort_year")).distinct().count())
+    // offsets are non-negative and active ≤ cohort size
+    assert(out.filter(col("year_offset") < 0).count() == 0)
+    assert(out.filter(col("active_customers") > col("cohort_size")).count() == 0)
+    // total revenue over all cells equals the fact total (exact decimals)
+    val cellTotal = out.agg(sum(col("revenue"))).collect().head.getDouble(0)
+    val factTotal = orders.agg(
+      sum(col("o_totalprice").cast("decimal(14,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(cellTotal == factTotal)
+    out.unpersist()
+  }
+
+  test("week-over-week delta on a planted two-week fact") {
+    import spark.implicits._
+    import graft.operators.Ltv
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, ts("1995-01-02 00:00:00"), "1-URGENT"), // wk 1
+      (2L, 1L, "O", 150.0, ts("1995-01-09 00:00:00"), "1-URGENT")) // wk 2
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Ltv.weeklyChange(orders).orderBy(col("yr"), col("wk")).collect()
+    assert(out.head.isNullAt(4)) // first week has no predecessor
+    assert(out(1).getLong(4) == 500L) // +50% → 500 milli
+  }
+
   test("association rules ignore repeated events inside a basket") {
     import spark.implicits._
     val events = Seq(
