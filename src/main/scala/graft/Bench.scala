@@ -115,8 +115,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"sf":"$sfDir"}"""
     println(line)
+    // TPC-H power-run style geomean over the 22 q*-shapes (when all 22
+    // are in the run): a single comparable number a reader can track
+    // round-over-round without summing a growing query population
+    val tpch = results.filter { case (k, _) => k.matches("q\\d+_.*") }
+    val geo = if (tpch.size == 22)
+      "," + "\"tpch_geomean\":" +
+        fmt(math.exp(tpch.values.map(math.log).sum / tpch.size))
+    else ""
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"excluded":$excludedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"excluded":$excludedJson$geo,"sf":"$sfDir"}"""
     println(summary)
     // the file copy is the durable record of the full per-query breakdown;
     // SPARK_GRAFT_ONLY iteration runs land in a separate file so they

@@ -53,6 +53,14 @@ class SpanPhraseSpec extends SparkSpecBase {
     assert(cleaned == "w1 w2 w3 w4 w5 w6 w7 w8")
   }
 
+  test("digest-keyed span dedup equals the raw-key form on the fixture") {
+    val docs = Tables.documents(spark, sf)
+    val raw = Spans.substringSpanDedup(docs).collect().map(_.toString).sorted
+    val dig = Spans.substringSpanDedup(docs, digestKeys = true)
+      .collect().map(_.toString).sorted
+    assert(raw.sameElements(dig) && raw.nonEmpty)
+  }
+
   test("windows() emits stride-1 positions and nothing for short docs") {
     val d = docs(1L -> "a b c d e f g h i", 2L -> "x y")
     val w = Spans.windows(d).collect()
