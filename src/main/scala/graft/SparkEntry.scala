@@ -264,7 +264,11 @@ object SparkEntry {
     // customer-cohort LTV triangle (first-order-year × order-year)
     "serving_cohort_ltv" -> ((s, d) => Ltv.qCohortLtv(s, d)),
     // weekly revenue with exact week-over-week delta surrogate
-    "window_period_change" -> ((s, d) => Ltv.qWeeklyChange(s, d))
+    "window_period_change" -> ((s, d) => Ltv.qWeeklyChange(s, d)),
+    // top session-opening event paths (whole-prefix sequence counts)
+    "mining_top_paths" -> ((s, d) => Paths.qTopPaths(s, d)),
+    // log2-bucketed degree distribution (graph-skew diagnostic)
+    "graph_degree_distribution" -> ((s, d) => Paths.qDegreeDistribution(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,7 +459,9 @@ object SparkEntry {
     "quality_referential" -> Integrity.oReferential,
     "temporal_streaks" -> Integrity.oStreaks,
     "serving_cohort_ltv" -> Ltv.oCohortLtv,
-    "window_period_change" -> Ltv.oWeeklyChange
+    "window_period_change" -> Ltv.oWeeklyChange,
+    "mining_top_paths" -> Paths.oTopPaths,
+    "graph_degree_distribution" -> Paths.oDegreeDistribution
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -89,6 +89,45 @@ class MiningSpec extends SparkSpecBase {
     assert(out(1).getLong(4) == 500L) // +50% → 500 milli
   }
 
+  test("top paths: order matters, short sessions are skipped") {
+    import spark.implicits._
+    import graft.operators.Paths
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "c", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "d", 1.0, "{}"), // beyond prefix
+      (5L, ts("2024-01-01 10:00:00"), 2L, "b", 1.0, "{}"), // different order
+      (6L, ts("2024-01-01 10:01:00"), 2L, "a", 1.0, "{}"),
+      (7L, ts("2024-01-01 10:02:00"), 2L, "c", 1.0, "{}"),
+      (8L, ts("2024-01-01 10:00:00"), 3L, "a", 1.0, "{}"), // only 2 events
+      (9L, ts("2024-01-01 10:01:00"), 3L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Paths.topPaths(events).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("a>b>c" -> 1L, "b>a>c" -> 1L))
+  }
+
+  test("degree distribution reconciles with the node and edge counts") {
+    import graft.operators.{Graph, Paths}
+    val edges = Graph.purchaseEdges(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
+    val out = Paths.degreeDistribution(edges).collect()
+    val nodes = edges.select(col("src")).distinct().count()
+    val total = edges.count()
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == nodes)
+    // buckets hold their ranges: min/max within [2^(bits-1), 2^bits)
+    out.foreach { r =>
+      val bits = r.getAs[Int]("degree_bits")
+      val lo = 1L << (bits - 1)
+      val hi = (1L << bits) - 1
+      assert(r.getAs[Long]("min_degree") >= lo &&
+        r.getAs[Long]("max_degree") <= hi, r.toString)
+    }
+    assert(total > 0)
+    edges.unpersist()
+  }
+
   test("association rules ignore repeated events inside a basket") {
     import spark.implicits._
     val events = Seq(
