@@ -157,6 +157,12 @@ object Probe {
       if (want("cdcchunks")) time("content-defined chunks + first occurrence") {
         drain(graft.operators.CdcChunks.cdcChunks(docs))
       }
+      if (want("ahashpairs")) time("image near-dup pairs (distinct-hash factored)") {
+        // replication keeps doc_id cycles, so distinct hashes stay ~3.3k
+        // while docs grow — candidates stay constant, only the member
+        // expansion (true dups) grows; the pre-factoring design squared
+        drain(graft.operators.Multimodal.ahashPairs(docs))
+      }
       if (want("chunks")) time("chunks (map-only sliding windows)") {
         drain(graft.operators.Passages.chunks(docs))
       }
