@@ -268,7 +268,9 @@ object SparkEntry {
     // top session-opening event paths (whole-prefix sequence counts)
     "mining_top_paths" -> ((s, d) => Paths.qTopPaths(s, d)),
     // log2-bucketed degree distribution (graph-skew diagnostic)
-    "graph_degree_distribution" -> ((s, d) => Paths.qDegreeDistribution(s, d))
+    "graph_degree_distribution" -> ((s, d) => Paths.qDegreeDistribution(s, d)),
+    // duplicate-image group report (survivor selection's input)
+    "multimodal_dup_groups" -> ((s, d) => Multimodal.qMultimodalDupGroups(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,7 +463,8 @@ object SparkEntry {
     "serving_cohort_ltv" -> Ltv.oCohortLtv,
     "window_period_change" -> Ltv.oWeeklyChange,
     "mining_top_paths" -> Paths.oTopPaths,
-    "graph_degree_distribution" -> Paths.oDegreeDistribution
+    "graph_degree_distribution" -> Paths.oDegreeDistribution,
+    "multimodal_dup_groups" -> Multimodal.oMultimodalDupGroups
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -630,6 +630,48 @@ object Multimodal {
     ahashPairs(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Duplicate-image group report — what survivor selection consumes at
+    * dup densities where pair expansion is output-quadratic (SCALE.md's
+    * 99.5%-duplicate probe measurement): one row per distinct hash with
+    * the population and the min-id representative. One hash-keyed
+    * partial-agg shuffle after the decode scan. */
+  def ahashGroups(docs: DataFrame): DataFrame =
+    ahashes(docs)
+      .groupBy(col("ahash_lo"), col("ahash_hi"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("representative"))
+
+  def qMultimodalDupGroups(spark: SparkSession, dir: String): DataFrame =
+    ahashGroups(Tables.documents(spark, dir))
+      .orderBy(col("representative"))
+
+  def oMultimodalDupGroups: String =
+    s"""WITH g AS (
+      |  SELECT d.doc_id, j.range AS j, i.range AS i,
+      |    ((d.doc_id + 0 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256
+      |     + (d.doc_id + 7 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256
+      |     + (d.doc_id + 14 + 31 * ((j.range * (1 + d.doc_id % 13) // $AhN) * 8
+      |        + (i.range * 8 // $AhN))) % 256) // 3 AS gray
+      |  FROM documents d, range($AhN) i, range($AhN) j),
+      |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id),
+      |b AS (
+      |  SELECT g.doc_id, j * $AhN + i AS k,
+      |    CASE WHEN gray * ${AhN * AhN} > total THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN t USING (doc_id)),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << CAST(k AS INTEGER))
+      |             ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << CAST(k - 32 AS INTEGER))
+      |             ELSE 0 END) AS BIGINT) AS ahash_hi
+      |  FROM b GROUP BY doc_id)
+      |SELECT ahash_lo, ahash_hi, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(min(doc_id) AS BIGINT) AS representative
+      |FROM h GROUP BY ahash_lo, ahash_hi
+      |ORDER BY representative""".stripMargin
+
   /** O(n²) twin over the closed-form hashes — result-equal because the
     * banding is complete for the Hamming bound. */
   def oMultimodalAhashPairs: String =

@@ -108,6 +108,22 @@ class CdcChunksSpec extends SparkSpecBase {
     assert(blocked.nonEmpty, "fixture cycle should produce real image dups")
   }
 
+  test("hash groups partition the corpus; members share the rep's hash") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val groups = Multimodal.ahashGroups(docs).collect()
+    assert(groups.map(_.getAs[Long]("n_members")).sum == docs.count())
+    // representatives are distinct and belong to their own group's hash
+    val reps = groups.map(_.getAs[Long]("representative"))
+    assert(reps.distinct.length == reps.length)
+    val hashOf = Multimodal.ahashes(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    groups.foreach { g =>
+      assert(hashOf(g.getAs[Long]("representative")) ==
+        ((g.getAs[Long]("ahash_lo"), g.getAs[Long]("ahash_hi"))))
+    }
+  }
+
   test("class weights are exact inverse-frequency surrogates") {
     import spark.implicits._
     val docs = (Seq.fill(6)("en") ++ Seq.fill(3)("de") ++ Seq.fill(1)("fr"))
