@@ -270,7 +270,11 @@ object SparkEntry {
     // log2-bucketed degree distribution (graph-skew diagnostic)
     "graph_degree_distribution" -> ((s, d) => Paths.qDegreeDistribution(s, d)),
     // duplicate-image group report (survivor selection's input)
-    "multimodal_dup_groups" -> ((s, d) => Multimodal.qMultimodalDupGroups(s, d))
+    "multimodal_dup_groups" -> ((s, d) => Multimodal.qMultimodalDupGroups(s, d)),
+    // supplier Pareto: exact cumulative revenue share in basis points
+    "serving_supplier_pareto" -> ((s, d) => Pareto.qSupplierPareto(s, d)),
+    // open-order aging buckets at a deterministic as-of instant
+    "serving_order_aging" -> ((s, d) => Pareto.qOrderAging(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,7 +468,9 @@ object SparkEntry {
     "window_period_change" -> Ltv.oWeeklyChange,
     "mining_top_paths" -> Paths.oTopPaths,
     "graph_degree_distribution" -> Paths.oDegreeDistribution,
-    "multimodal_dup_groups" -> Multimodal.oMultimodalDupGroups
+    "multimodal_dup_groups" -> Multimodal.oMultimodalDupGroups,
+    "serving_supplier_pareto" -> Pareto.oSupplierPareto,
+    "serving_order_aging" -> Pareto.oOrderAging
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

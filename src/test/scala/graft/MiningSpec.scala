@@ -128,6 +128,37 @@ class MiningSpec extends SparkSpecBase {
     edges.unpersist()
   }
 
+  test("pareto: cumulative share is monotone and ends at exactly 10000 bp") {
+    import graft.operators.Pareto
+    val out = Pareto.qSupplierPareto(spark, sf).collect()
+    assert(out.nonEmpty)
+    val shares = out.map(_.getAs[Long]("cum_share_bp"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 10000L)
+    // ranks are 1..n by descending revenue
+    assert(out.map(_.getAs[Int]("rnk")).toSeq == (1 to out.length))
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // the top-80 flag flips exactly once
+    val flags = out.map(_.getAs[Boolean]("in_top80"))
+    assert(flags.zip(flags.tail).count { case (a, b) => a != b } <= 1)
+  }
+
+  test("order aging buckets planted ages correctly") {
+    import spark.implicits._
+    import graft.operators.Pareto
+    val orders = Seq(
+      (1L, 1L, "O", 10.0, ts("1998-07-01 00:00:00"), "1-URGENT"), // age 31
+      (2L, 1L, "O", 20.0, ts("1996-01-01 00:00:00"), "1-URGENT"), // age ~943
+      (3L, 1L, "F", 30.0, ts("1995-01-01 00:00:00"), "1-URGENT"), // closed
+      (4L, 1L, "O", 40.0, ts("1998-08-01 00:00:00"), "1-URGENT")) // age 0
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Pareto.orderAging(orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(out == Map("0-1y" -> ((2L, 50.0)), "2-4y" -> ((1L, 20.0))))
+  }
+
   test("association rules ignore repeated events inside a basket") {
     import spark.implicits._
     val events = Seq(
