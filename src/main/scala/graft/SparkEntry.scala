@@ -274,7 +274,11 @@ object SparkEntry {
     // supplier Pareto: exact cumulative revenue share in basis points
     "serving_supplier_pareto" -> ((s, d) => Pareto.qSupplierPareto(s, d)),
     // open-order aging buckets at a deterministic as-of instant
-    "serving_order_aging" -> ((s, d) => Pareto.qOrderAging(s, d))
+    "serving_order_aging" -> ((s, d) => Pareto.qOrderAging(s, d)),
+    // persisted positional-index phrase serving (pruned term reads)
+    "retrieval_phrase_serving" -> ((s, d) => Phrase.qPhraseSearchServing(s, d)),
+    // source-interleaved deterministic training order
+    "curation_interleave" -> ((s, d) => Pairs.qInterleave(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -470,7 +474,10 @@ object SparkEntry {
     "graph_degree_distribution" -> Paths.oDegreeDistribution,
     "multimodal_dup_groups" -> Multimodal.oMultimodalDupGroups,
     "serving_supplier_pareto" -> Pareto.oSupplierPareto,
-    "serving_order_aging" -> Pareto.oOrderAging
+    "serving_order_aging" -> Pareto.oOrderAging,
+    // index serving is result-identical to the inline phrase search
+    "retrieval_phrase_serving" -> Phrase.oPhraseSearch,
+    "curation_interleave" -> Pairs.oInterleave
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -98,6 +98,50 @@ object Pairs {
     epochShuffle(Tables.documents(spark, dir))
       .orderBy(col("epoch"), col("position"))
 
+  /** Source-interleaved training order: within each source, docs rank
+    * by the deterministic shuffle hash; global position striped as
+    * rank·K + source index (K = #sources) — every K consecutive
+    * training rows see every source once, the arrival balance a
+    * mixture-trained run wants WITHOUT a global shuffle ever touching
+    * the batch composition. One per-source window ([[Scale]] salting
+    * applies if one source dominates) + a ≤K-row broadcast of source
+    * indexes. */
+  def interleaveSources(docs: DataFrame): DataFrame = {
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+    val k = srcIdx.count()
+    val w = Window.partitionBy(col("source")).orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+      TextFns.md5u56(concat_ws(":", col("doc_id"), lit("il"))).as("shuffle_key"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"),
+        ((col("src_rank") - 1) * lit(k) + col("src_idx")).cast("long")
+          .as("position"))
+  }
+
+  def qInterleave(spark: SparkSession, dir: String): DataFrame =
+    interleaveSources(Tables.documents(spark, dir))
+      .orderBy(col("position"))
+
+  def oInterleave: String = {
+    val h = TextFns.md5u56Sql("concat(doc_id, ':', 'il')")
+    s"""WITH si AS (
+      |  SELECT source,
+      |    row_number() OVER (ORDER BY source) - 1 AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |k AS (SELECT count(*) AS k FROM si),
+      |r AS (
+      |  SELECT d.doc_id, d.source, si.src_idx,
+      |    row_number() OVER (PARTITION BY d.source
+      |                       ORDER BY $h, d.doc_id) AS src_rank
+      |  FROM documents d JOIN si USING (source))
+      |SELECT doc_id, source,
+      |  CAST((src_rank - 1) * k + src_idx AS BIGINT) AS position
+      |FROM r, k ORDER BY position""".stripMargin
+  }
+
   def oEpochShuffle: String = {
     val h = TextFns.md5u56Sql("concat(doc_id, ':', epoch)")
     s"""WITH k AS (

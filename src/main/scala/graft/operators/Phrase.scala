@@ -61,6 +61,53 @@ object Phrase {
     phraseHits(docs, topTrigram(docs)).orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- serving path
+
+  /** Persist the positional postings term-range-laid-out (the
+    * [[Retrieval.writeIndex]] layout plus the position column): each
+    * parquet file covers a disjoint term range, so a phrase query's
+    * per-term scan prunes on file min/max stats instead of reading the
+    * corpus. */
+  def writePositionalIndex(docs: DataFrame, path: String, nFiles: Int = 8): Unit =
+    postings(docs)
+      .repartitionByRange(nFiles, col("word"))
+      .sortWithinPartitions(col("word"), col("doc_id"), col("wpos"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Phrase hits from the persisted index — identical join shape to
+    * [[phraseHits]], but each term leg is a pruned index read; document
+    * text is never touched. Results identical by construction (same
+    * postings, same joins), so the query shares [[oPhraseSearch]]. */
+  def phraseHitsFromIndex(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val p = spark.read.parquet(path)
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("word") === t)
+        .select(col("doc_id"), (col("wpos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("phrase", lit(terms.mkString(" ")))
+      .select(col("doc_id"), col("phrase"), col("n_hits"))
+  }
+
+  private val servingIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexFor(spark: SparkSession, dir: String): String =
+    servingIdx.computeIfAbsent(dir, { d =>
+      val path = s"target/serving/phrase_index_${Integer.toHexString(d.hashCode)}"
+      writePositionalIndex(Tables.documents(spark, d), path)
+      path
+    })
+
+  def qPhraseSearchServing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    phraseHitsFromIndex(spark, indexFor(spark, dir), topTrigram(docs))
+      .orderBy(col("doc_id"))
+  }
+
   def oPhraseSearch: String =
     raw"""WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

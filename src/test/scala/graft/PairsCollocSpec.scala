@@ -58,6 +58,30 @@ class PairsCollocSpec extends SparkSpecBase {
     assert(again == base)
   }
 
+  test("phrase serving equals the inline path row-for-row") {
+    val a = graft.operators.Phrase.qPhraseSearch(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = graft.operators.Phrase.qPhraseSearchServing(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("source interleave: every K consecutive positions see every source once") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.Pairs.interleaveSources(docs)
+      .orderBy(col("position")).collect()
+      .map(r => (r.getLong(2), r.getString(1)))
+    val k = docs.select(col("source")).distinct().count().toInt
+    // positions are distinct; within any aligned stripe each source
+    // appears at most once (the tail stripe may be partial)
+    assert(out.map(_._1).distinct.length == out.length)
+    out.groupBy(_._1 / k).foreach { case (_, stripe) =>
+      val srcs = stripe.map(_._2)
+      assert(srcs.distinct.length == srcs.length)
+    }
+    assert(out.length == docs.count())
+  }
+
   test("pmi ranks exclusive pairs above frequent-but-promiscuous ones") {
     import spark.implicits._
     val docs = (
