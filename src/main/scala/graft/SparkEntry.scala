@@ -278,7 +278,9 @@ object SparkEntry {
     // persisted positional-index phrase serving (pruned term reads)
     "retrieval_phrase_serving" -> ((s, d) => Phrase.qPhraseSearchServing(s, d)),
     // source-interleaved deterministic training order
-    "curation_interleave" -> ((s, d) => Pairs.qInterleave(s, d))
+    "curation_interleave" -> ((s, d) => Pairs.qInterleave(s, d)),
+    // trained-classifier confusion matrix vs the labeled lang column
+    "classify_confusion" -> ((s, d) => Classify.qClassifyConfusion(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -199,12 +199,15 @@ object Classify {
     * literals. Both engines then do identical integer arithmetic — the
     * smoothing/log math happened exactly once, on the driver. */
   def oracleEntries: Map[String, String] =
-    cachedModel.map(m => Map("classify_lang_nb" -> oClassifyLang(m)))
+    cachedModel.map(m => Map(
+      "classify_lang_nb" -> oClassifyLang(m),
+      "classify_confusion" -> oClassifyConfusion(m)))
       .getOrElse(Map.empty)
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private[graft] def oClassifyLang(m: NbModel): String = {
+  /** Shared prediction CTE prefix of the generated twins. */
+  private def predictionCtes(m: NbModel): String = {
     val langRows = m.labels.indices.map(i =>
       s"(${i}, ${sqlStr(m.labels(i))}, ${m.priors(i)}, ${m.defaults(i)})")
       .mkString(", ")
@@ -228,8 +231,46 @@ object Classify {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rnk,
        |    CAST(COALESCE(score - lead(score) OVER (
        |      PARTITION BY doc_id ORDER BY score DESC, label), 0) AS BIGINT) AS margin
-       |  FROM sums)
+       |  FROM sums)""".stripMargin
+  }
+
+  private[graft] def oClassifyLang(m: NbModel): String =
+    s"""${predictionCtes(m)}
        |SELECT doc_id, label AS pred_lang, score, margin
        |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+
+  private[graft] def oClassifyConfusion(m: NbModel): String =
+    s"""${predictionCtes(m)},
+       |conf AS (
+       |  SELECT d2.lang, r.label AS pred_lang, count(*) AS n
+       |  FROM ranked r JOIN documents d2 USING (doc_id)
+       |  WHERE r.rnk = 1 GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_actual
+       |      FROM conf GROUP BY lang)
+       |SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n, t.n_actual,
+       |  CAST(floor(c.n * 1000 / t.n_actual) AS BIGINT) AS recall_milli
+       |FROM conf c JOIN t USING (lang)
+       |ORDER BY lang, pred_lang""".stripMargin
+
+  /** Confusion matrix of the trained classifier against the labeled
+    * lang column — the model-quality report next to the prediction
+    * table: per (actual, predicted) cell counts and the diagonal's
+    * exact recall surrogate. One broadcast-model prediction pass + a
+    * \|langs\|²-bounded aggregate. */
+  def confusionMatrix(docs: DataFrame, model: NbModel): DataFrame = {
+    val conf = predict(docs, model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
+    conf.join(broadcast(totals), Seq("lang"))
+      .withColumn("recall_milli",
+        floor(col("n") * lit(1000L) / col("n_actual")).cast("long"))
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_actual"),
+        col("recall_milli"))
   }
+
+  def qClassifyConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionMatrix(Tables.documents(spark, dir), modelFor(spark, dir))
+      .orderBy(col("lang"), col("pred_lang"))
 }

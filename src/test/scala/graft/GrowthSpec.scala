@@ -122,6 +122,26 @@ class GrowthSpec extends SparkSpecBase {
     assert(out(2L) == ((1L, 1L, 1L)))
   }
 
+  test("confusion matrix reconciles and the diagonal dominates") {
+    import graft.operators.Classify
+    val docs = Tables.documents(spark, sf)
+    val model = Classify.modelFor(spark, sf)
+    val out = Classify.confusionMatrix(docs, model).collect()
+    // cells sum to the corpus
+    assert(out.map(_.getAs[Long]("n")).sum == docs.count())
+    // per-actual totals consistent across that actual's rows
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum ==
+        rows.head.getAs[Long]("n_actual"))
+    }
+    // overall accuracy beats chance (uniform over the label set)
+    val correct = out.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n")).sum
+    val nLabels = out.map(_.getString(0)).distinct.length
+    assert(correct.toDouble / docs.count() > 1.0 / nLabels,
+      s"accuracy ${correct}/${docs.count()} vs chance 1/$nLabels")
+  }
+
   test("rank normalization matches the single-sort window transform") {
     val events = Tables.events(spark, sf)
     val got = Growth.rankNormalize(events, nPartitions = 5)
