@@ -160,9 +160,12 @@ object Entity {
         max(col(idCol)).as("max_key"),
         min_by(col(nameCol), col(idCol)).as("golden_name"),
         // the fixture stores balances as DOUBLE; decimal intermediates
-        // keep the merge sums exact (the Tpch.scala discipline)
-        max(col(balCol).cast("decimal(15,2)")).as("max_acctbal"),
-        sum(col(balCol).cast("decimal(15,2)")).as("total_acctbal"))
+        // keep the merge sums exact, then one cast back to DOUBLE at the
+        // edge (the Tpch.scala discipline — a >18-precision DECIMAL final
+        // column writes as parquet FLBA and breaks the driver's hasher,
+        // the one red gate of round 8)
+        max(col(balCol).cast("decimal(15,2)")).cast("double").as("max_acctbal"),
+        sum(col(balCol).cast("decimal(15,2)")).cast("double").as("total_acctbal"))
   }
 
   def qGoldenRecords(spark: SparkSession, dir: String): DataFrame =
@@ -194,8 +197,8 @@ object Entity {
       |  min(c.c_custkey) AS min_key,
       |  max(c.c_custkey) AS max_key,
       |  min_by(c.c_name, c.c_custkey) AS golden_name,
-      |  max(CAST(c.c_acctbal AS DECIMAL(15,2))) AS max_acctbal,
-      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(15,2))) AS DECIMAL(25,2)) AS total_acctbal
+      |  CAST(max(CAST(c.c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS max_acctbal,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_acctbal
       |FROM customer c LEFT JOIN cl ON c.c_custkey = cl.doc_id
       |GROUP BY entity_id
       |ORDER BY entity_id""".stripMargin
