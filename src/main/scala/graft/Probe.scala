@@ -10,6 +10,7 @@ object Probe {
     if (args.headOption.contains("pipeline")) { pipelineDrive(); return }
     if (args.headOption.contains("streamgold")) { streamGoldDrive(); return }
     if (args.headOption.contains("plans")) { plansDump(); return }
+    if (args.headOption.contains("pagerank")) { pageRankVariants(); return }
     if (args.headOption.contains("corpus")) {
       corpusScale(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(20); case ms => ms
@@ -230,6 +231,28 @@ object Probe {
 
   /** Regenerate PLANS.md: formatted physical plans of the headline
     * queries against sf0.1. */
+  /** Times forced-broadcast vs forced-shuffle PageRank at sf0.1 — the
+    * empirical side of the Graph.BroadcastNodeCap dial (SCALE.md r9). */
+  def pageRankVariants(): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val edges = graft.operators.Graph.purchaseEdges(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir)).cache()
+    edges.count() // materialize once so both variants time the rounds only
+    for (mode <- Seq(true, false, true, false)) {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Graph.pageRank(edges,
+        broadcastRanks = Some(mode)).count()
+      println(f"[probe] pagerank broadcast=$mode: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n nodes)")
+    }
+    spark.stop()
+  }
+
   def plansDump(): Unit = {
     sys.props("graft.explain.lineage") = "true"
     val spark = SparkSession.builder().master("local[32]")

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+/** Build-once registry for persisted serving artifacts (PQ codes, IVF
+  * cells, inverted/positional indexes, RP projections).
+  *
+  * Two corrections over the earlier per-operator ConcurrentHashMap +
+  * `String.hashCode` pattern (ADVICE r8): the on-disk key is the FULL
+  * sanitized dataset dir plus a 64-bit MD5 prefix — a 32-bit hashCode
+  * collision between two dirs in one JVM would have silently served one
+  * dataset's artifacts for the other — and freshness is validated on
+  * EVERY call against the newest source-file mtime (recorded in a marker
+  * file at build time), so a fixture regenerated mid-JVM triggers a
+  * rebuild instead of being served stale from a first-call cache.
+  *
+  * The mtime walk is a control-plane directory listing (file metadata
+  * only, no data reads) — microseconds next to the query it guards; at
+  * cluster scale the same marker lives beside the artifact in object
+  * storage and the walk becomes one manifest read. */
+object Serving {
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Collision-proof artifact path for (`kind`, dataset `dir`). */
+  def artifactPath(kind: String, dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      .replaceAll("^_+", "").take(80)
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"target/serving/${kind}_${sanitized}_$digest"
+  }
+
+  /** Newest mtime (ms) of any regular file under `dir`; -1 if absent. */
+  private[graft] def newestSourceMtime(dir: String): Long = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return -1L
+    val s = Files.walk(root)
+    try s.filter(Files.isRegularFile(_))
+      .mapToLong(p => Files.getLastModifiedTime(p).toMillis)
+      .reduce(-1L, Math.max)
+    finally s.close()
+  }
+
+  /** Return the artifact path for (`kind`, `dir`), running `build(path)`
+    * first iff the artifact is missing or older than the newest source
+    * file. `build` must write the artifact at the given path (overwrite
+    * mode); the freshness marker is stamped only after it returns. */
+  def buildOnce(kind: String, dir: String)(build: String => Unit): String = {
+    val path = artifactPath(kind, dir)
+    val lock = locks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val marker = Paths.get(path, "_SOURCE_MTIME")
+      val srcMtime = newestSourceMtime(dir)
+      val builtFor =
+        if (Files.exists(marker))
+          scala.util.Try(Files.readString(marker).trim.toLong).getOrElse(-2L)
+        else -2L
+      if (builtFor < srcMtime || builtFor == -2L) {
+        build(path)
+        Files.createDirectories(Paths.get(path))
+        Files.writeString(marker, srcMtime.toString): Path
+        ()
+      }
+    }
+    path
+  }
+}

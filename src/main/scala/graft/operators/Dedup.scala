@@ -619,11 +619,23 @@ object Dedup {
     * Fine while one side fits a broadcast; at corpus scale use
     * [[embeddingNearDupLsh]] to cut the pair space first. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // norms once per VECTOR, not per pair: the fused cosineSim kernel
+    // re-derives both norms inside every candidate pair — 3× the FLOPs
+    // of a dot across the O(n²) sweep (isolated fresh-JVM ×3: 3.5 s →
+    // 1.3 s at sf0.1). Same IEEE op sequence as the kernel (sequential
+    // -fold dot, sqrt, multiply, divide), so cosines stay bit-identical
+    // to the twin, whose norms were always precomputed. A zero vector
+    // yields NaN here vs null from the kernel; the ≥ threshold filter
+    // drops both identically.
+    val n = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     broadcast(a).join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        graft.plans.CosineSimilarity.cosineSim(col("ea"), col("eb")))
+        Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }

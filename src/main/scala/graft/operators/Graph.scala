@@ -58,28 +58,55 @@ object Graph {
       .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
+  /** Above this node count the per-round rank join switches from
+    * broadcast to co-partitioned shuffle (see [[pageRank]]). ~2M
+    * (node, share) rows ≈ 32 MB serialized — the practical ceiling for
+    * a per-round broadcast repeated `iterations` times. */
+  val BroadcastNodeCap = 2000000L
+
   /** `Iterations` damped fixed-point PageRank rounds over (src, dst)
     * edges. Every node appears as a src (edges are bidirectional), so
-    * out-degrees double as the node list. */
-  def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
+    * out-degrees double as the node list.
+    *
+    * Rank-join strategy is node-count-selected (the `simhashPairsAuto`
+    * pattern): a dimension-scale graph (≤ [[BroadcastNodeCap]] nodes)
+    * broadcasts the (node, share) table each round so the edge table
+    * never shuffles; a corpus-scale graph (a true web graph at 100×)
+    * must NOT re-broadcast an O(#nodes) table per round — instead the
+    * edge table is hash-partitioned on `src` ONCE (materialized, reused
+    * every round) and only the #nodes-row rank table shuffles to meet
+    * it. `broadcastRanks` forces a side for the equivalence spec; the
+    * two plans are result-identical because the arithmetic is integer
+    * fixed-point either way. */
+  def pageRank(edges: DataFrame, iterations: Int = Iterations,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
     val cached = edges.cache()
     val deg = cached.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val n1 = deg.agg(count(lit(1)).as("nn"))
-    // init = floor(Scale / N), carried per row so the blend needs no
-    // further scalar joins
-    var ranks = deg.crossJoin(broadcast(n1))
-      .withColumn("init_fp", expr(s"${Scale}L div nn"))
+    // one control-plane scalar per call: drives both init_fp and the
+    // join-strategy dial
+    val nNodes = deg.count()
+    val useBroadcast = broadcastRanks.getOrElse(nNodes <= BroadcastNodeCap)
+    // shuffle mode pays one up-front edge shuffle; localCheckpoint
+    // materializes it WITH its HashPartitioning(src) preserved, so every
+    // round's join reuses the layout and moves only rank rows
+    val roundEdges =
+      if (useBroadcast) cached
+      else cached.repartition(col("src")).localCheckpoint(true)
+    var ranks = deg
+      .withColumn("init_fp", lit(Scale / nNodes))
       .select(col("node"), col("outdeg"), col("init_fp"),
         col("init_fp").as("rank_fp"))
     for (_ <- 1 to iterations) {
-      // ranks is #nodes-sized (partition-scale at any corpus size) —
-      // broadcast it so the edge table never shuffles; the carried
-      // checkpoint statistics otherwise overestimate it into a
-      // sort-merge join
-      val inflow = cached
-        .join(broadcast(ranks.select(col("node").as("src"),
-          expr("rank_fp div outdeg").as("share"))), Seq("src"))
+      val share = ranks.select(col("node").as("src"),
+        expr("rank_fp div outdeg").as("share"))
+      // broadcast: the edge table never shuffles (the carried checkpoint
+      // statistics otherwise overestimate ranks into a sort-merge join).
+      // shuffle: hint shuffle_hash so neither AQE nor stats re-broadcast
+      // the rank side — the point is an #edges-stationary plan.
+      val inflow = roundEdges
+        .join(if (useBroadcast) broadcast(share) else share.hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
       ranks = ranks.drop("rank_fp")

@@ -230,18 +230,13 @@ object Ivf {
   /** Build-once clustered layouts per dataset dir (the serving
     * deployment shape — see [[writeClustered]]); shares [[quantizers]],
     * so probes — and results — match the inline path (spec-pinned). */
-  private val servingClustered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def servingClusteredFor(spark: SparkSession, dir: String): String =
-    servingClustered.computeIfAbsent(dir, { d =>
-      val cents = centroidsFor(d, Tables.embeddings(spark, d))
-      val path = s"target/serving/ivf_clustered_${Integer.toHexString(d.hashCode)}"
-      Tables.embeddings(spark, d)
+    graft.Serving.buildOnce("ivf_clustered", dir) { path =>
+      val cents = centroidsFor(dir, Tables.embeddings(spark, dir))
+      Tables.embeddings(spark, dir)
         .withColumn("cell", cellOf(col("embedding"), cents))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
+    }
 
   /** The 100 TB read shape, benchable: top-k against the PERSISTED
     * cell-partitioned layout — the probe is a partition-pruned scan of

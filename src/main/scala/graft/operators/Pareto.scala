@@ -12,11 +12,17 @@ import graft.Tables
 object Pareto {
 
   /** Supplier Pareto table: revenue rank, exact cumulative share in
-    * basis points (integer cents cross-multiplied — no float division
-    * on unstable denominators), and the top-80% flag. The window runs
-    * over the ≤#suppliers rollup, not the fact; at billions of entities
-    * the running sum swaps onto [[Scale.globalRank]]'s offset pattern
-    * exactly like [[Rfm.rfmScalable]]. */
+    * basis points, and the top-80% flag. Revenue carries decimal scale 4
+    * (price ×(1−discount)), so shares are cross-multiplied in exact
+    * ten-thousandth units — ×10000 is a pure rescale of a scale-4
+    * decimal, no rounding — and the bp is INTEGRAL division in both
+    * engines (Spark decimal `div` → BIGINT; the twin uses HUGEINT `//`):
+    * no decimal or double division anywhere, so the value cannot drift a
+    * bp at any corpus magnitude (both sides stay exact far past 2^53).
+    * The window runs over the ≤#suppliers rollup, not the fact; at
+    * billions of entities the running sum swaps onto
+    * [[Scale.globalRank]]'s offset pattern exactly like
+    * [[Rfm.rfmScalable]]. */
   def supplierPareto(lineitem: DataFrame): DataFrame = {
     val rev = lineitem
       .select(col("l_suppkey"),
@@ -30,10 +36,9 @@ object Pareto {
     val wR = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
     rev.crossJoin(broadcast(total))
       .withColumn("rnk", row_number().over(wR))
-      .withColumn("cum_cents", (sum(col("rev_dec")).over(w) * 100).cast("decimal(38,0)"))
-      .withColumn("total_cents", (col("total_dec") * 100).cast("decimal(38,0)"))
-      .withColumn("cum_share_bp",
-        floor(col("cum_cents") * 10000 / col("total_cents")).cast("long"))
+      .withColumn("cum_e4", (sum(col("rev_dec")).over(w) * 10000).cast("decimal(38,0)"))
+      .withColumn("total_e4", (col("total_dec") * 10000).cast("decimal(38,0)"))
+      .withColumn("cum_share_bp", expr("(cum_e4 * 10000) div total_e4"))
       .withColumn("in_top80", col("cum_share_bp") <= 8000L)
       .select(col("rnk"), col("l_suppkey"),
         col("rev_dec").cast("double").as("revenue"),
@@ -53,16 +58,15 @@ object Pareto {
       |r AS (
       |  SELECT l_suppkey, rev_dec, total_dec,
       |    row_number() OVER (ORDER BY rev_dec DESC, l_suppkey) AS rnk,
-      |    CAST(sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_suppkey
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
-      |      AS DECIMAL(38,0)) AS cum_cents
+      |    CAST(CAST(sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_suppkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+      |      AS DECIMAL(38,0)) AS HUGEINT) AS cum_e4,
+      |    CAST(CAST(total_dec * 10000 AS DECIMAL(38,0)) AS HUGEINT) AS total_e4
       |  FROM rev, t)
       |SELECT CAST(rnk AS INTEGER) AS rnk, l_suppkey,
       |  CAST(rev_dec AS DOUBLE) AS revenue,
-      |  CAST(floor(cum_cents * 10000 / CAST(total_dec * 100 AS DECIMAL(38,0)))
-      |    AS BIGINT) AS cum_share_bp,
-      |  CAST(floor(cum_cents * 10000 / CAST(total_dec * 100 AS DECIMAL(38,0)))
-      |    AS BIGINT) <= 8000 AS in_top80
+      |  CAST((cum_e4 * 10000) // total_e4 AS BIGINT) AS cum_share_bp,
+      |  CAST((cum_e4 * 10000) // total_e4 AS BIGINT) <= 8000 AS in_top80
       |FROM r ORDER BY rnk""".stripMargin
 
   // ----------------------------------------------------- order aging

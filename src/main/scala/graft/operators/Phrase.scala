@@ -92,15 +92,10 @@ object Phrase {
       .select(col("doc_id"), col("phrase"), col("n_hits"))
   }
 
-  private val servingIdx =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def indexFor(spark: SparkSession, dir: String): String =
-    servingIdx.computeIfAbsent(dir, { d =>
-      val path = s"target/serving/phrase_index_${Integer.toHexString(d.hashCode)}"
-      writePositionalIndex(Tables.documents(spark, d), path)
-      path
-    })
+    graft.Serving.buildOnce("phrase_index", dir) { path =>
+      writePositionalIndex(Tables.documents(spark, dir), path)
+    }
 
   def qPhraseSearchServing(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

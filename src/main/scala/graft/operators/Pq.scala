@@ -287,18 +287,13 @@ object Pq {
     * subsequent query scanning only the 32×-compressed code parquet.
     * Shares [[codebooks]], so codes — and therefore results — are
     * bit-identical to the inline-encode path (spec-pinned). */
-  private val servingCodes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def servingCodesFor(spark: SparkSession, dir: String): String =
-    servingCodes.computeIfAbsent(dir, { d =>
-      val books = codebooks.computeIfAbsent(d,
+    graft.Serving.buildOnce("pq_codes", dir) { path =>
+      val books = codebooks.computeIfAbsent(dir,
         dd => trainCodebooks(Tables.embeddings(spark, dd), 64))
-      val path = s"target/serving/pq_codes_${Integer.toHexString(d.hashCode)}"
-      encode(Tables.embeddings(spark, d), books, 64)
+      encode(Tables.embeddings(spark, dir), books, 64)
         .write.mode("overwrite").parquet(path)
-      path
-    })
+    }
 
   /** The 100 TB read shape, benchable: top-k against the PERSISTED code
     * table (train + encode + write happen once per dataset and are

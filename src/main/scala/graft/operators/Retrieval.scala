@@ -121,17 +121,13 @@ object Retrieval {
     scoreAndTopK(tf, dl, terms, k)
   }
 
-  /** Indexes per dataset dir (the `Pq.servingCodesFor` discipline:
-    * build once, amortized like any production index build). */
-  private val servingIndex =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  /** Indexes per dataset dir (build once, amortized like any production
+    * index build; collision-proof keying + staleness via
+    * [[graft.Serving]]). */
   private def indexFor(spark: SparkSession, dir: String): String =
-    servingIndex.computeIfAbsent(dir, { d =>
-      val path = s"target/serving/bm25_index_${Integer.toHexString(d.hashCode)}"
-      writeIndex(Tables.documents(spark, d), path)
-      path
-    })
+    graft.Serving.buildOnce("bm25_index", dir) { path =>
+      writeIndex(Tables.documents(spark, dir), path)
+    }
 
   def qBm25Serving(spark: SparkSession, dir: String): DataFrame =
     bm25FromIndex(spark, indexFor(spark, dir))

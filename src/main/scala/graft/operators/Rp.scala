@@ -142,16 +142,12 @@ object Rp {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Projection tables per dataset (build once, amortized). */
-  private val servingProj =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  /** Projection tables per dataset (build once, amortized;
+    * collision-proof keying + staleness via [[graft.Serving]]). */
   private def projectionsFor(spark: SparkSession, dir: String): String =
-    servingProj.computeIfAbsent(dir, { d =>
-      val path = s"target/serving/rp_proj_${Integer.toHexString(d.hashCode)}"
-      writeProjections(Tables.embeddings(spark, d), path)
-      path
-    })
+    graft.Serving.buildOnce("rp_proj", dir) { path =>
+      writeProjections(Tables.embeddings(spark, dir), path)
+    }
 
   def qRpTopKServing(spark: SparkSession, dir: String): DataFrame =
     rpTopKServing(spark, projectionsFor(spark, dir),

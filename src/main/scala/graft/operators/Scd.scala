@@ -8,9 +8,11 @@ import graft.Tables
 
 /** Slowly-changing-dimension type-2 versioning over an event log, plus the
   * incremental MERGE that applies a new event batch to existing history —
-  * the warehouse-dimension shape the reference's gold tier implies but its
-  * Postgres loader rebuilds from scratch each run
-  * (/root/reference/sql/schema.sql:15-78 keeps only current rows).
+  * the warehouse-dimension shape the reference's gold tier implies but
+  * never versions: its gold_weather_detailed table is append-only
+  * (/root/reference/sql/schema.sql:15-78) and history is exposed only as
+  * latest-per-key state through the v_latest_weather view — no
+  * [valid_from, valid_to) lineage anywhere.
   *
   * Concrete instance: each customer's order priority tracked over the
   * orders table — key = o_custkey, attribute = o_orderpriority, event time

@@ -91,6 +91,21 @@ class WebGraphSpec extends SparkSpecBase {
     assert(top.map(_.getLong(4)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("pagerank shuffle-join variant is result-identical to broadcast") {
+    val edges = Graph.purchaseEdges(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
+    val bc = Graph.pageRank(edges, broadcastRanks = Some(true))
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sh = Graph.pageRank(edges, broadcastRanks = Some(false))
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // integer fixed-point arithmetic either way → bit-equal, not close
+    assert(bc.sameElements(sh), "broadcast and shuffle pagerank diverge")
+    // and the dial itself: this dimension-scale graph selects broadcast
+    val auto = Graph.pageRank(edges).orderBy($"node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(auto.sameElements(bc))
+  }
+
   test("hashed tf-idf: bounded width, ranks contiguous, weight consistent") {
     val out = Features.qHashedTfIdf(spark, sf).cache()
     assert(out.filter($"bucket" < 0 || $"bucket" >= Features.Buckets).count() == 0)
