@@ -67,18 +67,12 @@ object Service {
     ServiceConfig(cfg, interval, kv.get("--max-ticks").map(_.toInt).getOrElse(Int.MaxValue))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sc = parse(args.toIndexedSeq)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The wired service loop, factored out of [[main]] so a spec can
+    * drive the IDENTICAL config→Scheduler→Pipeline plumbing one tick
+    * end-to-end against a shared session (main's only additions are
+    * session construction and stop). Returns the fired ticks. */
+  def run(spark: SparkSession, sc: ServiceConfig)
+      : Seq[Scheduler.Tick[Pipeline.Report]] = {
     // stdout, not the spark logger: the session runs at WARN and a
     // service's own run ledger lines must not be suppressible by it
     println(s"graft service: interval=${sc.intervalMs / 60000}min " +
@@ -91,6 +85,21 @@ object Service {
       case Scheduler.Tick(at, None) =>
         println(s"boundary@$at skipped (run active / catchup=False)")
     })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sc = parse(args.toIndexedSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sc)
     spark.stop()
   }
 }

@@ -108,4 +108,5 @@ class SchedulerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Service.parse(Seq(
       "--source", "s", "--warehouse")))
   }
+
 }
