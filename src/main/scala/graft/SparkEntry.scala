@@ -280,7 +280,10 @@ object SparkEntry {
     // source-interleaved deterministic training order
     "curation_interleave" -> ((s, d) => Pairs.qInterleave(s, d)),
     // trained-classifier confusion matrix vs the labeled lang column
-    "classify_confusion" -> ((s, d) => Classify.qClassifyConfusion(s, d))
+    "classify_confusion" -> ((s, d) => Classify.qClassifyConfusion(s, d)),
+    // DSIR-style importance-weighted domain selection (hashed features,
+    // integer log2-bucket weights)
+    "curation_dsir_select" -> ((s, d) => Dsir.qDsirSelect(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -479,7 +482,8 @@ object SparkEntry {
     "serving_order_aging" -> Pareto.oOrderAging,
     // index serving is result-identical to the inline phrase search
     "retrieval_phrase_serving" -> Phrase.oPhraseSearch,
-    "curation_interleave" -> Pairs.oInterleave
+    "curation_interleave" -> Pairs.oInterleave,
+    "curation_dsir_select" -> Dsir.oDsirSelect
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
