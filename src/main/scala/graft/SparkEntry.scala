@@ -283,7 +283,12 @@ object SparkEntry {
     "classify_confusion" -> ((s, d) => Classify.qClassifyConfusion(s, d)),
     // DSIR-style importance-weighted domain selection (hashed features,
     // integer log2-bucket weights)
-    "curation_dsir_select" -> ((s, d) => Dsir.qDsirSelect(s, d))
+    "curation_dsir_select" -> ((s, d) => Dsir.qDsirSelect(s, d)),
+    // mergeable integer sufficient statistics → corr/slope/intercept
+    "stats_corr_regression" -> ((s, d) => Corr.qCorrRegression(s, d)),
+    // pinned-schema pivot and its lossless stack round-trip
+    "agg_pivot_priority" -> ((s, d) => Pivot.qOrderPriorityPivot(s, d)),
+    "agg_unpivot_priority" -> ((s, d) => Pivot.qOrderPriorityUnpivot(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,7 +488,10 @@ object SparkEntry {
     // index serving is result-identical to the inline phrase search
     "retrieval_phrase_serving" -> Phrase.oPhraseSearch,
     "curation_interleave" -> Pairs.oInterleave,
-    "curation_dsir_select" -> Dsir.oDsirSelect
+    "curation_dsir_select" -> Dsir.oDsirSelect,
+    "stats_corr_regression" -> Corr.oCorrRegression,
+    "agg_pivot_priority" -> Pivot.oOrderPriorityPivot,
+    "agg_unpivot_priority" -> Pivot.oOrderPriorityUnpivot
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
