@@ -288,7 +288,9 @@ object SparkEntry {
     "stats_corr_regression" -> ((s, d) => Corr.qCorrRegression(s, d)),
     // pinned-schema pivot and its lossless stack round-trip
     "agg_pivot_priority" -> ((s, d) => Pivot.qOrderPriorityPivot(s, d)),
-    "agg_unpivot_priority" -> ((s, d) => Pivot.qOrderPriorityUnpivot(s, d))
+    "agg_unpivot_priority" -> ((s, d) => Pivot.qOrderPriorityUnpivot(s, d)),
+    // sequential level-shift detector (integer CUSUM recurrence)
+    "anomaly_cusum_hourly" -> ((s, d) => Cusum.qHourlyCusum(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,7 +493,8 @@ object SparkEntry {
     "curation_dsir_select" -> Dsir.oDsirSelect,
     "stats_corr_regression" -> Corr.oCorrRegression,
     "agg_pivot_priority" -> Pivot.oOrderPriorityPivot,
-    "agg_unpivot_priority" -> Pivot.oOrderPriorityUnpivot
+    "agg_unpivot_priority" -> Pivot.oOrderPriorityUnpivot,
+    "anomaly_cusum_hourly" -> Cusum.oHourlyCusum
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
