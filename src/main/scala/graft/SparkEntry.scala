@@ -290,7 +290,9 @@ object SparkEntry {
     "agg_pivot_priority" -> ((s, d) => Pivot.qOrderPriorityPivot(s, d)),
     "agg_unpivot_priority" -> ((s, d) => Pivot.qOrderPriorityUnpivot(s, d)),
     // sequential level-shift detector (integer CUSUM recurrence)
-    "anomaly_cusum_hourly" -> ((s, d) => Cusum.qHourlyCusum(s, d))
+    "anomaly_cusum_hourly" -> ((s, d) => Cusum.qHourlyCusum(s, d)),
+    // trained closed-form OLS (exact integer normal equations)
+    "regress_order_total" -> ((s, d) => Regress.qRegressOrderTotal(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,5 +510,7 @@ object SparkEntry {
     // trained BPE tokenizer: merge list inlined, recursive-CTE replay
     Tokenize.oracleEntries ++
     // trained PCA components inlined the same way
-    Pca.oracleEntries
+    Pca.oracleEntries ++
+    // trained OLS coefficients (exact BigInt Cramer, micro fixed-point)
+    Regress.oracleEntries
 }
