@@ -353,6 +353,54 @@ object StreamingOps {
       .drop("session_id")
   }
 
+  case class MgEntry(shard: Int, term: String, est: Long, shard_seen: Long)
+
+  /** Streaming Misra-Gries heavy-hitter summaries — the arrival-order
+    * twin of [[graft.operators.TextAnalysis.heavyHitters]]'s candidate
+    * pass: each hash shard carries a bounded `summarySize`-entry
+    * frequency summary across micro-batches (the decrement-all step
+    * evicts infrequent keys exactly as in the batch form), so streaming
+    * state at 100 TB is shards × summarySize entries REGARDLESS of
+    * vocabulary or throughput — the property that makes top-terms over
+    * an unbounded token stream feasible at all. After each batch the
+    * shard emits its current summary stamped with the cumulative element
+    * count; the latest stamp per shard is the live summary, and the MG
+    * guarantee transfers verbatim: any term with shard-count
+    * > shard_seen/(summarySize+1) is present, and estimates undercount
+    * by at most that same bound (spec-pinned, plus an exact-equality
+    * spec in the no-eviction regime). Final exact top-k = recount the
+    * merged candidates, as in the batch operator. */
+  def heavyHittersStream(words: Dataset[String], shards: Int = 8,
+      summarySize: Int = 256): Dataset[MgEntry] = {
+    import words.sparkSession.implicits._
+    words.groupByKey(w => math.floorMod(w.##, shards))
+      .flatMapGroupsWithState[(Map[String, Long], Long), MgEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[(Map[String, Long], Long)]) =>
+          val (initMap, initSeen) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val counts = scala.collection.mutable.HashMap[String, Long](initMap.toSeq: _*)
+          var seen = initSeen
+          rows.foreach { w =>
+            seen += 1
+            counts.get(w) match {
+              case Some(c) => counts.update(w, c + 1)
+              case None =>
+                if (counts.size < summarySize) counts.update(w, 1L)
+                else {
+                  val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                  counts.keysIterator.foreach { key =>
+                    val c = counts(key) - 1
+                    if (c == 0) dead += key else counts.update(key, c)
+                  }
+                  dead.foreach(counts.remove)
+                }
+            }
+          }
+          state.update((counts.toMap, seen))
+          counts.iterator.map { case (t, c) => MgEntry(shard, t, c, seen) }
+      }
+  }
+
   /** Built-in session_window form of sessionization — one groupBy, no
     * custom state code, works identically in batch and streaming (with a
     * watermark). Semantic note vs [[sessionizeBatch]]: session_window

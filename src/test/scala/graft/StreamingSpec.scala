@@ -355,6 +355,62 @@ class StreamingSpec extends SparkSpecBase {
       "spent quota re-admitted replayed docs")
   }
 
+  test("streaming Misra-Gries equals exact counts when nothing evicts, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.words($"text")).as("w"))
+      .as[String].collect().toSeq
+    val src = MemoryStream[String]
+    val q = StreamingOps.heavyHittersStream(src.toDS(), shards = 4,
+        summarySize = 4096)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mg_out").start()
+    words.grouped(words.length / 3 + 1).foreach { chunk =>
+      src.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    // live summary = latest stamp per shard (computed driver-side: the
+    // memory sink's view cannot self-join)
+    val rows = spark.table("mg_out").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val latest = rows.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val live = rows.filter(r => r._4 == latest(r._1))
+      .map(r => r._2 -> r._3).toMap
+    // vocabulary < summarySize → no decrement ever ran → exact counts
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(live == exact, s"live ${live.size} terms vs exact ${exact.size}")
+    // and the batch operator's top-20 is contained in the live summary
+    val top = graft.operators.TextAnalysis.qHeavyHitters(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(top.subsetOf(live.keySet))
+  }
+
+  test("streaming Misra-Gries under eviction keeps the heavy term within the MG bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40×a + 4 singletons through a 2-entry summary on one shard:
+    // eviction must fire, yet a's estimate stays within seen/(m+1)
+    val stream = (Seq.fill(40)("a") ++ Seq("b", "c", "d", "e")).sorted
+    val src = MemoryStream[String]
+    val q = StreamingOps.heavyHittersStream(src.toDS(), shards = 1,
+        summarySize = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mg_small").start()
+    stream.grouped(11).foreach { chunk => src.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val out = spark.table("mg_small")
+    val seen = out.agg(max($"shard_seen")).head().getLong(0)
+    assert(seen == 44)
+    val live = out.filter($"shard_seen" === seen)
+      .select($"term", $"est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live.contains("a"), s"heavy term evicted: $live")
+    assert(live("a") <= 40 && live("a") >= 40 - seen / 3,
+      s"estimate ${live("a")} outside the MG bound")
+    assert(live.size <= 2, "summary exceeded its bound")
+  }
+
   test("multimodal partition-batch decode matches the expression stub shape") {
     val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sf))
       .as[graft.operators.Multimodal.Media]
