@@ -292,7 +292,9 @@ object SparkEntry {
     // sequential level-shift detector (integer CUSUM recurrence)
     "anomaly_cusum_hourly" -> ((s, d) => Cusum.qHourlyCusum(s, d)),
     // trained closed-form OLS (exact integer normal equations)
-    "regress_order_total" -> ((s, d) => Regress.qRegressOrderTotal(s, d))
+    "regress_order_total" -> ((s, d) => Regress.qRegressOrderTotal(s, d)),
+    // runtime-pruned star join over the date-partitioned serving layout
+    "serving_dpp_revenue" -> ((s, d) => Dpp.qRevenueByYearDpp(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -496,7 +498,8 @@ object SparkEntry {
     "stats_corr_regression" -> Corr.oCorrRegression,
     "agg_pivot_priority" -> Pivot.oOrderPriorityPivot,
     "agg_unpivot_priority" -> Pivot.oOrderPriorityUnpivot,
-    "anomaly_cusum_hourly" -> Cusum.oHourlyCusum
+    "anomaly_cusum_hourly" -> Cusum.oHourlyCusum,
+    "serving_dpp_revenue" -> Dpp.oRevenueByYearDpp
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

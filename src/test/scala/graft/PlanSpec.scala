@@ -184,6 +184,27 @@ class PlanSpec extends SparkSpecBase {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
   }
 
+  test("dpp star join plants a runtime pruning subquery on the partition scan") {
+    val fact = spark.read.parquet(graft.operators.Dpp.layoutFor(spark, sf))
+    val df = graft.operators.Dpp.revenueByYearDpp(fact,
+      graft.operators.Dpp.yearDim(Tables.orders(spark, sf)))
+    val plan = physicalPlan(df)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    // and the result equals the statically-filtered computation
+    val years = graft.operators.Dpp.yearDim(Tables.orders(spark, sf))
+      .collect().map(_.getInt(0)).toSet
+    val direct = Tables.lineitem(spark, sf)
+      .withColumn("ship_year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("l_shipdate")))
+      .filter(org.apache.spark.sql.functions.col("ship_year")
+        .isin(years.toSeq: _*))
+      .count()
+    val viaDpp = df.agg(org.apache.spark.sql.functions.sum("n_items"))
+      .head().getLong(0)
+    assert(viaDpp == direct, s"dpp $viaDpp vs direct $direct rows")
+  }
+
   test("debounce shuffles once on the key with a secondary sort, no array build") {
     val plan = physicalPlan(
       graft.operators.Temporal.debounce(Tables.events(spark, sf), 3600L))
