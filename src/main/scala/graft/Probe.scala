@@ -328,7 +328,13 @@ object Probe {
       "mining_assoc_rules" -> "market basket: basket dedup FIRST, then basket-key self-join (≤|types|² fan-out per basket) + broadcast type counts",
       "serving_user_growth" -> "running distinct for free: user-grain min-agg → day-grain news → ≤#days cumulative window",
       "quality_referential" -> "FK audit: per-relation left-anti orphan scans, dimension parents broadcast, 1-row partials unioned",
-      "curation_dataset_card" -> "dataset card: one corpus fold + fingerprint dup scan, control-plane combine to a single row")
+      "curation_dataset_card" -> "dataset card: one corpus fold + fingerprint dup scan, control-plane combine to a single row",
+      "curation_dsir_select" -> "DSIR selection: hashed-bucket counts → ≤512-row broadcast weight join, doc-keyed partial agg, distributed global rank",
+      "stats_corr_regression" -> "paired sufficient statistics: one scan to 3 groups × 6 exact longs, fixed-order finalize",
+      "agg_pivot_priority" -> "pinned pivot: partial+final hash agg to the year×priority grid, no discovery pass",
+      "anomaly_cusum_hourly" -> "CUSUM: corpus → per-(type,hour) partial-agg counts, calendar-bounded sequential fold per series",
+      "regress_order_total" -> "trained OLS apply: order-level agg + three integer multiplies, model as literals",
+      "serving_dpp_revenue" -> "dynamic partition pruning: runtime subquery on the partition column feeds the fact scan; only qualifying year partitions read")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")

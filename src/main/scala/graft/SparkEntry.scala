@@ -294,7 +294,12 @@ object SparkEntry {
     // trained closed-form OLS (exact integer normal equations)
     "regress_order_total" -> ((s, d) => Regress.qRegressOrderTotal(s, d)),
     // runtime-pruned star join over the date-partitioned serving layout
-    "serving_dpp_revenue" -> ((s, d) => Dpp.qRevenueByYearDpp(s, d))
+    "serving_dpp_revenue" -> ((s, d) => Dpp.qRevenueByYearDpp(s, d)),
+    // landing-format round trips gated against the parquet ground truth
+    "source_csv_roundtrip" ->
+      ((s, d) => graft.sources.TextFormats.qCsvRoundtrip(s, d)),
+    "source_jsonl_roundtrip" ->
+      ((s, d) => graft.sources.TextFormats.qJsonlRoundtrip(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -499,7 +504,9 @@ object SparkEntry {
     "agg_pivot_priority" -> Pivot.oOrderPriorityPivot,
     "agg_unpivot_priority" -> Pivot.oOrderPriorityUnpivot,
     "anomaly_cusum_hourly" -> Cusum.oHourlyCusum,
-    "serving_dpp_revenue" -> Dpp.oRevenueByYearDpp
+    "serving_dpp_revenue" -> Dpp.oRevenueByYearDpp,
+    "source_csv_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
+    "source_jsonl_roundtrip" -> graft.sources.TextFormats.oRoundtrip
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
