@@ -299,7 +299,9 @@ object SparkEntry {
     "source_csv_roundtrip" ->
       ((s, d) => graft.sources.TextFormats.qCsvRoundtrip(s, d)),
     "source_jsonl_roundtrip" ->
-      ((s, d) => graft.sources.TextFormats.qJsonlRoundtrip(s, d))
+      ((s, d) => graft.sources.TextFormats.qJsonlRoundtrip(s, d)),
+    // categorical independence test, exact cross-multiplied deviations
+    "stats_chi2_weekend" -> ((s, d) => Chi2.qWeekendIndependence(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -506,7 +508,8 @@ object SparkEntry {
     "anomaly_cusum_hourly" -> Cusum.oHourlyCusum,
     "serving_dpp_revenue" -> Dpp.oRevenueByYearDpp,
     "source_csv_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
-    "source_jsonl_roundtrip" -> graft.sources.TextFormats.oRoundtrip
+    "source_jsonl_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
+    "stats_chi2_weekend" -> Chi2.oWeekendIndependence
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
