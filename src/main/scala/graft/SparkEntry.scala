@@ -301,7 +301,9 @@ object SparkEntry {
     "source_jsonl_roundtrip" ->
       ((s, d) => graft.sources.TextFormats.qJsonlRoundtrip(s, d)),
     // categorical independence test, exact cross-multiplied deviations
-    "stats_chi2_weekend" -> ((s, d) => Chi2.qWeekendIndependence(s, d))
+    "stats_chi2_weekend" -> ((s, d) => Chi2.qWeekendIndependence(s, d)),
+    // diversity re-ranking over the retrieval pool (greedy MMR)
+    "sim_mmr_rerank" -> ((s, d) => Mmr.qMmrRerank(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -509,7 +511,8 @@ object SparkEntry {
     "serving_dpp_revenue" -> Dpp.oRevenueByYearDpp,
     "source_csv_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "source_jsonl_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
-    "stats_chi2_weekend" -> Chi2.oWeekendIndependence
+    "stats_chi2_weekend" -> Chi2.oWeekendIndependence,
+    "sim_mmr_rerank" -> Mmr.oMmrRerank
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
