@@ -303,7 +303,13 @@ object SparkEntry {
     // categorical independence test, exact cross-multiplied deviations
     "stats_chi2_weekend" -> ((s, d) => Chi2.qWeekendIndependence(s, d)),
     // diversity re-ranking over the retrieval pool (greedy MMR)
-    "sim_mmr_rerank" -> ((s, d) => Mmr.qMmrRerank(s, d))
+    "sim_mmr_rerank" -> ((s, d) => Mmr.qMmrRerank(s, d)),
+    // item-to-item co-purchase similarity (ranked by exact cosine²)
+    "mining_item_similarity" -> ((s, d) => Reco.qItemSimilarity(s, d)),
+    // quantile-bucket (equi-depth) histograms per event type
+    "profile_equidepth" -> ((s, d) => Profile.qEquiDepth(s, d)),
+    // order→ship latency SLA rollup with exact selection-rank p50/p90
+    "serving_ship_latency" -> ((s, d) => Profile.qShipLatency(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,7 +518,10 @@ object SparkEntry {
     "source_csv_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "source_jsonl_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "stats_chi2_weekend" -> Chi2.oWeekendIndependence,
-    "sim_mmr_rerank" -> Mmr.oMmrRerank
+    "sim_mmr_rerank" -> Mmr.oMmrRerank,
+    "mining_item_similarity" -> Reco.oItemSimilarity,
+    "profile_equidepth" -> Profile.oEquiDepth,
+    "serving_ship_latency" -> Profile.oShipLatency
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
