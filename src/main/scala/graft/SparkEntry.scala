@@ -309,7 +309,9 @@ object SparkEntry {
     // quantile-bucket (equi-depth) histograms per event type
     "profile_equidepth" -> ((s, d) => Profile.qEquiDepth(s, d)),
     // order→ship latency SLA rollup with exact selection-rank p50/p90
-    "serving_ship_latency" -> ((s, d) => Profile.qShipLatency(s, d))
+    "serving_ship_latency" -> ((s, d) => Profile.qShipLatency(s, d)),
+    // reciprocal-rank fusion of BM25 and term-frequency retrieval legs
+    "retrieval_hybrid_rrf" -> ((s, d) => Fusion.qHybridRrf(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,7 +523,8 @@ object SparkEntry {
     "sim_mmr_rerank" -> Mmr.oMmrRerank,
     "mining_item_similarity" -> Reco.oItemSimilarity,
     "profile_equidepth" -> Profile.oEquiDepth,
-    "serving_ship_latency" -> Profile.oShipLatency
+    "serving_ship_latency" -> Profile.oShipLatency,
+    "retrieval_hybrid_rrf" -> Fusion.oHybridRrf
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
