@@ -202,6 +202,14 @@ object Probe {
             col("embedding"), col("label"))
         drain(graft.operators.Quant.quantizedTopK(emb, k = 5, nQueries = 50))
       }
+      if (want("dsir")) {
+        // no source column on the replicated corpus → synthetic 20-way
+        val sourced = docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+        time("dsir select (hashed weights + global rank)") {
+          drain(graft.operators.Dsir.dsirSelect(sourced, "src0"))
+        }
+      }
       if (want("curate")) time("curate() end-to-end") {
         val out = java.nio.file.Files.createTempDirectory(s"graft-curate-$mult").toString
         println(s"[corpus] curate @ $n docs: ${Curation.curate(docs, out)}")

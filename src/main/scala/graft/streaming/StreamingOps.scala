@@ -353,6 +353,40 @@ object StreamingOps {
       .drop("session_id")
   }
 
+  case class HourCount(event_type: String, h: Timestamp, x: Long)
+  case class CusumOut(event_type: String, h: Timestamp, n_events: Long,
+    cusum_d: Long, alarm: Boolean)
+
+  /** Streaming form of [[graft.operators.Cusum]]: the same integer
+    * recurrence D ← max(0, D + 10n·x − 11Σx) applied to hourly counts
+    * AS THEY ARRIVE, with the reference parameters (n, Σx per series)
+    * supplied from a CALIBRATION period — which is how a live CUSUM is
+    * actually deployed: the batch operator derives its reference from
+    * the full series because it HAS the full series; a monitor watching
+    * the stream cannot, so the reference is trained offline and the
+    * detector carries ONE long of state per series across micro-batches.
+    * Within a batch, rows are processed in hour order so shuffle
+    * partitioning cannot reorder the recurrence; fed the dense hourly
+    * series with batch-matching calibration, the output is bit-equal to
+    * the batch operator (spec-pinned). */
+  def cusumStream(counts: Dataset[HourCount],
+      calib: Map[String, (Long, Long)]): Dataset[CusumOut] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[HourCount], state: GroupState[Long]) =>
+          val (n, sx) = calib(t)
+          var d = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.h.getTime).map { r =>
+            d = math.max(0L, d + 10 * n * r.x - 11 * sx)
+            CusumOut(t, r.h, r.x, d, d > 50 * sx)
+          }
+          state.update(d)
+          out.iterator
+      }
+  }
+
   case class MgEntry(shard: Int, term: String, est: Long, shard_seen: Long)
 
   /** Streaming Misra-Gries heavy-hitter summaries — the arrival-order

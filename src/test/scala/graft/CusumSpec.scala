@@ -43,6 +43,37 @@ class CusumSpec extends SparkSpecBase {
     assert(d == Seq(0L, 0L, 24L), s"got $d")
   }
 
+  test("streaming cusum with batch calibration equals the batch detector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = Cusum.qHourlyCusum(spark, sf).collect()
+    // calibration = the reference the batch form derives internally
+    val calib = batch.groupBy(_.getString(0)).map { case (t, rows) =>
+      t -> (rows.length.toLong, rows.map(_.getLong(2)).sum)
+    }
+    // feed the dense hourly series in hour-ordered thirds
+    val series = batch.map(r => StreamingOps.HourCount(
+      r.getString(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.h.getTime)
+    val src = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val ds = src.toDS().map { case (t, h, x) => StreamingOps.HourCount(t, h, x) }
+    val q = StreamingOps.cusumStream(ds, calib)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    series.grouped(series.length / 3 + 1).foreach { chunk =>
+      src.addData(chunk.map(c => (c.event_type, c.h, c.x)).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cusum_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val expected = batch.map(r => (r.getString(0), r.getTimestamp(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(streamed == expected,
+      s"stream ${streamed.size} rows vs batch ${expected.size}")
+  }
+
   test("fixture output is the dense grid and alarm implies the threshold") {
     val out = Cusum.qHourlyCusum(spark, sf).cache()
     val grid = out.groupBy(col("event_type")).count().collect()
