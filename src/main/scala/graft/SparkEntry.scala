@@ -311,7 +311,11 @@ object SparkEntry {
     // order→ship latency SLA rollup with exact selection-rank p50/p90
     "serving_ship_latency" -> ((s, d) => Profile.qShipLatency(s, d)),
     // reciprocal-rank fusion of BM25 and term-frequency retrieval legs
-    "retrieval_hybrid_rrf" -> ((s, d) => Fusion.qHybridRrf(s, d))
+    "retrieval_hybrid_rrf" -> ((s, d) => Fusion.qHybridRrf(s, d)),
+    // boundary-sweep peak concurrency (no interval self-join)
+    "temporal_concurrency" -> ((s, d) => Sweep.qPeakConcurrency(s, d)),
+    // seasonal-naive forecast backtest (MASE vs the naive-1 baseline)
+    "forecast_backtest_mase" -> ((s, d) => Sweep.qForecastBacktest(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -524,7 +528,9 @@ object SparkEntry {
     "mining_item_similarity" -> Reco.oItemSimilarity,
     "profile_equidepth" -> Profile.oEquiDepth,
     "serving_ship_latency" -> Profile.oShipLatency,
-    "retrieval_hybrid_rrf" -> Fusion.oHybridRrf
+    "retrieval_hybrid_rrf" -> Fusion.oHybridRrf,
+    "temporal_concurrency" -> Sweep.oPeakConcurrency,
+    "forecast_backtest_mase" -> Sweep.oForecastBacktest
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
