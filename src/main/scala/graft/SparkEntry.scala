@@ -315,7 +315,9 @@ object SparkEntry {
     // boundary-sweep peak concurrency (no interval self-join)
     "temporal_concurrency" -> ((s, d) => Sweep.qPeakConcurrency(s, d)),
     // seasonal-naive forecast backtest (MASE vs the naive-1 baseline)
-    "forecast_backtest_mase" -> ((s, d) => Sweep.qForecastBacktest(s, d))
+    "forecast_backtest_mase" -> ((s, d) => Sweep.qForecastBacktest(s, d)),
+    // zero-training k-NN label prediction + label-noise probe
+    "classify_knn_embeddings" -> ((s, d) => Knn.qKnnPredict(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,7 +532,8 @@ object SparkEntry {
     "serving_ship_latency" -> Profile.oShipLatency,
     "retrieval_hybrid_rrf" -> Fusion.oHybridRrf,
     "temporal_concurrency" -> Sweep.oPeakConcurrency,
-    "forecast_backtest_mase" -> Sweep.oForecastBacktest
+    "forecast_backtest_mase" -> Sweep.oForecastBacktest,
+    "classify_knn_embeddings" -> Knn.oKnnPredict
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
