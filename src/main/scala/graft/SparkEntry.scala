@@ -317,7 +317,9 @@ object SparkEntry {
     // seasonal-naive forecast backtest (MASE vs the naive-1 baseline)
     "forecast_backtest_mase" -> ((s, d) => Sweep.qForecastBacktest(s, d)),
     // zero-training k-NN label prediction + label-noise probe
-    "classify_knn_embeddings" -> ((s, d) => Knn.qKnnPredict(s, d))
+    "classify_knn_embeddings" -> ((s, d) => Knn.qKnnPredict(s, d)),
+    // day-N retention per first-seen cohort
+    "serving_retention_matrix" -> ((s, d) => Retention.qRetentionMatrix(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -533,7 +535,8 @@ object SparkEntry {
     "retrieval_hybrid_rrf" -> Fusion.oHybridRrf,
     "temporal_concurrency" -> Sweep.oPeakConcurrency,
     "forecast_backtest_mase" -> Sweep.oForecastBacktest,
-    "classify_knn_embeddings" -> Knn.oKnnPredict
+    "classify_knn_embeddings" -> Knn.oKnnPredict,
+    "serving_retention_matrix" -> Retention.oRetentionMatrix
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
