@@ -319,7 +319,9 @@ object SparkEntry {
     // zero-training k-NN label prediction + label-noise probe
     "classify_knn_embeddings" -> ((s, d) => Knn.qKnnPredict(s, d)),
     // day-N retention per first-seen cohort
-    "serving_retention_matrix" -> ((s, d) => Retention.qRetentionMatrix(s, d))
+    "serving_retention_matrix" -> ((s, d) => Retention.qRetentionMatrix(s, d)),
+    // cross-source quantile normalization by exact rank selection
+    "feature_quantile_normalize" -> ((s, d) => QuantNorm.qQuantileNormalize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -536,7 +538,8 @@ object SparkEntry {
     "temporal_concurrency" -> Sweep.oPeakConcurrency,
     "forecast_backtest_mase" -> Sweep.oForecastBacktest,
     "classify_knn_embeddings" -> Knn.oKnnPredict,
-    "serving_retention_matrix" -> Retention.oRetentionMatrix
+    "serving_retention_matrix" -> Retention.oRetentionMatrix,
+    "feature_quantile_normalize" -> QuantNorm.oQuantileNormalize
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QuantNorm
+
+class QuantNormSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("a shifted source maps onto the global distribution exactly") {
+    // source a: 1..4, source b: 101..104 (same shape, shifted)
+    val docs = ((1 to 4).map(i => (i.toLong, "a", i.toLong)) ++
+      (1 to 4).map(i => (100L + i, "b", 100L + i)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = QuantNorm.quantileNormalize(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // n_s=4, N=8: within-source rank r maps to global rank 2r →
+    // global sorted values (1,2,3,4,101,102,103,104) at ranks 2,4,6,8
+    // give normalized values 2, 4, 102, 104
+    assert(out(1L) == 2L && out(2L) == 4L && out(3L) == 102L && out(4L) == 104L)
+    // the shifted source lands on the SAME normalized values
+    assert(out(101L) == 2L && out(102L) == 4L && out(103L) == 102L && out(104L) == 104L)
+  }
+
+  test("normalization preserves within-source order; fixture is total") {
+    val out = QuantNorm.qQuantileNormalize(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // within each source, norm_chars is monotone in (n_chars, doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val bad = out.withColumn("prev", lag(col("norm_chars"), 1).over(w))
+      .filter(col("prev").isNotNull && col("norm_chars") < col("prev"))
+      .count()
+    assert(bad == 0, "normalized values must preserve source-local order")
+    // top-ranked doc per source maps to the global maximum
+    val gmax = out.agg(max(col("n_chars"))).head().getLong(0)
+    val tops = out.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").desc)))
+      .filter(col("rn") === 1)
+    assert(tops.filter(col("norm_chars") =!= gmax).count() == 0)
+  }
+}
