@@ -321,7 +321,9 @@ object SparkEntry {
     // day-N retention per first-seen cohort
     "serving_retention_matrix" -> ((s, d) => Retention.qRetentionMatrix(s, d)),
     // cross-source quantile normalization by exact rank selection
-    "feature_quantile_normalize" -> ((s, d) => QuantNorm.qQuantileNormalize(s, d))
+    "feature_quantile_normalize" -> ((s, d) => QuantNorm.qQuantileNormalize(s, d)),
+    // exact weighted quartiles (weights = quantities, integer selection)
+    "agg_weighted_median" -> ((s, d) => WeightedMedian.qWeightedQuartiles(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -539,7 +541,8 @@ object SparkEntry {
     "forecast_backtest_mase" -> Sweep.oForecastBacktest,
     "classify_knn_embeddings" -> Knn.oKnnPredict,
     "serving_retention_matrix" -> Retention.oRetentionMatrix,
-    "feature_quantile_normalize" -> QuantNorm.oQuantileNormalize
+    "feature_quantile_normalize" -> QuantNorm.oQuantileNormalize,
+    "agg_weighted_median" -> WeightedMedian.oWeightedQuartiles
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
