@@ -323,7 +323,11 @@ object SparkEntry {
     // cross-source quantile normalization by exact rank selection
     "feature_quantile_normalize" -> ((s, d) => QuantNorm.qQuantileNormalize(s, d)),
     // exact weighted quartiles (weights = quantities, integer selection)
-    "agg_weighted_median" -> ((s, d) => WeightedMedian.qWeightedQuartiles(s, d))
+    "agg_weighted_median" -> ((s, d) => WeightedMedian.qWeightedQuartiles(s, d)),
+    // per-type daily OLS trend slopes from exact paired moments
+    "stats_trend_by_type" -> ((s, d) => Trend.qDailyTrend(s, d)),
+    // hierarchical percent-of-parent revenue shares (region→nation)
+    "agg_share_of_parent" -> ((s, d) => Trend.qShareOfParent(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -542,7 +546,9 @@ object SparkEntry {
     "classify_knn_embeddings" -> Knn.oKnnPredict,
     "serving_retention_matrix" -> Retention.oRetentionMatrix,
     "feature_quantile_normalize" -> QuantNorm.oQuantileNormalize,
-    "agg_weighted_median" -> WeightedMedian.oWeightedQuartiles
+    "agg_weighted_median" -> WeightedMedian.oWeightedQuartiles,
+    "stats_trend_by_type" -> Trend.oDailyTrend,
+    "agg_share_of_parent" -> Trend.oShareOfParent
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
