@@ -14,6 +14,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL kernels + the dot(x,x)->self-dot optimizer rule
+    graft.plans.GraftExtensions.register(spark)
     // JIT/codegen warm-up so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }

@@ -45,6 +45,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL kernels + the dot(x,x)->self-dot optimizer rule
+    graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); the driver sets
     // nothing and always dumps the full set

@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.normalizeTextFunction)
     ext.injectFunction(GraftExtensions.int8CodesFunction)
     ext.injectFunction(GraftExtensions.int8DotFunction)
+    // dot(x, x) → fused self-dot kernel (one array read per element)
+    ext.injectOptimizerRule(_ => SelfDotRule)
   }
 }
 
@@ -73,12 +75,18 @@ object GraftExtensions {
       Int8Vec.Int8Dot(args.head, args(1))
     })
 
-  /** Register the functions on an already-running session. */
+  /** Register the functions AND the self-dot optimizer rule on an
+    * already-running session (conf-time extensions only apply at session
+    * construction; `experimental.extraOptimizations` is the documented
+    * live-session hook for optimizer rules). Idempotent. */
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimFunction, normalizeTextFunction,
         int8CodesFunction, int8DotFunction).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(SelfDotRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotRule
   }
 }

@@ -97,6 +97,32 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(viaSql == viaDsl && math.abs(viaSql - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("optimizer rule rewrites dot(x, x) to the fused self-dot, bit-equal") {
+    graft.plans.GraftExtensions.register(spark)
+    // parquet-backed source: a LocalRelation would be constant-folded
+    // away before the rewrite is visible in the optimized plan
+    val df = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val q = df.select($"vec_id",
+      graft.plans.DotProduct.dotNative($"embedding", $"embedding").as("selfd"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("selfdot"), s"rule did not fire:\n$opt")
+    // values are the identical fp sequence as the binary kernel
+    val manual = df.limit(20).collect().map { r =>
+      val a = r.getSeq[Float](1)
+      var acc = 0.0; a.foreach { x => acc += x.toDouble * x.toDouble }
+      r.getLong(0) -> acc
+    }.toMap
+    q.limit(20).collect().foreach { r =>
+      assert(r.getDouble(1) == manual(r.getLong(0)),
+        s"mismatch at vec ${r.getLong(0)}")
+    }
+    // dot over DIFFERENT sides is untouched
+    val q2 = df.as("a").join(df.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select(graft.plans.DotProduct.dotNative($"a.embedding", $"b.embedding"))
+    assert(!q2.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("selfdot"))
+  }
+
   test("normalize_text: composed and decomposed forms hash identically after NFC") {
     import graft.plans.NormalizeText.{normalizeText, stripAccents}
     val composed = "caf\u00e9"             // é as U+00E9
