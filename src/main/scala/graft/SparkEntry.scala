@@ -327,7 +327,11 @@ object SparkEntry {
     // per-type daily OLS trend slopes from exact paired moments
     "stats_trend_by_type" -> ((s, d) => Trend.qDailyTrend(s, d)),
     // hierarchical percent-of-parent revenue shares (region→nation)
-    "agg_share_of_parent" -> ((s, d) => Trend.qShareOfParent(s, d))
+    "agg_share_of_parent" -> ((s, d) => Trend.qShareOfParent(s, d)),
+    // duplicate-aware loss weights (down-weight, don't drop)
+    "curation_dup_weights" -> ((s, d) => DupWeights.qDupWeights(s, d)),
+    // padding-waste accounting: length-bucketed vs naive batching
+    "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -548,7 +552,9 @@ object SparkEntry {
     "feature_quantile_normalize" -> QuantNorm.oQuantileNormalize,
     "agg_weighted_median" -> WeightedMedian.oWeightedQuartiles,
     "stats_trend_by_type" -> Trend.oDailyTrend,
-    "agg_share_of_parent" -> Trend.oShareOfParent
+    "agg_share_of_parent" -> Trend.oShareOfParent,
+    "curation_dup_weights" -> DupWeights.oDupWeights,
+    "curation_padding_waste" -> DupWeights.oPaddingWaste
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
