@@ -331,7 +331,9 @@ object SparkEntry {
     // duplicate-aware loss weights (down-weight, don't drop)
     "curation_dup_weights" -> ((s, d) => DupWeights.qDupWeights(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
-    "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d))
+    "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
+    // forward as-of: each event joined to the customer's NEXT order
+    "asof_forward_next_order" -> ((s, d) => AsOf.qEventsAsofNextOrder(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -554,7 +556,8 @@ object SparkEntry {
     "stats_trend_by_type" -> Trend.oDailyTrend,
     "agg_share_of_parent" -> Trend.oShareOfParent,
     "curation_dup_weights" -> DupWeights.oDupWeights,
-    "curation_padding_waste" -> DupWeights.oPaddingWaste
+    "curation_padding_waste" -> DupWeights.oPaddingWaste,
+    "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -60,6 +60,90 @@ object AsOf {
         rightValueCols.map(c => col(s"_r_$c").as(c)): _*)
   }
 
+  /** FORWARD as-of: for each left row, the EARLIEST right row with the
+    * same key at or after the left time — the "next scheduled thing"
+    * direction (next order, next deploy, next maintenance window) that
+    * the backward join cannot express. Identical union-sort shape with
+    * time reversed: one window per key ordered by (time DESC, side),
+    * right rows before coincident left rows so an exactly-simultaneous
+    * right row is visible. Same one-shuffle cost; no expansion. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val taggedLeft = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key), col("_t"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(c => col(c).as(s"_l_$c")) ++
+        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val taggedRight = right
+      .withColumn("_t", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col("_t"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
+        rightValueCols.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightValueCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) =>
+        df.withColumn(s"_r_$c",
+          last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(Seq(col(key)) ++
+        leftCols.filterNot(_ == key).map(c => col(s"_l_$c").as(c)) ++
+        rightValueCols.map(c => col(s"_r_$c").as(c)): _*)
+  }
+
+  /** Each event joined to the customer's NEXT order at or after the
+    * event (deterministic: right side reduced to one row per
+    * (key, date), earliest orderkey — the forward mirror of the
+    * backward query's max_by convention). */
+  def qEventsAsofNextOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(min_by(col("o_orderkey"), col("o_orderkey")).as("o_orderkey"),
+        min_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    asofJoinForward(ev, ord, key = "user_id", leftTs = "ts",
+        rightTs = "o_orderdate",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: min-over-future via a window on the union ordering is the
+    * portable spelling (DuckDB's native ASOF is backward-only). */
+  def oEventsAsofNextOrder: String =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, o_orderdate,
+      |         min_by(o_orderkey, o_orderkey) AS o_orderkey,
+      |         min_by(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |u AS (
+      |  SELECT user_id, ts AS t, 1 AS side, event_id, ts, event_type, value,
+      |         NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, o_orderdate, 0, NULL, NULL, NULL, NULL,
+      |         o_orderkey, o_totalprice
+      |  FROM ord),
+      |c AS (
+      |  SELECT *,
+      |    last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY t DESC, side
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nk,
+      |    last_value(o_totalprice IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY t DESC, side
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np
+      |  FROM u)
+      |SELECT event_id, ts, user_id, event_type, value,
+      |       nk AS o_orderkey, np AS o_totalprice
+      |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin
+
   /** Events as-of joined to the customer's latest prior order: the
     * classic "state of the account at event time" enrichment. */
   def qEventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -34,6 +34,25 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(got(2).isNullAt(1))           // no prior quote for key 2
   }
 
+  test("forward asof attaches the earliest right row at or after each left ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100L),
+      (1L, ts("2024-01-01 10:00:20"), 101L),
+      (2L, ts("2024-01-01 10:00:40"), 200L))
+      .toDF("k", "t", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 9.9),
+      (1L, ts("2024-01-01 10:00:20"), 10.1), // simultaneous with trade 101
+      (2L, ts("2024-01-01 10:00:30"), 20.0)) // before trade 200 → no match
+      .toDF("k", "qt", "price")
+    val got = AsOf.asofJoinForward(trades, quotes, "k", "t", "qt", Seq("price"))
+      .orderBy("trade_id")
+      .select("trade_id", "price").collect()
+    assert(got(0).getDouble(1) == 9.9)   // 10:00:05 → next quote at :10
+    assert(got(1).getDouble(1) == 10.1)  // simultaneous quote visible
+    assert(got(2).isNullAt(1))           // no future quote for key 2
+  }
+
   test("native cosine kernel is bit-identical to the fold composition") {
     // the interpreted zip_with/aggregate fold is the reference here —
     // Similarity.dot itself now routes through the native DotProduct
