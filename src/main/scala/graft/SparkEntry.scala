@@ -333,7 +333,10 @@ object SparkEntry {
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
-    "asof_forward_next_order" -> ((s, d) => AsOf.qEventsAsofNextOrder(s, d))
+    "asof_forward_next_order" -> ((s, d) => AsOf.qEventsAsofNextOrder(s, d)),
+    // ORC landing format, gated against the parquet ground truth
+    "source_orc_roundtrip" ->
+      ((s, d) => graft.sources.TextFormats.qOrcRoundtrip(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -557,7 +560,8 @@ object SparkEntry {
     "agg_share_of_parent" -> Trend.oShareOfParent,
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
-    "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder
+    "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
+    "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -65,6 +65,21 @@ object TextFormats {
       .option("mode", "FAILFAST")
       .json(jsonlLayoutFor(spark, dir))
 
+  /** ORC — the OTHER columnar format Spark ships natively (a warehouse
+    * migrating from Hive hands you ORC, not parquet). Same gate shape:
+    * export once, read back, digest against parquet truth. Predicate
+    * pushdown/column pruning work as with parquet (PLANS-visible). */
+  def orcLayoutFor(spark: SparkSession, dir: String): String =
+    graft.Serving.buildOnce("docs_orc", dir) { path =>
+      Tables.documents(spark, dir).write.mode("overwrite").orc(path)
+    }
+
+  def readDocsOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(docsCsvSchema).orc(orcLayoutFor(spark, dir))
+
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    sourceDigest(readDocsOrc(spark, dir)).orderBy(col("source"))
+
   /** Per-source totals computed FROM THE CSV READ — any quoting/escape
     * corruption of text or keys lands in the fingerprint sum and fails
     * the gate, row counts alone would not catch a mangled column. */

@@ -355,6 +355,47 @@ class StreamingSpec extends SparkSpecBase {
       "spent quota re-admitted replayed docs")
   }
 
+  test("stateful dedup runs on the RocksDB state store and matches HDFS-backed state") {
+    // the 100 TB state backend: HDFS-backed state lives on the executor
+    // heap and dies by OOM at large key cardinality; RocksDB spills to
+    // local disk. Same query, both providers, identical results.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .limit(400).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val dup = rows ++ rows.take(100) // force the dedup state to matter
+    def runWith(provider: Option[String], name: String): Set[Long] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val src = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+        val q = StreamingOps.dedupStream(
+            src.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        dup.grouped(200).foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).select($"event_id").collect().map(_.getLong(0)).toSet
+      } finally {
+        provider.foreach(_ => prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        })
+      }
+    }
+    val rocks = runWith(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "dedup_rocks")
+    val hdfs = runWith(None, "dedup_hdfs")
+    val expected = rows.map(r => (r._3, r._2)).distinct.length
+    assert(rocks == hdfs && rocks.size == expected,
+      s"rocksdb ${rocks.size} vs hdfs ${hdfs.size} vs expected $expected")
+  }
+
   test("streaming Misra-Gries equals exact counts when nothing evicts, across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
