@@ -342,7 +342,11 @@ object Probe {
       "agg_pivot_priority" -> "pinned pivot: partial+final hash agg to the year×priority grid, no discovery pass",
       "anomaly_cusum_hourly" -> "CUSUM: corpus → per-(type,hour) partial-agg counts, calendar-bounded sequential fold per series",
       "regress_order_total" -> "trained OLS apply: order-level agg + three integer multiplies, model as literals",
-      "serving_dpp_revenue" -> "dynamic partition pruning: runtime subquery on the partition column feeds the fact scan; only qualifying year partitions read")
+      "serving_dpp_revenue" -> "dynamic partition pruning: runtime subquery on the partition column feeds the fact scan; only qualifying year partitions read",
+      "retrieval_hybrid_rrf" -> "RRF fusion: two ≤k-row leg pools, constant-size rank windows, pool×pool full-outer fuse",
+      "asof_forward_next_order" -> "forward as-of: one key shuffle, reversed union-ordering window, no inequality join",
+      "agg_weighted_median" -> "weighted quartiles: running integer weight window + crossing-row conditional agg, no division",
+      "sim_mmr_rerank" -> "MMR: declarative pool + pair-cosine joins, bounded per-query greedy in mapGroups")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
