@@ -336,7 +336,11 @@ object SparkEntry {
     "asof_forward_next_order" -> ((s, d) => AsOf.qEventsAsofNextOrder(s, d)),
     // ORC landing format, gated against the parquet ground truth
     "source_orc_roundtrip" ->
-      ((s, d) => graft.sources.TextFormats.qOrcRoundtrip(s, d))
+      ((s, d) => graft.sources.TextFormats.qOrcRoundtrip(s, d)),
+    // Benford first-digit forensics on order totals
+    "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
+    // join-skew report with the integer salt recommendation
+    "plan_join_skew" -> ((s, d) => Diagnostics.qJoinSkew(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -561,7 +565,9 @@ object SparkEntry {
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
-    "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip
+    "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
+    "quality_benford_digits" -> Diagnostics.oBenford,
+    "plan_join_skew" -> Diagnostics.oJoinSkew
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Two forensic/diagnostic reports in exact arithmetic:
+  *
+  * 1. BENFORD FIRST-DIGIT TEST on order totals — the classic fraud /
+  *    synthetic-data screen: organic multi-scale amounts follow
+  *    P(d) = log₁₀(1+1/d); fabricated or truncated ones don't. The
+  *    first digit is extracted through exact DECIMAL cents and string
+  *    truncation (no log, no float): observed shares in milli vs the
+  *    published Benford constants, absolute deviations per digit.
+  *
+  * 2. JOIN-SKEW REPORT for a fact join key — the planning question
+  *    "will this join need salting?" answered from data: top heavy
+  *    keys, max/mean ratio in milli, and the integer salt factor
+  *    ⌈max/mean⌉ that [[Scale.saltedAgg]] would take. Mean is exact
+  *    cross-multiplied (n_rows·1000 / n_keys); all BIGINTs.
+  */
+object Diagnostics {
+
+  /** P(d)·1000 for d = 1..9, rounded — fixed public constants. */
+  private val BenfordMilli =
+    Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  def benfordFirstDigit(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val digits = orders
+      .select(substring(
+        col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .as("digit"))
+      .filter(col("digit").between("1", "9"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("nn"))
+    val expected = BenfordMilli.zipWithIndex
+      .map { case (m, i) => ((i + 1).toString, m) }
+      .toDF("digit", "benford_milli")
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .withColumn("share_milli", expr("(n * 1000) div nn"))
+      .withColumn("dev_milli",
+        abs(col("share_milli") - col("benford_milli")))
+      .select(col("digit"), col("n"), col("share_milli"),
+        col("benford_milli"), col("dev_milli"))
+  }
+
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordFirstDigit(Tables.orders(spark, dir)).orderBy(col("digit"))
+
+  def oBenford: String = {
+    val values = BenfordMilli.zipWithIndex
+      .map { case (m, i) => s"('${i + 1}', $m)" }.mkString(", ")
+    s"""WITH d AS (
+      |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+      |    AS digit
+      |  FROM orders),
+      |c AS (
+      |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+      |  WHERE digit BETWEEN '1' AND '9' GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+      |e(digit, benford_milli) AS (VALUES $values)
+      |SELECT c.digit, c.n, CAST((c.n * 1000) // t.nn AS BIGINT) AS share_milli,
+      |  CAST(e.benford_milli AS BIGINT) AS benford_milli,
+      |  CAST(abs((c.n * 1000) // t.nn - e.benford_milli) AS BIGINT) AS dev_milli
+      |FROM c, t JOIN e ON e.digit = c.digit
+      |ORDER BY c.digit""".stripMargin
+  }
+
+  // ------------------------------------------------------ join skew
+
+  def joinSkewReport(fact: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = fact.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"), max(col("n_rows")).as("max_rows"))
+    counts
+      .orderBy(col("n_rows").desc, col(key)).limit(topK)
+      .crossJoin(broadcast(stats))
+      // mean·1000 exact-cross-multiplied; salt = ceil(max/mean) =
+      // ceil(max·n_keys / total) in integers
+      .withColumn("mean_milli", expr("(total_rows * 1000) div n_keys"))
+      .withColumn("skew_milli",
+        expr("(n_rows * 1000 * n_keys) div total_rows"))
+      .withColumn("salt_factor",
+        expr("(max_rows * n_keys + total_rows - 1) div total_rows"))
+      .select(col(key), col("n_rows"), col("mean_milli"),
+        col("skew_milli"), col("salt_factor"))
+  }
+
+  def qJoinSkew(spark: SparkSession, dir: String): DataFrame =
+    joinSkewReport(Tables.lineitem(spark, dir), "l_suppkey")
+      .orderBy(col("n_rows").desc, col("l_suppkey"))
+
+  def oJoinSkew: String =
+    """WITH c AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(max(n_rows) AS BIGINT) AS max_rows
+      |  FROM c),
+      |t AS (SELECT * FROM c ORDER BY n_rows DESC, l_suppkey LIMIT 10)
+      |SELECT t.l_suppkey, t.n_rows,
+      |  CAST((s.total_rows * 1000) // s.n_keys AS BIGINT) AS mean_milli,
+      |  CAST((t.n_rows * 1000 * s.n_keys) // s.total_rows AS BIGINT) AS skew_milli,
+      |  CAST((s.max_rows * s.n_keys + s.total_rows - 1) // s.total_rows AS BIGINT)
+      |    AS salt_factor
+      |FROM t, s ORDER BY t.n_rows DESC, t.l_suppkey""".stripMargin
+}
