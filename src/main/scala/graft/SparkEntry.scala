@@ -340,7 +340,9 @@ object SparkEntry {
     // Benford first-digit forensics on order totals
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
-    "plan_join_skew" -> ((s, d) => Diagnostics.qJoinSkew(s, d))
+    "plan_join_skew" -> ((s, d) => Diagnostics.qJoinSkew(s, d)),
+    // watermark-lateness profile from arrival-order replay
+    "streaming_late_profile" -> ((s, d) => Lateness.qLatenessProfile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -567,7 +569,8 @@ object SparkEntry {
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "quality_benford_digits" -> Diagnostics.oBenford,
-    "plan_join_skew" -> Diagnostics.oJoinSkew
+    "plan_join_skew" -> Diagnostics.oJoinSkew,
+    "streaming_late_profile" -> Lateness.oLatenessProfile
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

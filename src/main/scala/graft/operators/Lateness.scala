@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Watermark-lateness profile — the design input for every streaming
+  * watermark choice: replay history in ARRIVAL order (event_id is the
+  * ingestion sequence), track the running event-time high-water mark,
+  * and measure each event's lateness against it. The bucketed histogram
+  * IS the answer to "how much data does a 1-hour watermark drop?" —
+  * measured from the pipeline's own history instead of guessed
+  * (StreamingOps picks 2 h; this query is where such a number should
+  * come from).
+  *
+  * Exactness: lateness is an integer second difference against a
+  * running max over a pinned ordering; buckets are CASE ranges; shares
+  * are ⌊·1000⌋. One global-ordered window — at 100 TB the running max
+  * swaps onto [[Scale.globalRank]]'s per-partition offset pattern (max
+  * per arrival range, broadcast prefix maxima), same as every other
+  * global running aggregate in the repo. */
+object Lateness {
+
+  def latenessProfile(events: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events
+      .select(col("event_id"), col("ts").cast("long").as("tsec"))
+      .withColumn("hwm", max(col("tsec")).over(w))
+      .withColumn("late_s", col("hwm") - col("tsec"))
+      .withColumn("bucket",
+        when(col("late_s") === 0, "a_on_time")
+          .when(col("late_s") <= 60, "b_1min")
+          .when(col("late_s") <= 3600, "c_1hour")
+          .when(col("late_s") <= 7200, "d_2hours")
+          .otherwise("e_later"))
+    val total = late.agg(count(lit(1)).as("nn"))
+    late.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_milli", expr("(n * 1000) div nn"))
+      .select(col("bucket"), col("n"), col("max_late_s"), col("share_milli"))
+  }
+
+  def qLatenessProfile(spark: SparkSession, dir: String): DataFrame =
+    latenessProfile(Tables.events(spark, dir)).orderBy(col("bucket"))
+
+  def oLatenessProfile: String =
+    """WITH l AS (
+      |  SELECT event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS tsec FROM events),
+      |h AS (
+      |  SELECT *, max(tsec) OVER (ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      |  FROM l),
+      |b AS (
+      |  SELECT hwm - tsec AS late_s,
+      |    CASE WHEN hwm - tsec = 0 THEN 'a_on_time'
+      |         WHEN hwm - tsec <= 60 THEN 'b_1min'
+      |         WHEN hwm - tsec <= 3600 THEN 'c_1hour'
+      |         WHEN hwm - tsec <= 7200 THEN 'd_2hours'
+      |         ELSE 'e_later' END AS bucket
+      |  FROM h),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+      |  CAST((count(*) * 1000) // t.nn AS BIGINT) AS share_milli
+      |FROM b, t GROUP BY bucket, t.nn ORDER BY bucket""".stripMargin
+}
