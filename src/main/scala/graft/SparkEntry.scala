@@ -342,7 +342,9 @@ object SparkEntry {
     // join-skew report with the integer salt recommendation
     "plan_join_skew" -> ((s, d) => Diagnostics.qJoinSkew(s, d)),
     // watermark-lateness profile from arrival-order replay
-    "streaming_late_profile" -> ((s, d) => Lateness.qLatenessProfile(s, d))
+    "streaming_late_profile" -> ((s, d) => Lateness.qLatenessProfile(s, d)),
+    // rendezvous-hash assignment: cheap cluster resize, measured
+    "scale_rendezvous_resize" -> ((s, d) => Rendezvous.qRendezvousResize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -570,7 +572,8 @@ object SparkEntry {
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,
-    "streaming_late_profile" -> Lateness.oLatenessProfile
+    "streaming_late_profile" -> Lateness.oLatenessProfile,
+    "scale_rendezvous_resize" -> Rendezvous.oRendezvousResize
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
