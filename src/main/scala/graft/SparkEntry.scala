@@ -344,7 +344,11 @@ object SparkEntry {
     // watermark-lateness profile from arrival-order replay
     "streaming_late_profile" -> ((s, d) => Lateness.qLatenessProfile(s, d)),
     // rendezvous-hash assignment: cheap cluster resize, measured
-    "scale_rendezvous_resize" -> ((s, d) => Rendezvous.qRendezvousResize(s, d))
+    "scale_rendezvous_resize" -> ((s, d) => Rendezvous.qRendezvousResize(s, d)),
+    // KMV bottom-k distinct sketch — the oracle-able HLL alternative
+    "sketch_kmv_distinct" -> ((s, d) => Sketches.qKmvDistinct(s, d)),
+    // count-min frequency grid, point-queried at the hottest terms
+    "sketch_cms_counts" -> ((s, d) => Sketches.qCmsTopTerms(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -573,7 +577,9 @@ object SparkEntry {
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,
     "streaming_late_profile" -> Lateness.oLatenessProfile,
-    "scale_rendezvous_resize" -> Rendezvous.oRendezvousResize
+    "scale_rendezvous_resize" -> Rendezvous.oRendezvousResize,
+    "sketch_kmv_distinct" -> Sketches.oKmvDistinct,
+    "sketch_cms_counts" -> Sketches.oCmsTopTerms
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded

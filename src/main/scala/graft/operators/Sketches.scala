@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Fully ORACLE-ABLE mergeable sketches: KMV (bottom-k) distinct
+  * counting and a count-min frequency sketch.
+  *
+  * [[Scale.qSketchStats]] uses Spark's native HLL, whose register
+  * layout no other engine reproduces — it is the one rows-only gate in
+  * the whole surface. These two sketches close that gap: both are
+  * built from the cross-engine 56-bit md5 hash ([[TextFns.md5u56]]),
+  * use integer arithmetic end to end, and therefore hash-match their
+  * DuckDB twins exactly while keeping the properties that matter at
+  * 100 TB — constant size per group and cell-wise/set-wise
+  * mergeability (spec-pinned), so shards sketch independently and a
+  * coordinator folds tiny artifacts instead of re-scanning events.
+  *
+  * KMV (k minimum values, Bar-Yossef et al. 2002): keep the k smallest
+  * distinct hash values of a key set; with hashes uniform on [0, M),
+  * the k-th smallest m_k estimates the distinct count as
+  * (k−1)·M / m_k. Sketch = k longs; union(A, B) = k smallest of
+  * sig(A) ∪ sig(B).
+  *
+  * Count-min (Cormode & Muthukrishnan 2005): a d×w integer grid;
+  * count(key) adds to cell (i, h_i(key) mod w) for each of d salted
+  * hash rows; the estimate is the min over the d cells — always an
+  * OVERestimate (collisions only add). The sketch is a linear map of
+  * the count vector, so per-shard sketches merge by cell-wise sum.
+  *
+  * Scale shape: KMV shuffles only DISTINCT (group, hash) pairs, then
+  * ranks within group — never raw events twice. CMS is built from the
+  * per-term partial counts (linearity makes that identical to
+  * per-occurrence increments), so the grid costs d extra rows per
+  * DISTINCT term, not per token.
+  */
+object Sketches {
+
+  /** KMV sketch size. */
+  val K = 64
+  /** md5u56 hash domain: [0, 2^56). (K−1)·M = 63·2^56 < 2^63. */
+  val M: Long = 1L << 56
+
+  /** Distinct (group, hash) pairs of `keyCol` hashed into [0, M). */
+  private def distinctHashes(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.select(col(groupCol),
+        TextFns.md5u56(col(keyCol).cast("string")).as("h"))
+      .distinct()
+
+  /** Bottom-K hash rows per group — the KMV signature in row form
+    * (≤ K rows per group; the mergeable artifact). */
+  def kmvSig(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    distinctHashes(df, groupCol, keyCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+  }
+
+  /** Union of two row-form signatures = signature of the union of the
+    * underlying key sets (k smallest of the merged hash sets). */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    a.select(col(groupCol), col("h"))
+      .union(b.select(col(groupCol), col("h")))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+  }
+
+  /** Distinct-count estimate per group from a row-form signature:
+    * exact when the group holds < K distinct hashes (the sketch IS the
+    * set), else (K−1)·M div m_K — all long arithmetic, so the DuckDB
+    * twin reproduces it bit for bit. */
+  def kmvEstimate(sig: DataFrame, groupCol: String): DataFrame =
+    sig.groupBy(col(groupCol))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_kept"))
+      .withColumn("est_distinct",
+        when(col("k_kept") < K, col("k_kept"))
+          .otherwise(expr(s"(${K - 1}L * ${M}L) div kth_hash")))
+
+  /** Per-event-type distinct-user estimate next to the exact count and
+    * the error in basis points — the self-check a planner reads before
+    * trusting the sketch at scale. */
+  def kmvDistinct(events: DataFrame): DataFrame = {
+    val dh = distinctHashes(events, "event_type", "user_id")
+    Dedup.withCached(dh) { d =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val sig = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      val est = kmvEstimate(sig, "event_type")
+      val exact = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "event_type")
+        .withColumn("err_bp",
+          expr("(abs(est_distinct - exact_distinct) * 10000) div exact_distinct"))
+        .select(col("event_type"), col("k_kept"), col("kth_hash"),
+          col("est_distinct"), col("exact_distinct"), col("err_bp"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinct(Tables.events(spark, dir))
+
+  def oKmvDistinct: String = {
+    val h = TextFns.md5u56Sql("CAST(user_id AS VARCHAR)")
+    raw"""WITH dh AS (
+      |  SELECT DISTINCT event_type, $h AS h FROM events),
+      |sig AS (
+      |  SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM dh QUALIFY rn <= $K),
+      |est AS (
+      |  SELECT event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+      |         CAST(count(*) AS BIGINT) AS k_kept
+      |  FROM sig GROUP BY event_type),
+      |exact AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+      |  FROM dh GROUP BY event_type)
+      |SELECT e.event_type, k_kept, kth_hash,
+      |       CAST(CASE WHEN k_kept < $K THEN k_kept
+      |                 ELSE (${K - 1} * ${M}) // kth_hash END AS BIGINT)
+      |         AS est_distinct,
+      |       exact_distinct,
+      |       (abs(CAST(CASE WHEN k_kept < $K THEN k_kept
+      |                 ELSE (${K - 1} * ${M}) // kth_hash END AS BIGINT)
+      |            - exact_distinct) * 10000) // exact_distinct AS err_bp
+      |FROM est e JOIN exact x ON e.event_type = x.event_type
+      |ORDER BY e.event_type""".stripMargin
+  }
+
+  /** Count-min grid depth (salted hash rows) and width (buckets). */
+  val D = 4
+  val W = 1024L
+
+  /** Exact per-term token counts over the corpus — the count vector
+    * the linear sketch is a projection of. */
+  private def termCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFns.words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** The d×w grid in row form: (i, bucket) → cell sum. Built from the
+    * per-term partials; by linearity this equals per-occurrence
+    * increments, at d rows per DISTINCT term instead of per token. */
+  def cmsCells(counts: DataFrame): DataFrame =
+    counts
+      .select(explode(array((0 until D).map(lit): _*)).as("i"),
+        col("term"), col("cnt"))
+      .withColumn("bucket",
+        pmod(TextFns.md5u56(
+          concat(col("i").cast("string"), lit("#"), col("term"))), lit(W)))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cell"))
+
+  /** Point-query the 20 hottest terms against the sketch: estimate =
+    * min over the d cells; `overest` is the collision inflation (≥ 0
+    * by construction — the spec pins it). */
+  def cmsTopTerms(docs: DataFrame): DataFrame = {
+    val counts = termCounts(docs)
+    Dedup.withCached(counts) { c =>
+      val top = c.orderBy(col("cnt").desc, col("term")).limit(20)
+      val cells = cmsCells(c)
+      val probes = top
+        .select(explode(array((0 until D).map(lit): _*)).as("i"),
+          col("term"), col("cnt"))
+        .withColumn("bucket",
+          pmod(TextFns.md5u56(
+            concat(col("i").cast("string"), lit("#"), col("term"))), lit(W)))
+      probes.join(cells, Seq("i", "bucket"))
+        .groupBy(col("term"))
+        .agg(max(col("cnt")).as("exact_cnt"), min(col("cell")).as("est_cnt"))
+        .withColumn("overest", col("est_cnt") - col("exact_cnt"))
+        .select(col("term"), col("exact_cnt"), col("est_cnt"), col("overest"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    }
+  }
+
+  def qCmsTopTerms(spark: SparkSession, dir: String): DataFrame =
+    cmsTopTerms(Tables.documents(spark, dir))
+
+  def oCmsTopTerms: String = {
+    val h = TextFns.md5u56Sql("CAST(i AS VARCHAR) || '#' || term")
+    raw"""WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |counts AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+      |  WHERE length(term) > 0 GROUP BY term),
+      |cells AS (
+      |  SELECT i, $h % $W AS bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      |  FROM counts, range($D) t(i) GROUP BY 1, 2),
+      |top AS (
+      |  SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 20),
+      |probes AS (
+      |  SELECT term, cnt, i, $h % $W AS bucket FROM top, range($D) t(i))
+      |SELECT p.term, max(p.cnt) AS exact_cnt, min(c.cell) AS est_cnt,
+      |       min(c.cell) - max(p.cnt) AS overest
+      |FROM probes p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+      |GROUP BY p.term
+      |ORDER BY exact_cnt DESC, term""".stripMargin
+  }
+}
