@@ -348,7 +348,9 @@ object SparkEntry {
     // KMV bottom-k distinct sketch — the oracle-able HLL alternative
     "sketch_kmv_distinct" -> ((s, d) => Sketches.qKmvDistinct(s, d)),
     // count-min frequency grid, point-queried at the hottest terms
-    "sketch_cms_counts" -> ((s, d) => Sketches.qCmsTopTerms(s, d))
+    "sketch_cms_counts" -> ((s, d) => Sketches.qCmsTopTerms(s, d)),
+    // prefix-dim (Matryoshka) retrieval recall vs the full-dim ranking
+    "sim_matryoshka_recall" -> ((s, d) => Matryoshka.qPrefixRecall(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -579,7 +581,8 @@ object SparkEntry {
     "streaming_late_profile" -> Lateness.oLatenessProfile,
     "scale_rendezvous_resize" -> Rendezvous.oRendezvousResize,
     "sketch_kmv_distinct" -> Sketches.oKmvDistinct,
-    "sketch_cms_counts" -> Sketches.oCmsTopTerms
+    "sketch_cms_counts" -> Sketches.oCmsTopTerms,
+    "sim_matryoshka_recall" -> Matryoshka.oPrefixRecall
   ) ++
     // The sampled-k-means ANN twins are GENERATED from the trained
     // centroids/codebooks (deterministic: fixed seeds, bounded
