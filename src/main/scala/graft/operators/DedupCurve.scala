@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dedup threshold-sweep curve: how many pairs fire, how many documents
+  * are touched, and how much data a keep-min dedup would remove at each
+  * candidate Jaccard threshold — from ONE candidate pass.
+  *
+  * Why it exists: picking the near-dup threshold is the highest-stakes
+  * dial in corpus curation (too low deletes good data, too high ships
+  * duplicates into training). The naive way to chart the trade-off runs
+  * the dedup once per threshold — five full corpus sweeps for a
+  * five-point curve. This operator exploits that the candidate set at
+  * the LOWEST threshold contains every higher threshold's pairs: one
+  * candidate generation + one exact-Jaccard verify, then each pair's
+  * integer threshold grade ⌊100·J⌋ is folded into per-threshold counts.
+  * At 100 TB the curve costs the same as the single cheapest dedup run.
+  *
+  * Semantics (mirrored in the oracle): candidates are pairs sharing at
+  * least one NON-boilerplate shingle (document frequency ≤ [[Cap]] —
+  * the [[Dedup.shingleJaccardPairs]] hot-shingle rule); their Jaccard
+  * is then exact over the FULL shingle sets (the
+  * [[Dedup.jaccardPrefixPairs]] verify discipline). A pair invisible at
+  * this rule shares only boilerplate shingles — exactly the pairs a
+  * dedup should not fire on. All grading is integer: a pair passes
+  * threshold t% iff 100·inter ≥ t·union iff t ≤ (inter·100) div union.
+  *
+  * docs_removed counts the keep-min losers (distinct doc_b), the actual
+  * data-loss number; removed_bp scales it to the corpus in basis
+  * points by long division.
+  */
+object DedupCurve {
+
+  val Cap = 1000
+  val Thresholds = Seq(50, 60, 70, 80, 90)
+
+  def thresholdCurve(docs: DataFrame): DataFrame =
+    Dedup.withCached(Dedup.shingled(docs)) { sh =>
+      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > Cap).select(col("sh"))
+      val rare = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+      val cands = rare.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val setsA = sh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sha"), col("n_sh").as("n_a"))
+      val setsB = sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("shb"), col("n_sh").as("n_b"))
+      val pt = cands.join(setsA, "doc_a").join(setsB, "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
+        .withColumn("pair_t", expr("(inter * 100) div union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("pair_t"))
+
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val thr = Thresholds.toDF("threshold_pct")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+
+      val kept = pt.join(broadcast(thr), col("pair_t") >= col("threshold_pct"))
+      val pairsAgg = kept.groupBy(col("threshold_pct"))
+        .agg(count(lit(1)).as("pairs_ge"),
+          countDistinct(col("doc_b")).as("docs_removed"))
+      val docsAff = kept
+        .select(col("threshold_pct"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("threshold_pct"))
+        .agg(countDistinct(col("doc")).as("docs_affected"))
+
+      thr.join(pairsAgg, Seq("threshold_pct"), "left")
+        .join(docsAff, Seq("threshold_pct"), "left")
+        .crossJoin(broadcast(nDocs))
+        .select(col("threshold_pct"),
+          coalesce(col("pairs_ge"), lit(0L)).as("pairs_ge"),
+          coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+          coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
+          expr("(coalesce(docs_removed, 0L) * 10000) div n_docs").as("removed_bp"))
+        .orderBy(col("threshold_pct"))
+    }
+
+  def qThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    thresholdCurve(Tables.documents(spark, dir))
+
+  def oThresholdCurve: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |shx AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles
+      |  FROM w),
+      |sh AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM shx),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      |hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > $Cap),
+      |rare AS (SELECT * FROM ex WHERE sh NOT IN (SELECT sh FROM hot)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |pt AS (
+      |  SELECT doc_a, doc_b,
+      |    (len(list_intersect(sa.shingles, sb.shingles)) * 100)
+      |      // (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))
+      |      AS pair_t
+      |  FROM cands
+      |  JOIN sh sa ON sa.doc_id = cands.doc_a
+      |  JOIN sh sb ON sb.doc_id = cands.doc_b),
+      |thr AS (SELECT unnest([${Thresholds.mkString(", ")}]) AS threshold_pct),
+      |kept AS (
+      |  SELECT threshold_pct, doc_a, doc_b
+      |  FROM pt, thr WHERE pair_t >= threshold_pct),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |pa AS (
+      |  SELECT threshold_pct, CAST(count(*) AS BIGINT) AS pairs_ge,
+      |         CAST(count(DISTINCT doc_b) AS BIGINT) AS docs_removed
+      |  FROM kept GROUP BY 1),
+      |da AS (
+      |  SELECT threshold_pct, CAST(count(DISTINCT doc) AS BIGINT) AS docs_affected
+      |  FROM (SELECT threshold_pct, unnest([doc_a, doc_b]) AS doc FROM kept)
+      |  GROUP BY 1)
+      |SELECT t.threshold_pct,
+      |       coalesce(pairs_ge, CAST(0 AS BIGINT)) AS pairs_ge,
+      |       coalesce(docs_affected, CAST(0 AS BIGINT)) AS docs_affected,
+      |       coalesce(docs_removed, CAST(0 AS BIGINT)) AS docs_removed,
+      |       (coalesce(docs_removed, CAST(0 AS BIGINT)) * 10000) // n_docs AS removed_bp
+      |FROM thr t
+      |LEFT JOIN pa ON t.threshold_pct = pa.threshold_pct
+      |LEFT JOIN da ON t.threshold_pct = da.threshold_pct, nd
+      |ORDER BY t.threshold_pct""".stripMargin
+}
