@@ -30,6 +30,10 @@ object Metrics {
 
   final class Ledger extends QueryExecutionListener {
     private val entries = new ConcurrentLinkedQueue[QueryRecord]()
+    // ConcurrentLinkedQueue.size is O(n); a saturated ledger would walk
+    // MaxEntries nodes per completed query on the listener bus (ADVICE
+    // r9) — track the count in an AtomicInteger instead
+    private val nEntries = new java.util.concurrent.atomic.AtomicInteger(0)
 
     /** Walk INCLUDING adaptive wrappers: AQE hides the materialized tree
       * behind AdaptiveSparkPlanExec/QueryStageExec, which `foreach` does
@@ -63,7 +67,11 @@ object Metrics {
 
     private def record(r: QueryRecord): Unit = {
       entries.add(r)
-      while (entries.size > MaxEntries) entries.poll()
+      var n = nEntries.incrementAndGet()
+      while (n > MaxEntries) {
+        if (entries.poll() != null) n = nEntries.decrementAndGet()
+        else n = 0
+      }
     }
 
     override def onSuccess(funcName: String, qe: QueryExecution,
@@ -85,7 +93,7 @@ object Metrics {
       b.result()
     }
 
-    def clear(): Unit = entries.clear()
+    def clear(): Unit = { entries.clear(); nEntries.set(0) }
   }
 
   /** Attach a fresh ledger to the session and return it. */

@@ -45,25 +45,64 @@ object Serving {
     finally s.close()
   }
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+
+  private def freshnessOf(path: String): Long = {
+    val marker = Paths.get(path, "_SOURCE_MTIME")
+    if (Files.exists(marker))
+      scala.util.Try(Files.readString(marker).trim.toLong).getOrElse(-2L)
+    else -2L
+  }
+
   /** Return the artifact path for (`kind`, `dir`), running `build(path)`
     * first iff the artifact is missing or older than the newest source
     * file. `build` must write the artifact at the given path (overwrite
-    * mode); the freshness marker is stamped only after it returns. */
+    * mode); it actually receives a STAGING path which is atomically
+    * renamed over the final one only after it returns, so readers in any
+    * process see either the old complete artifact or the new complete
+    * artifact, never a half-written directory. Builders across JVMs
+    * (e.g. Bench and Verify on the same dataset) are serialized by an OS
+    * file lock on `<path>.lock` — the JVM-local monitor alone guards
+    * only same-process races (ADVICE r9). */
   def buildOnce(kind: String, dir: String)(build: String => Unit): String = {
     val path = artifactPath(kind, dir)
     val lock = locks.computeIfAbsent(path, _ => new Object)
+    // JVM-local monitor first: overlapping FileLocks in one JVM throw
     lock.synchronized {
-      val marker = Paths.get(path, "_SOURCE_MTIME")
       val srcMtime = newestSourceMtime(dir)
-      val builtFor =
-        if (Files.exists(marker))
-          scala.util.Try(Files.readString(marker).trim.toLong).getOrElse(-2L)
-        else -2L
-      if (builtFor < srcMtime || builtFor == -2L) {
-        build(path)
-        Files.createDirectories(Paths.get(path))
-        Files.writeString(marker, srcMtime.toString): Path
-        ()
+      if (freshnessOf(path) < srcMtime || freshnessOf(path) == -2L) {
+        Files.createDirectories(Paths.get(path).getParent)
+        val ch = java.nio.channels.FileChannel.open(Paths.get(path + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock() // blocks until the other process finishes
+          try {
+            // re-check under the lock: the other process may have built
+            if (freshnessOf(path) < srcMtime || freshnessOf(path) == -2L) {
+              val tmp = Paths.get(path + ".build")
+              deleteRecursively(tmp)
+              build(tmp.toString)
+              Files.createDirectories(tmp)
+              Files.writeString(tmp.resolve("_SOURCE_MTIME"),
+                srcMtime.toString): Path
+              deleteRecursively(Paths.get(path))
+              try Files.move(tmp, Paths.get(path),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case _: java.nio.file.AtomicMoveNotSupportedException =>
+                  Files.move(tmp, Paths.get(path)): Path
+                  ()
+              }
+            }
+          } finally fl.release()
+        } finally ch.close()
       }
     }
     path

@@ -330,6 +330,8 @@ object SparkEntry {
     "agg_share_of_parent" -> ((s, d) => Trend.qShareOfParent(s, d)),
     // duplicate-aware loss weights (down-weight, don't drop)
     "curation_dup_weights" -> ((s, d) => DupWeights.qDupWeights(s, d)),
+    // dedup threshold-sweep trade-off curve from one candidate pass
+    "curation_dedup_curve" -> ((s, d) => DedupCurve.qThresholdCurve(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -573,6 +575,7 @@ object SparkEntry {
     "stats_trend_by_type" -> Trend.oDailyTrend,
     "agg_share_of_parent" -> Trend.oShareOfParent,
     "curation_dup_weights" -> DupWeights.oDupWeights,
+    "curation_dedup_curve" -> DedupCurve.oThresholdCurve,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

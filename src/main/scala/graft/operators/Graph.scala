@@ -86,6 +86,10 @@ object Graph {
     // one control-plane scalar per call: drives both init_fp and the
     // join-strategy dial
     val nNodes = deg.count()
+    // empty edge set: lit(Scale / nNodes) below would divide by zero at
+    // plan-BUILD time (ADVICE r9); return the (empty) ranks frame instead
+    if (nNodes == 0L)
+      return deg.select(col("node"), col("outdeg"), lit(0L).as("rank_fp"))
     val useBroadcast = broadcastRanks.getOrElse(nNodes <= BroadcastNodeCap)
     // shuffle mode pays one up-front edge shuffle; localCheckpoint
     // materializes it WITH its HashPartitioning(src) preserved, so every

@@ -54,6 +54,10 @@ object TextFormats {
   def readDocsCsv(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(docsCsvSchema)
       .option("header", "true").option("mode", "FAILFAST")
+      // the writer legally emits QUOTED embedded newlines; without
+      // multiLine the reader splits records mid-cell and FAILFAST aborts
+      // (ADVICE r9 — the spec's newline round-trip only passes WITH it)
+      .option("multiLine", "true")
       // the reader TRIMS cell whitespace by default — data-mangling for
       // a text corpus (measured: trailing spaces silently dropped)
       .option("ignoreLeadingWhiteSpace", "false")

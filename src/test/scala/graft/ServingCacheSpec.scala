@@ -20,6 +20,32 @@ class ServingCacheSpec extends SparkSpecBase {
     assert(Serving.artifactPath("codes", "/root/testdata/sf0.01") != p1)
   }
 
+  test("build stages to a temp path and a failed build leaves the old artifact intact") {
+    val src = Files.createTempDirectory("graft-serving-src2")
+    Files.writeString(src.resolve("part-0.parquet"), "v1")
+    var stagedPath: String = null
+    val p = Serving.buildOnce("spec_stage", src.toString) { bp =>
+      stagedPath = bp
+      Files.createDirectories(Paths.get(bp))
+      Files.writeString(Paths.get(bp, "payload"), "good")
+    }
+    // the callback never writes the final path directly (ADVICE r9:
+    // a concurrent process must not observe a half-written artifact)
+    assert(stagedPath != p && stagedPath.startsWith(p))
+    assert(Files.readString(Paths.get(p, "payload")) == "good")
+    // invalidate, then fail the rebuild: the old artifact must survive
+    Files.setLastModifiedTime(src.resolve("part-0.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Serving.newestSourceMtime(src.toString) + 2000))
+    intercept[RuntimeException] {
+      Serving.buildOnce("spec_stage", src.toString) { _ =>
+        throw new RuntimeException("build exploded")
+      }
+    }
+    assert(Files.readString(Paths.get(p, "payload")) == "good",
+      "failed rebuild clobbered the previous artifact")
+  }
+
   test("buildOnce builds once, then rebuilds only when sources get newer") {
     val src = Files.createTempDirectory("graft-serving-src")
     val f = src.resolve("part-0.parquet")

@@ -34,6 +34,21 @@ class TextFormatsSpec extends SparkSpecBase {
     assert(a == b, s"lost rows: ${a.diff(b)} gained: ${b.diff(a)}")
   }
 
+  test("PRODUCTION csv reader survives embedded newlines (ADVICE r9)") {
+    // a corpus text containing a newline is legal; the writer quotes it,
+    // so readDocsCsv must speak multiLine or FAILFAST aborts mid-cell
+    val dir = Files.createTempDirectory("graft-csv-prod").toString
+    Seq(
+      (1L, "first line\nsecond line", "en", "s0", 22L),
+      (2L, "plain", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val back = TextFormats.readDocsCsv(spark, dir)
+    assert(back.count() == 2)
+    assert(back.filter(col("doc_id") === 1L).head().getString(1)
+      == "first line\nsecond line")
+  }
+
   test("failfast read rejects a malformed csv row instead of nulling it") {
     val dir = Files.createTempDirectory("graft-csv-bad").toString
     Files.writeString(java.nio.file.Path.of(dir, "part-0.csv"),

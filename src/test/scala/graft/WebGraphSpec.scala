@@ -91,6 +91,15 @@ class WebGraphSpec extends SparkSpecBase {
     assert(top.map(_.getLong(4)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("pagerank on an empty edge set returns empty instead of dividing by zero") {
+    // ADVICE r9: lit(Scale / nNodes) threw ArithmeticException at
+    // plan-build time on an empty graph
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.pageRank(empty)
+    assert(out.columns.toSeq == Seq("node", "outdeg", "rank_fp"))
+    assert(out.count() == 0L)
+  }
+
   test("pagerank shuffle-join variant is result-identical to broadcast") {
     val edges = Graph.purchaseEdges(
       Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
