@@ -11,6 +11,16 @@ object Probe {
     if (args.headOption.contains("streamgold")) { streamGoldDrive(); return }
     if (args.headOption.contains("plans")) { plansDump(); return }
     if (args.headOption.contains("pagerank")) { pageRankVariants(); return }
+    if (args.headOption.contains("hotgroup")) {
+      hotGroupVariants(sys.env.getOrElse("SPARK_GRAFT_HOTGROUP_MULT", "10").toInt)
+      return
+    }
+    if (args.headOption.contains("baskets")) {
+      basketScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(2); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("corpus")) {
       corpusScale(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(20); case ms => ms
@@ -145,6 +155,9 @@ object Probe {
         if (want("clusters")) time("dup clusters (label propagation)") {
           drain(Dedup.dupClusters(Dedup.shingleJaccardPairs(docs, 0.8)))
         }
+        if (want("dupweights")) time("dup weights (clusters + size window)") {
+          drain(graft.operators.DupWeights.dupWeights(docs))
+        }
       } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")
       if (want("codec")) time("multimodal codec round trip (PNG+WAV, map-only)") {
         drain(graft.operators.Multimodal.decodeRoundTrip(docs))
@@ -233,6 +246,78 @@ object Probe {
         }
       }
       docs.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** Times the hot-group window family both ways at `mult`× sf0.1 —
+    * the empirical side of the Scale.fewGroups dial (VERDICT r9):
+    * weighted quartiles partition on a THREE-value key and boxplot on a
+    * five-value key, so the plain window path degenerates to 3–5 giant
+    * single-task sorts while the grouped prefix-sum path stays bounded
+    * by range partitions. */
+  def hotGroupVariants(mult: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val li = Tables.lineitem(spark, dir)
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        (col("l_orderkey") * mult + col("rep")).as("l_orderkey"),
+        col("l_linenumber"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[hotgroup] lineitem rows: ${li.count()} (3 groups)")
+    val ev = Tables.events(spark, dir)
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select(col("event_type"), col("value"),
+        (col("event_id") * mult + col("rep")).as("event_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[hotgroup] events rows: ${ev.count()}")
+    for (round <- 1 to 2; grouped <- Seq(true, false)) {
+      val label = if (grouped) "grouped-prefix-sum" else "plain-window"
+      var t0 = System.nanoTime()
+      drain(graft.operators.WeightedMedian.weightedQuartiles(li, Some(grouped)))
+      println(f"[hotgroup] weighted_quartiles $label (r$round): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      drain(graft.operators.Mining.boxplot(ev, Some(grouped)))
+      println(f"[hotgroup] boxplot $label (r$round): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
+  /** Basket-scale probe for item-to-item similarity: replicate sf0.1's
+    * order BASKETS `mult`× (items fixed — co-occurrence pairs must then
+    * grow linearly with basket count, never baskets²). The empirical
+    * backing for mining_item_similarity's "scales with baskets" claim
+    * (VERDICT r9 next-round item 4).
+    * `sbt "runMain graft.Probe baskets 2 6 20"` ≈ 0.3M/0.95M/3M baskets. */
+  def basketScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val base = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    mults.foreach { mult =>
+      val li = base
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("l_orderkey") * mult + col("rep")).as("l_orderkey"),
+          col("l_partkey"), col("l_linenumber"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBaskets = li.select(col("l_orderkey")).distinct().count()
+      val t0 = System.nanoTime()
+      drain(graft.operators.Reco.itemSimilarity(li))
+      println(f"[baskets] item_similarity @ $nBaskets baskets (${li.count()} lines): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      li.unpersist()
     }
     spark.stop()
   }

@@ -60,7 +60,7 @@ object SparkEntry {
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
-    "sketch_stats" -> ((s, d) => Scale.qSketchStats(s, d)),
+    "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
     "subq_large_orders" -> ((s, d) => Advanced.qLargeOrders(s, d)),
     "subq_not_in_unordered_parts" -> ((s, d) => Advanced.qUnorderedParts(s, d)),
@@ -332,6 +332,12 @@ object SparkEntry {
     "curation_dup_weights" -> ((s, d) => DupWeights.qDupWeights(s, d)),
     // dedup threshold-sweep trade-off curve from one candidate pass
     "curation_dedup_curve" -> ((s, d) => DedupCurve.qThresholdCurve(s, d)),
+    // distance-2 FastSS reconciliation pairs (nation-blocked)
+    "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
+    // exact ROC AUC via the Mann-Whitney rank statistic, no pair join
+    "classify_auc" -> ((s, d) => Auc.qLengthAuc(s, d)),
+    // per-nation Gini of customer spend (integer cents + exact ranks)
+    "stats_gini_by_nation" -> ((s, d) => Gini.qGiniBySpend(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -576,6 +582,10 @@ object SparkEntry {
     "agg_share_of_parent" -> Trend.oShareOfParent,
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_dedup_curve" -> DedupCurve.oThresholdCurve,
+    "entity_edit2_pairs" -> Entity.oCustomerEdit2Pairs,
+    "classify_auc" -> Auc.oLengthAuc,
+    "stats_gini_by_nation" -> Gini.oGiniBySpend,
+    "sketch_stats" -> Sketches.oSketchStats,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

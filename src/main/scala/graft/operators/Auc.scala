@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact ROC AUC as a rank statistic — the classifier-evaluation
+  * primitive next to [[Classify]]'s confusion matrix: AUC equals the
+  * Mann–Whitney U probability P(score⁺ > score⁻) + ½·P(tie), computed
+  * WITHOUT any pos×neg pair join via per-distinct-score tallies:
+  * 2U = Σ_s pos_s · (2·negBelow_s + neg_s), all exact integers.
+  *
+  * Scale shape (100 TB): one partial-agg shuffle collapses the corpus
+  * to ≤|score domain| rows; the ordered window then runs over DISTINCT
+  * SCORES only — bounded by the domain, not the data (the
+  * [[Quantiles]] discipline; a real-valued score would bucket through
+  * [[Sketches.histQuantiles]]' grid first). Output is one row.
+  */
+object Auc {
+
+  /** (n_pos, n_neg, u2 = 2·U, auc_milli = ⌊1000·U/(n_pos·n_neg)⌋) of
+    * integer `score` predicting boolean `label`. */
+  def rankAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.select(score.cast("long").as("s"),
+        label.cast("int").cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos_s"),
+        (count(lit(1)) - sum(col("y"))).as("neg_s"))
+    val c = g.withColumn("cum_neg",
+      sum(col("neg_s")).over(Window.orderBy(col("s"))))
+    c.agg(sum(col("pos_s")).cast("long").as("n_pos"),
+        sum(col("neg_s")).cast("long").as("n_neg"),
+        sum(col("pos_s") * (lit(2L) * (col("cum_neg") - col("neg_s"))
+          + col("neg_s"))).cast("long").as("u2"))
+      .withColumn("auc_milli", expr("(u2 * 500) div (n_pos * n_neg)"))
+  }
+
+  /** AUC of document length as an English-detector score — the honest
+    * baseline an evaluation harness pins before trusting any learned
+    * scorer (and the operator's deterministic fixture instance). */
+  def qLengthAuc(spark: SparkSession, dir: String): DataFrame =
+    rankAuc(Tables.documents(spark, dir), col("n_chars"), col("lang") === "en")
+
+  def oLengthAuc: String =
+    """WITH l AS (
+      |  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (
+      |  SELECT s, CAST(sum(y) AS BIGINT) AS pos_s,
+      |         CAST(count(*) - sum(y) AS BIGINT) AS neg_s
+      |  FROM l GROUP BY s),
+      |c AS (
+      |  SELECT *, CAST(sum(neg_s) OVER (ORDER BY s) AS BIGINT) AS cum_neg
+      |  FROM g),
+      |t AS (
+      |  SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+      |         CAST(sum(neg_s) AS BIGINT) AS n_neg,
+      |         CAST(sum(pos_s * (2 * (cum_neg - neg_s) + neg_s)) AS BIGINT)
+      |           AS u2
+      |  FROM c)
+      |SELECT n_pos, n_neg, u2, (u2 * 500) // (n_pos * n_neg) AS auc_milli
+      |FROM t""".stripMargin
+}

@@ -79,14 +79,24 @@ object DupWeights {
 
   val BatchSize = 8
 
-  def paddingWaste(docs: DataFrame): DataFrame = {
+  /** Per-source batch ranks ride [[Scale.globalRankGrouped]] by default
+    * — sources are a handful-valued key, the VERDICT-r9 hot-group window
+    * shape — with the plain window behind the [[Scale.hotGroups]] dial. */
+  def paddingWaste(docs: DataFrame,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val lens = docs.select(col("doc_id"), col("source"),
       TextFns.wordCount(col("text")).cast("long").as("len"))
+    val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(lens, Seq("source")))
     def wasteUnder(orderCol: String, label: String): DataFrame = {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col(orderCol), col("doc_id"))
-      lens
-        .withColumn("rn", row_number().over(w))
+      val ranked = if (hot)
+        Scale.globalRankGrouped(lens, Seq("source"),
+          Seq(col(orderCol), col("doc_id")), "rn")
+      else {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col(orderCol), col("doc_id"))
+        lens.withColumn("rn", row_number().over(w))
+      }
+      ranked
         .withColumn("batch", expr(s"(rn - 1) div ${BatchSize}"))
         .groupBy(col("source"), col("batch"))
         .agg(sum(col("len")).as("tok"), max(col("len")).as("mx"),

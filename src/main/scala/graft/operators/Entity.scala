@@ -30,13 +30,38 @@ object Entity {
     array_union(array(s), transform(sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))))
 
+  private def delAt(t: Column, i: Column): Column =
+    concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i))
+
+  /** Deletion-2 blocking needs ~len²/2 keys per row; past this length
+    * the key volume (and the collision fan-in on digit-structured ids)
+    * stops beating per-block brute force — refused rather than silently
+    * quadratic (measured cost note in SCALE.md r10). */
+  val Del2MaxLen = 64
+
+  /** Depth-2 deletion neighborhood `{s} ∪ del¹(s) ∪ del²(s)` — the
+    * FastSS key set for Levenshtein distance ≤ 2 (Bocek et al. 2007):
+    * two strings within distance k always share a string reachable by
+    * ≤ k deletions from each, so candidates on these keys are COMPLETE
+    * for k = 2. ~len²/2 keys per row (vs len+1 at k = 1). */
+  private[graft] def deletionKeys2(s: Column): Column = {
+    val d1 = transform(sequence(lit(1), length(s)), i => delAt(s, i))
+    val d2 = array_distinct(flatten(transform(d1, t =>
+      transform(sequence(lit(1), length(t)), i => delAt(t, i)))))
+    array_union(array(s), array_union(d1, d2))
+  }
+
   /** Pairs of rows whose `nameCol` values are within Levenshtein
-    * distance 1 (ids ordered, exact distances attached). Complete by the
-    * deletion-neighborhood argument above; `maxEdit` > 1 would need
-    * k-deletion neighborhoods — refused rather than silently incomplete. */
+    * distance `maxEdit` ∈ {1, 2} (ids ordered, exact distances
+    * attached). Complete by the deletion-neighborhood arguments above;
+    * deeper distances would need k-deletion neighborhoods — refused
+    * rather than silently incomplete. Distance 2 is what real
+    * reconciliation needs (two typos); its key volume grows ~len²/2, so
+    * names are length-capped at [[Del2MaxLen]]. */
   def editPairs(df: DataFrame, idCol: String, nameCol: String,
       maxEdit: Int = 1, blockCol: Option[String] = None): DataFrame = {
-    require(maxEdit == 1, "deletion-1 blocking is complete only for maxEdit = 1")
+    require(maxEdit == 1 || maxEdit == 2,
+      "deletion-neighborhood blocking implemented for maxEdit ∈ {1, 2}")
     // an exact-match blocking attribute rides INSIDE the join key (NUL
     // separator — it never appears in names), so cross-block candidates
     // are never generated rather than generated-then-filtered: with 25
@@ -44,10 +69,14 @@ object Entity {
     // join+distinct+verify pipeline
     val blk = blockCol.map(b => concat(col(b).cast("string"), lit("\u0000")))
       .getOrElse(lit(""))
-    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+    val keyFn: Column => Column =
+      if (maxEdit == 1) deletionKeys else deletionKeys2
+    val guarded = if (maxEdit == 2)
+      df.filter(length(col(nameCol)) <= Del2MaxLen) else df
+    val keyed = guarded.select(col(idCol).as("id"), col(nameCol).as("name"),
         blk.as("blk"))
       .select(col("id"), col("name"), col("blk"),
-        explode(deletionKeys(col("name"))).as("dk"))
+        explode(keyFn(col("name"))).as("dk"))
       .select(col("id"), col("name"), concat(col("blk"), col("dk")).as("k"))
     keyed.as("a").join(keyed.as("b"), Seq("k"))
       .filter(col("a.id") < col("b.id"))
@@ -78,6 +107,30 @@ object Entity {
       |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY custkey_a, custkey_b""".stripMargin
+
+  /** Distance-2 reconciliation pairs over customer names,
+    * nation-blocked: real reconciliation needs two typos, and the block
+    * keeps digit-structured candidate fan-in entity-scoped (the
+    * [[goldenRecords]] closure-collapse guard, applied at candidate
+    * time). Cost note: ~len²/2 ≈ 190 keys per 19-char name (SCALE.md
+    * r10 measures the volume against the k=1 path). */
+  def qCustomerEdit2Pairs(spark: SparkSession, dir: String): DataFrame =
+    editPairs(Tables.customer(spark, dir), "c_custkey", "c_name",
+      maxEdit = 2, blockCol = Some("c_nationkey"))
+      .withColumnRenamed("id_a", "custkey_a")
+      .withColumnRenamed("id_b", "custkey_b")
+      .orderBy("custkey_a", "custkey_b")
+
+  /** Brute-force twin (per-block n²): deletion-2 blocking must
+    * reproduce it exactly. */
+  def oCustomerEdit2Pairs: String =
+    """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |  AND a.c_nationkey = b.c_nationkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
       |ORDER BY custkey_a, custkey_b""".stripMargin
 
   /** Golden-record consolidation — the step after matching: match pairs

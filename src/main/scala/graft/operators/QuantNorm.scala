@@ -20,20 +20,32 @@ import graft.Tables
   * a rank-selection JOIN against the globally ranked table — no
   * interpolation, no floats.
   *
-  * Scale shape (100 TB): within-source ranks are source-partitioned
-  * windows (bounded groups); the global rank is [[Scale.globalRank]]
-  * (range partition + offsets, no single-task sort); the map itself is
-  * an equi-join on rank. */
+  * Scale shape (100 TB): a corpus has a HANDFUL of sources, so
+  * within-source ranks ride [[Scale.globalRankGrouped]] (range
+  * partition + per-group offsets — max task one range partition, never
+  * 1/|sources| of the corpus) with source sizes from a hash aggregate;
+  * the plain source-partitioned window survives behind the
+  * [[Scale.hotGroups]] dial for high-cardinality grouping. The global
+  * rank is [[Scale.globalRank]] (same offset pattern, ungrouped); the
+  * map itself is an equi-join on rank. */
 object QuantNorm {
 
-  def quantileNormalize(docs: DataFrame): DataFrame = {
+  def quantileNormalize(docs: DataFrame,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
-    val ws = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars"), col("doc_id"))
-    val ranked = base
-      .withColumn("r", row_number().over(ws).cast("long"))
-      .withColumn("n_s",
-        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+    val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(base, Seq("source")))
+    val ranked = if (hot) {
+      // source sizes ride the collected offsets — no extra agg pass
+      Scale.globalRankGrouped(base, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")), "r", totalOut = Some("n_s"))
+    } else {
+      val ws = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      base
+        .withColumn("r", row_number().over(ws).cast("long"))
+        .withColumn("n_s",
+          count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+    }
     val globalRanked = Scale.globalRank(base,
         Seq(col("n_chars"), col("doc_id")), "g_rank", 32)
       .select(col("g_rank"), col("n_chars").as("norm_chars"))

@@ -17,23 +17,40 @@ import graft.Tables
   * is pure integer cross-multiplication — no division at all. One
   * ordered window per group + one conditional aggregate.
   *
-  * Scale shape (100 TB): groups bound the window tasks (the
-  * [[Mining.boxplot]] argument); a single giant group swaps the running
-  * sum onto [[Scale.globalRank]]'s offset pattern unchanged. */
+  * Scale shape (100 TB): `l_returnflag` is a THREE-value key, so at
+  * scale per-group windows are three giant single-task sorts — the
+  * named scale-killer. The [[Scale.hotGroups]] dial (measured, not
+  * asserted — `graft.Probe hotgroup`, SCALE.md r10) selects
+  * [[Scale.groupedRunningSum]]'s distributed prefix-sum pattern once a
+  * group exceeds [[Scale.HotGroupMinRowsPerGroup]] rows — max task one
+  * range partition, never ⅓ of lineitem, with group totals riding the
+  * collected offsets — and keeps the plain window below it, where one
+  * in-memory sort task measurably beats two shuffles.
+  * `hotGroupsOverride` forces a side for the equivalence spec. */
 object WeightedMedian {
 
-  def weightedQuartiles(lineitem: DataFrame): DataFrame = {
+  def weightedQuartiles(lineitem: DataFrame,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val base = lineitem.select(col("l_returnflag"),
       col("l_extendedprice").cast("decimal(14,2)").as("price"),
       col("l_quantity").cast("decimal(12,2)").cast("long").as("w"),
       col("l_orderkey"), col("l_linenumber"))
-    val wOrd = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = base
-      .withColumn("cum", sum(col("w")).over(wOrd))
-      .withColumn("total",
-        sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+    val hot = hotGroupsOverride.getOrElse(
+      Scale.hotGroups(base, Seq("l_returnflag")))
+    val cum = if (hot) {
+      // group totals ride the collected offsets — no extra agg pass
+      Scale.groupedRunningSum(base, Seq("l_returnflag"),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        col("w"), "cum", totalOut = Some("total"))
+    } else {
+      val wOrd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cum", sum(col("w")).over(wOrd))
+        .withColumn("total",
+          sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+    }
     def pick(num: Int, den: Int, name: String) =
       max(when(col("cum") * den >= col("total") * num
           && (col("cum") - col("w")) * den < col("total") * num,

@@ -37,6 +37,16 @@ class DupWeightsSpec extends SparkSpecBase {
     assert(out.exists(r => r.getLong(3) < r.getLong(2)))
   }
 
+  test("padding waste grouped-rank path is result-identical to the window path") {
+    val docs = Tables.documents(spark, sf)
+    val grouped = DupWeights.paddingWaste(docs, Some(true))
+      .orderBy(col("source")).collect().map(_.toSeq)
+    val windowed = DupWeights.paddingWaste(docs, Some(false))
+      .orderBy(col("source")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window padding waste diverge")
+  }
+
   test("padding waste hand-check: lengths 1,9 batched together vs apart") {
     // batch size 8: 16 docs with lengths 1×8 then 9×8, ids interleaved so
     // the naive (id) order mixes them while length order separates them

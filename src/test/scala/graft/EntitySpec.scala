@@ -36,9 +36,38 @@ class EntitySpec extends SparkSpecBase {
     val dists = Entity.editPairs(rows, "id", "name")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
     assert(dists((1L, 5L)) == 0 && dists((1L, 2L)) == 1)
-    // maxEdit > 1 is refused, not silently incomplete
+    // maxEdit > 2 is refused, not silently incomplete
     intercept[IllegalArgumentException] {
-      Entity.editPairs(rows, "id", "name", maxEdit = 2)
+      Entity.editPairs(rows, "id", "name", maxEdit = 3)
     }
+  }
+
+  test("distance-2 pairs equal brute force, including planted two-typo cases") {
+    val rows = Seq(
+      (1L, "acme corp"),      // base
+      (2L, "acmo corq"),      // two substitutions (dist 2)
+      (3L, "acme c"),         // two deletions... actually dist 3 — excluded
+      (4L, "acme corporal"),  // three insertions — excluded
+      (5L, "amce corp"),      // transposition = 2 edits (dist 2)
+      (6L, "acme co"),        // two deletions (dist 2)
+      (7L, "acme corpse"),    // two insertions (dist 2)
+      (8L, "zenith ltd"))     // unrelated
+      .toDF("id", "name")
+    val blocked = Entity.editPairs(rows, "id", "name", maxEdit = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"deletion-2 blocking missed ${brute -- blocked}, extra ${blocked -- brute}")
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 5L)) &&
+      brute.contains((1L, 6L)) && brute.contains((1L, 7L)))
+    assert(!brute.contains((1L, 4L)) && !brute.exists(_._2 == 8L))
+    // exact distances are attached and correct
+    val d2 = Entity.editPairs(rows, "id", "name", maxEdit = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(d2((1L, 2L)) == 2 && d2((1L, 5L)) == 2 && d2((1L, 6L)) == 2)
   }
 }

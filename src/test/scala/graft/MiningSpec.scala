@@ -38,6 +38,16 @@ class MiningSpec extends SparkSpecBase {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("boxplot grouped-rank path is result-identical to the window path") {
+    val ev = Tables.events(spark, sf)
+    val grouped = Mining.boxplot(ev, Some(true))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    val windowed = Mining.boxplot(ev, Some(false))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window boxplot diverge")
+  }
+
   test("association rules: confidence and lift on a planted basket corpus") {
     import spark.implicits._
     // 10 baskets (users, one day): 8 contain a+b, 2 contain only c.

@@ -22,6 +22,16 @@ class QuantNormSpec extends SparkSpecBase {
     assert(out(101L) == 2L && out(102L) == 4L && out(103L) == 102L && out(104L) == 104L)
   }
 
+  test("grouped-rank path is result-identical to the window path") {
+    val docs = Tables.documents(spark, sf)
+    val grouped = QuantNorm.quantileNormalize(docs, Some(true))
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val windowed = QuantNorm.quantileNormalize(docs, Some(false))
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window quantile normalization diverge")
+  }
+
   test("normalization preserves within-source order; fixture is total") {
     val out = QuantNorm.qQuantileNormalize(spark, sf).cache()
     assert(out.count() == Tables.documents(spark, sf).count())

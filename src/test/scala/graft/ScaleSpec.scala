@@ -32,6 +32,50 @@ class ScaleSpec extends SparkSpecBase {
     assert(full.exceptAll(plain).isEmpty && plain.exceptAll(full).isEmpty)
   }
 
+  test("grouped running sum / rank equal the per-group window exactly, any nPartitions") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 hot groups × 2000 rows — the agg_weighted_median shape
+    val df = (0 until 6000).map { i =>
+      (s"g${i % 3}", (i * 7919) % 1000, i.toLong, (i % 13 + 1).toLong)
+    }.toDF("grp", "v", "id", "w")
+    val w = Window.partitionBy($"grp").orderBy($"v", $"id")
+    val ref = df
+      .withColumn("cum", sum($"w").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select($"grp", $"id", $"cum", $"rn")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (nPart <- Seq(1, 5, 32)) {
+      val cum = Scale.groupedRunningSum(df, Seq("grp"), Seq($"v", $"id"), $"w",
+        "cum", nPart)
+      val rnk = Scale.globalRankGrouped(df, Seq("grp"), Seq($"v", $"id"), "rn", nPart)
+      cum.select($"grp", $"id", $"cum").collect().foreach { r =>
+        assert(r.getLong(2) == ref((r.getString(0), r.getLong(1)))._1,
+          s"cum mismatch at nPart=$nPart for ${r.getString(0)}/${r.getLong(1)}")
+      }
+      rnk.select($"grp", $"id", $"rn").collect().foreach { r =>
+        assert(r.getLong(2) == ref((r.getString(0), r.getLong(1)))._2,
+          s"rank mismatch at nPart=$nPart for ${r.getString(0)}/${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("grouped prefix sums keep every task bounded by a range partition") {
+    // one giant group + two small ones: a per-group window would put
+    // ~all rows on one task; the grouped path must spread them
+    val df = (0 until 8000).map { i =>
+      (if (i < 7800) "hot" else s"g${i % 2}", i % 997, i.toLong)
+    }.toDF("grp", "v", "id")
+    val ranked = Scale.globalRankGrouped(df, Seq("grp"), Seq($"v", $"id"), "rn", 16)
+    // correct per-group ranks (spot totals) …
+    val tops = ranked.groupBy($"grp").agg(max($"rn").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tops("hot") == ((7800L, 7800L)))
+    // … and the physical plan contains no single-partition exchange
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"grouped rank fell back to a single-partition exchange:\n$plan")
+  }
+
   test("salted aggregation equals direct aggregation (skew-safe path)") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy($"event_type").agg(
@@ -80,7 +124,7 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("sketch aggregates land within tolerance of exact answers") {
-    val s = Scale.qSketchStats(spark, sf).collect()
+    val s = Scale.qSketchStatsNative(spark, sf).collect()
     s.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble

@@ -34,6 +34,43 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("histogram sketch: estimates within one bucket width ABOVE the exact quantile") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val est = Sketches.histQuantiles(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = ev.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .cache()
+    def exactP(p: Double): Map[String, Double] =
+      ranked.filter(col("rn") === ceil(lit(p) * col("n")))
+        .groupBy(col("event_type")).agg(max(col("value")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val spans = Sketches.histRanges(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("span")).toMap
+    val (e50, e99) = (exactP(0.5), exactP(0.99))
+    est.foreach { case (t, (p50, p99)) =>
+      val bw = spans(t) / Sketches.HB + 1e-9
+      assert(p50 >= e50(t) - 1e-9 && p50 - e50(t) <= bw,
+        s"$t p50 est $p50 vs exact ${e50(t)} (bucket width $bw)")
+      assert(p99 >= e99(t) - 1e-9 && p99 - e99(t) <= bw,
+        s"$t p99 est $p99 vs exact ${e99(t)}")
+    }
+    ranked.unpersist()
+  }
+
+  test("histogram sketch grids merge cell-wise under shared ranges") {
+    val ev = Tables.events(spark, sf)
+    val rng = Sketches.histRanges(ev)
+    val whole = Sketches.histCells(ev, rng)
+    val summed = Sketches.histCells(ev.filter(col("event_id") % 2 === 0), rng)
+      .union(Sketches.histCells(ev.filter(col("event_id") % 2 === 1), rng))
+      .groupBy(col("event_type"), col("bucket")).agg(sum(col("c")).as("c"))
+    assert(whole.exceptAll(summed).isEmpty && summed.exceptAll(whole).isEmpty)
+  }
+
   test("CMS: never undercounts, and half-corpus grids sum to the whole grid") {
     val docs = Tables.documents(spark, sf)
     val top = Sketches.cmsTopTerms(docs).collect()

@@ -36,6 +36,23 @@ class WeightedMedianSpec extends SparkSpecBase {
     assert(r.getAs[Double]("wq3_price") == 3.0)
   }
 
+  test("grouped prefix-sum path is result-identical to the window path") {
+    val li = Tables.lineitem(spark, sf)
+    val grouped = WeightedMedian.weightedQuartiles(li, Some(true))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    val windowed = WeightedMedian.weightedQuartiles(li, Some(false))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window weighted quartiles diverge")
+    // the dial is SIZE-aware (measured crossover, SCALE.md r10): at
+    // fixture scale each group is small → plain window; a group past
+    // HotGroupMinRowsPerGroup flips to the distributed prefix sums
+    assert(!graft.operators.Scale.hotGroups(li, Seq("l_returnflag")))
+    val giant = spark.range(graft.operators.Scale.HotGroupMinRowsPerGroup)
+      .select(lit("g0").as("grp"), col("id"))
+    assert(graft.operators.Scale.hotGroups(giant, Seq("grp")))
+  }
+
   test("fixture: quartiles ordered and inside the price range per flag") {
     val out = WeightedMedian.qWeightedQuartiles(spark, sf).collect()
     assert(out.length == 3)
