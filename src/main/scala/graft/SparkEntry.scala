@@ -338,6 +338,14 @@ object SparkEntry {
     "classify_auc" -> ((s, d) => Auc.qLengthAuc(s, d)),
     // per-nation Gini of customer spend (integer cents + exact ranks)
     "stats_gini_by_nation" -> ((s, d) => Gini.qGiniBySpend(s, d)),
+    // grouped exact percentiles on the distributed prefix-sum machinery
+    "agg_grouped_quantiles" -> ((s, d) => Quantiles.qQuantilesScalableGrouped(s, d)),
+    // exact-proportion per-stratum train/val/test split (audit grain)
+    "curation_exact_split" -> ((s, d) => Sampling.qExactSplit(s, d)),
+    // exactly-k-per-source deterministic sample (reservoir replacement)
+    "curation_exact_k_sample" -> ((s, d) => Sampling.qExactKPerGroup(s, d)),
+    // precision/recall operating points from one domain-bounded pass
+    "classify_pr_curve" -> ((s, d) => Auc.qLengthPrCurve(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -586,6 +594,10 @@ object SparkEntry {
     "classify_auc" -> Auc.oLengthAuc,
     "stats_gini_by_nation" -> Gini.oGiniBySpend,
     "sketch_stats" -> Sketches.oSketchStats,
+    "agg_grouped_quantiles" -> Quantiles.oQuantilesScalableGrouped,
+    "curation_exact_split" -> Sampling.oExactSplit,
+    "curation_exact_k_sample" -> Sampling.oExactKPerGroup,
+    "classify_pr_curve" -> Auc.oLengthPrCurve,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

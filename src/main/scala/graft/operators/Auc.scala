@@ -43,6 +43,65 @@ object Auc {
   def qLengthAuc(spark: SparkSession, dir: String): DataFrame =
     rankAuc(Tables.documents(spark, dir), col("n_chars"), col("lang") === "en")
 
+  /** Fixed decision thresholds for the precision/recall curve. */
+  val PrThresholds = Seq(500L, 1000L, 2000L, 4000L, 8000L)
+
+  /** Precision/recall at each threshold (predict positive iff
+    * score ≥ t) — the operating-point table next to [[rankAuc]]'s
+    * ranking summary, from ONE pass: the corpus collapses to
+    * per-distinct-score (pos, neg) tallies (partial agg, domain-
+    * bounded), thresholds join the SMALL tally table broadcast-side,
+    * and all ratios are ⌊·1000⌋ integer surrogates. */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Long] = PrThresholds): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(score.cast("long").as("s"),
+        label.cast("int").cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos_s"),
+        (count(lit(1)) - sum(col("y"))).as("neg_s"))
+    g.crossJoin(broadcast(thresholds.toDF("t")))
+      .groupBy(col("t"))
+      .agg(sum(when(col("s") >= col("t"), col("pos_s")).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("s") >= col("t"), col("neg_s")).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("s") < col("t"), col("pos_s")).otherwise(0L))
+          .cast("long").as("fn"))
+      .withColumn("precision_milli",
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE (tp * 1000) div (tp + fp) END"))
+      .withColumn("recall_milli",
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE (tp * 1000) div (tp + fn) END"))
+  }
+
+  def qLengthPrCurve(spark: SparkSession, dir: String): DataFrame =
+    prCurve(Tables.documents(spark, dir), col("n_chars"), col("lang") === "en")
+      .orderBy(col("t"))
+
+  def oLengthPrCurve: String =
+    s"""WITH l AS (
+      |  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (
+      |  SELECT s, CAST(sum(y) AS BIGINT) AS pos_s,
+      |         CAST(count(*) - sum(y) AS BIGINT) AS neg_s
+      |  FROM l GROUP BY s),
+      |t AS (SELECT CAST(t AS BIGINT) AS t
+      |      FROM (VALUES ${Auc.PrThresholds.map(t => s"($t)").mkString(", ")}) v(t)),
+      |a AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN s >= t THEN pos_s ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN s >= t THEN neg_s ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN s < t THEN pos_s ELSE 0 END) AS BIGINT) AS fn
+      |  FROM g, t GROUP BY t)
+      |SELECT t, tp, fp, fn,
+      |  CASE WHEN tp + fp = 0 THEN 0 ELSE (tp * 1000) // (tp + fp) END
+      |    AS precision_milli,
+      |  CASE WHEN tp + fn = 0 THEN 0 ELSE (tp * 1000) // (tp + fn) END
+      |    AS recall_milli
+      |FROM a ORDER BY t""".stripMargin
+
   def oLengthAuc: String =
     """WITH l AS (
       |  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y

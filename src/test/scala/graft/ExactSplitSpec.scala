@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Auc, Quantiles, Sampling}
+
+/** Round-10 additions: exact-proportion splits, exact-k sampling,
+  * grouped scalable quantiles, PR operating points. */
+class ExactSplitSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact split: per-stratum counts are exactly the integer slice sizes") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.exactSplit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      val train = 8 * n / 10
+      val valN = 9 * n / 10 - train
+      assert(out((src, "train")) == train, s"$src train")
+      assert(out((src, "val")) == valN, s"$src val")
+      assert(out((src, "test")) == n - train - valN, s"$src test")
+    }
+    // forced-switch equality (the hotGroups dial rides here too)
+    val a = Sampling.exactSplit(docs, Some(true))
+      .orderBy(col("source"), col("split")).collect().map(_.toSeq)
+    val b = Sampling.exactSplit(docs, Some(false))
+      .orderBy(col("source"), col("split")).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("exact-k sample: exactly k per source, deterministic across runs") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.exactKPerGroup(docs).cache()
+    val perSource = out.groupBy(col("source")).count().collect()
+    assert(perSource.forall(_.getLong(1) == Sampling.SampleK))
+    // determinism: a second run picks the identical rows
+    val again = Sampling.exactKPerGroup(docs)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // ranks are contiguous 1..k
+    assert(out.groupBy(col("source")).agg(max(col("r")).as("m"), min(col("r")).as("lo"))
+      .collect().forall(r => r.getLong(1) == Sampling.SampleK && r.getLong(2) == 1L))
+  }
+
+  test("grouped scalable quantiles equal the windowed percentile_disc per type") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val got = Quantiles.quantilesScalableGrouped(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = ev.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    Quantiles.Ps.foreach { p =>
+      val exact = ranked.filter(col("rn") === ceil(lit(p) * col("n")))
+        .groupBy(col("event_type")).agg(max(col("value")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (t, v) =>
+        assert(got((t, p)) == v, s"$t p$p: ${got((t, p))} != $v")
+      }
+    }
+  }
+
+  test("pr curve: monotone recall, planted hand-check") {
+    // scores 1..10, positives at 6..10; thresholds 3 and 8
+    val df = (1L to 10L).map(i => (i, i >= 6L)).toDF("s", "y")
+    val out = Auc.prCurve(df, col("s"), col("y"), Seq(3L, 8L)).orderBy(col("t"))
+      .collect()
+    // t=3: predicted 3..10 → tp=5, fp=3, fn=0 → P=625, R=1000
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4), out(0).getLong(5)) == ((5L, 3L, 0L, 625L, 1000L)))
+    // t=8: predicted 8..10 → tp=3, fp=0, fn=2 → P=1000, R=600
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getLong(4), out(1).getLong(5)) == ((3L, 0L, 2L, 1000L, 600L)))
+    // fixture: recall is non-increasing in t, precision bounded
+    val fix = Auc.qLengthPrCurve(spark, sf).collect()
+    fix.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(5) >= hi.getLong(5), "recall increased with threshold")
+    }
+    fix.foreach(r => assert(r.getLong(4) <= 1000 && r.getLong(5) <= 1000))
+  }
+}
