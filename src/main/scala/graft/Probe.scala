@@ -431,7 +431,14 @@ object Probe {
       "retrieval_hybrid_rrf" -> "RRF fusion: two ≤k-row leg pools, constant-size rank windows, pool×pool full-outer fuse",
       "asof_forward_next_order" -> "forward as-of: one key shuffle, reversed union-ordering window, no inequality join",
       "agg_weighted_median" -> "weighted quartiles: running integer weight window + crossing-row conditional agg, no division",
-      "sim_mmr_rerank" -> "MMR: declarative pool + pair-cosine joins, bounded per-query greedy in mapGroups")
+      "sim_mmr_rerank" -> "MMR: declarative pool + pair-cosine joins, bounded per-query greedy in mapGroups",
+      "sketch_stats" -> "oracle-able sketches: KMV bottom-k distinct + mergeable equi-width histogram quantiles, every leg bounded-memory",
+      "agg_grouped_quantiles" -> "grouped exact percentiles: deterministic leading-column buckets, partial-agg offsets, ONE full shuffle + per-cell scan (globalRankGrouped)",
+      "entity_edit2_pairs" -> "distance-2 FastSS: k=2 deletion-neighborhood keys (~len^2/2 per name), nation-blocked candidates, exact levenshtein verify",
+      "stats_gini_by_nation" -> "per-nation Gini: decimal-cents agg, hotGroups-dialed ranks, one integer finalize",
+      "curation_dedup_curve" -> "threshold sweep: ONE candidate+exact-jaccard pass graded against all five thresholds",
+      "curation_exact_split" -> "exact-proportion split: hash-ranked per source, integer cross-multiplied boundaries, audit-grain agg",
+      "classify_pr_curve" -> "PR operating points: domain-bounded score tallies x broadcast thresholds, conditional partial agg")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
