@@ -346,6 +346,10 @@ object SparkEntry {
     "curation_exact_k_sample" -> ((s, d) => Sampling.qExactKPerGroup(s, d)),
     // precision/recall operating points from one domain-bounded pass
     "classify_pr_curve" -> ((s, d) => Auc.qLengthPrCurve(s, d)),
+    // daily KMV signatures folded to the full-range distinct estimate
+    "sketch_kmv_daily_merge" -> ((s, d) => Sketches.qKmvDailyMerge(s, d)),
+    // per-nation top-k spenders + reconciling OTHER residual row
+    "serving_topk_with_other" -> ((s, d) => Serving.qTopKWithOther(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -598,6 +602,8 @@ object SparkEntry {
     "curation_exact_split" -> Sampling.oExactSplit,
     "curation_exact_k_sample" -> Sampling.oExactKPerGroup,
     "classify_pr_curve" -> Auc.oLengthPrCurve,
+    "sketch_kmv_daily_merge" -> Sketches.oKmvDailyMerge,
+    "serving_topk_with_other" -> Serving.oTopKWithOther,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

@@ -184,6 +184,16 @@ object Scale {
     * window task is already bounded. Two partial-agg control-plane
     * scalars drive the plan, like [[Graph.pageRank]]'s node count. */
   def hotGroups(df: DataFrame, groups: Seq[String]): Boolean = {
+    // cheap 1% sampled pre-check first: a truly hot group (≥ 8M rows)
+    // shows ≥ ~80k sampled rows with overwhelming probability, so a
+    // sampled max far below threshold/2 exits without the full scan —
+    // the common (not-hot) case costs 1% of a partial agg, and only a
+    // plausibly-hot table pays the exact confirmation
+    val sampled = df.sample(withReplacement = false, 0.01, seed = 42)
+      .groupBy(groups.map(col): _*).count()
+      .agg(max(col("count")).as("m")).head()
+    val sMax = if (sampled.isNullAt(0)) 0L else sampled.getLong(0)
+    if (sMax * 100 < HotGroupMinRowsPerGroup / 2) return false
     val agg = df.groupBy(groups.map(col): _*).count()
       .agg(count(lit(1)).as("n_groups"), max(col("count")).as("max_group"))
       .head()

@@ -110,4 +110,69 @@ object Serving {
 
   def qStatsUnion(spark: SparkSession, dir: String): DataFrame =
     statsUnion(spark, dir).orderBy(col("metric"))
+
+  // ---- top-k + OTHER rollup ------------------------------------------
+
+  val TopKOther = 3
+
+  /** Per-nation top-k customers by exact-cents spend PLUS the "all
+    * others" residual row (rnk 0, NULL custkey) — the BI leaderboard
+    * contract where the long tail must still reconcile to the total.
+    * One spend aggregate feeds both legs; the rank is a per-nation
+    * window the group-limit rule bounds map-side; the residual is a
+    * hash aggregate over the non-top remainder. Top rows + OTHER sums
+    * partition the spend exactly (integer cents — spec-pinned). */
+  def topKWithOther(customer: DataFrame, orders: DataFrame,
+      k: Int = TopKOther): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey").as("nation")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("nation"), col("c_custkey").as("custkey"), col("cents"))
+    Dedup.withCached(spend) { s =>
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("cents").desc, col("custkey"))
+      val ranked = s.withColumn("rnk", row_number().over(w))
+      val top = ranked.filter(col("rnk") <= k)
+        .select(col("nation"), col("rnk").cast("long").as("rnk"),
+          col("custkey"), col("cents"), lit(1L).as("n_members"))
+      val other = ranked.filter(col("rnk") > k)
+        .groupBy(col("nation"))
+        .agg(sum(col("cents")).cast("long").as("cents"),
+          count(lit(1)).as("n_members"))
+        .select(col("nation"), lit(0L).as("rnk"),
+          lit(null).cast("long").as("custkey"), col("cents"),
+          col("n_members"))
+      top.unionByName(other)
+    }
+  }
+
+  def qTopKWithOther(spark: SparkSession, dir: String): DataFrame =
+    topKWithOther(Tables.customer(spark, dir), Tables.orders(spark, dir))
+      .orderBy(col("nation"), col("rnk"))
+
+  def oTopKWithOther: String =
+    s"""WITH spend AS (
+      |  SELECT c.c_nationkey AS nation, c.c_custkey AS custkey,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY nation
+      |    ORDER BY cents DESC, custkey) AS rnk
+      |  FROM spend),
+      |top AS (
+      |  SELECT nation, CAST(rnk AS BIGINT) AS rnk, custkey, cents,
+      |         CAST(1 AS BIGINT) AS n_members
+      |  FROM r WHERE rnk <= $TopKOther),
+      |oth AS (
+      |  SELECT nation, CAST(0 AS BIGINT) AS rnk,
+      |         CAST(NULL AS BIGINT) AS custkey,
+      |         CAST(sum(cents) AS BIGINT) AS cents,
+      |         CAST(count(*) AS BIGINT) AS n_members
+      |  FROM r WHERE rnk > $TopKOther GROUP BY nation)
+      |SELECT * FROM top UNION ALL SELECT * FROM oth
+      |ORDER BY nation, rnk""".stripMargin
 }

@@ -256,6 +256,77 @@ object Sketches {
       |ORDER BY e.event_type""".stripMargin
   }
 
+  /** The MERGE path under its own gate: per-(type, day) KMV signatures
+    * — the shape a warehouse persists nightly — folded across days into
+    * the full-range distinct estimate. The KMV closure property makes
+    * the fold EXACT, not approximate-on-approximate: the global k
+    * smallest hashes are each among their own day's k smallest, so
+    * bottom-k of the unioned daily signatures IS bottom-k of the raw
+    * union (spec-pinned equal to the direct signature). At 100 TB the
+    * read path touches Σdays·K signature rows, never the events. */
+  def kmvDailyMerge(events: DataFrame): DataFrame = {
+    val dh = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        TextFns.md5u56(col("user_id").cast("string")).as("h"))
+      .distinct()
+    Dedup.withCached(dh) { d =>
+      val wDay = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("h"))
+      val daily = d.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") <= K)
+        .select(col("event_type"), col("day"), col("h"))
+      val wType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val merged = daily.select(col("event_type"), col("h")).distinct()
+        .withColumn("rn", row_number().over(wType))
+        .filter(col("rn") <= K)
+      val est = kmvEstimate(merged, "event_type")
+      val exact = d.select(col("event_type"), col("h")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      val days = daily.groupBy(col("event_type"))
+        .agg(countDistinct(col("day")).as("n_days"))
+      est.join(exact, Seq("event_type")).join(days, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("k_kept"),
+          col("est_distinct"), col("exact_distinct"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  def qKmvDailyMerge(spark: SparkSession, dir: String): DataFrame =
+    kmvDailyMerge(Tables.events(spark, dir))
+
+  def oKmvDailyMerge: String = {
+    val h = TextFns.md5u56Sql("CAST(user_id AS VARCHAR)")
+    raw"""WITH dh AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, $h AS h
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, h,
+      |         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+      |  FROM dh QUALIFY rn <= $K),
+      |merged AS (
+      |  SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT event_type, h FROM daily)
+      |  QUALIFY rn <= $K),
+      |est AS (
+      |  SELECT event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+      |         CAST(count(*) AS BIGINT) AS k_kept
+      |  FROM merged GROUP BY event_type),
+      |exact AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+      |  FROM (SELECT DISTINCT event_type, h FROM dh) GROUP BY event_type),
+      |days AS (
+      |  SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY event_type)
+      |SELECT e.event_type, days.n_days, e.k_kept,
+      |       CAST(CASE WHEN k_kept < $K THEN k_kept
+      |                 ELSE (${K - 1} * ${M}) // kth_hash END AS BIGINT)
+      |         AS est_distinct,
+      |       x.exact_distinct
+      |FROM est e JOIN exact x USING (event_type) JOIN days USING (event_type)
+      |ORDER BY e.event_type""".stripMargin
+  }
+
   /** Count-min grid depth (salted hash rows) and width (buckets). */
   val D = 4
   val W = 1024L

@@ -62,6 +62,47 @@ class ExactSplitSpec extends SparkSpecBase {
     }
   }
 
+  test("kmv daily merge equals the direct full-range signature (closure property)") {
+    val ev = Tables.events(spark, sf)
+    val merged = graft.operators.Sketches.qKmvDailyMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val direct = graft.operators.Sketches.kmvDistinct(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(merged == direct,
+      s"daily-merged KMV estimates diverge from direct: $merged vs $direct")
+  }
+
+  test("top-k with OTHER partitions the spend exactly") {
+    val out = graft.operators.Serving.qTopKWithOther(spark, sf).cache()
+    val byNation = out.groupBy(col("nation"))
+      .agg(sum(col("cents")).as("total"), sum(col("n_members")).as("members"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // totals reconcile with the raw orders per nation (exact cents)
+    val raw = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("total"),
+        countDistinct(col("o_custkey")).as("members"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byNation == raw, "leaderboard + OTHER does not reconcile to raw totals")
+    // ≤ k top rows per nation (a nation with ≤ k buyers has no OTHER
+    // row — same contract as the oracle), top spends ordered
+    out.collect().groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val others = rows.filter(_.getLong(1) == 0L)
+      assert(others.length <= 1)
+      val tops = rows.filter(_.getLong(1) > 0L).sortBy(_.getLong(1))
+      assert(tops.length <= graft.operators.Serving.TopKOther)
+      assert(others.isEmpty ||
+        tops.length == graft.operators.Serving.TopKOther,
+        "OTHER row present but top-k not full")
+      assert(tops.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) >= b.getLong(3); case _ => true })
+    }
+    out.unpersist()
+  }
+
   test("pr curve: monotone recall, planted hand-check") {
     // scores 1..10, positives at 6..10; thresholds 3 and 8
     val df = (1L to 10L).map(i => (i, i >= 6L)).toDF("s", "y")
