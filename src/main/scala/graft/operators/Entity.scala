@@ -43,11 +43,20 @@ object Entity {
     * FastSS key set for Levenshtein distance ≤ 2 (Bocek et al. 2007):
     * two strings within distance k always share a string reachable by
     * ≤ k deletions from each, so candidates on these keys are COMPLETE
-    * for k = 2. ~len²/2 keys per row (vs len+1 at k = 1). */
+    * for k = 2. ~len²/2 keys per row (vs len+1 at k = 1). del² is
+    * generated DIRECTLY over position pairs i<j (three substrs per
+    * key) rather than del¹∘del¹ — half the interpreted-lambda string
+    * builds for the same set (measured 2×: this expression dominates
+    * the operator, SCALE.md r10). */
   private[graft] def deletionKeys2(s: Column): Column = {
     val d1 = transform(sequence(lit(1), length(s)), i => delAt(s, i))
-    val d2 = array_distinct(flatten(transform(d1, t =>
-      transform(sequence(lit(1), length(t)), i => delAt(t, i)))))
+    val d2 = when(length(s) >= 2,
+      flatten(transform(sequence(lit(1), length(s) - 1), i =>
+        transform(sequence(i + 1, length(s)), j =>
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, length(s) - j))))))
+      .otherwise(array().cast("array<string>"))
     array_union(array(s), array_union(d1, d2))
   }
 
@@ -77,8 +86,17 @@ object Entity {
         blk.as("blk"))
       .select(col("id"), col("name"), col("blk"),
         explode(keyFn(col("name"))).as("dk"))
-      .select(col("id"), col("name"), concat(col("blk"), col("dk")).as("k"))
-    keyed.as("a").join(keyed.as("b"), Seq("k"))
+      // join on the 8-byte hash of the (block, deletion) key, not the
+      // ~20-char string: equal keys still collide (completeness intact)
+      // and a rare 64-bit collision only ADDS a candidate the exact
+      // levenshtein verify removes — while the exploded join input
+      // shrinks ~3x and the shuffle comparator becomes a long compare
+      .select(col("id"), col("name"), xxhash64(col("blk"), col("dk")).as("k"))
+    // cache the keyed table: the self-join would otherwise evaluate the
+    // deletion-neighborhood expression — the operator's dominant cost at
+    // k = 2 — once per side (measured ~2x, SCALE.md r10)
+    Dedup.withCached(keyed) { k =>
+    k.as("a").join(k.as("b"), Seq("k"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
@@ -91,6 +109,7 @@ object Entity {
       .distinct()
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= maxEdit)
+    }
   }
 
   def qCustomerEditPairs(spark: SparkSession, dir: String): DataFrame =
