@@ -350,6 +350,8 @@ object SparkEntry {
     "sketch_kmv_daily_merge" -> ((s, d) => Sketches.qKmvDailyMerge(s, d)),
     // per-nation top-k spenders + reconciling OTHER residual row
     "serving_topk_with_other" -> ((s, d) => Serving.qTopKWithOther(s, d)),
+    // rolling 7-day distinct users read from daily KMV signatures
+    "sketch_kmv_rolling_distinct" -> ((s, d) => Sketches.qKmvRollingDistinct(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -604,6 +606,7 @@ object SparkEntry {
     "classify_pr_curve" -> Auc.oLengthPrCurve,
     "sketch_kmv_daily_merge" -> Sketches.oKmvDailyMerge,
     "serving_topk_with_other" -> Serving.oTopKWithOther,
+    "sketch_kmv_rolling_distinct" -> Sketches.oKmvRollingDistinct,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

@@ -327,6 +327,96 @@ object Sketches {
       |ORDER BY e.event_type""".stripMargin
   }
 
+  /** Rolling-window length (days) for the sliding distinct estimate. */
+  val RollDays = 7
+
+  /** Rolling 7-day distinct users per type FROM THE DAILY SIGNATURES —
+    * the query that is miserable on raw data (every day re-scans a
+    * week of events for an exact distinct) and trivial on sketches:
+    * pool each day's bottom-K rows over the trailing window (a range
+    * join against Σdays·K tiny signature rows, never the events),
+    * re-take bottom-K, estimate. The KMV closure property again makes
+    * pooling exact: the window's k smallest hashes are each within
+    * their own day's k smallest. `exact_distinct` is the audit leg a
+    * fixture-scale gate can afford; production reads sketches only. */
+  def kmvRollingDistinct(events: DataFrame): DataFrame = {
+    val dh = events.select(col("event_type"), to_date(col("ts")).as("day"),
+        TextFns.md5u56(col("user_id").cast("string")).as("h"))
+      .distinct()
+    Dedup.withCached(dh) { d =>
+      val wDay = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("h"))
+      val daily = d.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") <= K)
+        .select(col("event_type"), col("day"), col("h"))
+      val days = d.select(col("event_type"), col("day")).distinct()
+      def pool(src: DataFrame): DataFrame = src.as("s")
+        .join(days.as("d"),
+          col("s.event_type") === col("d.event_type") &&
+            col("s.day") >= date_sub(col("d.day"), RollDays - 1) &&
+            col("s.day") <= col("d.day"))
+        .select(col("d.event_type").as("event_type"),
+          col("d.day").as("day"), col("s.h").as("h"))
+        .distinct()
+      val sig = pool(daily)
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") <= K)
+      val est = sig.groupBy(col("event_type"), col("day"))
+        .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_kept"))
+        .withColumn("est_distinct",
+          when(col("k_kept") < K, col("k_kept"))
+            .otherwise(expr(s"(${K - 1}L * ${M}L) div kth_hash")))
+      val exact = pool(d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("k_kept"),
+          col("est_distinct"), col("exact_distinct"))
+    }
+  }
+
+  def qKmvRollingDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvRollingDistinct(Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("day"))
+
+  def oKmvRollingDistinct: String = {
+    val h = TextFns.md5u56Sql("CAST(user_id AS VARCHAR)")
+    raw"""WITH dh AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, $h AS h
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, h,
+      |         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+      |  FROM dh QUALIFY rn <= $K),
+      |days AS (SELECT DISTINCT event_type, day FROM dh),
+      |pooled AS (
+      |  SELECT DISTINCT d.event_type, d.day, s.h
+      |  FROM daily s JOIN days d
+      |    ON s.event_type = d.event_type
+      |   AND s.day BETWEEN d.day - ${RollDays - 1} AND d.day),
+      |sig AS (
+      |  SELECT event_type, day, h,
+      |         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+      |  FROM pooled QUALIFY rn <= $K),
+      |est AS (
+      |  SELECT event_type, day, CAST(max(h) AS BIGINT) AS kth_hash,
+      |         CAST(count(*) AS BIGINT) AS k_kept
+      |  FROM sig GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT d.event_type, d.day, CAST(count(DISTINCT u.h) AS BIGINT)
+      |           AS exact_distinct
+      |  FROM dh u JOIN days d
+      |    ON u.event_type = d.event_type
+      |   AND u.day BETWEEN d.day - ${RollDays - 1} AND d.day
+      |  GROUP BY 1, 2)
+      |SELECT e.event_type, e.day, e.k_kept,
+      |       CAST(CASE WHEN k_kept < $K THEN k_kept
+      |                 ELSE (${K - 1} * ${M}) // kth_hash END AS BIGINT)
+      |         AS est_distinct,
+      |       x.exact_distinct
+      |FROM est e JOIN exact x USING (event_type, day)
+      |ORDER BY event_type, day""".stripMargin
+  }
+
   /** Count-min grid depth (salted hash rows) and width (buckets). */
   val D = 4
   val W = 1024L

@@ -72,6 +72,17 @@ class ExactSplitSpec extends SparkSpecBase {
       s"daily-merged KMV estimates diverge from direct: $merged vs $direct")
   }
 
+  test("kmv rolling distinct: exact below K, bounded error above, window ≥ daily") {
+    val out = graft.operators.Sketches.qKmvRollingDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (kept, est, exact) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (kept < graft.operators.Sketches.K) assert(est == exact, r.toString)
+      else assert(math.abs(est - exact) * 100 <= 40 * exact, r.toString)
+      assert(exact >= 1)
+    }
+  }
+
   test("top-k with OTHER partitions the spend exactly") {
     val out = graft.operators.Serving.qTopKWithOther(spark, sf).cache()
     val byNation = out.groupBy(col("nation"))
