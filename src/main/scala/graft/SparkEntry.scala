@@ -352,6 +352,10 @@ object SparkEntry {
     "serving_topk_with_other" -> ((s, d) => Serving.qTopKWithOther(s, d)),
     // rolling 7-day distinct users read from daily KMV signatures
     "sketch_kmv_rolling_distinct" -> ((s, d) => Sketches.qKmvRollingDistinct(s, d)),
+    // 5%-trimmed mean per flag (exact cents, rank-selected tails)
+    "stats_trimmed_mean" -> ((s, d) => Robust.qTrimmedMean(s, d)),
+    // median absolute deviation per flag (two rank-selection passes)
+    "stats_mad_by_flag" -> ((s, d) => Robust.qMadByFlag(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -607,6 +611,8 @@ object SparkEntry {
     "sketch_kmv_daily_merge" -> Sketches.oKmvDailyMerge,
     "serving_topk_with_other" -> Serving.oTopKWithOther,
     "sketch_kmv_rolling_distinct" -> Sketches.oKmvRollingDistinct,
+    "stats_trimmed_mean" -> Robust.oTrimmedMean,
+    "stats_mad_by_flag" -> Robust.oMadByFlag,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

@@ -200,6 +200,25 @@ object Scale {
     agg.getLong(0) <= HotGroupCap && agg.getLong(1) >= HotGroupMinRowsPerGroup
   }
 
+  /** Per-group ranks (optionally with group sizes) behind the
+    * [[hotGroups]] dial — the shared entry the hot-group window family
+    * rides: [[globalRankGrouped]]'s distributed prefix sums for few
+    * giant groups, the plain partitioned window otherwise. */
+  def groupRanks(df: DataFrame, groups: Seq[String], order: Seq[Column],
+      out: String, totalOut: Option[String] = None,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
+    val hot = hotGroupsOverride.getOrElse(hotGroups(df, groups))
+    if (hot) globalRankGrouped(df, groups, order, out, 32, totalOut)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(groups.map(col): _*).orderBy(order: _*)
+      val r = df.withColumn(out, row_number().over(w).cast("long"))
+      totalOut.map(t => r.withColumn(t,
+        count(lit(1)).over(Window.partitionBy(groups.map(col): _*))
+          .cast("long"))).getOrElse(r)
+    }
+  }
+
   /** Two-phase salted aggregation for skewed group keys: partial
     * aggregate by (keys, salt) — spreading a hot key over `saltBuckets`
     * reducers — then final-combine by keys. Works for any associative
