@@ -356,6 +356,8 @@ object SparkEntry {
     "stats_trimmed_mean" -> ((s, d) => Robust.qTrimmedMean(s, d)),
     // median absolute deviation per flag (two rank-selection passes)
     "stats_mad_by_flag" -> ((s, d) => Robust.qMadByFlag(s, d)),
+    // per-key group-skew report + which path the hotGroups dial picks
+    "plan_group_skew" -> ((s, d) => Diagnostics.qGroupSkew(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -613,6 +615,7 @@ object SparkEntry {
     "sketch_kmv_rolling_distinct" -> Sketches.oKmvRollingDistinct,
     "stats_trimmed_mean" -> Robust.oTrimmedMean,
     "stats_mad_by_flag" -> Robust.oMadByFlag,
+    "plan_group_skew" -> Diagnostics.oGroupSkew,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

@@ -94,6 +94,55 @@ object Diagnostics {
     joinSkewReport(Tables.lineitem(spark, dir), "l_suppkey")
       .orderBy(col("n_rows").desc, col("l_suppkey"))
 
+  // ------------------------------------------------------ group skew
+
+  /** Per-candidate-grouping-key skew report — the planner-facing face
+    * of the [[Scale.hotGroups]] dial: for each key a window/aggregate
+    * might partition on, the group count, max/mean group sizes (exact
+    * integer surrogates) and WHICH execution path the dial would pick
+    * (`grouped_prefix_sum` for few giant groups, `partitioned_window`
+    * otherwise). One partial-agg pass per key, 1-row outputs unioned —
+    * the report an operator author reads before choosing a window key,
+    * as data. */
+  def groupSkewReport(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { k =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_rows")).cast("long").as("total_rows"),
+          max(col("n_rows")).as("max_group"))
+        .select(lit(k).as("group_key"), col("n_groups"),
+          col("total_rows"), col("max_group"))
+        .withColumn("mean_milli", expr("(total_rows * 1000) div n_groups"))
+        .withColumn("skew_milli",
+          expr("(max_group * 1000 * n_groups) div total_rows"))
+        .withColumn("dial_path",
+          when(col("n_groups") <= Scale.HotGroupCap &&
+              col("max_group") >= Scale.HotGroupMinRowsPerGroup,
+            "grouped_prefix_sum").otherwise("partitioned_window"))
+    }.reduce(_.unionByName(_))
+
+  def qGroupSkew(spark: SparkSession, dir: String): DataFrame =
+    groupSkewReport(Tables.events(spark, dir),
+      Seq("event_type", "user_id")).orderBy(col("group_key"))
+
+  def oGroupSkew: String = {
+    def leg(k: String) =
+      s"""SELECT '$k' AS group_key, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(max(n_rows) AS BIGINT) AS max_group,
+        |  (CAST(sum(n_rows) AS BIGINT) * 1000) // count(*) AS mean_milli,
+        |  (CAST(max(n_rows) AS BIGINT) * 1000 * count(*))
+        |    // CAST(sum(n_rows) AS BIGINT) AS skew_milli,
+        |  CASE WHEN count(*) <= ${Scale.HotGroupCap}
+        |        AND CAST(max(n_rows) AS BIGINT) >= ${Scale.HotGroupMinRowsPerGroup}
+        |       THEN 'grouped_prefix_sum' ELSE 'partitioned_window' END
+        |    AS dial_path
+        |FROM (SELECT $k, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM events GROUP BY $k)""".stripMargin
+    leg("event_type") + "\nUNION ALL\n" + leg("user_id") +
+      "\nORDER BY group_key"
+  }
+
   def oJoinSkew: String =
     """WITH c AS (
       |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows

@@ -7,6 +7,29 @@ import graft.operators.Diagnostics
 class DiagnosticsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("group skew report: counts reconcile and the dial path matches hotGroups") {
+    val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
+    val n = Tables.events(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getLong(2) == n, "total_rows != corpus size")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n)
+      assert(r.getLong(5) >= 1000, "max below mean is impossible")
+      // at fixture scale no key is hot — and the report must agree with
+      // the dial the operators actually consult
+      val dial = graft.operators.Scale.hotGroups(
+        Tables.events(spark, sf), Seq(r.getString(0)))
+      assert((r.getString(6) == "grouped_prefix_sum") == dial)
+    }
+    // a planted giant group flips the recommendation
+    val giant = spark.range(graft.operators.Scale.HotGroupMinRowsPerGroup)
+      .select(lit("g").as("k"))
+    val rep = graft.operators.Diagnostics.groupSkewReport(giant, Seq("k")).head()
+    assert(rep.getString(6) == "grouped_prefix_sum")
+  }
+
+  import spark.implicits._
+
   test("benford: digit extraction is exact; shares partition to ~1000 milli") {
     val orders = Seq(123.45, 19.99, 950.00, 2.50, 123456.78, 1.00)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
