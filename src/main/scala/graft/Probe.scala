@@ -438,7 +438,12 @@ object Probe {
       "stats_gini_by_nation" -> "per-nation Gini: decimal-cents agg, hotGroups-dialed ranks, one integer finalize",
       "curation_dedup_curve" -> "threshold sweep: ONE candidate+exact-jaccard pass graded against all five thresholds",
       "curation_exact_split" -> "exact-proportion split: hash-ranked per source, integer cross-multiplied boundaries, audit-grain agg",
-      "classify_pr_curve" -> "PR operating points: domain-bounded score tallies x broadcast thresholds, conditional partial agg")
+      "classify_pr_curve" -> "PR operating points: domain-bounded score tallies x broadcast thresholds, conditional partial agg",
+      "stats_trimmed_mean" -> "trimmed mean: groupRanks dial + integer tail trim + hash agg",
+      "stats_mad_by_flag" -> "MAD: two rank-selection passes, broadcast median join between them",
+      "sketch_kmv_rolling_distinct" -> "rolling distinct from sketches: range join over signature rows only, never events",
+      "serving_topk_with_other" -> "leaderboard + OTHER: one cached spend agg feeds rank-limited top and residual hash agg",
+      "plan_group_skew" -> "group-skew report: one partial agg per candidate key, 1-row unions")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
