@@ -435,6 +435,43 @@ object StreamingOps {
       }
   }
 
+  case class KmvRow(event_type: String, k_kept: Long, kth_hash: Long,
+      est_distinct: Long)
+
+  /** Streaming KMV distinct-user counter — the
+    * [[graft.operators.Sketches]] bottom-k sketch carried as LIVE
+    * state: per event_type the GroupState is the sorted bottom-K hash
+    * array (≤ K longs forever, regardless of throughput — the
+    * bounded-state answer to "how many distinct users so far" that an
+    * exact streaming distinct cannot give without unbounded state).
+    * Each micro-batch folds its users' hashes in and emits the
+    * refreshed estimate (Update mode). Bottom-k merge is
+    * order-insensitive, so the final state equals the batch sketch over
+    * the same data for ANY batch split — spec-pinned against
+    * [[graft.operators.Sketches.kmvDistinct]]; `kth_hash` is
+    * non-increasing and `k_kept` non-decreasing across emissions (the
+    * monotonicity a reader uses to take the freshest row). */
+  def kmvDistinctStream(events: DataFrame): Dataset[KmvRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.operators.Sketches.{K, M}
+    events.select(col("event_type"),
+        graft.functions.TextFns.md5u56(col("user_id").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], KmvRow](OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (t: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long]) ++
+            it.map(_._2)).distinct.sorted.take(K)
+          state.update(merged)
+          val kept = merged.length.toLong
+          val kth = if (merged.isEmpty) 0L else merged.last
+          val est = if (kept < K) kept else ((K - 1).toLong * M) / kth
+          Iterator.single(KmvRow(t, kept, kth, est))
+      }
+  }
+
   /** Built-in session_window form of sessionization — one groupBy, no
     * custom state code, works identically in batch and streaming (with a
     * watermark). Semantic note vs [[sessionizeBatch]]: session_window

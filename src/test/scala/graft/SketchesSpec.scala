@@ -71,6 +71,38 @@ class SketchesSpec extends SparkSpecBase {
     assert(whole.exceptAll(summed).isEmpty && summed.exceptAll(whole).isEmpty)
   }
 
+  test("streaming KMV state equals the batch sketch across an arbitrary batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val src = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingOps
+      .kmvDistinctStream(src.toDF.toDF("event_type", "user_id"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream_out").start()
+    src.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    src.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // freshest row per type = max k_kept + min kth (monotone state)
+    val finals = spark.table("kmv_stream_out")
+      .groupBy(col("event_type"))
+      .agg(max(col("k_kept")).as("k"), min(col("kth_hash")).as("kth"))
+      .collect().map { r =>
+        val (k, kth) = (r.getLong(1), r.getLong(2))
+        val est = if (k < Sketches.K) k
+                  else ((Sketches.K - 1).toLong * Sketches.M) / kth
+        r.getString(0) -> est
+      }.toMap
+    val batch = Sketches.kmvDistinct(Tables.events(spark, sf)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(finals == batch,
+      s"streaming KMV diverges from batch sketch: $finals vs $batch")
+  }
+
   test("CMS: never undercounts, and half-corpus grids sum to the whole grid") {
     val docs = Tables.documents(spark, sf)
     val top = Sketches.cmsTopTerms(docs).collect()
