@@ -358,6 +358,8 @@ object SparkEntry {
     "stats_mad_by_flag" -> ((s, d) => Robust.qMadByFlag(s, d)),
     // per-key group-skew report + which path the hotGroups dial picks
     "plan_group_skew" -> ((s, d) => Diagnostics.qGroupSkew(s, d)),
+    // as-of join with a 30-day staleness tolerance (PIT leakage guard)
+    "asof_tolerance_30d" -> ((s, d) => AsOf.qEventsAsofTolerant(s, d)),
     // padding-waste accounting: length-bucketed vs naive batching
     "curation_padding_waste" -> ((s, d) => DupWeights.qPaddingWaste(s, d)),
     // forward as-of: each event joined to the customer's NEXT order
@@ -616,6 +618,7 @@ object SparkEntry {
     "stats_trimmed_mean" -> Robust.oTrimmedMean,
     "stats_mad_by_flag" -> Robust.oMadByFlag,
     "plan_group_skew" -> Diagnostics.oGroupSkew,
+    "asof_tolerance_30d" -> AsOf.oEventsAsofTolerant,
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,

@@ -60,6 +60,62 @@ object AsOf {
         rightValueCols.map(c => col(s"_r_$c").as(c)): _*)
   }
 
+  /** As-of with a STALENESS TOLERANCE: a backward match older than
+    * `maxGapDays` is nulled out — the point-in-time correctness guard
+    * real feature joins need (a two-year-old "most recent order" is not
+    * a feature, it is a dead account leaking in). Same one-shuffle
+    * union-ordering machinery: the matched right timestamp rides along
+    * as one more carried column and a single when() applies the
+    * horizon at the end — no extra join, no expansion. */
+  def asofJoinTolerant(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightValueCols: Seq[String],
+      maxGapDays: Int): DataFrame = {
+    val withTs = asofJoin(left,
+      right.withColumn("_rts", col(rightTs)), key, leftTs, rightTs,
+      rightValueCols :+ "_rts")
+    val keep = col("_rts").isNotNull &&
+      col(leftTs).cast("date") <= date_add(col("_rts").cast("date"), maxGapDays)
+    rightValueCols.foldLeft(withTs) { (df, c) =>
+      df.withColumn(c, when(keep, col(c)))
+    }.drop("_rts")
+  }
+
+  val ToleranceDays = 30
+
+  /** Events joined to the customer's most recent prior order ONLY if it
+    * is at most 30 days old — otherwise the order columns are null. */
+  def qEventsAsofTolerant(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max_by(col("o_orderkey"), col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    asofJoinTolerant(ev, ord, key = "user_id", leftTs = "ts",
+        rightTs = "o_orderdate",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        maxGapDays = ToleranceDays)
+      .orderBy(col("event_id"))
+  }
+
+  def oEventsAsofTolerant: String =
+    s"""WITH ord AS (
+      |  SELECT o_custkey AS user_id, o_orderdate,
+      |         max_by(o_orderkey, o_orderkey) AS o_orderkey,
+      |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+      |  CASE WHEN o.o_orderdate IS NOT NULL
+      |        AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + $ToleranceDays
+      |       THEN o.o_orderkey END AS o_orderkey,
+      |  CASE WHEN o.o_orderdate IS NOT NULL
+      |        AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + $ToleranceDays
+      |       THEN o.o_totalprice END AS o_totalprice
+      |FROM (SELECT event_id, ts, user_id, event_type, value FROM events) e
+      |ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   /** FORWARD as-of: for each left row, the EARLIEST right row with the
     * same key at or after the left time — the "next scheduled thing"
     * direction (next order, next deploy, next maintenance window) that

@@ -72,6 +72,25 @@ class ExactSplitSpec extends SparkSpecBase {
       s"daily-merged KMV estimates diverge from direct: $merged vs $direct")
   }
 
+  test("tolerant as-of nulls stale matches and keeps fresh ones, planted") {
+    import graft.operators.AsOf
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-03-01 00:00:00"), 7L),   // 1 day after order — fresh
+      (2L, t("2024-06-01 00:00:00"), 7L),   // 93 days after — stale
+      (3L, t("2024-01-01 00:00:00"), 7L))   // before any order — no match
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq((7L, d("2024-02-29"), 42L))
+      .toDF("user_id", "o_orderdate", "o_orderkey")
+    val out = AsOf.asofJoinTolerant(left, right, "user_id", "ts",
+        "o_orderdate", Seq("o_orderkey"), maxGapDays = 30)
+      .orderBy(col("event_id")).collect()
+    assert(!out(0).isNullAt(3) && out(0).getLong(3) == 42L)
+    assert(out(1).isNullAt(3), "stale match must be nulled")
+    assert(out(2).isNullAt(3), "no prior order must stay null")
+  }
+
   test("kmv rolling distinct: exact below K, bounded error above, window ≥ daily") {
     val out = graft.operators.Sketches.qKmvRollingDistinct(spark, sf).collect()
     assert(out.nonEmpty)
