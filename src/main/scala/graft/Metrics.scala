@@ -70,7 +70,16 @@ object Metrics {
       var n = nEntries.incrementAndGet()
       while (n > MaxEntries) {
         if (entries.poll() != null) n = nEntries.decrementAndGet()
-        else n = 0
+        else {
+          // lost an eviction race: another thread drained the entry we
+          // were about to poll. Exiting with the counter untouched would
+          // leave nEntries permanently above the true queue size and
+          // shrink effective capacity for the session's remainder
+          // (ADVICE r10) — reconcile to the observed size instead (the
+          // O(n) size() walk runs only on this rare race path).
+          nEntries.compareAndSet(n, entries.size())
+          n = 0
+        }
       }
     }
 

@@ -92,14 +92,27 @@ object Serving {
               Files.createDirectories(tmp)
               Files.writeString(tmp.resolve("_SOURCE_MTIME"),
                 srcMtime.toString): Path
-              deleteRecursively(Paths.get(path))
-              try Files.move(tmp, Paths.get(path),
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              catch {
-                case _: java.nio.file.AtomicMoveNotSupportedException =>
-                  Files.move(tmp, Paths.get(path)): Path
-                  ()
-              }
+              // swap via rename-aside, NOT delete-then-move: a recursive
+              // delete of the old artifact walks every file, leaving a
+              // long window where a reader that already passed the
+              // freshness check finds the path absent/half-deleted
+              // (ADVICE r10). Two renames shrink that window to
+              // microseconds; the stale tree is deleted only after the
+              // new one is in place.
+              def mv(from: Path, to: Path): Unit =
+                try Files.move(from, to,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch {
+                  case _: java.nio.file.AtomicMoveNotSupportedException =>
+                    Files.move(from, to): Path
+                    ()
+                }
+              val finalP = Paths.get(path)
+              val oldP = Paths.get(path + ".old")
+              deleteRecursively(oldP)
+              if (Files.exists(finalP)) mv(finalP, oldP)
+              mv(tmp, finalP)
+              deleteRecursively(oldP)
             }
           } finally fl.release()
         } finally ch.close()

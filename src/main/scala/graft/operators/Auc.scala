@@ -34,7 +34,12 @@ object Auc {
         sum(col("neg_s")).cast("long").as("n_neg"),
         sum(col("pos_s") * (lit(2L) * (col("cum_neg") - col("neg_s"))
           + col("neg_s"))).cast("long").as("u2"))
-      .withColumn("auc_milli", expr("(u2 * 500) div (n_pos * n_neg)"))
+      // single-class input (n_pos·n_neg = 0) has no defined ranking AUC:
+      // NULL in BOTH engines, not a Spark-NULL/DuckDB-error divergence
+      // (ADVICE r10 — the prCurve ratio-guard discipline)
+      .withColumn("auc_milli", expr(
+        "CASE WHEN n_pos * n_neg = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (u2 * 500) div (n_pos * n_neg) END"))
   }
 
   /** AUC of document length as an English-detector score — the honest
@@ -119,6 +124,8 @@ object Auc {
       |         CAST(sum(pos_s * (2 * (cum_neg - neg_s) + neg_s)) AS BIGINT)
       |           AS u2
       |  FROM c)
-      |SELECT n_pos, n_neg, u2, (u2 * 500) // (n_pos * n_neg) AS auc_milli
+      |SELECT n_pos, n_neg, u2,
+      |  CASE WHEN n_pos * n_neg = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (u2 * 500) // (n_pos * n_neg) END AS auc_milli
       |FROM t""".stripMargin
 }

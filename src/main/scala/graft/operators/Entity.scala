@@ -35,8 +35,10 @@ object Entity {
 
   /** Deletion-2 blocking needs ~len²/2 keys per row; past this length
     * the key volume (and the collision fan-in on digit-structured ids)
-    * stops beating per-block brute force — refused rather than silently
-    * quadratic (measured cost note in SCALE.md r10). */
+    * stops beating per-block brute force — over-length rows route
+    * through the brute-force leg in [[editPairs]] instead of the key
+    * join (measured cost note in SCALE.md r10; ADVICE r11 closed the
+    * silent-drop hole). */
   val Del2MaxLen = 64
 
   /** Depth-2 deletion neighborhood `{s} ∪ del¹(s) ∪ del²(s)` — the
@@ -66,7 +68,8 @@ object Entity {
     * deeper distances would need k-deletion neighborhoods — refused
     * rather than silently incomplete. Distance 2 is what real
     * reconciliation needs (two typos); its key volume grows ~len²/2, so
-    * names are length-capped at [[Del2MaxLen]]. */
+    * names past [[Del2MaxLen]] take the brute-force leg instead of the
+    * key join — no row is ever silently dropped. */
   def editPairs(df: DataFrame, idCol: String, nameCol: String,
       maxEdit: Int = 1, blockCol: Option[String] = None): DataFrame = {
     require(maxEdit == 1 || maxEdit == 2,
@@ -80,8 +83,15 @@ object Entity {
       .getOrElse(lit(""))
     val keyFn: Column => Column =
       if (maxEdit == 1) deletionKeys else deletionKeys2
-    val guarded = if (maxEdit == 2)
-      df.filter(length(col(nameCol)) <= Del2MaxLen) else df
+    // At k=2, names past Del2MaxLen don't enter the deletion-neighborhood
+    // leg (their ~len²/2 key volume stops beating brute force) — but they
+    // must not silently vanish from the result (ADVICE r10: even an
+    // exact duplicate of a long name would have disappeared, and short
+    // oracle fixtures can't catch it). Over-length rows instead go
+    // through a per-block brute-force leg below: |long| × |block| work,
+    // linear in the corpus as long as over-length names are rare.
+    val isLong = length(col(nameCol)) > Del2MaxLen
+    val guarded = if (maxEdit == 2) df.filter(!isLong) else df
     val keyed = guarded.select(col(idCol).as("id"), col(nameCol).as("name"),
         blk.as("blk"))
       .select(col("id"), col("name"), col("blk"),
@@ -95,7 +105,7 @@ object Entity {
     // cache the keyed table: the self-join would otherwise evaluate the
     // deletion-neighborhood expression — the operator's dominant cost at
     // k = 2 — once per side (measured ~2x, SCALE.md r10)
-    Dedup.withCached(keyed) { k =>
+    val fast = Dedup.withCached(keyed) { k =>
     k.as("a").join(k.as("b"), Seq("k"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -109,6 +119,31 @@ object Entity {
       .distinct()
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= maxEdit)
+    }
+    if (maxEdit == 1) fast
+    else {
+      // brute-force leg for over-length rows: long × (everything in the
+      // same block), exact-verified. Pairs with BOTH sides ≤ Del2MaxLen
+      // are exactly the fast leg's domain, so the two legs are disjoint
+      // and the union needs no dedup (long×long pairs appear twice in
+      // the join — once per orientation — hence the distinct()).
+      val longSide = df.filter(isLong)
+        .select(col(idCol).as("lid"), col(nameCol).as("lname"), blk.as("lblk"))
+      val anySide = df
+        .select(col(idCol).as("rid"), col(nameCol).as("rname"), blk.as("rblk"))
+      val brute = longSide
+        .join(anySide, col("lblk") === col("rblk") && col("lid") =!= col("rid"))
+        .select(
+          least(col("lid"), col("rid")).as("id_a"),
+          greatest(col("lid"), col("rid")).as("id_b"),
+          when(col("lid") < col("rid"), col("lname")).otherwise(col("rname"))
+            .as("name_a"),
+          when(col("lid") < col("rid"), col("rname")).otherwise(col("lname"))
+            .as("name_b"))
+        .distinct()
+        .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("edit_dist") <= maxEdit)
+      fast.unionByName(brute)
     }
   }
 

@@ -39,12 +39,17 @@ object Gini {
     else
       j.withColumn("rnk", row_number().over(Window.partitionBy(col("nation"))
         .orderBy(col("cents"), col("c_custkey"))).cast("long"))
+    // rs ~ n·Σcents/2 blows through Int64 at ~millions of members per
+    // group (ADVICE r10: Spark wraps silently under non-ANSI while the
+    // DuckDB twin errors) — the rank-weighted sum and the 1000× numerator
+    // ride decimal(38,0) end to end; `div` collapses back to BIGINT
     ranked.groupBy(col("nation"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).cast("long").as("total_cents"),
-        sum(col("rnk") * col("cents")).cast("long").as("rs"))
-      .withColumn("gini_milli",
-        expr("(1000 * (2 * rs - (n + 1) * total_cents)) div (n * total_cents)"))
+        sum((col("rnk") * col("cents")).cast("decimal(38,0)")).as("rs"))
+      .withColumn("gini_milli", expr(
+        """(1000 * (2 * rs - (n + 1) * CAST(total_cents AS DECIMAL(38,0))))
+          | div (n * CAST(total_cents AS DECIMAL(38,0)))""".stripMargin))
       .select(col("nation"), col("n"), col("total_cents"), col("gini_milli"))
   }
 
@@ -68,10 +73,10 @@ object Gini {
       |a AS (
       |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(cents) AS BIGINT) AS total_cents,
-      |         CAST(sum(rnk * cents) AS BIGINT) AS rs
+      |         sum(CAST(rnk AS HUGEINT) * cents) AS rs
       |  FROM r GROUP BY nation)
       |SELECT nation, n, total_cents,
-      |       (1000 * (2 * rs - (n + 1) * total_cents)) // (n * total_cents)
-      |         AS gini_milli
+      |       CAST((1000 * (2 * rs - (n + 1) * CAST(total_cents AS HUGEINT)))
+      |         // (n * CAST(total_cents AS HUGEINT)) AS BIGINT) AS gini_milli
       |FROM a ORDER BY nation""".stripMargin
 }

@@ -32,6 +32,18 @@ class AucGiniSpec extends SparkSpecBase {
     assert((r.getLong(2), r.getLong(3)) == ((6L, 750L)))
   }
 
+  test("auc on single-class input is NULL, not a wrap or engine divergence") {
+    // ADVICE r10: n_pos·n_neg = 0 used to NULL in Spark but error in the
+    // DuckDB twin; now both sides CASE-guard to NULL explicitly
+    val allPos = Auc.rankAuc(
+      Seq((3L, true), (1L, true)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(allPos.getLong(0) == 2L && allPos.getLong(1) == 0L)
+    assert(allPos.isNullAt(3), s"expected NULL auc_milli, got $allPos")
+    val allNeg = Auc.rankAuc(
+      Seq((3L, false), (1L, false)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(allNeg.isNullAt(3))
+  }
+
   test("auc on the fixture: bounded, and total pairs reconcile") {
     val r = Auc.qLengthAuc(spark, sf).head()
     val (nPos, nNeg, u2, auc) =
@@ -52,6 +64,26 @@ class AucGiniSpec extends SparkSpecBase {
     // one customer owns ~everything: G → (n−1)/n = 0.75 for n=4
     val g = gini(Seq(1L, 1L, 1L, 1000000L))
     assert(g >= 740L && g <= 750L, s"concentrated gini $g")
+  }
+
+  test("gini rank-weighted sum survives values that overflow Int64 (decimal path)") {
+    // ADVICE r10: 1000·(2·rs − (n+1)·total) wrapped silently in Long.
+    // 100 members × 1e11-cent spends → numerator ~1.7e19 > Long.MAX;
+    // the decimal(38,0) path must match an exact BigInt evaluation.
+    val n = 100
+    val cust = (0 until n).map(i => (i.toLong, 7L)).toDF("c_custkey", "c_nationkey")
+    val ords = (0 until n).map(i => (i.toLong, (i + 1) * 1e9))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Gini.giniBySpend(cust, ords).head()
+    val cents = (1 to n).map(i => BigInt(i) * BigInt("100000000000"))
+    val total = cents.sum
+    val rs = cents.zipWithIndex.map { case (c, i) => BigInt(i + 1) * c }.sum
+    val expected = (BigInt(1000) * (2 * rs - BigInt(n + 1) * total)) /
+      (BigInt(n) * total)
+    assert(BigInt(1000) * (2 * rs - BigInt(n + 1) * total) > BigInt(Long.MaxValue),
+      "fixture no longer exercises the overflow regime")
+    assert(got.getLong(3) == expected.toLong,
+      s"gini_milli ${got.getLong(3)} != exact $expected")
   }
 
   test("gini on the fixture: every nation bounded in [0, 1000) and n reconciles") {

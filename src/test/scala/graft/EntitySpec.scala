@@ -70,4 +70,45 @@ class EntitySpec extends SparkSpecBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
     assert(d2((1L, 2L)) == 2 && d2((1L, 5L)) == 2 && d2((1L, 6L)) == 2)
   }
+
+  test("over-length names at maxEdit=2 route through the brute leg, never vanish") {
+    // ADVICE r10: rows past Del2MaxLen used to be silently filtered, so
+    // even an exact duplicate of a long name disappeared from the pairs
+    val long1 = "x" * (Entity.Del2MaxLen + 10)
+    val long2 = "x" * (Entity.Del2MaxLen + 10)          // dist 0 from long1
+    val long3 = "x" * (Entity.Del2MaxLen + 9) + "yz"    // dist 2 from long1
+    val edge  = "x" * Entity.Del2MaxLen                 // at the cap: fast leg
+    val edgeN = "x" * (Entity.Del2MaxLen + 1)           // dist 1 across the cap
+    val rows = Seq(
+      (1L, long1), (2L, long2), (3L, long3), (4L, edge), (5L, edgeN),
+      (6L, "acme corp"), (7L, "acme corq"), (8L, "zenith ltd"))
+      .toDF("id", "name")
+    val got = Entity.editPairs(rows, "id", "name", maxEdit = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"over-length routing missed ${brute -- got}, extra ${got -- brute}")
+    // the specific holes: long×long exact dup, long×long dist 2,
+    // and a pair STRADDLING the cap (fast-leg row × brute-leg row)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((4L, 5L)) && got.contains((6L, 7L)))
+    // blocked variant stays complete too (brute leg respects the block)
+    val blocked = rows.withColumn("blk", col("id") % 2)
+    val gotB = Entity.editPairs(blocked, "id", "name", maxEdit = 2,
+        blockCol = Some("blk"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteB = blocked.as("a").crossJoin(blocked.as("b"))
+      .filter(col("a.id") < col("b.id") && col("a.blk") === col("b.blk") &&
+        levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB == bruteB,
+      s"blocked over-length routing missed ${bruteB -- gotB}, extra ${gotB -- bruteB}")
+  }
 }

@@ -41,4 +41,32 @@ class MetricsSpec extends SparkSpecBase {
     }
     assert(l.snapshot().size == Metrics.MaxEntries)
   }
+
+  test("ledger capacity does not drift under concurrent eviction races") {
+    // ADVICE r10: a null-poll race used to exit the evict loop without
+    // reconciling nEntries, permanently shrinking effective capacity.
+    // Hammer from 8 threads so poll races are actually exercised, then
+    // check the ledger settles at (near) full capacity, not below it.
+    val l = new Metrics.Ledger
+    val m = classOf[Metrics.Ledger].getDeclaredMethods
+      .find(_.getName == "record").get
+    m.setAccessible(true)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 5000).foreach { i =>
+        m.invoke(l, Metrics.QueryRecord(s"t$t-q$i", 1L, None, 0L, 0L, false, None))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val size = l.snapshot().size
+    assert(size <= Metrics.MaxEntries, s"ledger over capacity: $size")
+    // reconcile path may land within a few entries of full; drift bug
+    // left it hundreds-to-thousands short after sustained races
+    assert(size >= Metrics.MaxEntries - 64,
+      s"ledger capacity drifted down to $size")
+    // and a subsequent single-threaded refill tops it back to exactly full
+    (0 until 200).foreach { i =>
+      m.invoke(l, Metrics.QueryRecord(s"refill-$i", 1L, None, 0L, 0L, false, None))
+    }
+    assert(l.snapshot().size == Metrics.MaxEntries)
+  }
 }
