@@ -28,6 +28,27 @@ import graft.Tables
   * dedup should not fire on. All grading is integer: a pair passes
   * threshold t% iff 100·inter ≥ t·union iff t ≤ (inter·100) div union.
   *
+  * The exact intersection is COUNTED, never re-materialized: shingles
+  * are distinct within a document ([[Dedup.shingled]] list_distinct),
+  * so the candidate join's per-pair co-occurrence count IS
+  * |rare(A ∩ B)| exactly, and the only arrays that ever attach to a
+  * pair are the per-doc HOT-shingle sets (boilerplate, ≤ a handful per
+  * doc; zero at the test SFs — max df 25 vs Cap 1000) via left joins.
+  * The r10 design instead re-joined the FULL shingle arrays onto every
+  * candidate for an array_intersect verify — two ~50-element string
+  * arrays × ~1.1M candidate pairs at sf0.1 — which made this the
+  * suite's slowest, highest-variance query (9.3 s isolated, 19–47 s
+  * under full-suite memory pressure). A PPJoin-prefix candidate pass
+  * (the [[Dedup.jaccardPrefixPairs]] lemma at t = 50% → prefix = 3/4
+  * of each doc) was measured too: it prunes candidates only 1.6×
+  * (718k vs 1.13M — at t=0.5 the prefix is most of the set) while
+  * adding a df join + per-doc ranking window, and LOST to the count
+  * scheme (12.3 s vs ~3 s isolated). Counting needs co-occurrence over
+  * ALL rare shingles anyway, which is exactly the candidate join — so
+  * the verify is free. At 100 TB the join volume is Σ_sh C(df_sh, 2),
+  * bounded per shingle by the Cap rule — the accepted
+  * [[Dedup.shingleJaccardPairs]] scale shape.
+  *
   * docs_removed counts the keep-min losers (distinct doc_b), the actual
   * data-loss number; removed_bp scales it to the corpus in basis
   * points by long division.
@@ -39,20 +60,39 @@ object DedupCurve {
 
   def thresholdCurve(docs: DataFrame): DataFrame =
     Dedup.withCached(Dedup.shingled(docs)) { sh =>
-      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      val ex = sh.select(col("doc_id"), col("n_sh"),
+        explode_outer(col("shingles")).as("sh"))
       val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > Cap).select(col("sh"))
       val rare = ex.join(broadcast(hot), Seq("sh"), "left_anti")
-      val cands = rare.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(rare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val setsA = sh.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sha"), col("n_sh").as("n_a"))
-      val setsB = sh.select(col("doc_id").as("doc_b"),
-        col("shingles").as("shb"), col("n_sh").as("n_b"))
-      val pt = cands.join(setsA, "doc_a").join(setsB, "doc_b")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      // one join, one agg: the co-occurrence count IS |rare(A∩B)| because
+      // shingles are distinct within a doc — no candidate distinct(), no
+      // full-array re-join (scaladoc: the r10 verify-join was the cost)
+      val a = rare.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("sh"))
+      val b = rare.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("sh"))
+      val counted = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter_rare"),
+          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      // shared HOT shingles still count toward the exact Jaccard; the
+      // per-doc hot sets are the only arrays that touch a pair, and they
+      // are boilerplate-sized (≤ a handful per doc). NOT force-broadcast:
+      // one row per doc touching a hot shingle is unbounded at 100 TB —
+      // AQE picks broadcast when the side is actually small
+      val hotSets = ex.join(broadcast(hot), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("hot_sh"))
+      val pt = counted
+        .join(hotSets.select(col("doc_id").as("doc_a"),
+          col("hot_sh").as("hot_a")), Seq("doc_a"), "left")
+        .join(hotSets.select(col("doc_id").as("doc_b"),
+          col("hot_sh").as("hot_b")), Seq("doc_b"), "left")
+        .withColumn("inter", col("inter_rare") +
+          when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+            .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))))
+            .cast("long"))
         .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
         .withColumn("pair_t", expr("(inter * 100) div union_sz"))
         .select(col("doc_a"), col("doc_b"), col("pair_t"))
