@@ -135,6 +135,9 @@ object SparkEntry {
     // like a production index build), measured queries scan the codes /
     // pruned cell partitions only
     "sim_pq_serving_topk" -> ((s, d) => Pq.qPqTopKServing(s, d)),
+    // IVFPQ against the persisted cell-partitioned code table: partition
+    // pruning × 32× compression multiply at the scan (the 100 TB shape)
+    "sim_ivfpq_serving_topk" -> ((s, d) => Pq.qIvfPqTopKServing(s, d)),
     "sim_ivf_clustered_topk" -> ((s, d) => Ivf.qIvfTopKClustered(s, d)),
     "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d)),

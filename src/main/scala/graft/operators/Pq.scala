@@ -159,6 +159,30 @@ object Pq {
       lutFor((0 until M).map(j => col(s"qsub_$j")), books).as("lut"))
   }
 
+  /** The exact-cosine re-rank tail every PQ variant shares: join the
+    * narrow (query_id, neighbor_id, adc) shortlist back to true vectors
+    * — only ≤ Refine·k·|Q| rows ever touch an embedding — and rank by
+    * exact cosine in bruteForceTopK's operand order. */
+  private def rerank(shortlist: DataFrame, emb: DataFrame, k: Int,
+      nQueries: Int): DataFrame = {
+    val qvec = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+    val exact = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(broadcast(qvec), Seq("query_id"))
+      .join(exact, Seq("neighbor_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("cosine"),
+        col("rank"))
+  }
+
   /** ADC sweep + exact re-rank against an arbitrary (neighbor_id, codes)
     * table — shared by the encode-inline path ([[pqTopKWith]]) and the
     * persisted-code-table serving path ([[pqTopKFromCodes]]). */
@@ -177,22 +201,7 @@ object Pq {
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * Refine)
       .select(col("query_id"), col("neighbor_id"), col("adc"))
-    val qvec = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("qn", Similarity.norm(col("qe")))
-    val exact = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .withColumn("cn", Similarity.norm(col("ce")))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.join(broadcast(qvec), Seq("query_id"))
-      .join(exact, Seq("neighbor_id"))
-      .withColumn("cosine",
-        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc"), col("cosine"),
-        col("rank"))
+    rerank(shortlist, emb, k, nQueries)
   }
 
   def pqTopKWith(emb: DataFrame, books: Seq[Seq[Array[Double]]], k: Int,
@@ -235,10 +244,21 @@ object Pq {
   def ivfPqTopKWith(emb: DataFrame, cents: Seq[Array[Double]],
       books: Seq[Seq[Array[Double]]], k: Int, nQueries: Int,
       nProbe: Int = Ivf.NProbe, dim: Int = 64): DataFrame = {
-    val d = dim / M
     val cands = encodeExtra(emb, books, dim,
       "cell" -> (e => Ivf.cellOf(e, cents)))
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    rerank(ivfPqShortlist(cands, emb, cents, books, k, nQueries, nProbe, dim),
+      emb, k, nQueries)
+  }
+
+  /** The cell-pruned ADC shortlist shared by the inline-encode IVFPQ path
+    * and the persisted-layout serving path: queries carry (lut, probed
+    * cell) — broadcast, they fan candidates per cell — and candidates are
+    * whatever (neighbor_id, cell, codes) table the caller scans. */
+  private def ivfPqShortlist(cands: DataFrame, emb: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]], k: Int,
+      nQueries: Int, nProbe: Int, dim: Int): DataFrame = {
+    val d = dim / M
     val qsub = emb.filter(col("vec_id") < nQueries)
       .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qe")) ++
         (0 until M).map { j =>
@@ -251,29 +271,36 @@ object Pq {
         .as("cell"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = broadcast(qlut).join(cands, Seq("cell"))
+    broadcast(qlut).join(cands, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         adcOf(col("lut"), col("codes")).as("adc"))
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * Refine)
       .select(col("query_id"), col("neighbor_id"), col("adc"))
-    val qvec = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("qn", Similarity.norm(col("qe")))
-    val exact = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .withColumn("cn", Similarity.norm(col("ce")))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.join(broadcast(qvec), Seq("query_id"))
-      .join(exact, Seq("neighbor_id"))
-      .withColumn("cosine",
-        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc"), col("cosine"),
-        col("rank"))
+  }
+
+  /** IVFPQ against a PERSISTED cell-partitioned code table — the layout
+    * where BOTH pruning levers pay at read time: the union of the
+    * queries' probe cells (a control-plane collect of ≤ [[Ivf.Cells]]
+    * ints) becomes a static IN filter on the partition column, so
+    * Catalyst prunes every unprobed cell's files before a row is read,
+    * and what the probed cells hold is 8 ints per vector, not 64 floats.
+    * At 100 TB a query batch reads ~nProbe/Cells of a 32×-compressed
+    * table. Same quantizer + codebooks ⇒ identical codes, ADC, ranks as
+    * [[ivfPqTopKWith]] (spec-pinned). */
+  def ivfPqTopKFromCodes(codes: DataFrame, emb: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]], k: Int,
+      nQueries: Int, nProbe: Int = Ivf.NProbe, dim: Int = 64): DataFrame = {
+    val probed = emb.filter(col("vec_id") < nQueries)
+      .select(explode(Ivf.probeCells(col("embedding"), cents, nProbe)
+        .getField("cell")).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val cands = codes
+      .filter(col("cell").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    rerank(ivfPqShortlist(cands, emb, cents, books, k, nQueries, nProbe, dim),
+      emb, k, nQueries)
   }
 
   /** Codebooks per dataset dir (training is deterministic — caching only
@@ -309,6 +336,44 @@ object Pq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The 100 TB IVFPQ layout: the corpus encoded to PQ codes AND
+    * coarse-quantized in the same single scan ([[encodeExtra]] — no
+    * self-join of two embedding derivations), written partitionBy(cell):
+    * [[Ivf.writeClustered]]'s file layout holding [[writeCodes]]'s
+    * 32×-compressed payload. Callers pass the trained quantizer and
+    * codebooks so the query side probes and LUT-builds with the same
+    * models the layout was built from. */
+  def writeCodesClustered(emb: DataFrame, path: String,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      dim: Int = 64): Unit =
+    encodeExtra(emb, books, dim, "cell" -> (e => Ivf.cellOf(e, cents)))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Build-once persisted IVFPQ layouts per dataset dir (the serving
+    * deployment shape; shares [[codebooks]] and [[Ivf.centroidsFor]], so
+    * results match the inline path — spec-pinned). */
+  private def servingIvfPqFor(spark: SparkSession, dir: String): String =
+    graft.Serving.buildOnce("ivfpq_codes", dir) { path =>
+      val emb = Tables.embeddings(spark, dir)
+      val books = codebooks.computeIfAbsent(dir, _ => trainCodebooks(emb, 64))
+      writeCodesClustered(emb, path, Ivf.centroidsFor(dir, emb), books)
+    }
+
+  /** The full 100 TB ANN serving read shape, benchable: top-k against the
+    * persisted cell-partitioned code table (index build amortized out) —
+    * partition pruning × 32× compression multiply at the scan. Same
+    * quantizer + codebooks ⇒ same results as [[qIvfPqTopK]], so it
+    * shares the generated [[oIvfPqTopK]] twin. */
+  def qIvfPqTopKServing(spark: SparkSession, dir: String): DataFrame = {
+    val path = servingIvfPqFor(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val books = codebooks.get(dir)
+    val cents = Ivf.centroidsFor(dir, emb)
+    ivfPqTopKFromCodes(spark.read.parquet(path), emb, cents, books,
+      k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val books = codebooks.computeIfAbsent(dir,
       d => trainCodebooks(Tables.embeddings(spark, d), 64))
@@ -333,7 +398,9 @@ object Pq {
         Map("sim_pq_topk" -> oPqTopK(books),
           // persisted-code serving path: same codebooks ⇒ same results
           "sim_pq_serving_topk" -> oPqTopK(books),
-          "sim_ivfpq_topk" -> oIvfPqTopK(cents, books))
+          "sim_ivfpq_topk" -> oIvfPqTopK(cents, books),
+          // persisted cell-partitioned layout: same quantizer + books
+          "sim_ivfpq_serving_topk" -> oIvfPqTopK(cents, books))
       case (Some((_, books)), None) =>
         Map("sim_pq_topk" -> oPqTopK(books),
           "sim_pq_serving_topk" -> oPqTopK(books))

@@ -67,6 +67,37 @@ class PqSpec extends SparkSpecBase {
       "cell pruning with all cells probed must be a no-op")
   }
 
+  test("persisted IVFPQ layout partition-prunes on cell and serves the inline results") {
+    import graft.operators.Ivf
+    val cents = Ivf.trainCentroids(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.writeCodesClustered(emb, dir, cents, books)
+    val codes = spark.read.parquet(dir)
+    // the hot table holds 8 ints + the partition cell per vector — never
+    // an embedding
+    assert(codes.schema.fieldNames.toSet == Set("vec_id", "codes", "cell"))
+    // files read ∝ nProbe: a small query batch's probe-cell union is a
+    // strict subset of the cells (3 queries × nProbe < 16 here; 20
+    // queries happen to union to all 16 at fixture scale), and the scan
+    // must carry a cell PartitionFilter (Catalyst prunes the rest)
+    val probed = emb.filter(col("vec_id") < 3)
+      .select(explode(Ivf.probeCells(col("embedding"), cents, Ivf.NProbe)
+        .getField("cell")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.size < Ivf.Cells,
+      s"fixture probes every cell (${probed.size}) — pruning unexercised")
+    val served3 = Pq.ivfPqTopKFromCodes(codes, emb, cents, books, 5, 3)
+    val plan = served3.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"serving scan did not partition-prune on cell:\n$plan")
+    assert(served3.collect().toSeq ==
+      Pq.ivfPqTopKWith(emb, cents, books, 5, 3).collect().toSeq)
+    val served = Pq.ivfPqTopKFromCodes(codes, emb, cents, books, 5, 20)
+    val inline = Pq.ivfPqTopKWith(emb, cents, books, 5, 20).collect().toSeq
+    assert(served.collect().toSeq == inline,
+      "persisted IVFPQ layout must serve the inline-encode results")
+  }
+
   test("IVFPQ at nProbe = 6 keeps useful recall on a 2.7x-pruned scan") {
     val cents = graft.operators.Ivf.trainCentroids(emb)
     val exact = Similarity.bruteForceTopK(emb, 5, nQueries = 50)
