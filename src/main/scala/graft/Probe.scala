@@ -27,6 +27,13 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("bucketq3")) { bucketQ3(); return }
+    if (args.headOption.contains("entity")) {
+      entityScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(7); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -158,6 +165,12 @@ object Probe {
         if (want("dupweights")) time("dup weights (clusters + size window)") {
           drain(graft.operators.DupWeights.dupWeights(docs))
         }
+        if (want("dedupcurve")) time("dedup threshold curve (count-verified candidates)") {
+          // same co-occurrence candidate shape as `jaccard` plus the
+          // 5-threshold grading — the r11 count-based rewrite's claim is
+          // "one candidate pass", so its tier times must track jaccard's
+          drain(graft.operators.DedupCurve.thresholdCurve(docs))
+        }
       } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")
       if (want("codec")) time("multimodal codec round trip (PNG+WAV, map-only)") {
         drain(graft.operators.Multimodal.decodeRoundTrip(docs))
@@ -246,6 +259,78 @@ object Probe {
         }
       }
       docs.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** Measures TPC-H Q3 plain vs over the bucketed fact layout at sf0.1
+    * with size-based broadcast off (the fact-scale join shape) — the
+    * build cost and the per-query delta are reported separately because
+    * the layout amortizes over every orderkey join that follows it. */
+  def bucketQ3(): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bucketq3-wh").toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[bucketq3] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    for (round <- 1 to 3) {
+      timed(s"plain q3 (r$round)")(
+        graft.operators.Tpch.q3ShippingPriority(spark, dir).collect())
+      var q: org.apache.spark.sql.DataFrame = null
+      timed(s"layout build + q3 (r$round)") {
+        q = graft.operators.Scale.q3Bucketed(spark, dir); q.collect()
+      }
+      timed(s"bucketed q3, layout amortized (r$round)")(
+        graft.operators.Tpch.q3On(spark.table("b3_lineitem"),
+          spark.table("b3_orders"),
+          Tables.customer(spark, dir)).collect())
+    }
+    spark.stop()
+  }
+
+  /** Entity-resolution scale probe: replicate sf0.1's 15k customers
+    * `mult`× with the replica folded into the BLOCK (replicas never
+    * block together, so true pairs grow linearly by the same argument
+    * as corpusScale's salted shingles — growth beyond linear would be
+    * the deletion-neighborhood key machinery, not the fixture). The
+    * empirical backing for entity_edit2_pairs' "linear in rows with a
+    * ~len²/2 keys-per-row constant" claim (VERDICT r10 watch item).
+    * `sbt "runMain graft.Probe entity 7 21 67"` ≈ 105k / 315k / 1M
+    * rows. */
+  def entityScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val base = Tables.customer(spark, "/root/testdata/sf0.1")
+    mults.foreach { mult =>
+      val cust = base
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("c_custkey") * mult + col("rep")).as("c_custkey"),
+          col("c_name"),
+          concat(col("c_nationkey").cast("string"), lit("_"),
+            col("rep").cast("string")).as("blk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = cust.count()
+      for (maxEdit <- Seq(1, 2)) {
+        val t0 = System.nanoTime()
+        drain(graft.operators.Entity.editPairs(cust, "c_custkey", "c_name",
+          maxEdit = maxEdit, blockCol = Some("blk")))
+        println(f"[entity] edit$maxEdit pairs @ $n rows: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      cust.unpersist()
     }
     spark.stop()
   }

@@ -285,6 +285,27 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** TPC-H Q3 with the orders⋈lineitem fact join riding a bucketed
+    * layout: both facts written bucketBy(orderkey) + sortBy ONCE (the
+    * amortized layout build), after which the orderkey join plans as a
+    * SortMergeJoin with ZERO exchange on either fact side — the scans'
+    * HashPartitioning(orderkey, buckets) already satisfies the join's
+    * distribution, the customer leg stays an explicit broadcast, and
+    * the only shuffle left in the query is the final group-by's. This
+    * is the SCALE.md claim ("bucketed layouts make the recurring
+    * fact-fact join shuffle-free") demonstrated on a real TPC-H heavy
+    * rather than the toy [[bucketedJoinDemo]] count; the plan is pinned
+    * by spec and the measured delta recorded in SCALE.md. */
+  def q3Bucketed(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    writeBucketed(Tables.orders(spark, dir), "b3_orders", "o_orderkey",
+      buckets)
+    writeBucketed(Tables.lineitem(spark, dir), "b3_lineitem", "l_orderkey",
+      buckets)
+    Tpch.q3On(spark.table("b3_lineitem"), spark.table("b3_orders"),
+      Tables.customer(spark, dir))
+  }
+
   def bucketedJoinDemo(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
     writeBucketed(Tables.orders(spark, dir), "b_orders", "o_orderkey", buckets)

@@ -48,11 +48,18 @@ object Tpch {
     * dim into orders, shuffle-join lineitem on orderkey, top-10 revenue.
     * At scale: customer filter cuts ~1/5, broadcast leaves lineitem
     * unshuffled until the orderkey join, which buckets co-locate. */
-  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    q3On(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir))
+
+  /** Q3 over caller-supplied tables — [[graft.operators.Scale.q3Bucketed]]
+    * feeds the bucketed fact layout through the identical plan. */
+  def q3On(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame = {
     val cutoff = lit("1998-06-30").cast("timestamp")
-    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
-    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
-    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders.filter(col("o_orderdate") < cutoff)
+    val li = lineitem.filter(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))

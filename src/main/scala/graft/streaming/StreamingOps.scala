@@ -136,6 +136,39 @@ object StreamingOps {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Streaming as-of enrichment: each micro-batch of events is
+    * point-in-time joined ([[graft.operators.AsOf.asofJoin]] — most
+    * recent right row ≤ the event time) against a SETTLED right side,
+    * inside foreachBatch. The as-of's union-ordering window is a
+    * multi-pass shape append mode can't plan as one continuous query
+    * (the [[dedupGateStream]] discipline), and the semantics a feature
+    * pipeline wants here are "state as of the settled table", not a
+    * watermark race — the right side's refresh cadence, not this
+    * operator, sets the enrichment horizon (the same horizon contract
+    * as dedupGateStream's corpus).
+    *
+    * Per-batch cost tracks the BATCH, not the right table: the right
+    * side is first semi-joined down to the batch's keys (cdcApply's
+    * restriction discipline), so a 100-row micro-batch unions with its
+    * own customers' order history, never the full 100 TB table. The
+    * checkpoint makes replays re-deliver the same batch to an
+    * idempotent consumer rather than double-enrich. */
+  def asofStream(events: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightValueCols: Seq[String],
+      checkpoint: String)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keys = batch.select(col(key)).distinct()
+        val restricted = right.join(keys, Seq(key), "left_semi")
+        onBatch(graft.operators.AsOf.asofJoin(batch, restricted, key,
+          leftTs, rightTs, rightValueCols), batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming → Gold over JDBC with exactly-once effect: foreachBatch
     * runs the idempotent anti-join append per micro-batch, so replays
     * (same batch re-delivered after a crash) insert nothing twice. This

@@ -123,6 +123,35 @@ class ScaleSpec extends SparkSpecBase {
       Tables.lineitem(spark, sf).count())
   }
 
+  test("TPC-H Q3 over bucketed facts joins with zero exchange on either fact side") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable size-based broadcast so the fact join can't hide behind a
+      // fixture-scale BHJ; the customer leg keeps its explicit broadcast()
+      // hint, so the plan shape is exactly the 100 TB one
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Scale.q3Bucketed(spark, sf)
+      val got = bucketed.collect().toSeq
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // a single-key exchange on either orderkey = the fact join still
+      // shuffles (the 3-key group-by exchange is allowed and expected)
+      val factExchange =
+        """Exchange hashpartitioning\((l|o)_orderkey#\d+L?, \d+\)""".r
+      assert(factExchange.findFirstIn(plan).isEmpty,
+        s"bucketed Q3 still shuffles a fact side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // same configuration WITHOUT the layout must shuffle both facts —
+      // the spec proves bucketing removed the exchange, not the fixture
+      val unbucketed = graft.operators.Tpch.q3ShippingPriority(spark, sf)
+      val ref = unbucketed.collect().toSeq
+      assert(factExchange.findFirstIn(
+        unbucketed.queryExecution.executedPlan.toString).isDefined,
+        "unbucketed Q3 did not shuffle on orderkey — assertion is vacuous")
+      assert(got == ref, "bucketed layout changed Q3's answer")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("sketch aggregates land within tolerance of exact answers") {
     val s = Scale.qSketchStatsNative(spark, sf).collect()
     s.foreach { r =>

@@ -307,6 +307,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == 0, s"checkpointed restart re-classified $replayed docs")
   }
 
+  test("streaming as-of enriches micro-batches exactly like the batch as-of join") {
+    import graft.operators.AsOf
+    // at sf0.001 every event user has a prior order, so plant one event
+    // for a user with no orders — the left join's null path must flow
+    // through the stream too
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .unionByName(spark.sql(
+        """SELECT CAST(999999 AS BIGINT) AS event_id,
+          |  TIMESTAMP '1995-01-01 00:00:00' AS ts,
+          |  CAST(-1 AS BIGINT) AS user_id,
+          |  'view' AS event_type, CAST(1.0 AS DOUBLE) AS value""".stripMargin))
+    val ord = Tables.orders(spark, sf)
+      .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+      .agg(max_by($"o_orderkey", $"o_orderkey").as("o_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+    // 3 files + maxFilesPerTrigger=1 → ≥3 micro-batches: each event's
+    // match depends only on the settled right side, so batch boundaries
+    // must not change any enrichment
+    val d = Files.createTempDirectory("graft-asof-in").toString
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    val cp = Files.createTempDirectory("graft-asof-cp").toString
+    def row(r: org.apache.spark.sql.Row): (Long, Option[Long], Option[Double]) = (
+      r.getLong(r.fieldIndex("event_id")),
+      if (r.isNullAt(r.fieldIndex("o_orderkey"))) None
+      else Some(r.getLong(r.fieldIndex("o_orderkey"))),
+      if (r.isNullAt(r.fieldIndex("o_totalprice"))) None
+      else Some(r.getDouble(r.fieldIndex("o_totalprice"))))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Option[Double])]()
+    var batches = 0
+    val q = StreamingOps.asofStream(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d),
+      ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), cp) { (res, _) =>
+      got ++= res.collect().map(row); batches += 1
+    }
+    q.awaitTermination()
+    assert(batches >= 3, s"expected ≥3 micro-batches, saw $batches")
+    val expected = AsOf.asofJoin(ev, ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice")).collect().map(row)
+    assert(got.size == expected.length, "every event enriched exactly once")
+    assert(got.toSet == expected.toSet,
+      "stream and batch as-of enrichments must agree")
+    // some events must actually match an order (the fixture isn't
+    // vacuously all-null) and some must not (the left join is real)
+    assert(expected.exists(_._2.isDefined) && expected.exists(_._2.isEmpty))
+    // replay safety: checkpointed restart over the same input re-enriches
+    // nothing
+    var replayed = 0
+    val q2 = StreamingOps.asofStream(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d),
+      ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), cp) { (res, _) =>
+      replayed += res.count().toInt
+    }
+    q2.awaitTermination()
+    assert(replayed == 0, s"checkpointed restart re-enriched $replayed events")
+  }
+
   test("streaming quota admission caps each source across batches like the batch window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
