@@ -102,25 +102,47 @@ object DedupCurve {
       val thr = Thresholds.toDF("threshold_pct")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
-      val kept = pt.join(broadcast(thr), col("pair_t") >= col("threshold_pct"))
-      val pairsAgg = kept.groupBy(col("threshold_pct"))
-        .agg(count(lit(1)).as("pairs_ge"),
-          countDistinct(col("doc_b")).as("docs_removed"))
-      val docsAff = kept
-        .select(col("threshold_pct"),
-          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-        .groupBy(col("threshold_pct"))
-        .agg(countDistinct(col("doc")).as("docs_affected"))
+      // the grading NEVER fans pairs out by threshold: pair_t is an
+      // integer in [min(Thresholds)..100], so each output is a suffix
+      // count over a ≤51-row histogram —
+      //   pairs_ge(t)      = #pairs with pair_t ≥ t
+      //   docs_removed(t)  = #{doc_b : max pair_t over its pairs ≥ t}
+      //   docs_affected(t) = #{doc   : max pair_t over pairs touching it ≥ t}
+      // (a doc qualifies at t iff its BEST pair does — countDistinct over
+      // threshold-expanded rows is the same number computed 5× wider; on
+      // a dup-dense corpus the expansion was 3× the candidate pass'
+      // cost, measured in the 100k-doc probe). Three one-pass aggs over
+      // the qualifying pairs, then broadcast-size arithmetic.
+      // qualifying pairs are the DEDUP OUTPUT's size (tiny by the same
+      // argument that makes the dedup useful) — materialize them once so
+      // the three histogram branches don't re-run the candidate join
+      Dedup.withCached(pt.filter(col("pair_t") >= Thresholds.min)) { ptMin =>
+        val pairHist = ptMin.groupBy(col("pair_t"))
+          .agg(count(lit(1)).as("c"))
+        val remHist = ptMin.groupBy(col("doc_b"))
+          .agg(max(col("pair_t")).as("pair_t"))
+          .groupBy(col("pair_t")).agg(count(lit(1)).as("c"))
+        val affHist = ptMin
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+            col("pair_t"))
+          .groupBy(col("doc")).agg(max(col("pair_t")).as("pair_t"))
+          .groupBy(col("pair_t")).agg(count(lit(1)).as("c"))
+        def suffix(hist: DataFrame, out: String): DataFrame =
+          thr.join(broadcast(hist), col("pair_t") >= col("threshold_pct"), "left")
+            .groupBy(col("threshold_pct"))
+            .agg(coalesce(sum(col("c")), lit(0L)).as(out))
 
-      thr.join(pairsAgg, Seq("threshold_pct"), "left")
-        .join(docsAff, Seq("threshold_pct"), "left")
-        .crossJoin(broadcast(nDocs))
-        .select(col("threshold_pct"),
-          coalesce(col("pairs_ge"), lit(0L)).as("pairs_ge"),
-          coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
-          coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
-          expr("(coalesce(docs_removed, 0L) * 10000) div n_docs").as("removed_bp"))
-        .orderBy(col("threshold_pct"))
+        thr.join(suffix(pairHist, "pairs_ge"), Seq("threshold_pct"), "left")
+          .join(suffix(affHist, "docs_affected"), Seq("threshold_pct"), "left")
+          .join(suffix(remHist, "docs_removed"), Seq("threshold_pct"), "left")
+          .crossJoin(broadcast(nDocs))
+          .select(col("threshold_pct"),
+            coalesce(col("pairs_ge"), lit(0L)).as("pairs_ge"),
+            coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+            coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
+            expr("(coalesce(docs_removed, 0L) * 10000) div n_docs").as("removed_bp"))
+          .orderBy(col("threshold_pct"))
+      }
     }
 
   def qThresholdCurve(spark: SparkSession, dir: String): DataFrame =
