@@ -165,10 +165,14 @@ object Probe {
         if (want("dupweights")) time("dup weights (clusters + size window)") {
           drain(graft.operators.DupWeights.dupWeights(docs))
         }
-        if (want("dedupcurve")) time("dedup threshold curve (count-verified candidates)") {
+        if (want("dedupcurve") && n <= 150000) time("dedup threshold curve (count-verified candidates)") {
           // same co-occurrence candidate shape as `jaccard` plus the
-          // 5-threshold grading — the r11 count-based rewrite's claim is
-          // "one candidate pass", so its tier times must track jaccard's
+          // 5-threshold grading — the r11 histogram rewrite's claim is
+          // "one candidate pass", so its tier time must track jaccard's
+          // (measured: 119 s vs 312 s at 100k docs). The 315k tier blew
+          // the host's shuffle scratch (the legs carry two extra longs —
+          // nh per side — over jaccard's, on ~630M co-occurrence rows);
+          // disk-bounded like simhash14, not compute-bounded.
           drain(graft.operators.DedupCurve.thresholdCurve(docs))
         }
       } else println(s"[corpus] raw-shingle ops skipped @ $n docs (disk-bounded; see SCALE.md)")

@@ -60,31 +60,47 @@ object DedupCurve {
 
   def thresholdCurve(docs: DataFrame): DataFrame =
     Dedup.withCached(Dedup.shingled(docs)) { sh =>
-      val ex = sh.select(col("doc_id"), col("n_sh"),
+      val ex0 = sh.select(col("doc_id"),
         explode_outer(col("shingles")).as("sh"))
-      val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val hot = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > Cap).select(col("sh"))
-      val rare = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+      // per-doc hot-shingle sets (boilerplate-sized) attach at the DOC
+      // level — 1 row/doc, never onto the pair table wholesale: the 100k-
+      // doc probe measured the two pair-level hot joins shuffling the
+      // ~100M-pair table twice, 2.6× the candidate pass itself
+      val hotSets = ex0.join(broadcast(hot), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("hot_sh"))
+      val exN = sh.join(hotSets, Seq("doc_id"), "left")
+        .withColumn("nh", coalesce(size(col("hot_sh")), lit(0)).cast("long"))
+        .select(col("doc_id"), col("n_sh"), col("nh"),
+          explode_outer(col("shingles")).as("sh"))
+      val rare = exN.join(broadcast(hot), Seq("sh"), "left_anti")
       // one join, one agg: the co-occurrence count IS |rare(A∩B)| because
       // shingles are distinct within a doc — no candidate distinct(), no
       // full-array re-join (scaladoc: the r10 verify-join was the cost)
       val a = rare.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
-        col("sh"))
+        col("nh").as("nh_a"), col("sh"))
       val b = rare.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
-        col("sh"))
+        col("nh").as("nh_b"), col("sh"))
       val counted = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter_rare"),
-          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
-      // shared HOT shingles still count toward the exact Jaccard; the
-      // per-doc hot sets are the only arrays that touch a pair, and they
-      // are boilerplate-sized (≤ a handful per doc). NOT force-broadcast:
-      // one row per doc touching a hot shingle is unbounded at 100 TB —
-      // AQE picks broadcast when the side is actually small
-      val hotSets = ex.join(broadcast(hot), Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("sh")).as("hot_sh"))
-      val pt = counted
+          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+          first(col("nh_a")).as("nh_a"), first(col("nh_b")).as("nh_b"))
+      // provable pre-filter BEFORE any hot array touches a pair: the hot
+      // contribution is ≤ min(nh_a, nh_b), so
+      //   inter ≤ interMax = inter_rare + least(nh_a, nh_b)
+      //   union ≥ n_a + n_b − interMax
+      // and pair_t ≥ minThreshold ⟹ interMax·100 ≥ t·(n_a+n_b−interMax).
+      // Survivors ≈ the qualifying pairs (EXACT when no hot shingles
+      // exist — then interMax = inter_rare); only they pay the hot joins.
+      val t0 = Thresholds.min
+      val cand = counted
+        .withColumn("inter_max", col("inter_rare") + least(col("nh_a"), col("nh_b")))
+        .filter(col("inter_max") * 100 >=
+          lit(t0) * (col("n_a") + col("n_b") - col("inter_max")))
+      val pt = cand
         .join(hotSets.select(col("doc_id").as("doc_a"),
           col("hot_sh").as("hot_a")), Seq("doc_a"), "left")
         .join(hotSets.select(col("doc_id").as("doc_b"),
