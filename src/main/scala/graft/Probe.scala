@@ -481,6 +481,7 @@ object Probe {
       "multimodal_decode" -> "real-codec round trip: map-only mapPartitions scan (PNG+WAV decode per row), zero shuffles before the presentation sort",
       "classify_lang_nb" -> "broadcast-model NB prediction: explode → broadcast joins → per-doc integer hash-agg → one window on doc_id",
       "sim_pq_serving_topk" -> "persisted-code PQ serving: 32×-compressed code scan + broadcast ADC LUT, no vector data read",
+      "sim_ivfpq_serving_topk" -> "persisted IVFPQ serving: probe-cell IN filter partition-prunes the cell-laid code table, ADC only probed cells",
       "tokenize_bpe" -> "trained-BPE tokenize: map-only native expression (model as plan reference object), zero shuffles before the presentation sort",
       "cdc_apply_state" -> "incremental CDC merge: broadcast-semi batch-key restriction + anti pass-through, merge window over batch-sized input",
       "bm25_serving_topk" -> "inverted-index serving: term filter PUSHED to the postings scan (range-laid-out files skip on min/max), no document text read",
@@ -525,11 +526,11 @@ object Probe {
       "agg_grouped_quantiles" -> "grouped exact percentiles: deterministic leading-column buckets, partial-agg offsets, ONE full shuffle + per-cell scan (globalRankGrouped)",
       "entity_edit2_pairs" -> "distance-2 FastSS: k=2 deletion-neighborhood keys (~len^2/2 per name), nation-blocked candidates, exact levenshtein verify",
       "stats_gini_by_nation" -> "per-nation Gini: decimal-cents agg, hotGroups-dialed ranks, one integer finalize",
-      "curation_dedup_curve" -> "threshold sweep: ONE candidate+exact-jaccard pass graded against all five thresholds",
+      "curation_dedup_curve" -> "threshold sweep: ONE counted candidate pass, provable hot-bound pre-filter, suffix-histogram grading (no threshold fan-out)",
       "curation_exact_split" -> "exact-proportion split: hash-ranked per source, integer cross-multiplied boundaries, audit-grain agg",
       "classify_pr_curve" -> "PR operating points: domain-bounded score tallies x broadcast thresholds, conditional partial agg",
       "stats_trimmed_mean" -> "trimmed mean: groupRanks dial + integer tail trim + hash agg",
-      "stats_mad_by_flag" -> "MAD: two rank-selection passes, broadcast median join between them",
+      "stats_mad_by_flag" -> "MAD: cached pass-1 ranks feed both the median and the deviation pass — one scan, two rank passes",
       "sketch_kmv_rolling_distinct" -> "rolling distinct from sketches: range join over signature rows only, never events",
       "serving_topk_with_other" -> "leaderboard + OTHER: one cached spend agg feeds rank-limited top and residual hash agg",
       "plan_group_skew" -> "group-skew report: one partial agg per candidate key, 1-row unions")
