@@ -59,6 +59,9 @@ object SparkEntry {
     "anomaly_rolling_z" -> ((s, d) => Temporal.qRollingAnomalies(s, d)),
     "asof_events_orders" -> ((s, d) => AsOf.qEventsAsofOrdersDeterministic(s, d)),
     "sim_cosine_topk_native" -> ((s, d) => Similarity.qCosineTopKNative(s, d)),
+    // sparse (lexical) top-k: IDF-weighted shingle cosine — the
+    // sparse-vector complement of the dense ANN family
+    "sim_sparse_topk" -> ((s, d) => SparseSim.qSparseTopK(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -422,6 +425,7 @@ object SparkEntry {
     // native kernel accumulates in the same order as the composition →
     // shares its oracle bit-for-bit
     "sim_cosine_topk_native" -> Similarity.oCosineTopK,
+    "sim_sparse_topk" -> SparseSim.oSparseTopK,
     "sql_weekly" -> Sql.oWeeklySql,
     "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
     "subq_large_orders" -> Advanced.oLargeOrders,

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sparse (lexical) similarity top-k: for every document, the k most
+  * similar documents by IDF-weighted shingle cosine — the sparse-vector
+  * complement of the dense-embedding ANN family, and the weighted
+  * refinement of the Jaccard dedup family (Jaccard treats a shared
+  * boilerplate shingle and a shared rare shingle identically; the IDF
+  * weight makes rare overlap dominate, which is what retrieval wants).
+  *
+  * Shingles, not words, are the feature: on web-ish corpora the word
+  * vocabulary is stopword-dense (measured on the fixture: every single
+  * word appears in > half the documents, so word-level TF-IDF carries
+  * no signal at any df cutoff), while 3-gram shingles are sequence
+  * evidence (fixture max shingle df = 25 of 5000 docs).
+  *
+  * Exactness discipline: weights are the integer idf surrogate
+  * ⌊N·[[IdfScale]]/df⌋ (the [[Features]] precedent); dots and norms are
+  * exact DECIMAL(38,0) sums of decimal products (order-independent, no
+  * Int64 wrap at any corpus size — the Gini lesson); the ONLY floats
+  * are the final cast + sqrt + multiply + divide, each a single
+  * correctly-rounded IEEE op on identical operands in both engines, so
+  * the cosine is bit-deterministic and hash-gated. No decimal column
+  * reaches the output (driver-hash FLBA rule).
+  *
+  * Scale shape (100 TB): candidates come from the same df-capped
+  * shingle equi-join as [[Dedup.shingleJaccardPairs]] — cost tracks
+  * colliding pairs, never n²; hot shingles (df > [[Cap]]) are dropped
+  * before pairing. Per-doc norms attach to the postings LEGS before
+  * the pair aggregation (1 linear join by doc key), never onto the
+  * pair table (the r11 dedup-curve lesson: a per-pair join against a
+  * doc-level table re-shuffles the ~100M-row pair table). The pair
+  * aggregate is cached once and read by both directions of the
+  * symmetric view; the final per-doc window is rank-limited
+  * (WindowGroupLimit) so output is ≤ k rows per document.
+  */
+object SparseSim {
+
+  /** Hot-shingle df cap — boilerplate is not similarity signal (the
+    * [[Dedup.shingleJaccardPairs]] rule, same knob). */
+  val Cap = 1000
+
+  /** Integer idf surrogate scale: wgt = ⌊N·1000 / df⌋. */
+  val IdfScale = 1000L
+
+  /** Neighbors reported per document. */
+  val K = 5
+
+  def sparseTopK(docs: DataFrame): DataFrame =
+    Dedup.withCached(Dedup.shingled(docs)) { sh =>
+      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+        .filter(col("sh").isNotNull)
+      val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= Cap)
+      val n1 = docs.agg(count(lit(1)).as("nn"))
+      val post = ex.join(dfT, Seq("sh"))
+        .crossJoin(broadcast(n1))
+        .withColumn("wgt", expr(s"(nn * $IdfScale) div df"))
+        .select(col("doc_id"), col("sh"), col("wgt"))
+      val nrm = post.groupBy(col("doc_id"))
+        .agg(sum(expr("CAST(wgt AS DECIMAL(19,0)) * CAST(wgt AS DECIMAL(19,0))"))
+          .as("n2"))
+      // norms ride the LEGS (first() per pair), never a pair-table join
+      val posted = post.join(nrm, Seq("doc_id"))
+      val a = posted.select(col("doc_id").as("doc_a"), col("sh"),
+        col("wgt").as("wa"), col("n2").as("na2"))
+      val b = posted.select(col("doc_id").as("doc_b"), col("sh"),
+        col("wgt").as("wb"), col("n2").as("nb2"))
+      val dots = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_shingles"),
+          sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))"))
+            .as("dot"),
+          first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
+      // the pair aggregate feeds BOTH directions of the symmetric view —
+      // materialize it once instead of re-running the candidate join
+      Dedup.withCached(dots) { d =>
+        val sym = d.unionByName(d.select(
+          col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("shared_shingles"), col("dot"),
+          col("nb2").as("na2"), col("na2").as("nb2")))
+        val w = Window.partitionBy(col("doc_a"))
+          .orderBy(col("cosine").desc, col("doc_b"))
+        sym
+          .withColumn("cosine", expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
+            col("shared_shingles"), col("cosine"), col("rank"))
+      }
+    }
+
+  def qSparseTopK(spark: SparkSession, dir: String): DataFrame =
+    sparseTopK(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** DuckDB twin: identical shingle construction (the oNgramJaccard
+    * CTEs), HUGEINT dots/norms, the same single-op float edge. */
+  def oSparseTopK: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |shx AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles
+      |  FROM w),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shx),
+      |dfx AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh HAVING count(*) <= $Cap),
+      |n1 AS (SELECT count(*) AS nn FROM documents),
+      |post AS (
+      |  SELECT doc_id, ex.sh, (nn * $IdfScale) // df AS wgt
+      |  FROM ex JOIN dfx USING (sh) CROSS JOIN n1),
+      |nrm AS (SELECT doc_id, sum(CAST(wgt AS HUGEINT) * wgt) AS n2 FROM post GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS shared_shingles,
+      |         sum(CAST(a.wgt AS HUGEINT) * b.wgt) AS dot
+      |  FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT da, db, shared_shingles, dot, na.n2 AS na2, nb.n2 AS nb2
+      |  FROM dots JOIN nrm na ON na.doc_id = da JOIN nrm nb ON nb.doc_id = db),
+      |sym AS (
+      |  SELECT da AS doc_id, db AS neighbor_id, shared_shingles, dot, na2, nb2 FROM c
+      |  UNION ALL
+      |  SELECT db, da, shared_shingles, dot, nb2, na2 FROM c),
+      |sc AS (
+      |  SELECT doc_id, neighbor_id, shared_shingles,
+      |         CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+      |  FROM sym)
+      |SELECT doc_id, neighbor_id, shared_shingles, cosine, CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM sc)
+      |WHERE rank <= $K ORDER BY doc_id, rank""".stripMargin
+}
