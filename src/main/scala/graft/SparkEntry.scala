@@ -62,6 +62,8 @@ object SparkEntry {
     // sparse (lexical) top-k: IDF-weighted shingle cosine — the
     // sparse-vector complement of the dense ANN family
     "sim_sparse_topk" -> ((s, d) => SparseSim.qSparseTopK(s, d)),
+    // leakage-safe split: near-dup cluster members share one split
+    "corpus_split_leakage_safe" -> ((s, d) => SafeSplit.qClusterSafeSplit(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -426,6 +428,7 @@ object SparkEntry {
     // shares its oracle bit-for-bit
     "sim_cosine_topk_native" -> Similarity.oCosineTopK,
     "sim_sparse_topk" -> SparseSim.oSparseTopK,
+    "corpus_split_leakage_safe" -> SafeSplit.oClusterSafeSplit,
     "sql_weekly" -> Sql.oWeeklySql,
     "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
     "subq_large_orders" -> Advanced.oLargeOrders,
