@@ -352,6 +352,24 @@ object Ivf {
     cents
   }
 
+  /** Incremental index maintenance: assign a NEW vector batch with the
+    * EXISTING quantizer and append into the persisted cell layout —
+    * daily embedding loads join their cells' directories as new files;
+    * settled cells' files are never rewritten and the quantizer never
+    * retrains (retraining would re-assign old vectors and force a full
+    * rebuild — index rebuilds are a scheduled, not per-batch, event).
+    * Append into an empty path IS the initial build, so build and
+    * maintenance are one code path. Cost per batch: one map-only
+    * assignment scan of the batch + a partitioned append ∝ batch size,
+    * independent of index size (the [[graft.operators.Cdc]] /
+    * [[graft.operators.Scd]] incremental discipline). Probe results
+    * over (build + appends) ≡ a from-scratch build over the union with
+    * the same quantizer — spec-pinned. */
+  def appendClustered(newEmb: DataFrame, path: String,
+      cents: Seq[Array[Double]]): Unit =
+    newEmb.withColumn("cell", cellOf(col("embedding"), cents))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Top-k against a clustered corpus: the union of the queries' probe
     * cells (≤ `cells` values, collected driver-side) becomes a static IN
     * filter on the partition column — Catalyst prunes every other cell's

@@ -226,6 +226,31 @@ class ScaleSpec extends SparkSpecBase {
       "clustered probe must return exactly the unclustered IVF results")
   }
 
+  test("IVF layout append: daily batches join their cells; probe equals a full rebuild") {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, sf)
+    val first = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    // initial build on the first half trains the quantizer; the second
+    // half arrives later as a maintenance batch — no retrain, no rewrite
+    val cents = Ivf.writeClustered(first, dir)
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    Ivf.appendClustered(rest, dir, cents)
+    val after = spark.read.parquet(dir).inputFiles.toSet
+    assert(before.subsetOf(after), "append rewrote settled files")
+    assert(after.size > before.size)
+    // from-scratch build over the union with the SAME quantizer
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    Ivf.appendClustered(emb, dir2, cents)
+    def pairs(corpus: org.apache.spark.sql.DataFrame) =
+      Ivf.ivfTopKClustered(corpus, emb.filter($"vec_id" < 50), cents, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(pairs(spark.read.parquet(dir)) == pairs(spark.read.parquet(dir2)),
+      "appended layout must probe exactly like a full rebuild")
+  }
+
   test("z-order layout prunes files on the SECOND dimension where 1-D layout cannot") {
     val zDir = java.nio.file.Files.createTempDirectory("graft-zorder")
     val linDir = java.nio.file.Files.createTempDirectory("graft-linear")
