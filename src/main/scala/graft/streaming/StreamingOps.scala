@@ -365,6 +365,38 @@ object StreamingOps {
       }
   }
 
+  case class HashedDoc(doc_id: Long, source: String, h: Long)
+  case class SampleSnapshot(source: String, version: Long, members: Seq[Long])
+
+  /** Streaming uniform sample — the arrival-order twin of
+    * [[graft.operators.Sampling.exactKPerGroup]]: per source, keep the k
+    * docs with the SMALLEST md5-derived hashes seen so far (bottom-k by
+    * hash IS a uniform sample, and it is mergeable: min-k of a union =
+    * min-k of min-ks — the KMV property, reused for sampling instead of
+    * distinct-counting). A reservoir sample would need randomness and
+    * arrival-order dependence; bottom-k is deterministic and
+    * order-INDEPENDENT, so the final streaming state equals the batch
+    * sample no matter how micro-batches slice the corpus (spec-pinned).
+    * State per source is exactly k (hash, id) pairs — bounded forever;
+    * each batch emits the group's current snapshot with a version so a
+    * consumer (or the spec) takes the latest. */
+  def bottomKSampleStream(docs: Dataset[HashedDoc],
+      k: Int): Dataset[SampleSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]), SampleSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[HashedDoc],
+            state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (version, prev) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (prev ++ rows.map(d => (d.h, d.doc_id)))
+            .distinct.sorted.take(k)
+          state.update((version + 1, merged))
+          Iterator.single(SampleSnapshot(source, version + 1,
+            merged.map(_._2)))
+      }
+  }
+
   /** Batch twin of sessionize (same semantics via window functions) — the
     * correctness oracle for the stateful operator and the backfill path. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

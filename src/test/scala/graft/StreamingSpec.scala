@@ -366,6 +366,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == 0, s"checkpointed restart re-enriched $replayed events")
   }
 
+  test("streaming bottom-k sample converges to the batch exact-k sample, any batching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextFns
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = graft.operators.Sampling.SampleK
+    val hashed = Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        TextFns.md5u56($"doc_id".cast("string")).as("h"))
+      .as[StreamingOps.HashedDoc].collect()
+    // adversarial slicing: REVERSE hash order, so every batch improves
+    // (replaces members of) the running sample — the merge path is
+    // exercised on every element, not just the first k
+    val batches = hashed.sortBy(-_.h).grouped(math.max(1, hashed.length / 3 + 1)).toSeq
+    val src = MemoryStream[StreamingOps.HashedDoc]
+    val q = StreamingOps.bottomKSampleStream(src.toDS(), k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bk_out").start()
+    batches.foreach { b => src.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val snaps = spark.table("bk_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    val finalPerSource = snaps.groupBy(_._1)
+      .map { case (s, v) => s -> v.maxBy(_._2)._3.toSet }
+    val expected = graft.operators.Sampling
+      .exactKPerGroup(Tables.documents(spark, sf), k)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+    assert(finalPerSource == expected,
+      "streaming bottom-k state must converge to the batch sample")
+    // and mid-stream snapshots never exceed k
+    snaps.foreach { case (s, _, m) => assert(m.size <= k, s"$s over k") }
+  }
+
   test("streaming quota admission caps each source across batches like the batch window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
