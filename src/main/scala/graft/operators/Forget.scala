@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key erasure over a partitioned parquet layout — the "right to be
+  * forgotten" operation a data platform must run routinely: given a set
+  * of subject keys, remove every row carrying one of them, WITHOUT
+  * rewriting the table.
+  *
+  * Scale design (100 TB): erasure is a partition-pruned rewrite.
+  * 1. ONE distributed scan finds the distinct partitions that contain a
+  *    target key (the scan prunes columns to key + partition cols); the
+  *    result is collected — control-plane only, ≤ #affected partitions
+  *    rows, the same class as IVF's probed-cell collect.
+  * 2. Each affected partition directory is rewritten through an
+  *    anti-filter; every UNaffected partition's files are never read
+  *    again, never rewritten, and stay byte-identical (spec-pinned) —
+  *    at 100 TB with date-partitioned data a deletion request touches
+  *    the handful of partitions the subject appears in.
+  * 3. The swap is rename-aside (stage → old aside → staging in → drop
+  *    old; the [[graft.Serving.buildOnce]] discipline), so a concurrent
+  *    reader sees the old complete tree or the new complete tree, never
+  *    a half-rewritten directory.
+  * Re-running with the same keys finds zero affected partitions —
+  * idempotent by construction. Returns the per-partition audit (rows
+  * removed / kept) the erasure request needs for its compliance record.
+  */
+object Forget {
+
+  /** Erase `keys` from the layout at `path` partitioned by
+    * `partitionCols`; `keyCol` must be a DATA column (not a partition
+    * column — erasing a whole partition value is a directory delete,
+    * not a rewrite). Returns the audit frame
+    * (partition, rows_removed, rows_kept). */
+  def forgetKeys(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(!partitionCols.contains(keyCol),
+      s"$keyCol is a partition column — erase it by dropping directories")
+    val layout = spark.read.option("basePath", path).parquet(path)
+    val keyLits = keys.map(Long.box)
+    val affected = layout
+      .filter(col(keyCol).isin(keyLits: _*))
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("rows_removed"))
+      .collect()
+    val audit = affected.map { row =>
+      val segs = partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${row.get(i)}" }
+      val dir = Paths.get(path, segs: _*)
+      val part = spark.read.parquet(dir.toString)
+      val kept = part.filter(!col(keyCol).isin(keyLits: _*))
+      val staging = Paths.get(dir.toString + ".forget_staging")
+      val old = Paths.get(dir.toString + ".forget_old")
+      kept.write.mode("overwrite").parquet(staging.toString)
+      val keptRows = spark.read.parquet(staging.toString).count()
+      deleteRecursively(old)
+      mv(dir, old)
+      mv(staging, dir)
+      deleteRecursively(old)
+      (segs.mkString("/"), row.getLong(partitionCols.size), keptRows)
+    }
+    audit.toSeq.toDF("partition", "rows_removed", "rows_kept")
+      .orderBy(col("partition"))
+  }
+
+  private def mv(from: Path, to: Path): Unit =
+    try Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(from, to): Path
+        ()
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.delete(f); () })
+      finally s.close()
+    }
+}

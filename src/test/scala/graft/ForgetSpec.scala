@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Forget
+
+/** Key erasure: rows gone, untouched partitions byte-identical,
+  * audit reconciles, idempotent. */
+class ForgetSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("erasure rewrites only affected partitions and removes exactly the subjects' rows") {
+    val dir = Files.createTempDirectory("graft-forget").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+    ev.write.mode("overwrite").partitionBy("year", "month").parquet(dir)
+    val before = spark.read.option("basePath", dir).parquet(dir)
+    val total = before.count()
+    // pick two real users, plus one id that appears nowhere
+    val subjects = before.select($"user_id").distinct()
+      .orderBy($"user_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq :+ 999999999L
+    val subjectRows = before.filter($"user_id".isin(subjects.map(Long.box): _*)).count()
+    assert(subjectRows > 0, "fixture users not found — test vacuous")
+    // snapshot file listing of partitions the subjects do NOT touch
+    val touched = before
+      .filter($"user_id".isin(subjects.map(Long.box): _*))
+      .select($"year", $"month").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    def files(): Map[String, Long] = {
+      val s = Files.walk(Paths.get(dir))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val filesBefore = files()
+    def partOf(f: String): Option[(Int, Int)] = {
+      val m = """year=(\d+)/month=(\d+)""".r.findFirstMatchIn(f)
+      m.map(g => (g.group(1).toInt, g.group(2).toInt))
+    }
+    val audit = Forget.forgetKeys(spark, dir, Seq("year", "month"),
+      "user_id", subjects).collect()
+    // rows: exactly the subjects' rows are gone
+    val after = spark.read.option("basePath", dir).parquet(dir)
+    assert(after.count() == total - subjectRows)
+    assert(after.filter($"user_id".isin(subjects.map(Long.box): _*)).count() == 0)
+    // audit reconciles removed counts
+    assert(audit.map(_.getLong(1)).sum == subjectRows)
+    audit.foreach(r => assert(r.getLong(2) >= 0L))
+    // untouched partitions: same files, untouched mtimes
+    val filesAfter = files()
+    filesBefore.foreach { case (f, mtime) =>
+      partOf(f).foreach { p =>
+        if (!touched(p)) {
+          assert(filesAfter.contains(f), s"untouched partition file vanished: $f")
+          assert(filesAfter(f) == mtime, s"untouched partition file rewritten: $f")
+        }
+      }
+    }
+    // no staging/old residue
+    assert(!filesAfter.keys.exists(f =>
+      f.contains(".forget_staging") || f.contains(".forget_old")))
+    // idempotent: a second run touches nothing
+    val again = Forget.forgetKeys(spark, dir, Seq("year", "month"),
+      "user_id", subjects)
+    assert(again.count() == 0, "re-run found affected partitions")
+  }
+
+  test("erasing by a partition column is refused") {
+    intercept[IllegalArgumentException] {
+      Forget.forgetKeys(spark, "/nonexistent", Seq("year"), "year", Seq(1L))
+    }
+  }
+}
