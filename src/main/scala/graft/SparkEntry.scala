@@ -64,6 +64,8 @@ object SparkEntry {
     "sim_sparse_topk" -> ((s, d) => SparseSim.qSparseTopK(s, d)),
     // leakage-safe split: near-dup cluster members share one split
     "corpus_split_leakage_safe" -> ((s, d) => SafeSplit.qClusterSafeSplit(s, d)),
+    // per-doc novelty vs the train vocabulary — the data-selection signal
+    "text_novelty_vs_train" -> ((s, d) => Novelty.qNoveltyVsTrain(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -429,6 +431,7 @@ object SparkEntry {
     "sim_cosine_topk_native" -> Similarity.oCosineTopK,
     "sim_sparse_topk" -> SparseSim.oSparseTopK,
     "corpus_split_leakage_safe" -> SafeSplit.oClusterSafeSplit,
+    "text_novelty_vs_train" -> Novelty.oNoveltyVsTrain,
     "sql_weekly" -> Sql.oWeeklySql,
     "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
     "subq_large_orders" -> Advanced.oLargeOrders,
