@@ -62,6 +62,8 @@ object SparkEntry {
     // sparse (lexical) top-k: IDF-weighted shingle cosine — the
     // sparse-vector complement of the dense ANN family
     "sim_sparse_topk" -> ((s, d) => SparseSim.qSparseTopK(s, d)),
+    // query batch against the persisted inverted index (build amortized)
+    "sim_sparse_serving_topk" -> ((s, d) => SparseSim.qSparseTopKServing(s, d)),
     // leakage-safe split: near-dup cluster members share one split
     "corpus_split_leakage_safe" -> ((s, d) => SafeSplit.qClusterSafeSplit(s, d)),
     // per-doc novelty vs the train vocabulary — the data-selection signal
@@ -430,6 +432,7 @@ object SparkEntry {
     // shares its oracle bit-for-bit
     "sim_cosine_topk_native" -> Similarity.oCosineTopK,
     "sim_sparse_topk" -> SparseSim.oSparseTopK,
+    "sim_sparse_serving_topk" -> SparseSim.oSparseTopKServing,
     "corpus_split_leakage_safe" -> SafeSplit.oClusterSafeSplit,
     "text_novelty_vs_train" -> Novelty.oNoveltyVsTrain,
     "sql_weekly" -> Sql.oWeeklySql,

@@ -100,6 +100,74 @@ object SparseSim {
     sparseTopK(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Query docs for the serving path (the ANN family's convention). */
+  val NQueries = 50
+
+  /** The persisted inverted index: (doc_id, sh, wgt, n2) — postings with
+    * the doc's norm DENORMALIZED onto every row, so the serving join
+    * touches no second table (reads are the hot path; the norm column
+    * costs 16 bytes/posting at build time, once). n2 stays DECIMAL(38,0)
+    * inside the artifact; it never reaches a query output. */
+  def buildPostings(docs: DataFrame): DataFrame =
+    Dedup.withCached(Dedup.shingled(docs)) { sh =>
+      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+        .filter(col("sh").isNotNull)
+      val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= Cap)
+      val n1 = docs.agg(count(lit(1)).as("nn"))
+      val post = ex.join(dfT, Seq("sh"))
+        .crossJoin(broadcast(n1))
+        .withColumn("wgt", expr(s"(nn * $IdfScale) div df"))
+        .select(col("doc_id"), col("sh"), col("wgt"))
+      val nrm = post.groupBy(col("doc_id"))
+        .agg(sum(expr("CAST(wgt AS DECIMAL(19,0)) * CAST(wgt AS DECIMAL(19,0))"))
+          .as("n2"))
+      post.join(nrm, Seq("doc_id"))
+    }
+
+  /** Top-k for a query batch against a persisted postings index: the
+    * query side is the (tiny) batch's own postings, broadcast; the scan
+    * side is the index — shingling, df counting, and weighting happened
+    * ONCE at build time, so a query pays only the candidate join over
+    * its own shingles' postings. Same weights ⇒ results identical to
+    * the inline [[sparseTopK]] restricted to the query ids
+    * (spec-pinned; shares the generated twin with a query filter). */
+  def sparseTopKFromPostings(postings: DataFrame, k: Int,
+      nQueries: Int): DataFrame = {
+    val q = postings.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("sh"),
+        col("wgt").as("wa"), col("n2").as("na2"))
+    val c = postings.select(col("doc_id").as("neighbor_id"), col("sh"),
+      col("wgt").as("wb"), col("n2").as("nb2"))
+    val dots = broadcast(q).join(c, Seq("sh"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("shared_shingles"),
+        sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))"))
+          .as("dot"),
+        first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    dots
+      .withColumn("cosine", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("doc_id"), col("neighbor_id"),
+        col("shared_shingles"), col("cosine"), col("rank"))
+  }
+
+  private def postingsFor(spark: SparkSession, dir: String): String =
+    graft.Serving.buildOnce("sparse_postings", dir) { path =>
+      buildPostings(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  def qSparseTopKServing(spark: SparkSession, dir: String): DataFrame =
+    sparseTopKFromPostings(
+      spark.read.parquet(postingsFor(spark, dir)), K, NQueries)
+      .orderBy(col("doc_id"), col("rank"))
+
   /** DuckDB twin: identical shingle construction (the oNgramJaccard
     * CTEs), HUGEINT dots/norms, the same single-op float edge. */
   def oSparseTopK: String =
@@ -138,4 +206,11 @@ object SparseSim {
       |        PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rank
       |      FROM sc)
       |WHERE rank <= $K ORDER BY doc_id, rank""".stripMargin
+
+  /** Serving twin: the same chain restricted to the query batch AFTER
+    * the per-doc window (ranks are over all neighbors either way, so
+    * the post-window filter is exact). */
+  def oSparseTopKServing: String =
+    oSparseTopK.replace(s"WHERE rank <= $K ORDER BY",
+      s"WHERE rank <= $K AND doc_id < $NQueries ORDER BY")
 }

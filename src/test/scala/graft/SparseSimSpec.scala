@@ -34,6 +34,26 @@ class SparseSimSpec extends SparkSpecBase {
       got.get((b, a)).foreach(o => assert(o._1 == c, s"asymmetric $a,$b")) }
   }
 
+  test("persisted postings index serves the inline results for the query batch") {
+    val docs = Tables.documents(spark, sf)
+    val idx = SparseSim.buildPostings(docs)
+    // the index is postings-only: no text column ever reaches the scan
+    assert(idx.schema.fieldNames.toSet == Set("doc_id", "sh", "wgt", "n2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparse-idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+    val served = SparseSim.sparseTopKFromPostings(
+      spark.read.parquet(dir), SparseSim.K, SparseSim.NQueries)
+      .collect().map(key).toSet
+    val inline = SparseSim.sparseTopK(docs)
+      .filter(col("doc_id") < SparseSim.NQueries)
+      .collect().map(key).toSet
+    assert(served == inline,
+      "postings index must serve the inline top-k for the query batch")
+    assert(served.nonEmpty)
+  }
+
   test("fixture invariants: bounded cosine, dense ranks, k-limited") {
     val out = SparseSim.qSparseTopK(spark, sf).collect()
     assert(out.nonEmpty)
