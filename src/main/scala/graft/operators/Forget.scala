@@ -30,21 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Forget {
 
-  /** Erase `keys` from the layout at `path` partitioned by
-    * `partitionCols`; `keyCol` must be a DATA column (not a partition
-    * column — erasing a whole partition value is a directory delete,
-    * not a rewrite). Returns the audit frame
-    * (partition, rows_removed, rows_kept). */
+  /** Convenience form for small subject lists. */
   def forgetKeys(spark: SparkSession, path: String,
       partitionCols: Seq[String], keyCol: String,
       keys: Seq[Long]): DataFrame = {
     import spark.implicits._
+    forgetKeysTable(spark, path, partitionCols, keyCol, keys.toDF(keyCol))
+  }
+
+  /** Erase every row whose `keyCol` appears in `keysDf` from the layout
+    * at `path` partitioned by `partitionCols`. The subjects arrive as a
+    * TABLE, not literals: a real erasure backlog is millions of keys,
+    * which joins (semi for detection, anti for the rewrite) handle at
+    * any size while an IN-literal plan would not. `keyCol` must be a
+    * DATA column (not a partition column — erasing a whole partition
+    * value is a directory delete, not a rewrite). Returns the audit
+    * frame (partition, rows_removed, rows_kept). */
+  def forgetKeysTable(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String,
+      keysDf: DataFrame): DataFrame = {
+    import spark.implicits._
     require(!partitionCols.contains(keyCol),
       s"$keyCol is a partition column — erase it by dropping directories")
     val layout = spark.read.option("basePath", path).parquet(path)
-    val keyLits = keys.map(Long.box)
     val affected = layout
-      .filter(col(keyCol).isin(keyLits: _*))
+      .join(keysDf.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("rows_removed"))
       .collect()
@@ -53,7 +63,12 @@ object Forget {
         .map { case (c, i) => s"$c=${row.get(i)}" }
       val dir = Paths.get(path, segs: _*)
       val part = spark.read.parquet(dir.toString)
-      val kept = part.filter(!col(keyCol).isin(keyLits: _*))
+      val kept = part.join(keysDf.select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+        // the anti-join reorders columns (join key first); restore the
+        // partition files' original column order so appended readers and
+        // schema checks see one layout
+        .select(part.columns.map(col).toIndexedSeq: _*)
       val staging = Paths.get(dir.toString + ".forget_staging")
       val old = Paths.get(dir.toString + ".forget_old")
       kept.write.mode("overwrite").parquet(staging.toString)
