@@ -266,6 +266,35 @@ object StreamingOps {
     spark.read.parquet(s"$stateDir/$v")
   }
 
+  /** Version retention for [[cdcApplyStream]]'s state directory: every
+    * batch writes a NEW version (that's what makes the swap reader-safe
+    * and replay content-idempotent), so versions accumulate forever
+    * without a sweep — the lakehouse VACUUM in miniature. Keeps the
+    * newest `keep` versions (the LATEST target always survives:
+    * versions are monotone, LATEST is the max), deletes the directories
+    * of everything older, returns the dropped version names. Readers of
+    * retained versions are untouched; `keep ≥ 2` leaves one rollback
+    * step. Driver-side directory walk — version count, not data size. */
+  def cdcRetainVersions(stateDir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least the LATEST version")
+    val root = java.nio.file.Paths.get(stateDir)
+    val s = java.nio.file.Files.list(root)
+    val versions =
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d+"))
+        .sortBy(_.getFileName.toString.drop(1).toLong)
+      finally s.close()
+    val drop = versions.dropRight(keep)
+    drop.foreach { d =>
+      val w = java.nio.file.Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+      finally w.close()
+    }
+    drop.map(_.getFileName.toString).toSeq
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
 
   /** Streaming debounce — the arrival-order twin of

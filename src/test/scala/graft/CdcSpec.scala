@@ -104,5 +104,32 @@ class CdcSpec extends SparkSpecBase {
     val rebuilt = Cdc.cdcBuild(Cdc.asChangelog(log)).orderBy("user_id")
       .collect().toSeq
     assert(streamed == rebuilt)
+
+    // version retention: the two runs above left >= 2 version dirs; a
+    // third tiny batch makes it >= 3, then retain(2) must drop the old
+    // ones, keep LATEST readable, and leave the state bit-identical
+    val src3 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    src3.addData(all.take(1).map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4))): _*)
+    StreamingOps.cdcApplyStream(src3.toDF().toDF(cols: _*), stateDir,
+      java.nio.file.Files.createTempDirectory("cdc-ckpt3").toString)
+      .awaitTermination()
+    def versionDirs(): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.matches("v\\d+")).sorted.toSeq
+      finally s.close()
+    }
+    assert(versionDirs().size >= 3)
+    val dropped = StreamingOps.cdcRetainVersions(stateDir, keep = 2)
+    assert(dropped.nonEmpty)
+    val remaining = versionDirs()
+    assert(remaining.size == 2)
+    assert(dropped.intersect(remaining).isEmpty)
+    val latest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stateDir, "LATEST")).trim
+    assert(remaining.contains(latest), "retention dropped the LATEST target")
+    assert(StreamingOps.cdcCurrentState(spark, stateDir)
+      .orderBy("user_id").collect().toSeq == streamed)
   }
 }
