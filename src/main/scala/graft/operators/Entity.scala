@@ -131,8 +131,13 @@ object Entity {
         .select(col(idCol).as("lid"), col(nameCol).as("lname"), blk.as("lblk"))
       val anySide = df
         .select(col(idCol).as("rid"), col(nameCol).as("rname"), blk.as("rblk"))
+      // null-safe block equality: the fast leg hashes the block INTO the
+      // join key (xxhash64 folds null consistently, so two null-block
+      // rows pair); a plain === here would make an over-length name with
+      // a null block unpairable while an equally-null-blocked short name
+      // pairs — the legs must agree on null semantics (ADVICE r11)
       val brute = longSide
-        .join(anySide, col("lblk") === col("rblk") && col("lid") =!= col("rid"))
+        .join(anySide, col("lblk") <=> col("rblk") && col("lid") =!= col("rid"))
         .select(
           least(col("lid"), col("rid")).as("id_a"),
           greatest(col("lid"), col("rid")).as("id_b"),

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Key erasure over a partitioned parquet layout — the "right to be
@@ -59,8 +60,19 @@ object Forget {
       .agg(count(lit(1)).as("rows_removed"))
       .collect()
     val audit = affected.map { row =>
-      val segs = partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${row.get(i)}" }
+      // directory names via Spark's own partition-path rules — raw
+      // interpolation resolves a value containing ' ', '/', ':', '='
+      // (or a null, written as __HIVE_DEFAULT_PARTITION__) to a wrong or
+      // missing path and the erasure crashes mid-run (ADVICE r11).
+      // Values here are the writer's own string forms read back
+      // (int/long/string partition columns — the layouts this sweep
+      // serves); getPartitionPathString maps null/empty to the Hive
+      // default partition exactly as the writer did.
+      val segs = partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i)
+        ExternalCatalogUtils.getPartitionPathString(c,
+          if (v == null) null else v.toString)
+      }
       val dir = Paths.get(path, segs: _*)
       val part = spark.read.parquet(dir.toString)
       val kept = part.join(keysDf.select(col(keyCol)).distinct(),
@@ -69,8 +81,14 @@ object Forget {
         // partition files' original column order so appended readers and
         // schema checks see one layout
         .select(part.columns.map(col).toIndexedSeq: _*)
-      val staging = Paths.get(dir.toString + ".forget_staging")
-      val old = Paths.get(dir.toString + ".forget_old")
+      // dot-prefixed siblings: Spark's file listing skips paths whose
+      // name starts with '.' or '_', so a concurrent reader of the table
+      // ROOT never lists the staging/old trees even transiently
+      // (ADVICE r11; the leaf-level swap itself is already rename-aside)
+      val staging = dir.resolveSibling(
+        "." + dir.getFileName.toString + ".forget_staging")
+      val old = dir.resolveSibling(
+        "." + dir.getFileName.toString + ".forget_old")
       kept.write.mode("overwrite").parquet(staging.toString)
       val keptRows = spark.read.parquet(staging.toString).count()
       deleteRecursively(old)

@@ -42,11 +42,15 @@ object Gini {
     // rs ~ n·Σcents/2 blows through Int64 at ~millions of members per
     // group (ADVICE r10: Spark wraps silently under non-ANSI while the
     // DuckDB twin errors) — the rank-weighted sum and the 1000× numerator
-    // ride decimal(38,0) end to end; `div` collapses back to BIGINT
+    // ride decimal(38,0) end to end; `div` collapses back to BIGINT.
+    // The cast is on an OPERAND, not the product: casting the product
+    // would compute it in Int64 first and wrap exactly in the giant-group
+    // regime the decimal exists for (ADVICE r11), while the twin's
+    // CAST(rnk AS HUGEINT) * cents widens before multiplying.
     ranked.groupBy(col("nation"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).cast("long").as("total_cents"),
-        sum((col("rnk") * col("cents")).cast("decimal(38,0)")).as("rs"))
+        sum(col("rnk").cast("decimal(38,0)") * col("cents")).as("rs"))
       .withColumn("gini_milli", expr(
         """(1000 * (2 * rs - (n + 1) * CAST(total_cents AS DECIMAL(38,0))))
           | div (n * CAST(total_cents AS DECIMAL(38,0)))""".stripMargin))

@@ -245,7 +245,11 @@ object Ivf {
     * so it shares the generated [[oIvfTopK]] twin. */
   def qIvfTopKClustered(spark: SparkSession, dir: String): DataFrame = {
     val path = servingClusteredFor(spark, dir)
-    val cents = quantizers.get(dir)
+    // computeIfAbsent, NOT get: buildOnce skips the builder (and its
+    // training) when the persisted layout is already fresh — any second
+    // JVM on the same machine — and training is deterministic, so
+    // recomputing yields the books the layout was built with (ADVICE r11)
+    val cents = centroidsFor(dir, Tables.embeddings(spark, dir))
     ivfTopKClustered(spark.read.parquet(path),
       Tables.embeddings(spark, dir).filter(col("vec_id") < 50), cents, k = 5)
       .orderBy(col("query_id"), col("rank"))

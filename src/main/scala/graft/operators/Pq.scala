@@ -330,7 +330,13 @@ object Pq {
     * so it shares the generated [[oPqTopK]] twin. */
   def qPqTopKServing(spark: SparkSession, dir: String): DataFrame = {
     val path = servingCodesFor(spark, dir)
-    val books = codebooks.get(dir)
+    // computeIfAbsent, NOT get: buildOnce skips the builder (and its
+    // codebook training) whenever the persisted artifact is already
+    // fresh — e.g. every second JVM on the same machine — and training
+    // is deterministic, so recomputing yields the exact books the
+    // artifact was encoded with (ADVICE r11 NPE)
+    val books = codebooks.computeIfAbsent(dir,
+      dd => trainCodebooks(Tables.embeddings(spark, dd), 64))
     pqTopKFromCodes(spark.read.parquet(path), Tables.embeddings(spark, dir),
       books, k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
@@ -367,7 +373,9 @@ object Pq {
   def qIvfPqTopKServing(spark: SparkSession, dir: String): DataFrame = {
     val path = servingIvfPqFor(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val books = codebooks.get(dir)
+    // same fresh-artifact NPE as qPqTopKServing: the builder (and its
+    // training) may never have run in this JVM (ADVICE r11)
+    val books = codebooks.computeIfAbsent(dir, _ => trainCodebooks(emb, 64))
     val cents = Ivf.centroidsFor(dir, emb)
     ivfPqTopKFromCodes(spark.read.parquet(path), emb, cents, books,
       k = 5, nQueries = 50)

@@ -86,6 +86,31 @@ class AucGiniSpec extends SparkSpecBase {
       s"gini_milli ${got.getLong(3)} != exact $expected")
   }
 
+  test("gini survives a SINGLE rnk*cents product over Long.MAX (operand-cast, not product-cast)") {
+    // ADVICE r11: casting the PRODUCT to decimal computes it in Int64
+    // first — silent wrap under non-ANSI, ARITHMETIC_OVERFLOW under
+    // ANSI; the operand must widen before the multiply. 150k members at
+    // 1 cent plus one 9e13-cent whale: the whale ranks LAST, so its
+    // single product is (n+1)·9e13 ≈ 1.35e19 > Long.MAX while
+    // total_cents stays inside the operator's BIGINT contract.
+    val n = 150000
+    val whale = BigInt("90000000000000")
+    val cust = (0 to n).map(i => (i.toLong, 7L)).toDF("c_custkey", "c_nationkey")
+    val ords = ((0 until n).map(i => (i.toLong, 0.01)) :+ (n.toLong, 9e11))
+      .toDF("o_custkey", "o_totalprice")
+    assert(BigInt(n + 1) * whale > BigInt(Long.MaxValue),
+      "fixture no longer exercises the single-product overflow regime")
+    val got = Gini.giniBySpend(cust, ords, hotGroupsOverride = Some(false)).head()
+    val cents = Seq.fill(n)(BigInt(1)) :+ whale
+    val total = cents.sum
+    assert(total < BigInt(Long.MaxValue), "total_cents out of BIGINT contract")
+    val rs = cents.zipWithIndex.map { case (c, i) => BigInt(i + 1) * c }.sum
+    val expected = (BigInt(1000) * (2 * rs - BigInt(n + 2) * total)) /
+      (BigInt(n + 1) * total)
+    assert(got.getLong(3) == expected.toLong,
+      s"gini_milli ${got.getLong(3)} != exact $expected")
+  }
+
   test("gini on the fixture: every nation bounded in [0, 1000) and n reconciles") {
     val out = Gini.qGiniBySpend(spark, sf).collect()
     assert(out.length == 25)

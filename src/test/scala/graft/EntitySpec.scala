@@ -111,4 +111,28 @@ class EntitySpec extends SparkSpecBase {
     assert(gotB == bruteB,
       s"blocked over-length routing missed ${bruteB -- gotB}, extra ${gotB -- bruteB}")
   }
+
+  test("null blocks pair identically in the fast and brute legs") {
+    // ADVICE r11: the fast leg hashes the block into the join key, where
+    // null folds consistently (two null-block rows pair); the brute leg
+    // used a plain === that is never true for nulls, so an over-length
+    // name with a null block could never pair. Both legs must agree.
+    val longA = "x" * (Entity.Del2MaxLen + 10)
+    val longB = "x" * (Entity.Del2MaxLen + 9) + "y"   // dist 1 from longA
+    val rows = Seq(
+      (1L, longA, null.asInstanceOf[java.lang.Long]),
+      (2L, longB, null.asInstanceOf[java.lang.Long]),
+      (3L, "acme corp", null.asInstanceOf[java.lang.Long]),
+      (4L, "acme corq", null.asInstanceOf[java.lang.Long]),
+      (5L, "acme corp", java.lang.Long.valueOf(7L)))
+      .toDF("id", "name", "blk")
+    val got = Entity.editPairs(rows, "id", "name", maxEdit = 2,
+        blockCol = Some("blk"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // null-block long×long pairs (brute leg) AND null-block short×short
+    // pairs (fast leg); the non-null block 7 pairs with neither
+    assert(got == Set((1L, 2L), (3L, 4L)),
+      s"null-block legs disagree: $got")
+  }
 }

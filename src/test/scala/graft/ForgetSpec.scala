@@ -70,6 +70,36 @@ class ForgetSpec extends SparkSpecBase {
     assert(again.count() == 0, "re-run found affected partitions")
   }
 
+  test("partition values with special characters and nulls resolve to the writer's paths") {
+    // ADVICE r11: raw interpolation broke on ' ', ':', '=' and nulls
+    // (__HIVE_DEFAULT_PARTITION__); paths must follow Spark's own
+    // partition-path escaping
+    val dir = Files.createTempDirectory("graft-forget-esc").toString
+    val rows = Seq(
+      (1L, "north america"), (2L, "north america"),
+      (3L, "a:b=c/d"), (4L, "a:b=c/d"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]),
+      (7L, "plain"))
+      .toDF("user_id", "region")
+    rows.write.mode("overwrite").partitionBy("region").parquet(dir)
+    val audit = Forget.forgetKeys(spark, dir, Seq("region"), "user_id",
+      Seq(1L, 3L, 5L)).collect()
+    assert(audit.length == 3, audit.mkString(";"))
+    assert(audit.map(_.getLong(1)).sum == 3L)
+    val after = spark.read.option("basePath", dir).parquet(dir)
+    assert(after.count() == 4L)
+    assert(after.filter(col("user_id").isin(1L, 3L, 5L)).count() == 0L)
+    // survivors in every touched partition kept their rows
+    assert(after.filter(col("user_id").isin(2L, 4L, 7L)).count() == 3L)
+    assert(after.filter(col("user_id") === 6L && col("region").isNull).count() == 1L)
+    // no staging/old residue anywhere under the root
+    val s = Files.walk(Paths.get(dir))
+    val residue = try s.toArray.map(_.toString)
+      .filter(f => f.contains(".forget_staging") || f.contains(".forget_old"))
+    finally s.close()
+    assert(residue.isEmpty, residue.mkString(";"))
+  }
+
   test("erasing by a partition column is refused") {
     intercept[IllegalArgumentException] {
       Forget.forgetKeys(spark, "/nonexistent", Seq("year"), "year", Seq(1L))
