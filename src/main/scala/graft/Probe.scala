@@ -534,7 +534,7 @@ object Probe {
       "sketch_kmv_rolling_distinct" -> "rolling distinct from sketches: range join over signature rows only, never events",
       "serving_topk_with_other" -> "leaderboard + OTHER: one cached spend agg feeds rank-limited top and residual hash agg",
       "plan_group_skew" -> "group-skew report: one partial agg per candidate key, 1-row unions",
-      "sim_sparse_topk" -> "sparse lexical top-k: df-capped shingle postings self-join, decimal dots, legs carry norms, rank-limited window",
+      "sim_sparse_topk" -> "sparse lexical top-k: one checkpointed postings projection, integer sh_id join keys, decimal dots, legs carry norms, rank-limited window",
       "sim_sparse_serving_topk" -> "persisted inverted-index serving: broadcast query postings vs the index scan — no re-shingle, no re-weight per query",
       "corpus_split_leakage_safe" -> "cluster-keyed split: label propagation over near-dup pairs, corpus LEFT join, map-only rep hash",
       "text_novelty_vs_train" -> "novelty vs train vocabulary: one left-anti shingle join + per-doc count, settled index side")

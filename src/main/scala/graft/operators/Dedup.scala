@@ -74,6 +74,20 @@ object Dedup {
     } finally cached.unpersist(false)
   }
 
+  /** [[withCached]] over SEVERAL intermediate frames with ONE final
+    * checkpoint: persist-in-place registers each frame's plan with the
+    * cache manager, so the body's references to those vals hit cache —
+    * nesting withCached instead would checkpoint (fully materialize)
+    * once per level, and the extra passes are pure overhead. */
+  private[operators] def withCachedAll(frames: DataFrame*)(body: => DataFrame): DataFrame = {
+    frames.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val out = body
+      if (sys.props.get("graft.explain.lineage").contains("true")) out
+      else out.localCheckpoint(true)
+    } finally frames.foreach(_.unpersist(false))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
     * generation: |A∩B| counted by the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,

@@ -51,50 +51,46 @@ object SparseSim {
   /** Neighbors reported per document. */
   val K = 5
 
-  def sparseTopK(docs: DataFrame): DataFrame =
-    Dedup.withCached(Dedup.shingled(docs)) { sh =>
-      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
-        .filter(col("sh").isNotNull)
-      val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= Cap)
-      val n1 = docs.agg(count(lit(1)).as("nn"))
-      val post = ex.join(dfT, Seq("sh"))
-        .crossJoin(broadcast(n1))
-        .withColumn("wgt", expr(s"(nn * $IdfScale) div df"))
-        .select(col("doc_id"), col("sh"), col("wgt"))
-      val nrm = post.groupBy(col("doc_id"))
-        .agg(sum(expr("CAST(wgt AS DECIMAL(19,0)) * CAST(wgt AS DECIMAL(19,0))"))
-          .as("n2"))
-      // norms ride the LEGS (first() per pair), never a pair-table join
-      val posted = post.join(nrm, Seq("doc_id"))
-      val a = posted.select(col("doc_id").as("doc_a"), col("sh"),
-        col("wgt").as("wa"), col("n2").as("na2"))
-      val b = posted.select(col("doc_id").as("doc_b"), col("sh"),
-        col("wgt").as("wb"), col("n2").as("nb2"))
-      val dots = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared_shingles"),
-          sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))"))
-            .as("dot"),
-          first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
-      // the pair aggregate feeds BOTH directions of the symmetric view —
-      // materialize it once instead of re-running the candidate join
-      Dedup.withCached(dots) { d =>
-        val sym = d.unionByName(d.select(
-          col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-          col("shared_shingles"), col("dot"),
-          col("nb2").as("na2"), col("na2").as("nb2")))
-        val w = Window.partitionBy(col("doc_a"))
-          .orderBy(col("cosine").desc, col("doc_b"))
-        sym
-          .withColumn("cosine", expr(
-            "CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
-            col("shared_shingles"), col("cosine"), col("rank"))
-      }
+  def sparseTopK(docs: DataFrame): DataFrame = {
+    // the postings projection (shingle → df-cap → idf weight, norms
+    // denormalized onto the rows) comes from [[buildPostings]], whose
+    // result is eagerly checkpointed — so shingling, df counting, and
+    // weighting run ONCE. The r11 inline body instead re-derived the
+    // projection inside each leg of the candidate join (post evaluated
+    // 4×, the df aggregate with it), which is exactly where its 5.99 s
+    // median and 1.62× run-to-run spread lived (VERDICT r12 item 2);
+    // same expressions ⇒ same weights ⇒ the oracle hash is unchanged.
+    val posted = buildPostings(docs)
+    // legs key on the integer shingle surrogate, never the string — the
+    // big shuffle moves 8-byte keys and the sort compares longs
+    val a = posted.select(col("doc_id").as("doc_a"), col("sh_id"),
+      col("wgt").as("wa"), col("n2").as("na2"))
+    val b = posted.select(col("doc_id").as("doc_b"), col("sh_id"),
+      col("wgt").as("wb"), col("n2").as("nb2"))
+    val dots = a.join(b, Seq("sh_id")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_shingles"),
+        sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))"))
+          .as("dot"),
+        first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
+    // the pair aggregate feeds BOTH directions of the symmetric view —
+    // materialize it once instead of re-running the candidate join
+    Dedup.withCached(dots) { d =>
+      val sym = d.unionByName(d.select(
+        col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("shared_shingles"), col("dot"),
+        col("nb2").as("na2"), col("na2").as("nb2")))
+      val w = Window.partitionBy(col("doc_a"))
+        .orderBy(col("cosine").desc, col("doc_b"))
+      sym
+        .withColumn("cosine", expr(
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
+          col("shared_shingles"), col("cosine"), col("rank"))
     }
+  }
 
   def qSparseTopK(spark: SparkSession, dir: String): DataFrame =
     sparseTopK(Tables.documents(spark, dir))
@@ -103,27 +99,45 @@ object SparseSim {
   /** Query docs for the serving path (the ANN family's convention). */
   val NQueries = 50
 
-  /** The persisted inverted index: (doc_id, sh, wgt, n2) — postings with
-    * the doc's norm DENORMALIZED onto every row, so the serving join
-    * touches no second table (reads are the hot path; the norm column
-    * costs 16 bytes/posting at build time, once). n2 stays DECIMAL(38,0)
-    * inside the artifact; it never reaches a query output. */
-  def buildPostings(docs: DataFrame): DataFrame =
-    Dedup.withCached(Dedup.shingled(docs)) { sh =>
-      val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
-        .filter(col("sh").isNotNull)
-      val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= Cap)
-      val n1 = docs.agg(count(lit(1)).as("nn"))
-      val post = ex.join(dfT, Seq("sh"))
-        .crossJoin(broadcast(n1))
-        .withColumn("wgt", expr(s"(nn * $IdfScale) div df"))
-        .select(col("doc_id"), col("sh"), col("wgt"))
+  /** The persisted inverted index: (doc_id, sh, sh_id, wgt, n2) —
+    * postings with the doc's norm DENORMALIZED onto every row, so the
+    * serving join touches no second table (reads are the hot path; the
+    * norm column costs 16 bytes/posting at build time, once). n2 stays
+    * DECIMAL(38,0) inside the artifact; it never reaches a query output.
+    *
+    * sh_id is a collision-FREE integer surrogate for the shingle string
+    * (monotonically_increasing_id over the distinct-shingle df table —
+    * the candidate join keys on 8-byte longs instead of ~25-byte
+    * strings, and unlike a 64-bit hash a spurious key equality is
+    * impossible). The ids carry no meaning and never reach an output;
+    * they are consistent across every consumer because all legs read
+    * ONE materialization: this result is eagerly checkpointed by
+    * withCached, and the id expression itself is deterministic per
+    * (partition, row-offset) under recompute of a lost block. */
+  def buildPostings(docs: DataFrame): DataFrame = {
+    // ONE checkpoint (the final postings); sh and post persist-in-place
+    // so shingling runs once (sh feeds ex twice: the df aggregate and
+    // the probe side) and the explode + df join runs once (post feeds
+    // the norm aggregate and the final join) — nesting withCached here
+    // would checkpoint per level, a full extra materialization pass
+    val sh = Dedup.shingled(docs)
+    val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Cap)
+      .withColumn("sh_id", monotonically_increasing_id())
+    val n1 = docs.agg(count(lit(1)).as("nn"))
+    val post = ex.join(dfT, Seq("sh"))
+      .crossJoin(broadcast(n1))
+      .withColumn("wgt", expr(s"(nn * $IdfScale) div df"))
+      .select(col("doc_id"), col("sh"), col("sh_id"), col("wgt"))
+    Dedup.withCachedAll(sh, post) {
       val nrm = post.groupBy(col("doc_id"))
         .agg(sum(expr("CAST(wgt AS DECIMAL(19,0)) * CAST(wgt AS DECIMAL(19,0))"))
           .as("n2"))
       post.join(nrm, Seq("doc_id"))
     }
+  }
 
   /** Top-k for a query batch against a persisted postings index: the
     * query side is the (tiny) batch's own postings, broadcast; the scan
@@ -135,11 +149,11 @@ object SparseSim {
   def sparseTopKFromPostings(postings: DataFrame, k: Int,
       nQueries: Int): DataFrame = {
     val q = postings.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"), col("sh"),
+      .select(col("doc_id").as("query_id"), col("sh_id"),
         col("wgt").as("wa"), col("n2").as("na2"))
-    val c = postings.select(col("doc_id").as("neighbor_id"), col("sh"),
+    val c = postings.select(col("doc_id").as("neighbor_id"), col("sh_id"),
       col("wgt").as("wb"), col("n2").as("nb2"))
-    val dots = broadcast(q).join(c, Seq("sh"))
+    val dots = broadcast(q).join(c, Seq("sh_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(count(lit(1)).as("shared_shingles"),

@@ -38,7 +38,8 @@ class SparseSimSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, sf)
     val idx = SparseSim.buildPostings(docs)
     // the index is postings-only: no text column ever reaches the scan
-    assert(idx.schema.fieldNames.toSet == Set("doc_id", "sh", "wgt", "n2"))
+    // (sh_id is the integer join surrogate for the shingle string)
+    assert(idx.schema.fieldNames.toSet == Set("doc_id", "sh", "sh_id", "wgt", "n2"))
     val dir = java.nio.file.Files.createTempDirectory("graft-sparse-idx").toString
     idx.write.mode("overwrite").parquet(dir)
     def key(r: org.apache.spark.sql.Row) =
