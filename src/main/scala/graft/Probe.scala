@@ -28,6 +28,12 @@ object Probe {
       return
     }
     if (args.headOption.contains("bucketq3")) { bucketQ3(); return }
+    if (args.headOption.contains("graph")) {
+      graphScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 2, 3); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("entity")) {
       entityScale(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(7); case ms => ms
@@ -336,6 +342,105 @@ object Probe {
       }
       cust.unpersist()
     }
+    spark.stop()
+  }
+
+  /** Graph-family probe (VERDICT r12 item 3): measure, not argue, the
+    * scaling of `triangleCounts` / `pageRank` / `bfsHops` by growing
+    * the graph and fitting ln(time) vs ln(m).
+    *
+    * Two growth modes, matched to each claim's stress case:
+    * - **Triangles**: replicate CUSTOMERS inside each (part, supplier)
+    *   co-purchase group — group sizes grow `mult`×, so the projected
+    *   edge count grows ~mult² and the groups densify toward cliques,
+    *   exactly the regime where naive wedge enumeration blows up
+    *   quadratically on hubs and the degree-ordered bound O(m^1.5) is
+    *   tight (a disjoint-copy replication would only ever measure
+    *   linear machinery). Expected fit: exponent ≤ 1.5 in m.
+    * - **PageRank / BFS**: replicate customers of the bipartite
+    *   purchase graph — m grows mult× while supplier hubs' degrees grow
+    *   mult× (hub-skew stress). Both are rounds × (join + partial agg),
+    *   so the expected fit is ~linear in m.
+    *
+    * `sbt "runMain graft.Probe graph 1 2 3"`; one measured run per op
+    * per tier (tiers are compared for SCALING, not absolute speed). */
+  def graphScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def fit(pts: Seq[(Long, Double)]): Double = {
+      // least-squares slope of ln t on ln m
+      val xs = pts.map(p => math.log(p._1.toDouble))
+      val ys = pts.map(p => math.log(p._2))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      num / den
+    }
+    val dir = "/root/testdata/sf0.1"
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val cp0 = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+        col("l_suppkey").as("s"))
+      .distinct()
+    val tri = mults.map { mult =>
+      val cp = cp0.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("c") * mult + col("rep")).as("c"), col("p"), col("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cp.count()
+      val edges = cp.as("a").join(cp.as("b"),
+          col("a.p") === col("b.p") && col("a.s") === col("b.s")
+            && col("a.c") < col("b.c"))
+        .select(col("a.c").as("u"), col("b.c").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = edges.count()
+      val t0 = System.nanoTime()
+      drain(graft.operators.Graph.triangleCounts(edges))
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[graph] triangles @ mult=$mult m=$m edges: $t%.2f s")
+      edges.unpersist(); cp.unpersist()
+      (m, t)
+    }
+    println(f"[graph] triangles fitted exponent vs m: ${fit(tri)}%.2f (claim <= 1.5)")
+    val pe0 = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val (pr, bf) = mults.map { mult =>
+      val pairs = pe0.crossJoin(spark.range(mult).toDF("rep"))
+        .select(((col("c") * mult + col("rep")) * 2).as("cust"),
+          (col("s") * 2 + 1).as("supp"))
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = edges.count()
+      var t0 = System.nanoTime()
+      drain(graft.operators.Graph.pageRank(edges))
+      val tp = (System.nanoTime() - t0) / 1e9
+      println(f"[graph] pagerank @ mult=$mult m=$m edges: $tp%.2f s")
+      val sources = Tables.supplier(spark, dir)
+        .filter(col("s_nationkey") === graft.operators.Graph.BfsSourceNation)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+        .join(edges.select(col("src").as("node")).distinct(), Seq("node"),
+          "left_semi")
+      t0 = System.nanoTime()
+      drain(graft.operators.Graph.bfsHops(edges, sources,
+        graft.operators.Graph.BfsMaxHops))
+      val tb = (System.nanoTime() - t0) / 1e9
+      println(f"[graph] bfs @ mult=$mult m=$m edges: $tb%.2f s")
+      edges.unpersist()
+      ((m, tp), (m, tb))
+    }.unzip
+    println(f"[graph] pagerank fitted exponent vs m: ${fit(pr)}%.2f (claim ~1)")
+    println(f"[graph] bfs fitted exponent vs m: ${fit(bf)}%.2f (claim ~1)")
     spark.stop()
   }
 

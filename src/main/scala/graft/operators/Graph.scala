@@ -174,10 +174,13 @@ object Graph {
     val edges = undirected.cache()
     val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = both.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
-    // total-order rank: degree-major, id-minor (ids < 10^9 everywhere
-    // in the fixtures; lift to a struct comparison for wider id spaces)
+    // total-order rank: degree-major, id-minor, as a STRUCT comparison —
+    // structs order lexicographically in Spark, so the order is correct
+    // for ANY id width (the r11 packing degree*1e9 + node silently
+    // corrupted the order once ids reached 10^9, i.e. any 100 TB corpus;
+    // VERDICT r12 item 4)
     val rk = deg.select(col("node"),
-      (col("degree") * lit(1000000000L) + col("node")).as("rank"))
+      struct(col("degree"), col("node")).as("rank"))
     val oriented = both
       .join(rk.select(col("node").as("u"), col("rank").as("ru")), Seq("u"))
       .join(rk.select(col("node").as("v"), col("rank").as("rv")), Seq("v"))
