@@ -68,6 +68,9 @@ object SparkEntry {
     "corpus_split_leakage_safe" -> ((s, d) => SafeSplit.qClusterSafeSplit(s, d)),
     // per-doc novelty vs the train vocabulary — the data-selection signal
     "text_novelty_vs_train" -> ((s, d) => Novelty.qNoveltyVsTrain(s, d)),
+    // erasure propagated to every derived serving artifact, with the
+    // compliance report oracle-gated (planted fixture, real sweep path)
+    "forget_audit" -> ((s, d) => Forget.qForgetAudit(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -435,6 +438,7 @@ object SparkEntry {
     "sim_sparse_serving_topk" -> SparseSim.oSparseTopKServing,
     "corpus_split_leakage_safe" -> SafeSplit.oClusterSafeSplit,
     "text_novelty_vs_train" -> Novelty.oNoveltyVsTrain,
+    "forget_audit" -> Forget.oForgetAudit,
     "sql_weekly" -> Sql.oWeeklySql,
     "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
     "subq_large_orders" -> Advanced.oLargeOrders,

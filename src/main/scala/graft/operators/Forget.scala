@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Key erasure over a partitioned parquet layout — the "right to be
   * forgotten" operation a data platform must run routinely: given a set
   * of subject keys, remove every row carrying one of them, WITHOUT
@@ -53,53 +55,353 @@ object Forget {
     import spark.implicits._
     require(!partitionCols.contains(keyCol),
       s"$keyCol is a partition column — erase it by dropping directories")
+    val keys = keysDf.select(col(keyCol)).distinct()
     val layout = spark.read.option("basePath", path).parquet(path)
-    val affected = layout
-      .join(keysDf.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    // ONE scan yields removed AND total per partition, so neither
+    // rewrite path needs a per-partition read-back count afterwards
+    val perPart = layout
+      .join(keys.withColumn("_graft_hit", lit(1L)), Seq(keyCol), "left")
       .groupBy(partitionCols.map(col): _*)
-      .agg(count(lit(1)).as("rows_removed"))
+      .agg(sum(coalesce(col("_graft_hit"), lit(0L))).as("rows_removed"),
+        count(lit(1)).as("rows_total"))
       .collect()
-    val audit = affected.map { row =>
-      // directory names via Spark's own partition-path rules — raw
-      // interpolation resolves a value containing ' ', '/', ':', '='
-      // (or a null, written as __HIVE_DEFAULT_PARTITION__) to a wrong or
-      // missing path and the erasure crashes mid-run (ADVICE r11).
-      // Values here are the writer's own string forms read back
-      // (int/long/string partition columns — the layouts this sweep
-      // serves); getPartitionPathString maps null/empty to the Hive
-      // default partition exactly as the writer did.
-      val segs = partitionCols.zipWithIndex.map { case (c, i) =>
+    val nCols = partitionCols.size
+    val affected = perPart.filter(_.getLong(nCols) > 0L)
+    // directory names via Spark's own partition-path rules — raw
+    // interpolation resolves a value containing ' ', '/', ':', '='
+    // (or a null, written as __HIVE_DEFAULT_PARTITION__) to a wrong or
+    // missing path and the erasure crashes mid-run (ADVICE r11).
+    // Values here are the writer's own string forms read back
+    // (int/long/string partition columns — the layouts this sweep
+    // serves); getPartitionPathString maps null/empty to the Hive
+    // default partition exactly as the writer did.
+    def segsOf(row: org.apache.spark.sql.Row): Seq[String] =
+      partitionCols.zipWithIndex.map { case (c, i) =>
         val v = row.get(i)
         ExternalCatalogUtils.getPartitionPathString(c,
           if (v == null) null else v.toString)
       }
-      val dir = Paths.get(path, segs: _*)
-      val part = spark.read.parquet(dir.toString)
-      val kept = part.join(keysDf.select(col(keyCol)).distinct(),
-        Seq(keyCol), "left_anti")
-        // the anti-join reorders columns (join key first); restore the
-        // partition files' original column order so appended readers and
-        // schema checks see one layout
-        .select(part.columns.map(col).toIndexedSeq: _*)
-      // dot-prefixed siblings: Spark's file listing skips paths whose
-      // name starts with '.' or '_', so a concurrent reader of the table
-      // ROOT never lists the staging/old trees even transiently
-      // (ADVICE r11; the leaf-level swap itself is already rename-aside)
-      val staging = dir.resolveSibling(
-        "." + dir.getFileName.toString + ".forget_staging")
-      val old = dir.resolveSibling(
-        "." + dir.getFileName.toString + ".forget_old")
-      kept.write.mode("overwrite").parquet(staging.toString)
-      val keptRows = spark.read.parquet(staging.toString).count()
-      deleteRecursively(old)
-      mv(dir, old)
-      mv(staging, dir)
-      deleteRecursively(old)
-      (segs.mkString("/"), row.getLong(partitionCols.size), keptRows)
-    }
-    audit.toSeq.toDF("partition", "rows_removed", "rows_kept")
+    val audit: Seq[(String, Long, Long)] =
+      if (affected.isEmpty) Nil
+      else if (affected.length * 2 > perPart.length) {
+        // subjects touch a strict majority of partitions — per-partition
+        // surgery would degenerate into #partitions SERIAL mini-jobs,
+        // while ONE parallel anti-join rewrite of the whole table with a
+        // rename-aside root swap costs a single pass. Rewrite
+        // granularity follows subject CLUSTERING: above half the
+        // partitions there is nothing left to prune.
+        val dir = Paths.get(path)
+        val staging = dir.resolveSibling(
+          "." + dir.getFileName.toString + ".forget_staging")
+        val old = dir.resolveSibling(
+          "." + dir.getFileName.toString + ".forget_old")
+        val kept = layout.join(keys, Seq(keyCol), "left_anti")
+          .select(layout.columns.map(col).toIndexedSeq: _*)
+        deleteRecursively(staging)
+        kept.write.mode("overwrite").partitionBy(partitionCols: _*)
+          .parquet(staging.toString)
+        deleteRecursively(old)
+        mv(dir, old)
+        mv(staging, dir)
+        deleteRecursively(old)
+        affected.map(row => (segsOf(row).mkString("/"),
+          row.getLong(nCols), row.getLong(nCols + 1) - row.getLong(nCols)))
+          .toSeq
+      } else affected.map { row =>
+        val segs = segsOf(row)
+        val dir = Paths.get(path, segs: _*)
+        val part = spark.read.parquet(dir.toString)
+        val kept = part.join(keys, Seq(keyCol), "left_anti")
+          // the anti-join reorders columns (join key first); restore the
+          // partition files' original column order so appended readers
+          // and schema checks see one layout
+          .select(part.columns.map(col).toIndexedSeq: _*)
+        // dot-prefixed siblings: Spark's file listing skips paths whose
+        // name starts with '.' or '_', so a concurrent reader of the
+        // table ROOT never lists the staging/old trees even transiently
+        // (ADVICE r11; the leaf-level swap itself is already
+        // rename-aside)
+        val staging = dir.resolveSibling(
+          "." + dir.getFileName.toString + ".forget_staging")
+        val old = dir.resolveSibling(
+          "." + dir.getFileName.toString + ".forget_old")
+        deleteRecursively(staging)
+        kept.write.mode("overwrite").parquet(staging.toString)
+        deleteRecursively(old)
+        mv(dir, old)
+        mv(staging, dir)
+        deleteRecursively(old)
+        (segs.mkString("/"), row.getLong(nCols),
+          row.getLong(nCols + 1) - row.getLong(nCols))
+      }.toSeq
+    audit.toDF("partition", "rows_removed", "rows_kept")
       .orderBy(col("partition"))
   }
+
+  /** File-pruned erasure for an UNpartitioned parquet layout: one
+    * distributed scan tags rows with their source file and finds the
+    * files that contain a subject (control-plane collect, ≤ #affected
+    * files); only those files are rewritten through the anti-filter —
+    * every other file is never read again and stays byte-identical.
+    * Each rewrite stages into a dot-prefixed sibling dir (invisible to
+    * Spark's listing) and the swap is one atomic per-file move, so a
+    * concurrent reader sees each file either pre- or post-erasure,
+    * never missing or doubled. The flat-layout complement of
+    * [[forgetKeysTable]] for derived artifacts (postings, code tables,
+    * projections) that are not Hive-partitioned. Returns
+    * (file, rows_removed, rows_kept). */
+  def forgetKeysFiles(spark: SparkSession, path: String, keyCol: String,
+      keysDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val keys = keysDf.select(col(keyCol)).distinct()
+    val layout = spark.read.parquet(path)
+    val cols = layout.columns.toIndexedSeq
+    // ONE scan yields removed AND kept per file, so neither rewrite path
+    // needs a per-file read-back count afterwards
+    val perFile = layout.withColumn("_graft_file", input_file_name())
+      .join(keys.withColumn("_graft_hit", lit(1L)), Seq(keyCol), "left")
+      .groupBy(col("_graft_file"))
+      .agg(sum(coalesce(col("_graft_hit"), lit(0L))).as("rows_removed"),
+        count(lit(1)).as("rows_total"))
+      .collect()
+    val affected = perFile.filter(_.getLong(1) > 0L)
+    def fileOf(uri: String): Path =
+      if (uri.contains(":/")) Paths.get(java.net.URI.create(uri))
+      else Paths.get(uri)
+    val audit: Seq[(String, Long, Long)] =
+      if (affected.isEmpty) Nil
+      else if (affected.length * 2 > perFile.length) {
+        // subjects touch most files (the term-ordered-postings shape:
+        // a subject's terms scatter across every range file) — per-file
+        // surgery would degenerate into #files SERIAL mini-jobs, while
+        // ONE parallel anti-join rewrite of the whole layout with a
+        // rename-aside dir swap costs a single pass. This is the right
+        // plan at 100 TB too: rewrite granularity should follow subject
+        // CLUSTERING, and above ~half the files there is nothing left
+        // to prune.
+        val dir = Paths.get(path)
+        val staging = dir.resolveSibling(
+          "." + dir.getFileName.toString + ".forget_staging")
+        val old = dir.resolveSibling(
+          "." + dir.getFileName.toString + ".forget_old")
+        val kept = layout.join(keys, Seq(keyCol), "left_anti")
+          .select(cols.map(col): _*)
+        kept.write.mode("overwrite").parquet(staging.toString)
+        deleteRecursively(old)
+        mv(dir, old)
+        mv(staging, dir)
+        deleteRecursively(old)
+        affected.map(r => (fileOf(r.getString(0)).getFileName.toString,
+          r.getLong(1), r.getLong(2) - r.getLong(1))).toSeq
+      } else affected.map { row =>
+        val file = fileOf(row.getString(0))
+        val part = spark.read.parquet(file.toString)
+        val kept = part.join(keys, Seq(keyCol), "left_anti")
+          .select(cols.map(col): _*)
+        val staging = file.resolveSibling(
+          "." + file.getFileName.toString + ".forget_staging")
+        deleteRecursively(staging)
+        // one file stays one file (coalesce(1)): surgical rewrites must
+        // not change the layout's file granularity, only its contents
+        kept.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val partFile = {
+          val s = Files.list(staging)
+          try s.filter(p => p.getFileName.toString.startsWith("part-")
+              && p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally s.close()
+        }
+        // atomic per-file swap: even an all-rows-removed file is
+        // replaced by its (schema-bearing) empty successor, keeping the
+        // directory readable and the file set stable for concurrent
+        // listings. Checksum sidecars must follow the content: Hadoop's
+        // local FS keeps a .<name>.crc per file, and leaving the OLD one
+        // beside the NEW content fails every subsequent read with
+        // ChecksumException — drop the stale sidecar first (reads skip
+        // verification while absent), install the new content, then its
+        // matching sidecar.
+        val stagedCrc = staging.resolve(
+          "." + partFile.getFileName.toString + ".crc")
+        val targetCrc = file.resolveSibling(
+          "." + file.getFileName.toString + ".crc")
+        Files.deleteIfExists(targetCrc)
+        mv(partFile, file)
+        if (Files.exists(stagedCrc)) mv(stagedCrc, targetCrc)
+        deleteRecursively(staging)
+        (file.getFileName.toString, row.getLong(1),
+          row.getLong(2) - row.getLong(1))
+      }.toSeq
+    audit.toDF("file", "rows_removed", "rows_kept")
+      .orderBy(col("file"))
+  }
+
+  /** One erasure target: a primary table or derived serving artifact.
+    * `partitionCols` non-empty ⇒ Hive-partitioned layout (partition-
+    * pruned rewrite); empty ⇒ flat layout (file-pruned rewrite). */
+  final case class DerivedRef(artifact: String, path: String,
+      keyCol: String, partitionCols: Seq[String] = Nil)
+
+  /** The compliance sweep (VERDICT r12 item 1): erase the subjects from
+    * EVERY registered copy — the primary table AND each derived serving
+    * artifact — and return the per-artifact compliance report
+    * (artifact, rows_removed, rows_kept, units_rewritten), where a unit
+    * is a partition directory or a file, matching each layout's rewrite
+    * granularity. The reference's own retention function sweeps every
+    * Gold table (`sql/schema.sql:259-286`), not one; an erasure that
+    * leaves the subject's content in a serving index is a compliance
+    * failure, so the derived copies are first-class targets here.
+    * `keys` is a one-column subject table, renamed to each ref's key
+    * column; refs whose path does not exist (artifact never built) are
+    * reported with zero counts rather than skipped silently. rows_kept
+    * is the artifact's POST-sweep total (one read-back per artifact —
+    * the verification read a compliance record needs anyway). */
+  def forgetWithDerived(spark: SparkSession, refs: Seq[DerivedRef],
+      keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    val keyColName = keys.columns.head
+    val report = refs.map { ref =>
+      if (!Files.exists(Paths.get(ref.path)))
+        (ref.artifact, 0L, 0L, 0L)
+      else {
+        val keysDf = keys.select(col(keyColName).as(ref.keyCol))
+        val audit =
+          if (ref.partitionCols.nonEmpty)
+            forgetKeysTable(spark, ref.path, ref.partitionCols, ref.keyCol,
+              keysDf)
+          else forgetKeysFiles(spark, ref.path, ref.keyCol, keysDf)
+        val a = audit.agg(
+          coalesce(sum(col("rows_removed")), lit(0L)).as("removed"),
+          count(lit(1)).as("units")).head()
+        val keptTotal =
+          if (ref.partitionCols.nonEmpty)
+            spark.read.option("basePath", ref.path).parquet(ref.path).count()
+          else spark.read.parquet(ref.path).count()
+        (ref.artifact, a.getLong(0), keptTotal, a.getLong(1))
+      }
+    }
+    report.toDF("artifact", "rows_removed", "rows_kept", "units_rewritten")
+      .orderBy(col("artifact"))
+  }
+
+  /** Standard derived-artifact registry for a dataset dir: every
+    * persisted serving layout this engine builds from `dir`'s documents
+    * and embeddings tables, with its key column and partition layout.
+    * Layouts keyed by document: SparseSim postings, BM25 postings +
+    * doclen, the positional phrase index. Layouts keyed by vector:
+    * RP projections, PQ code table, IVF and IVFPQ cell-partitioned
+    * layouts. (The fixture's doc_id and vec_id share one id space; a
+    * deployment with distinct key spaces filters the registry by
+    * keyCol and runs one sweep per subject-key resolution.) */
+  def derivedRegistryFor(dir: String): Seq[DerivedRef] = {
+    def p(kind: String) = graft.Serving.artifactPath(kind, dir)
+    Seq(
+      DerivedRef("sparse_postings", p("sparse_postings"), "doc_id"),
+      DerivedRef("bm25_postings", p("bm25_index") + "/postings", "doc_id"),
+      DerivedRef("bm25_doclen", p("bm25_index") + "/doclen", "doc_id"),
+      DerivedRef("phrase_index", p("phrase_index"), "doc_id"),
+      DerivedRef("rp_proj", p("rp_proj"), "vec_id"),
+      DerivedRef("pq_codes", p("pq_codes"), "vec_id"),
+      DerivedRef("ivf_clustered", p("ivf_clustered"), "vec_id", Seq("cell")),
+      DerivedRef("ivfpq_codes", p("ivfpq_codes"), "vec_id", Seq("cell")))
+  }
+
+  /** Gated audit fixture: subjects are doc_id ≡ [[AuditRes]] (mod
+    * [[AuditMod]]) — a deterministic ~1% erasure backlog — over the
+    * first [[AuditDocs]] documents (the gate proves the sweep's code
+    * path and bookkeeping; artifact-build volume is not the claim, so
+    * the fixture is bounded). */
+  val AuditMod = 97L
+  val AuditRes = 3L
+  val AuditDocs = 2000L
+
+  /** The oracle-gated compliance report (VERDICT r12 item 6): plant a
+    * fresh primary table + the document-keyed derived artifacts in a
+    * throwaway dir, run the full [[forgetWithDerived]] sweep, and
+    * return (artifact, rows_removed, rows_kept) — every count
+    * recomputable by the DuckDB twin from the source tables alone
+    * (removed = the subject's rows in each layout's construction; kept
+    * = the artifact's post-sweep read-back total). The sweep itself is
+    * the real code path: partition-pruned rewrite for the partitioned
+    * primary, file-pruned rewrites for the flat index layouts.
+    * units_rewritten is excluded from the gated projection — file
+    * counts depend on write parallelism, which differs between harness
+    * configurations; the spec pins the ∝-subject-partitions claim
+    * instead. */
+  def qForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-forget-audit")
+    try {
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < AuditDocs)
+      val primary = tmp.resolve("documents").toString
+      docs.write.mode("overwrite").partitionBy("source").parquet(primary)
+      val sparse = tmp.resolve("sparse_postings").toString
+      SparseSim.buildPostings(docs).coalesce(4)
+        .write.mode("overwrite").parquet(sparse)
+      val bm25 = tmp.resolve("bm25_index").toString
+      Retrieval.writeIndex(docs, bm25)
+      val phrase = tmp.resolve("phrase_index").toString
+      Phrase.writePositionalIndex(docs, phrase)
+      val subjects = docs.filter(col("doc_id") % AuditMod === AuditRes)
+        .select(col("doc_id"))
+      val report = forgetWithDerived(spark, Seq(
+        DerivedRef("primary_documents", primary, "doc_id", Seq("source")),
+        DerivedRef("sparse_postings", sparse, "doc_id"),
+        DerivedRef("bm25_postings", s"$bm25/postings", "doc_id"),
+        DerivedRef("bm25_doclen", s"$bm25/doclen", "doc_id"),
+        DerivedRef("phrase_index", phrase, "doc_id")), subjects)
+      // the report is driver-materialized (audit collects + read-back
+      // counts), so the planted fixture can be deleted before returning
+      report.select(col("artifact"), col("rows_removed"), col("rows_kept"))
+        .orderBy(col("artifact"))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** DuckDB twin: each artifact's removed/kept row counts re-derived
+    * from the source table with the SAME construction the builders use
+    * (the established word-split and df-capped-shingle CTEs of the
+    * bm25/phrase/sparse gated twins). */
+  def oForgetAudit: String =
+    raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < $AuditDocs),
+      |w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM d),
+      |subj AS (SELECT doc_id FROM d WHERE doc_id % $AuditMod = $AuditRes),
+      |nsubj AS (SELECT count(*) AS n FROM subj),
+      |ndocs AS (SELECT count(*) AS n FROM d),
+      |bp AS (
+      |  SELECT doc_id, count(DISTINCT word) AS n
+      |  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id),
+      |ph AS (SELECT doc_id, len(ws) AS n FROM w),
+      |shx AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles
+      |  FROM w),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shx),
+      |dfx AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= ${SparseSim.Cap}),
+      |sp AS (
+      |  SELECT doc_id, count(*) AS n FROM ex JOIN dfx USING (sh) GROUP BY doc_id),
+      |per AS (
+      |  SELECT 'bm25_doclen' AS artifact,
+      |         (SELECT n FROM nsubj) AS rows_removed,
+      |         (SELECT n FROM ndocs) - (SELECT n FROM nsubj) AS rows_kept
+      |  UNION ALL
+      |  SELECT 'bm25_postings',
+      |         CAST((SELECT coalesce(sum(n), 0) FROM bp JOIN subj USING (doc_id)) AS BIGINT),
+      |         CAST((SELECT sum(n) FROM bp) - (SELECT coalesce(sum(n), 0) FROM bp JOIN subj USING (doc_id)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'phrase_index',
+      |         CAST((SELECT coalesce(sum(n), 0) FROM ph JOIN subj USING (doc_id)) AS BIGINT),
+      |         CAST((SELECT sum(n) FROM ph) - (SELECT coalesce(sum(n), 0) FROM ph JOIN subj USING (doc_id)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'primary_documents',
+      |         (SELECT n FROM nsubj),
+      |         (SELECT n FROM ndocs) - (SELECT n FROM nsubj)
+      |  UNION ALL
+      |  SELECT 'sparse_postings',
+      |         CAST((SELECT coalesce(sum(n), 0) FROM sp JOIN subj USING (doc_id)) AS BIGINT),
+      |         CAST((SELECT sum(n) FROM sp) - (SELECT coalesce(sum(n), 0) FROM sp JOIN subj USING (doc_id)) AS BIGINT))
+      |SELECT artifact, rows_removed, rows_kept FROM per ORDER BY artifact""".stripMargin
 
   private def mv(from: Path, to: Path): Unit =
     try Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
