@@ -355,6 +355,30 @@ object Pq {
     encodeExtra(emb, books, dim, "cell" -> (e => Ivf.cellOf(e, cents)))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental maintenance for the flat PQ code table: encode the
+    * batch with the FROZEN codebooks and append — settled files are
+    * never rewritten and the work is one map-only encode pass over the
+    * batch (no shuffle, no retrain), so maintenance cost ∝ batch size
+    * while a full [[writeCodes]] rebuild is ∝ corpus. The codes are
+    * deterministic given the books, so an appended layout is row-for-row
+    * the layout a from-scratch encode of the union would produce
+    * (spec-pinned probe equivalence). Mirror of [[Ivf.appendClustered]]
+    * for the PQ leg. */
+  def appendCodes(newEmb: DataFrame, path: String,
+      books: Seq[Seq[Array[Double]]], dim: Int = 64): Unit =
+    encode(newEmb, books, dim).write.mode("append").parquet(path)
+
+  /** [[appendCodes]] for the IVFPQ serving layout: the batch is encoded
+    * AND coarse-assigned in the same single scan, then appended into its
+    * cells' partition directories — cells the batch doesn't touch keep
+    * their files byte-identical, so the partition-pruned probe keeps
+    * skipping them without re-listing cost. */
+  def appendCodesClustered(newEmb: DataFrame, path: String,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      dim: Int = 64): Unit =
+    encodeExtra(newEmb, books, dim, "cell" -> (e => Ivf.cellOf(e, cents)))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Build-once persisted IVFPQ layouts per dataset dir (the serving
     * deployment shape; shares [[codebooks]] and [[Ivf.centroidsFor]], so
     * results match the inline path — spec-pinned). */

@@ -98,6 +98,49 @@ class PqSpec extends SparkSpecBase {
       "persisted IVFPQ layout must serve the inline-encode results")
   }
 
+  test("PQ code-table append: settled files untouched; probe equals a full rebuild") {
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    // initial build on the first half trains the books; the second half
+    // arrives later as a maintenance batch — frozen books, no retrain
+    val booksW = Pq.writeCodes(first, dir)
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    Pq.appendCodes(rest, dir, booksW)
+    val after = spark.read.parquet(dir).inputFiles.toSet
+    assert(before.subsetOf(after), "append rewrote settled files")
+    assert(after.size > before.size)
+    // from-scratch encode of the union with the SAME books
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq-reb").toString
+    Pq.appendCodes(emb, dir2, booksW)
+    def served(d: String) =
+      Pq.pqTopKFromCodes(spark.read.parquet(d), emb, booksW, 5, 20)
+        .collect().toSeq
+    assert(served(dir) == served(dir2),
+      "appended code table must serve exactly like a full rebuild")
+  }
+
+  test("IVFPQ layout append: batches land in their cells; untouched cells keep files") {
+    import graft.operators.Ivf
+    val cents = Ivf.trainCentroids(emb)
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Pq.writeCodesClustered(first, dir, cents, books)
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    Pq.appendCodesClustered(rest, dir, cents, books)
+    val after = spark.read.parquet(dir).inputFiles.toSet
+    assert(before.subsetOf(after), "append rewrote settled cell files")
+    assert(after.size > before.size)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-reb").toString
+    Pq.appendCodesClustered(emb, dir2, cents, books)
+    def served(d: String) =
+      Pq.ivfPqTopKFromCodes(spark.read.parquet(d), emb, cents, books, 5, 20)
+        .collect().toSeq
+    assert(served(dir) == served(dir2),
+      "appended IVFPQ layout must probe exactly like a full rebuild")
+  }
+
   test("IVFPQ at nProbe = 6 keeps useful recall on a 2.7x-pruned scan") {
     val cents = graft.operators.Ivf.trainCentroids(emb)
     val exact = Similarity.bruteForceTopK(emb, 5, nQueries = 50)
