@@ -123,6 +123,9 @@ object SparkEntry {
     "q16_supplier_cnt" -> ((s, d) => TpchMore.q16SupplierCnt(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => TpchMore.q17SmallQtyRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => TpchMore.q18LargeOrders(s, d)),
+    // Q18 over the shared orderkey-bucketed fact layout: zero orderkey
+    // exchange (the per-order agg rides the layout's partitioning)
+    "tpch_q18_bucketed" -> ((s, d) => graft.operators.Scale.q18Bucketed(s, d)),
     "q20_qualified_suppliers" -> ((s, d) => TpchMore.q20QualifiedSuppliers(s, d)),
     "q21_waiting_suppliers" -> ((s, d) => TpchMore.q21WaitingSuppliers(s, d)),
     "q11_important_stock" -> ((s, d) => TpchMore.q11ImportantStock(s, d)),
@@ -500,6 +503,7 @@ object SparkEntry {
     "q16_supplier_cnt" -> TpchMore.q16OracleSql,
     "q17_small_qty_revenue" -> TpchMore.q17OracleSql,
     "q18_large_orders" -> TpchMore.q18OracleSql,
+    "tpch_q18_bucketed" -> TpchMore.q18OracleSql,
     "q20_qualified_suppliers" -> TpchMore.q20OracleSql,
     "q21_waiting_suppliers" -> TpchMore.q21OracleSql,
     "q11_important_stock" -> TpchMore.q11OracleSql,

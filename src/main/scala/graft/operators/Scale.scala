@@ -280,29 +280,81 @@ object Scale {
     * tables: with matching bucket specs Spark plans a sort-merge join
     * with NO Exchange on either side — the 100 TB fact⋈fact layout. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed-table dir left behind by a PREVIOUS JVM blocks CTAS with
+    // LOCATION_ALREADY_EXISTS: the in-memory catalog entry died with
+    // that JVM but its warehouse directory didn't. These layouts are
+    // engine-owned scratch keyed by name, so reclaim the orphaned
+    // location (never when the table IS cataloged — overwrite handles
+    // that path transactionally)
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
-  /** TPC-H Q3 with the orders⋈lineitem fact join riding a bucketed
-    * layout: both facts written bucketBy(orderkey) + sortBy ONCE (the
-    * amortized layout build), after which the orderkey join plans as a
-    * SortMergeJoin with ZERO exchange on either fact side — the scans'
-    * HashPartitioning(orderkey, buckets) already satisfies the join's
-    * distribution, the customer leg stays an explicit broadcast, and
-    * the only shuffle left in the query is the final group-by's. This
-    * is the SCALE.md claim ("bucketed layouts make the recurring
-    * fact-fact join shuffle-free") demonstrated on a real TPC-H heavy
-    * rather than the toy [[bucketedJoinDemo]] count; the plan is pinned
-    * by spec and the measured delta recorded in SCALE.md. */
+  /** ONE orderkey-bucketed copy of the two facts per (JVM, dataset,
+    * buckets), shared by every orderkey heavy that rides it
+    * ([[q3Bucketed]], [[q18Bucketed]]) — the 100 TB discipline where
+    * the bucketed table IS the table and its build cost amortizes
+    * across all recurring consumers, not one demo query. Bucket
+    * metadata lives in the session catalog (files alone don't carry
+    * it), so a fresh JVM registers + writes once; later queries in the
+    * same JVM — e.g. the bench's three measured passes after the warm
+    * pass paid the build — reuse the layout untouched. */
+  private[this] var bucketedFactsKey: Option[(String, Int)] = None
+  def bucketedFacts(spark: SparkSession, dir: String,
+      buckets: Int = 8): Unit = synchronized {
+    if (!bucketedFactsKey.contains((dir, buckets)) ||
+        !spark.catalog.tableExists("b3_orders") ||
+        !spark.catalog.tableExists("b3_lineitem")) {
+      writeBucketed(Tables.orders(spark, dir), "b3_orders", "o_orderkey",
+        buckets)
+      writeBucketed(Tables.lineitem(spark, dir), "b3_lineitem", "l_orderkey",
+        buckets)
+      bucketedFactsKey = Some((dir, buckets))
+    }
+  }
+
+  /** TPC-H Q3 with the orders⋈lineitem fact join riding the
+    * [[bucketedFacts]] layout: after the amortized build the orderkey
+    * join plans as a SortMergeJoin with ZERO exchange on either fact
+    * side — the scans' HashPartitioning(orderkey, buckets) already
+    * satisfies the join's distribution, the customer leg stays an
+    * explicit broadcast, and the only shuffle left in the query is the
+    * final group-by's. This is the SCALE.md claim ("bucketed layouts
+    * make the recurring fact-fact join shuffle-free") demonstrated on a
+    * real TPC-H heavy rather than the toy [[bucketedJoinDemo]] count;
+    * the plan is pinned by spec and the measured delta recorded in
+    * SCALE.md. */
   def q3Bucketed(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
-    writeBucketed(Tables.orders(spark, dir), "b3_orders", "o_orderkey",
-      buckets)
-    writeBucketed(Tables.lineitem(spark, dir), "b3_lineitem", "l_orderkey",
-      buckets)
+    bucketedFacts(spark, dir, buckets)
     Tpch.q3On(spark.table("b3_lineitem"), spark.table("b3_orders"),
+      Tables.customer(spark, dir))
+  }
+
+  /** TPC-H Q18 riding the SAME [[bucketedFacts]] layout — the second
+    * recurring consumer that turns the bucketed copy from a demo into
+    * shared infrastructure (VERDICT r11 #7). Q18's one lineitem-sized
+    * shuffle is the per-order quantity aggregate; over the bucketed
+    * scan the HashAggregate's required distribution is already
+    * satisfied by HashPartitioning(l_orderkey, buckets), so the whole
+    * query plans with ZERO orderkey exchange — the >300-qty survivors
+    * and the customer dim stay explicit broadcasts, exactly the 100 TB
+    * plan. Same result as [[TpchMore.q18LargeOrders]] (shared oracle);
+    * plan pinned by spec, bench row `tpch_q18_bucketed`. */
+  def q18Bucketed(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    bucketedFacts(spark, dir, buckets)
+    TpchMore.q18On(spark.table("b3_lineitem"), spark.table("b3_orders"),
       Tables.customer(spark, dir))
   }
 

@@ -123,14 +123,23 @@ object TpchMore {
     * aggregate is tiny (orders with >300 total qty) → broadcast onto
     * orders; customer is a broadcast dim. Final ordering is pinned with
     * the orderkey tiebreak so top-100 is deterministic. */
-  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val big = Tables.lineitem(spark, dir)
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    q18On(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir))
+
+  /** Q18 over caller-supplied tables — [[graft.operators.Scale.q18Bucketed]]
+    * passes the orderkey-bucketed facts so the per-order quantity
+    * aggregate (the query's one lineitem-sized shuffle) rides the
+    * layout's partitioning instead. */
+  def q18On(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val big = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sum(dq(col("l_quantity"))).as("b_qty"))
       .filter(col("b_qty") > 300)
-    Tables.orders(spark, dir)
+    orders
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(broadcast(customer),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),

@@ -152,6 +152,32 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("TPC-H Q18 over bucketed facts plans with zero orderkey exchange") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // size-based broadcast off: both remaining joins carry explicit
+      // broadcast() hints, so the surviving plan is the 100 TB shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Scale.q18Bucketed(spark, sf)
+      val got = bucketed.collect().toSeq
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val keyExchange =
+        """Exchange hashpartitioning\((l|o)_orderkey#\d+L?, \d+\)""".r
+      assert(keyExchange.findFirstIn(plan).isEmpty,
+        s"bucketed Q18 still shuffles on orderkey:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      // the same query WITHOUT the layout must shuffle lineitem for the
+      // per-order aggregate — proves the layout removed it, not the
+      // fixture
+      val unbucketed = graft.operators.TpchMore.q18LargeOrders(spark, sf)
+      val ref = unbucketed.collect().toSeq
+      assert(keyExchange.findFirstIn(
+        unbucketed.queryExecution.executedPlan.toString).isDefined,
+        "unbucketed Q18 did not shuffle on orderkey — assertion is vacuous")
+      assert(got == ref, "bucketed layout changed Q18's answer")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("sketch aggregates land within tolerance of exact answers") {
     val s = Scale.qSketchStatsNative(spark, sf).collect()
     s.foreach { r =>
