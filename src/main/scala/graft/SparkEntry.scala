@@ -202,6 +202,12 @@ object SparkEntry {
     "join_full_outer_recon" -> ((s, d) => Joins.qDailyReconciliation(s, d)),
     // k-means corpus clustering (generated inlined-centroid twin)
     "cluster_kmeans" -> ((s, d) => Ivf.qKmeansClusters(s, d)),
+    // topic balance: per-k-means-cell caps over the frozen quantizer
+    "curation_cluster_balance" -> ((s, d) => Rebalance.qClusterBalance(s, d)),
+    // α=1/2 temperature rebalance by language (integer-exact quotas)
+    "curation_mix_temperature" -> ((s, d) => Rebalance.qMixTemperature(s, d)),
+    // tokenizer fertility table by language (tokens/word, chars/token)
+    "text_fertility_by_lang" -> ((s, d) => Fertility.qFertilityByLang(s, d)),
     // golden-record consolidation (match → closure → survivorship)
     "entity_golden_record" -> ((s, d) => Entity.qGoldenRecords(s, d)),
     // degree-ordered triangle counting over the co-purchase graph
@@ -496,6 +502,8 @@ object SparkEntry {
     "curation_filter_funnel" -> Curation.oFilterFunnel,
     "curation_source_cap" -> Curation.oSourceCap,
     "curation_source_mix" -> Curation.oSourceMix,
+    "curation_mix_temperature" -> Rebalance.oMixTemperature,
+    "text_fertility_by_lang" -> Fertility.oFertilityByLang,
     "curation_source_mix_tokens" -> Curation.oSourceMixTokens,
     "curation_corpus_diff" -> Curation.oCorpusDiff,
     "curation_budget_select" -> Curation.oBudgetSelect,
@@ -661,6 +669,8 @@ object SparkEntry {
     // the literals to inline — the sign-LSH hyperplane pattern, extended
     // to trained quantizers. Empty (→ rows-only gate) if untrained.
     Ivf.oracleEntries ++ Pq.oracleEntries ++
+    // cluster-balanced selection shares the IVF quantizer's literals
+    Rebalance.oracleEntries ++
     // trained NB classifier: fixed-point integer model inlined the same way
     Classify.oracleEntries ++
     // trained BPE tokenizer: merge list inlined, recursive-CTE replay

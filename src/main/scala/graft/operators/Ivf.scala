@@ -279,7 +279,7 @@ object Ivf {
     * — each kernel dot is the same left-to-right `acc += x·c`), and the
     * cell assignment (ties take the LARGER cell, replicating ArgMaxDot's
     * `acc >= best` scan). */
-  private def ivfBaseSql(cents: Seq[Array[Double]]): String =
+  private[operators] def ivfBaseSql(cents: Seq[Array[Double]]): String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Rebalance}
+
+/** Temperature mixing + cluster-balanced selection: quota math,
+  * flattening, and grouped-prefix-sum/window path equivalence. */
+class RebalanceSpec extends SparkSpecBase {
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("temperature quotas flatten the distribution and never upsample") {
+    val counts = Seq("en" -> 900L, "de" -> 100L, "fr" -> 25L)
+    val q = Rebalance.temperatureQuotas(counts, target = 500L)
+    val byLang = q.map(t => t._1 -> t._3).toMap
+    // w = [30, 10, 5], Σ=45: raw quotas 333/111/55; de and fr clamp at
+    // their sizes (selection never upsamples)
+    assert(byLang == Map("en" -> 333L, "de" -> 100L, "fr" -> 25L))
+    // head/tail imbalance shrinks: raw 900/100 = 9x, rebalanced 3x
+    assert(byLang("en") * 100 / byLang("de") < 900L * 100 / 100L)
+    q.foreach { case (_, n, quota) => assert(quota <= n) }
+  }
+
+  test("mix selection honors quotas exactly and both rank paths agree") {
+    val res = Rebalance.sourceMixTemperature(docs, "lang", 250L)
+    val got = res.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = Rebalance.temperatureQuotas(
+      docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq, 250L)
+    quotas.foreach { case (lang, _, quota) =>
+      assert(got.getOrElse(lang, 0L) == quota, s"$lang quota mismatch")
+    }
+    def rows(hot: Boolean) =
+      Rebalance.sourceMixTemperature(docs, "lang", 250L, Some(hot))
+        .orderBy("doc_id").collect().toSeq
+    assert(rows(hot = true) == rows(hot = false),
+      "grouped prefix-sum path must match the window path")
+  }
+
+  test("cluster balance caps every cell and both rank paths agree") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.trainCentroids(emb)
+    val res = Rebalance.clusterBalance(emb, cents, cap = 20L)
+    val perCell = res.groupBy("cluster").count().collect()
+    assert(perCell.nonEmpty)
+    perCell.foreach(r => assert(r.getLong(1) <= 20L))
+    // cells smaller than the cap keep everything (balance, not decimation)
+    val sizes = res.select("cluster", "cluster_size").distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = perCell.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (cell, size) =>
+      assert(kept(cell) == math.min(size, 20L), s"cell $cell")
+    }
+    def rows(hot: Boolean) =
+      Rebalance.clusterBalance(emb, cents, 20L, Some(hot))
+        .orderBy("vec_id").collect().toSeq
+    assert(rows(hot = true) == rows(hot = false),
+      "grouped prefix-sum path must match the window path")
+  }
+
+  test("fertility table: ratios are consistent integer surrogates") {
+    val f = graft.operators.Fertility.qFertilityByLang(spark, sf).collect()
+    assert(f.length >= 2)
+    f.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val words = r.getAs[Long]("words")
+      val chars = r.getAs[Long]("chars")
+      // surface tokens split punctuation off words → at least one per word
+      assert(tokens >= words, r.toString)
+      assert(r.getAs[Long]("tokens_per_100_words") == tokens * 100 / words)
+      assert(r.getAs[Long]("chars_per_100_tokens") == chars * 100 / tokens)
+    }
+  }
+}
