@@ -642,7 +642,12 @@ object Probe {
       "sim_sparse_topk" -> "sparse lexical top-k: one checkpointed postings projection, integer sh_id join keys, decimal dots, legs carry norms, rank-limited window",
       "sim_sparse_serving_topk" -> "persisted inverted-index serving: broadcast query postings vs the index scan — no re-shingle, no re-weight per query",
       "corpus_split_leakage_safe" -> "cluster-keyed split: label propagation over near-dup pairs, corpus LEFT join, map-only rep hash",
-      "text_novelty_vs_train" -> "novelty vs train vocabulary: one left-anti shingle join + per-doc count, settled index side")
+      "text_novelty_vs_train" -> "novelty vs train vocabulary: one left-anti shingle join + per-doc count, settled index side",
+      "forget_audit" -> "erasure sweep audit: registry-driven derived-artifact rewrites, partition-surgical or one parallel full rewrite by subject spread",
+      "tpch_q18_bucketed" -> "Q18 on the shared bucketed facts: per-order agg rides HashPartitioning(orderkey) from the scan — zero orderkey exchange",
+      "curation_mix_temperature" -> "alpha=1/2 temperature rebalance: control-plane isqrt quotas broadcast back, groupRanks-dialed hash-rank selection",
+      "curation_cluster_balance" -> "topic balance: fused cell-argmax in the scan, per-cell cap via groupRanks dial, sizes carried as group totals",
+      "text_fertility_by_lang" -> "fertility table: codegen'd token/word counts fused into one scan, languages-sized partial agg, integer ratio surrogates")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
