@@ -28,6 +28,12 @@ object Probe {
       return
     }
     if (args.headOption.contains("bucketq3")) { bucketQ3(); return }
+    if (args.headOption.contains("forget")) {
+      forgetScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(4); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("graph")) {
       graphScale(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(1, 2, 3); case ms => ms
@@ -277,6 +283,71 @@ object Probe {
     * with size-based broadcast off (the fact-scale join shape) — the
     * build cost and the per-query delta are reported separately because
     * the layout amortizes over every orderkey join that follows it. */
+  /** Erasure-cost probe: does `forgetKeysTable`'s cost follow the
+    * SUBJECT'S partitions or the corpus? Corpus scales OUT in
+    * partitions (every tier replicates the sf0.1 documents into
+    * 20×mult sources) while the clustered-subject backlog stays pinned
+    * to ONE partition of constant size — so the claimed shape is
+    * near-flat clustered-erasure time as rows and partitions grow
+    * mult×, against a scattered backlog (one subject per partition →
+    * the majority dispatch) whose one-parallel-full-rewrite cost grows
+    * with the corpus. The gap between the two legs at each tier is the
+    * measured value of partition pruning. */
+  def forgetScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Forget
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    mults.foreach { mult =>
+      val corpus = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          col("text"), col("lang"),
+          concat(col("source"), lit("_r"), col("rep").cast("string"))
+            .as("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-forget-probe")
+      try {
+        val tbl = tmp.resolve("documents").toString
+        corpus.write.mode("overwrite").partitionBy("source").parquet(tbl)
+        val rows = spark.read.option("basePath", tbl).parquet(tbl).count()
+        val parts = 20 * mult
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[forget] $label @ $rows rows / $parts partitions: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        // clustered: the whole backlog lives in src0_r0 — constant size
+        // at every tier
+        val clustered = base.filter(col("source") === "src0")
+          .select((col("doc_id") * mult).as("doc_id"))
+        time("clustered (1 partition)") {
+          Forget.forgetKeysTable(spark, tbl, Seq("source"), "doc_id",
+            clustered).collect()
+        }
+        // scattered: one subject in every partition → majority dispatch
+        // (runs second, over the already-clustered-erased table: its
+        // subjects are disjoint from the clustered backlog's partitions'
+        // loss except src0_r0, and the dispatch only needs >half hit)
+        val scattered = base.groupBy("source")
+          .agg(max(col("doc_id")).as("doc_id")).select(col("doc_id"))
+          .crossJoin(spark.range(mult).toDF("rep"))
+          .select((col("doc_id") * mult + col("rep")).as("doc_id"))
+        time("scattered (every partition)") {
+          Forget.forgetKeysTable(spark, tbl, Seq("source"), "doc_id",
+            scattered).collect()
+        }
+      } finally {
+        import scala.sys.process._
+        Seq("rm", "-rf", tmp.toString).!
+        ()
+      }
+    }
+    spark.stop()
+  }
+
   def bucketQ3(): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
