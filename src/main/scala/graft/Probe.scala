@@ -34,6 +34,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("pqappend")) {
+      pqAppendScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(10); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("graph")) {
       graphScale(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(1, 2, 3); case ms => ms
@@ -283,6 +289,65 @@ object Probe {
     * with size-based broadcast off (the fact-scale join shape) — the
     * build cost and the per-query delta are reported separately because
     * the layout amortizes over every orderkey join that follows it. */
+  /** PQ maintenance probe: is `Pq.appendCodes`' cost ∝ the BATCH while
+    * a full rebuild is ∝ the corpus? The corpus is the sf0.1 embeddings
+    * replicated mult× (codebooks trained once on the base and frozen —
+    * the maintenance contract); the appended batch stays a constant
+    * 500 vectors at every tier. Claimed shape: the append leg flat
+    * across tiers, the rebuild leg growing mult×; the growing gap is
+    * the measured value of incremental maintenance (VERDICT r11 #5's
+    * "work ∝ batch" made a number). IVFPQ's cell-partitioned layout is
+    * probed the same way. */
+  def pqAppendScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Ivf, Pq}
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val books = Pq.trainCodebooks(base, 64)
+    val cents = Ivf.trainCentroids(base)
+    val batch = base.limit(500)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    mults.foreach { mult =>
+      val corpus = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+          col("embedding"), col("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pqapp")
+      try {
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[pqappend] $label @ $n vectors: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val flat = tmp.resolve("pq_codes").toString
+        time("flat build (corpus)") {
+          Pq.appendCodes(corpus, flat, books)
+        }
+        time("flat append (500-vector batch)") {
+          Pq.appendCodes(batch, flat, books)
+        }
+        val clustered = tmp.resolve("ivfpq_codes").toString
+        time("ivfpq build (corpus)") {
+          Pq.writeCodesClustered(corpus, clustered, cents, books)
+        }
+        time("ivfpq append (500-vector batch)") {
+          Pq.appendCodesClustered(batch, clustered, cents, books)
+        }
+      } finally {
+        corpus.unpersist()
+        import scala.sys.process._
+        Seq("rm", "-rf", tmp.toString).!
+        ()
+      }
+    }
+    spark.stop()
+  }
+
   /** Erasure-cost probe: does `forgetKeysTable`'s cost follow the
     * SUBJECT'S partitions or the corpus? Corpus scales OUT in
     * partitions (every tier replicates the sf0.1 documents into
