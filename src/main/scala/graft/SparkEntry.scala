@@ -52,6 +52,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("session_start"))),
     "multimodal_features" -> ((s, d) => Multimodal.qMultimodalFeatures(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.qMultimodalDecode(s, d)),
+    // real multi-frame decode: every-2nd-frame sampling through the
+    // JDK's animated-GIF codec (mp4 stays env-bound hash-fallback)
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.qMultimodalFrameSample(s, d)),
     "classify_lang_nb" -> ((s, d) => Classify.qClassifyLang(s, d)),
     "gapfill_hourly" -> ((s, d) => Temporal.qGapFillHourly(s, d)),
     "funnel_view_click_purchase" -> ((s, d) => Temporal.qEventFunnel(s, d)),
@@ -474,6 +477,7 @@ object SparkEntry {
     // real javax.imageio/javax.sound PNG+WAV round trip; the twin
     // recomputes the decoded stats from the generation formulas
     "multimodal_decode" -> Multimodal.oMultimodalDecode,
+    "multimodal_frame_sample" -> Multimodal.oMultimodalFrameSample,
     "gapfill_hourly" -> Temporal.oGapFillHourly,
     "funnel_view_click_purchase" -> Temporal.oEventFunnel,
     // blocked fuzzy matching must equal the oracle's n² brute force

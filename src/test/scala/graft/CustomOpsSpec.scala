@@ -277,6 +277,27 @@ class CustomOpsSpec extends SparkSpecBase {
     assert(feats(7L).sameElements(Multimodal.hashFeatures(Array[Byte](1, 2, 3), 8)))
   }
 
+  test("animated-GIF frame sampling round-trips every sampled frame exactly") {
+    import graft.operators.Multimodal
+    for (id <- Seq(0L, 1L, 4L, 13L, 97L)) {
+      val frames = Multimodal.sampleGifFrames(id, Multimodal.gifFor(id))
+      val n = 2 + (id % 5).toInt
+      // every 2nd frame of the n-frame animation, full dims, exact gray
+      assert(frames.map(_.frame_idx) == (0 until n by 2))
+      frames.foreach { f =>
+        assert(f.n_frames == n && f.width == 8 && f.height == 8)
+        assert(f.gray == ((11L * id + 29L * f.frame_idx) % 256L).toInt,
+          s"doc $id frame ${f.frame_idx}")
+      }
+    }
+    // a payload no reader accepts yields zero frames, not a crash
+    assert(Multimodal.sampleGifFrames(9L, Array[Byte](1, 2, 3)).isEmpty)
+    // distributed path agrees with the driver-side sampler
+    val df = Multimodal.gifFrameSamples(Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)).collect()
+    assert(df.length == (0L until 20L).map(id => (2 + id % 5 + 1) / 2).sum)
+  }
+
   test("DFT recovers the generated tone bin through the real WAV codec") {
     import graft.operators.Multimodal
     // direct DFT sanity off the codec path: pure bin-5 sine → bin 5
