@@ -164,6 +164,8 @@ object SparkEntry {
     "sim_quantized_topk" -> ((s, d) => Quant.qQuantizedTopK(s, d)),
     "sim_int8_topk" -> ((s, d) => Quant.qInt8TopK(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalysis.qLmScore(s, d)),
+    // keep-curve over the lm score: docs/token mass at every threshold
+    "curation_quality_curve" -> ((s, d) => QualityCurve.qLmScoreCurve(s, d)),
     "dedup_overlap_estimate" -> ((s, d) => Overlap.qOverlapEstimate(s, d)),
     // trained BPE subword tokenizer applied corpus-wide (native expr)
     "tokenize_bpe" -> ((s, d) => Tokenize.qTokenize(s, d)),
@@ -544,6 +546,7 @@ object SparkEntry {
     "sim_quantized_topk" -> Quant.oQuantizedTopK,
     "sim_int8_topk" -> Quant.oInt8TopK,
     "text_lm_score" -> TextAnalysis.oLmScore,
+    "curation_quality_curve" -> QualityCurve.oLmScoreCurve,
     "dedup_overlap_estimate" -> Overlap.oOverlapEstimate,
     // the incremental apply must equal the from-scratch fold, so both
     // CDC queries share the full-log oracle
