@@ -211,6 +211,8 @@ object SparkEntry {
     "curation_cluster_balance" -> ((s, d) => Rebalance.qClusterBalance(s, d)),
     // α=1/2 temperature rebalance by language (integer-exact quotas)
     "curation_mix_temperature" -> ((s, d) => Rebalance.qMixTemperature(s, d)),
+    // the same rebalance in TOKEN space (the unit mixtures are specified in)
+    "curation_mix_temperature_tokens" -> ((s, d) => Rebalance.qMixTemperatureTokens(s, d)),
     // tokenizer fertility table by language (tokens/word, chars/token)
     "text_fertility_by_lang" -> ((s, d) => Fertility.qFertilityByLang(s, d)),
     // golden-record consolidation (match → closure → survivorship)
@@ -509,6 +511,7 @@ object SparkEntry {
     "curation_source_cap" -> Curation.oSourceCap,
     "curation_source_mix" -> Curation.oSourceMix,
     "curation_mix_temperature" -> Rebalance.oMixTemperature,
+    "curation_mix_temperature_tokens" -> Rebalance.oMixTemperatureTokens,
     "text_fertility_by_lang" -> Fertility.oFertilityByLang,
     "curation_source_mix_tokens" -> Curation.oSourceMixTokens,
     "curation_corpus_diff" -> Curation.oCorpusDiff,

@@ -106,6 +106,84 @@ object Rebalance {
        |WHERE rk <= quota ORDER BY doc_id""".stripMargin
   }
 
+  /** [[sourceMixTemperature]] in TOKEN space — the unit pretraining
+    * mixtures are actually specified in: weights ∝ √(group token
+    * totals), quotas are token budgets, and each group contributes docs
+    * in id-hash order until its quota under the greedy boundary rule
+    * (the doc straddling the cap is kept — `start_tok < quota`, the
+    * [[Curation.sourceMixTokens]] convention). Running token sums ride
+    * the [[Scale.hotGroups]] dial: a per-group window while every
+    * group fits one sort task, [[Scale.groupedRunningSum]]'s
+    * distributed prefix sums for few giant groups. */
+  def sourceMixTemperatureTokens(docs: DataFrame, groupCol: String,
+      targetTokens: Long,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slim = docs.select(col("doc_id"), col(groupCol),
+      TextFns.tokenCount(col("text")).cast("long").as("token_count"))
+    Dedup.withCached(slim) { s =>
+      val totals = s.groupBy(col(groupCol))
+        .agg(sum(col("token_count")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val quotas = temperatureQuotas(totals, targetTokens)
+      val qDf = broadcast(quotas.toDF(groupCol, "group_tokens", "token_quota"))
+      val order = Seq(TextFns.md5u56(col("doc_id").cast("string")),
+        col("doc_id"))
+      val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(s, Seq(groupCol)))
+      val cum =
+        if (hot) Scale.groupedRunningSum(s, Seq(groupCol), order,
+          col("token_count"), "cum_tok")
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol)).orderBy(order: _*)
+          s.withColumn("cum_tok", sum(col("token_count")).over(w).cast("long"))
+        }
+      cum.withColumn("start_tok", col("cum_tok") - col("token_count"))
+        .join(qDf, groupCol)
+        .filter(col("start_tok") < col("token_quota"))
+        .select(col("doc_id"), col(groupCol), col("token_count"),
+          col("start_tok"), col("group_tokens"), col("token_quota"))
+    }
+  }
+
+  def qMixTemperatureTokens(spark: SparkSession, dir: String): DataFrame =
+    sourceMixTemperatureTokens(Tables.documents(spark, dir), "lang",
+      targetTokens = 15000L)
+      .orderBy(col("doc_id"))
+
+  def oMixTemperatureTokens: String = {
+    val h = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+       |      AS token_count
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT lang, CAST(sum(token_count) AS BIGINT) AS group_tokens
+       |  FROM tk GROUP BY lang),
+       |w AS (
+       |  SELECT lang, group_tokens,
+       |    CAST(floor(sqrt(CAST(group_tokens AS DOUBLE))) AS BIGINT) AS w
+       |  FROM cnt),
+       |q AS (
+       |  SELECT lang, group_tokens,
+       |    LEAST(group_tokens,
+       |      CAST(CAST(15000 AS HUGEINT) * w // (SELECT sum(w) FROM w) AS BIGINT))
+       |      AS token_quota
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, lang, token_count,
+       |    CAST(sum(token_count) OVER (PARTITION BY lang ORDER BY $h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - token_count AS BIGINT) AS start_tok
+       |  FROM tk)
+       |SELECT r.doc_id, r.lang, r.token_count, r.start_tok,
+       |  q.group_tokens, q.token_quota
+       |FROM r JOIN q ON r.lang = q.lang
+       |WHERE start_tok < token_quota ORDER BY doc_id""".stripMargin
+  }
+
   /** Cluster-balanced selection: assign every vector its k-means cell
     * (one codegen'd [[Ivf.cellOf]] map pass — no training here; the
     * caller passes the frozen quantizer), then keep each cell's first

@@ -39,6 +39,30 @@ class RebalanceSpec extends SparkSpecBase {
       "grouped prefix-sum path must match the window path")
   }
 
+  test("token-space mix honors quotas up to one straddling doc; paths agree") {
+    val res = Rebalance.sourceMixTemperatureTokens(docs, "lang", 15000L)
+      .collect()
+    val byLang = res.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val quota = rows.head.getAs[Long]("token_quota")
+      val selected = rows.map(_.getAs[Long]("token_count")).sum
+      val maxDoc = rows.map(_.getAs[Long]("token_count")).max
+      // greedy boundary rule: token mass ≤ quota + the straddling doc
+      assert(selected < quota + maxDoc, s"$lang over-selected")
+      // every selected doc starts strictly inside the budget
+      rows.foreach(r =>
+        assert(r.getAs[Long]("start_tok") < quota, s"$lang boundary"))
+      // maximality: total group mass beyond quota ⇒ selection reaches it
+      if (rows.head.getAs[Long]("group_tokens") > quota)
+        assert(selected >= quota, s"$lang under-selected")
+    }
+    def rows(hot: Boolean) =
+      Rebalance.sourceMixTemperatureTokens(docs, "lang", 15000L, Some(hot))
+        .orderBy("doc_id").collect().toSeq
+    assert(rows(hot = true) == rows(hot = false),
+      "grouped prefix-sum path must match the window path")
+  }
+
   test("cluster balance caps every cell and both rank paths agree") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Ivf.trainCentroids(emb)
