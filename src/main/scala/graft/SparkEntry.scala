@@ -399,6 +399,7 @@ object SparkEntry {
     "source_orc_roundtrip" ->
       ((s, d) => graft.sources.TextFormats.qOrcRoundtrip(s, d)),
     // Benford first-digit forensics on order totals
+    "quality_k_anonymity" -> ((s, d) => Diagnostics.qKAnonymity(s, d)),
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
     "plan_join_skew" -> ((s, d) => Diagnostics.qJoinSkew(s, d)),
@@ -664,6 +665,7 @@ object SparkEntry {
     "curation_padding_waste" -> DupWeights.oPaddingWaste,
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
+    "quality_k_anonymity" -> Diagnostics.oKAnonymity,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,
     "streaming_late_profile" -> Lateness.oLatenessProfile,

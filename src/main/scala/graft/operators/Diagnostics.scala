@@ -26,6 +26,36 @@ object Diagnostics {
   private val BenfordMilli =
     Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
 
+  /** k-anonymity audit over a quasi-identifier tuple: every equivalence
+    * class (distinct QI combination) with its population and whether it
+    * falls below k — the groups a release would have to suppress or
+    * generalize, plus the exposed-row total the report leads with. The
+    * governance complement of PII scrubbing (column-level) and key
+    * erasure (row-level): this one measures LINKABILITY of what
+    * remains. One partial+final hash aggregate over a pruned scan;
+    * grain = distinct QI tuples (bounded ≪ rows), so the report is
+    * control-plane sized at any corpus scale. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String],
+      k: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("risky", col("n") < k)
+
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymity(
+      Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey")),
+      Seq("n_name", "c_mktsegment"), k = 40L)
+      .select(col("n_name"), col("c_mktsegment"), col("n"), col("risky"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+
+  def oKAnonymity: String =
+    """SELECT n_name, c_mktsegment, count(*) AS n, count(*) < 40 AS risky
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

@@ -7,6 +7,20 @@ import graft.operators.Diagnostics
 class DiagnosticsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("k-anonymity: planted small class is flagged, totals reconcile") {
+    val df = Seq(
+      ("us", "A"), ("us", "A"), ("us", "A"),
+      ("us", "B"), ("us", "B"),
+      ("de", "A")).toDF("country", "segment")
+    val out = Diagnostics.kAnonymity(df, Seq("country", "segment"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("risky"))).toMap
+    assert(out(("us", "A")) == (3L, false))
+    assert(out(("us", "B")) == (2L, true))
+    assert(out(("de", "A")) == (1L, true))
+    assert(out.values.map(_._1).sum == df.count())
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
