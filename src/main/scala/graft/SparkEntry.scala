@@ -138,6 +138,7 @@ object SparkEntry {
     "unpivot_daily" -> ((s, d) => Advanced.qUnpivotDaily(s, d)),
     "window_value_bounds" -> ((s, d) => Advanced.qValueBounds(s, d)),
     "agg_grouping_sets" -> ((s, d) => Advanced.qGroupingSets(s, d)),
+    "dedup_semantic_contamination" -> ((s, d) => Dedup.qSemanticContamination(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.qSemanticDedup(s, d)),
     "dedup_passages" -> ((s, d) => Passages.qPassageDedup(s, d)),
     "bm25_topk" -> ((s, d) => Retrieval.qBm25TopK(s, d)),
@@ -533,6 +534,7 @@ object SparkEntry {
     "agg_grouping_sets" -> Advanced.oGroupingSets,
     // LSH pairs (deterministic planes) + recursive-CTE closure + keep-min
     "dedup_semantic" -> Dedup.oSemanticDedup,
+    "dedup_semantic_contamination" -> Dedup.oSemanticContamination,
     "dedup_passages" -> Passages.oPassageDedup,
     "bm25_topk" -> Retrieval.oBm25TopK,
     // the incremental apply must equal the from-scratch rebuild, so both

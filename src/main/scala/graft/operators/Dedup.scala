@@ -784,4 +784,85 @@ object Dedup {
        |  coalesce(cl.cluster_id, e.vec_id) = e.vec_id AS keep
        |FROM embeddings e LEFT JOIN cl USING (vec_id)
        |ORDER BY vec_id""".stripMargin
+
+  /** SEMANTIC eval contamination: val/test documents whose embedding has
+    * a train-side neighbor above `threshold` — the paraphrase leakage
+    * that shingle-level [[TextAnalysis.qContamination]] cannot see
+    * (reworded copies share no 3-gram but sit next to each other in
+    * embedding space). Splits follow the corpus hash rule
+    * (md5u56(id) mod 100: 80/10/10), candidates come from the same
+    * sign-LSH blocks as the near-dup family (cross-split join only —
+    * train×train and eval×eval pairs are never generated), and each
+    * contaminated eval doc reports its single best train neighbor
+    * (max cosine, min-id tiebreak). Per-eval window is bounded by the
+    * doc's block collisions, not the corpus. */
+  def semanticContamination(emb: DataFrame,
+      threshold: Double = 0.45): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = emb
+      .withColumn("split",
+        when(pmod(graft.functions.TextFns.md5u56(col("vec_id").cast("string")),
+          lit(100L)) < 80, "train")
+          .when(pmod(graft.functions.TextFns.md5u56(col("vec_id").cast("string")),
+            lit(100L)) < 90, "val")
+          .otherwise("test"))
+      .withColumn("bucket", Similarity.lshBucket(col("embedding")))
+    val probes = array((lit(0L) +: (0 until Similarity.Planes)
+      .map(p => lit(1L << p))): _*)
+    val eval_ = withB.filter(col("split") =!= "train")
+      .select(col("vec_id").as("eval_id"), col("split"),
+        col("embedding").as("ee"), col("bucket"))
+      .withColumn("probe",
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+    val train = withB.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("embedding").as("et"),
+        col("bucket").as("probe"))
+    // eval probes are 1+Planes distinct values and train contributes one
+    // bucket ⇒ a pair matches at most once — no post-join dedup
+    val hits = eval_.join(train, Seq("probe"))
+      .withColumn("cosine",
+        graft.plans.CosineSimilarity.cosineSim(col("ee"), col("et")))
+      .filter(col("cosine") >= threshold)
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("cosine").desc, col("train_id"))
+    hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("eval_id"), col("split"), col("train_id"), col("cosine"))
+  }
+
+  def qSemanticContamination(spark: SparkSession, dir: String): DataFrame =
+    semanticContamination(Tables.embeddings(spark, dir))
+      .orderBy(col("eval_id"))
+
+  /** Twin: same plane literals, split rule, cross-split probe join, and
+    * sequential-fold cosine; best neighbor via the same pinned window. */
+  def oSemanticContamination: String = {
+    val h = graft.functions.TextFns.md5u56Sql("CAST(vec_id AS VARCHAR)")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding, nrm, split,
+       |        ${Similarity.bucketSql("embedding")} AS bucket FROM n),
+       |ev AS (
+       |  SELECT vec_id AS eval_id, split, embedding AS ee, nrm AS ne,
+       |    xor(bucket, m) AS probe
+       |  FROM b, (SELECT unnest(${Similarity.probeMasksSql}) AS m)
+       |  WHERE split != 'train'),
+       |tr AS (
+       |  SELECT vec_id AS train_id, embedding AS et, nrm AS nt,
+       |    bucket AS probe
+       |  FROM b WHERE split = 'train'),
+       |h0 AS (
+       |  SELECT eval_id, split, train_id,
+       |    list_sum(list_transform(list_zip(ee, et),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (ne * nt) AS cosine
+       |  FROM ev JOIN tr USING (probe)),
+       |h AS (SELECT * FROM h0 WHERE cosine >= 0.45)
+       |SELECT eval_id, split, train_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
+       |        ORDER BY cosine DESC, train_id) AS rn FROM h)
+       |WHERE rn = 1 ORDER BY eval_id""".stripMargin
+  }
 }
