@@ -783,7 +783,12 @@ object Probe {
       "tpch_q18_bucketed" -> "Q18 on the shared bucketed facts: per-order agg rides HashPartitioning(orderkey) from the scan — zero orderkey exchange",
       "curation_mix_temperature" -> "alpha=1/2 temperature rebalance: control-plane isqrt quotas broadcast back, groupRanks-dialed hash-rank selection",
       "curation_cluster_balance" -> "topic balance: fused cell-argmax in the scan, per-cell cap via groupRanks dial, sizes carried as group totals",
-      "text_fertility_by_lang" -> "fertility table: codegen'd token/word counts fused into one scan, languages-sized partial agg, integer ratio surrogates")
+      "text_fertility_by_lang" -> "fertility table: codegen'd token/word counts fused into one scan, languages-sized partial agg, integer ratio surrogates",
+      "curation_mix_temperature_tokens" -> "token-space temperature mix: cached token projection, control-plane isqrt quotas, running sums on the hotGroups dial, greedy boundary",
+      "curation_quality_curve" -> "lm-score keep-curve: one trigram pass, 25-milli band histogram, single suffix-sum window — no per-threshold fan-out",
+      "multimodal_frame_sample" -> "animated-GIF frame sampling: map-only mapPartitions flatMap, real multi-frame codec, zero shuffles before the presentation sort",
+      "dedup_semantic_contamination" -> "cross-split LSH probe join (train x eval only), fused cosine kernel, best-neighbor window bounded by block collisions",
+      "quality_k_anonymity" -> "QI equivalence classes: one partial+final hash agg at QI-tuple grain, broadcast dim join")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
