@@ -401,6 +401,8 @@ object SparkEntry {
       ((s, d) => graft.sources.TextFormats.qOrcRoundtrip(s, d)),
     // Benford first-digit forensics on order totals
     "quality_k_anonymity" -> ((s, d) => Diagnostics.qKAnonymity(s, d)),
+    "quality_l_diversity" -> ((s, d) => Diagnostics.qLDiversity(s, d)),
+    "quality_fd_check" -> ((s, d) => Diagnostics.qFdCheck(s, d)),
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
     "plan_join_skew" -> ((s, d) => Diagnostics.qJoinSkew(s, d)),
@@ -668,6 +670,8 @@ object SparkEntry {
     "asof_forward_next_order" -> AsOf.oEventsAsofNextOrder,
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "quality_k_anonymity" -> Diagnostics.oKAnonymity,
+    "quality_l_diversity" -> Diagnostics.oLDiversity,
+    "quality_fd_check" -> Diagnostics.oFdCheck,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,
     "streaming_late_profile" -> Lateness.oLatenessProfile,

@@ -56,6 +56,83 @@ object Diagnostics {
       |GROUP BY n_name, c_mktsegment
       |ORDER BY n_name, c_mktsegment""".stripMargin
 
+  /** l-diversity companion to [[kAnonymity]]: a QI class can clear k on
+    * population yet still leak its members' sensitive attribute when
+    * everyone in the class shares one value — the homogeneity attack.
+    * Per QI class: population, DISTINCT sensitive values, and the
+    * below-l risk flag. Same scale shape as the k-audit (one aggregate
+    * at QI grain; the distinct rides Spark's partial-agg Expand). */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("risky", col("distinct_sensitive") < l)
+
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversity(
+      Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey")),
+      Seq("n_name"), "c_mktsegment", l = 5L)
+      .select(col("n_name"), col("n"), col("distinct_sensitive"),
+        col("risky"))
+      .orderBy(col("n_name"))
+
+  def oLDiversity: String =
+    """SELECT n_name, count(*) AS n,
+      |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS distinct_sensitive,
+      |  count(DISTINCT c_mktsegment) < 5 AS risky
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Functional-dependency audit A → B: for each candidate dependency,
+    * how many determinant values map to MORE than one dependent value
+    * (violations = the FD does not hold there) and how many rows sit
+    * under those keys. The schema-inference / data-contract primitive:
+    * one aggregate per candidate at determinant grain, unioned 1-row
+    * summaries — determinant cardinality bounds the shuffle, rows never
+    * leave their partial aggregates. */
+  def fdCheck(df: DataFrame, deps: Seq[(String, String)]): DataFrame =
+    deps.map { case (a, b) =>
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"),
+          count(lit(1)).as("rows"))
+        .agg(count(lit(1)).as("determinant_values"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("violating_keys"),
+          sum(when(col("nb") > 1, col("rows")).otherwise(0L))
+            .as("violating_rows"))
+        .select(lit(s"$a->$b").as("dependency"),
+          col("determinant_values"), col("violating_keys"),
+          col("violating_rows"))
+    }.reduce(_.unionByName(_))
+
+  def qFdCheck(spark: SparkSession, dir: String): DataFrame =
+    fdCheck(Tables.orders(spark, dir),
+      Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderpriority",
+        "o_orderpriority" -> "o_orderstatus"))
+      .orderBy(col("dependency"))
+
+  def oFdCheck: String =
+    """WITH a AS (
+      |  SELECT 'o_orderkey->o_custkey' AS dependency,
+      |    CAST(o_orderkey AS VARCHAR) AS k,
+      |    count(DISTINCT o_custkey) AS nb, count(*) AS rows_
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'o_custkey->o_orderpriority', CAST(o_custkey AS VARCHAR),
+      |    count(DISTINCT o_orderpriority), count(*)
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'o_orderpriority->o_orderstatus', o_orderpriority,
+      |    count(DISTINCT o_orderstatus), count(*)
+      |  FROM orders GROUP BY 2)
+      |SELECT dependency, count(*) AS determinant_values,
+      |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violating_keys,
+      |  CAST(sum(CASE WHEN nb > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+      |    AS violating_rows
+      |FROM a GROUP BY dependency ORDER BY dependency""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

@@ -21,6 +21,34 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(out.values.map(_._1).sum == df.count())
   }
 
+  test("l-diversity: homogeneous class flagged even when it clears k") {
+    val df = Seq(
+      ("us", "cancer"), ("us", "flu"), ("us", "cold"),
+      ("de", "flu"), ("de", "flu"), ("de", "flu"), ("de", "flu"))
+      .toDF("country", "diagnosis")
+    val out = Diagnostics.lDiversity(df, Seq("country"), "diagnosis", l = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("distinct_sensitive"),
+          r.getAs[Boolean]("risky"))).toMap
+    // de is the homogeneity attack: 4 members (k-safe at k=3) yet one
+    // shared sensitive value
+    assert(out("de") == (4L, 1L, true))
+    assert(out("us") == (3L, 3L, false))
+  }
+
+  test("FD check: held dependency reports zero violations, broken one counts rows") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "x"),
+      (4L, "b", "y"), (5L, "b", "y")).toDF("id", "k", "v")
+    val out = Diagnostics.fdCheck(df, Seq("id" -> "k", "k" -> "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("determinant_values"), r.getAs[Long]("violating_keys"),
+          r.getAs[Long]("violating_rows"))).toMap
+    assert(out("id->k") == (5L, 0L, 0L))
+    // k='b' maps to {x, y}: one violating key covering its 3 rows
+    assert(out("k->v") == (2L, 1L, 3L))
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
