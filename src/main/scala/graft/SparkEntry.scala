@@ -402,6 +402,7 @@ object SparkEntry {
     // Benford first-digit forensics on order totals
     "quality_k_anonymity" -> ((s, d) => Diagnostics.qKAnonymity(s, d)),
     "quality_l_diversity" -> ((s, d) => Diagnostics.qLDiversity(s, d)),
+    "quality_dup_rate_daily" -> ((s, d) => Diagnostics.qDupRateDaily(s, d)),
     "quality_fd_check" -> ((s, d) => Diagnostics.qFdCheck(s, d)),
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
@@ -671,6 +672,7 @@ object SparkEntry {
     "source_orc_roundtrip" -> graft.sources.TextFormats.oRoundtrip,
     "quality_k_anonymity" -> Diagnostics.oKAnonymity,
     "quality_l_diversity" -> Diagnostics.oLDiversity,
+    "quality_dup_rate_daily" -> Diagnostics.oDupRateDaily,
     "quality_fd_check" -> Diagnostics.oFdCheck,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,

@@ -133,6 +133,36 @@ object Diagnostics {
       |    AS violating_rows
       |FROM a GROUP BY dependency ORDER BY dependency""".stripMargin
 
+  /** Daily duplicate-rate time series — the drift monitor a pipeline
+    * watches between full dedup passes: per event-day, total rows,
+    * distinct full event tuples, surplus duplicate rows, and the rate
+    * as an exact integer surrogate (‰). Two-level aggregate: the
+    * tuple-grain partial agg does the heavy reduction map-side, the
+    * day-grain rollup is #days-sized. */
+  def dupRateDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("day"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("distinct_tuples"),
+        sum(col("c") - 1).as("dup_rows"))
+      .withColumn("dup_rate_milli", expr("dup_rows * 1000 div n_rows"))
+
+  def qDupRateDaily(spark: SparkSession, dir: String): DataFrame =
+    dupRateDaily(Tables.events(spark, dir)).orderBy(col("day"))
+
+  def oDupRateDaily: String =
+    """WITH t AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY day, user_id, event_type, ts, value)
+      |SELECT day, CAST(sum(c) AS BIGINT) AS n_rows,
+      |  count(*) AS distinct_tuples,
+      |  CAST(sum(c - 1) AS BIGINT) AS dup_rows,
+      |  CAST(sum(c - 1) * 1000 // sum(c) AS BIGINT) AS dup_rate_milli
+      |FROM t GROUP BY day ORDER BY day""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

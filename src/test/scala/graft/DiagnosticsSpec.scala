@@ -49,6 +49,22 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(out("k->v") == (2L, 1L, 3L))
   }
 
+  test("daily dup-rate: planted duplicates counted, clean day reads zero") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    val df = Seq(
+      (ts0, 1L, "view", 1.0), (ts0, 1L, "view", 1.0), // dup pair on day 1
+      (ts0, 2L, "view", 1.0),
+      (ts1, 1L, "click", 2.0), (ts1, 2L, "click", 2.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    val out = Diagnostics.dupRateDaily(df).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("dup_rows"),
+          r.getAs[Long]("dup_rate_milli"))).toMap
+    assert(out("2024-01-01") == (3L, 1L, 333L))
+    assert(out("2024-01-02") == (2L, 0L, 0L))
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
