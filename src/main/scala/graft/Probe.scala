@@ -788,7 +788,9 @@ object Probe {
       "curation_quality_curve" -> "lm-score keep-curve: one trigram pass, 25-milli band histogram, single suffix-sum window — no per-threshold fan-out",
       "multimodal_frame_sample" -> "animated-GIF frame sampling: map-only mapPartitions flatMap, real multi-frame codec, zero shuffles before the presentation sort",
       "dedup_semantic_contamination" -> "cross-split LSH probe join (train x eval only), fused cosine kernel, best-neighbor window bounded by block collisions",
-      "quality_k_anonymity" -> "QI equivalence classes: one partial+final hash agg at QI-tuple grain, broadcast dim join")
+      "quality_k_anonymity" -> "QI equivalence classes: one partial+final hash agg at QI-tuple grain, broadcast dim join",
+      "quality_fd_check" -> "FD audit: per-candidate determinant-grain aggregate, 1-row summaries unioned",
+      "quality_dup_rate_daily" -> "dup-rate series: tuple-grain partial agg (map-side reduction) then day rollup")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
