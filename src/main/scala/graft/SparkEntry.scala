@@ -218,6 +218,8 @@ object SparkEntry {
     "text_fertility_by_lang" -> ((s, d) => Fertility.qFertilityByLang(s, d)),
     // TV distance of each source's unigram distribution vs the corpus
     "text_source_divergence" -> ((s, d) => Divergence.qSourceDivergence(s, d)),
+    // pairwise source vocabulary Jaccard (redundancy map)
+    "text_vocab_overlap" -> ((s, d) => Divergence.qVocabOverlap(s, d)),
     // golden-record consolidation (match → closure → survivorship)
     "entity_golden_record" -> ((s, d) => Entity.qGoldenRecords(s, d)),
     // degree-ordered triangle counting over the co-purchase graph
@@ -521,6 +523,7 @@ object SparkEntry {
     "curation_mix_temperature_tokens" -> Rebalance.oMixTemperatureTokens,
     "text_fertility_by_lang" -> Fertility.oFertilityByLang,
     "text_source_divergence" -> Divergence.oSourceDivergence,
+    "text_vocab_overlap" -> Divergence.oVocabOverlap,
     "curation_source_mix_tokens" -> Curation.oSourceMixTokens,
     "curation_corpus_diff" -> Curation.oCorpusDiff,
     "curation_budget_select" -> Curation.oBudgetSelect,

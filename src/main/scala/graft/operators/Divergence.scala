@@ -57,6 +57,56 @@ object Divergence {
   def qSourceDivergence(spark: SparkSession, dir: String): DataFrame =
     sourceDivergence(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Pairwise source VOCABULARY overlap — the redundancy map mixture
+    * design reads next to [[sourceDivergence]]: Jaccard of the distinct
+    * word sets for every source pair (‰, exact integers). The pair join
+    * keys on word over the DISTINCT (source, word) table, so fan-out is
+    * bounded by each word's source list (≤ |sources|, tiny) — never a
+    * docs×docs or sources×vocab product; per-source vocabulary sizes
+    * broadcast back onto the ≤ C(|sources|,2)-row pair table. */
+  def vocabOverlap(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val vocab = docs.select(col(groupCol),
+      explode(TextFns.words(col("text"))).as("w")).distinct()
+    val sizes = vocab.groupBy(col(groupCol)).agg(count(lit(1)).as("v"))
+    val shared = vocab.select(col(groupCol).as("src_a"), col("w"))
+      .join(vocab.select(col(groupCol).as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_words"))
+    shared
+      .join(broadcast(sizes.select(col(groupCol).as("src_a"),
+        col("v").as("va"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col(groupCol).as("src_b"),
+        col("v").as("vb"))), Seq("src_b"))
+      .withColumn("jaccard_milli", expr(
+        "shared_words * 1000 div (va + vb - shared_words)"))
+      .select(col("src_a"), col("src_b"), col("shared_words"),
+        col("va"), col("vb"), col("jaccard_milli"))
+  }
+
+  def qVocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    vocabOverlap(Tables.documents(spark, dir))
+      .orderBy(col("src_a"), col("src_b"))
+
+  def oVocabOverlap: String =
+    raw"""WITH v AS (
+      |  SELECT DISTINCT source,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |  FROM documents),
+      |s AS (SELECT source, count(*) AS vsz FROM v GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    count(*) AS shared_words
+      |  FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared_words,
+      |  sa.vsz AS va, sb.vsz AS vb,
+      |  CAST(shared_words * 1000 // (sa.vsz + sb.vsz - shared_words)
+      |    AS BIGINT) AS jaccard_milli
+      |FROM p JOIN s sa ON p.src_a = sa.source
+      |       JOIN s sb ON p.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   def oSourceDivergence: String =
     raw"""WITH w AS (
       |  SELECT source,
