@@ -407,6 +407,7 @@ object SparkEntry {
     "quality_k_anonymity" -> ((s, d) => Diagnostics.qKAnonymity(s, d)),
     "quality_l_diversity" -> ((s, d) => Diagnostics.qLDiversity(s, d)),
     "quality_dup_rate_daily" -> ((s, d) => Diagnostics.qDupRateDaily(s, d)),
+    "anomaly_burstiness" -> ((s, d) => Diagnostics.qBurstiness(s, d)),
     "quality_fd_check" -> ((s, d) => Diagnostics.qFdCheck(s, d)),
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
@@ -679,6 +680,7 @@ object SparkEntry {
     "quality_k_anonymity" -> Diagnostics.oKAnonymity,
     "quality_l_diversity" -> Diagnostics.oLDiversity,
     "quality_dup_rate_daily" -> Diagnostics.oDupRateDaily,
+    "anomaly_burstiness" -> Diagnostics.oBurstiness,
     "quality_fd_check" -> Diagnostics.oFdCheck,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,

@@ -163,6 +163,47 @@ object Diagnostics {
       |  CAST(sum(c - 1) * 1000 // sum(c) AS BIGINT) AS dup_rate_milli
       |FROM t GROUP BY day ORDER BY day""".stripMargin
 
+  /** Burstiness per event type — the Fano factor (variance-to-mean
+    * ratio) of DAILY counts: ≈1000‰ for a Poisson-steady stream, above
+    * it for bursty arrivals, below for metronomic ones. Exact integer
+    * surrogate via population moments: with n days, S = Σx, Q = Σx²,
+    * Fano = (nQ − S²)/(nS) — non-negative by Cauchy–Schwarz, no
+    * floats anywhere. Products ride decimal(38,0) cast BEFORE the
+    * multiply (daily counts at corpus scale exceed Int64 squares).
+    * Day-grain partial agg then a #types-row rollup. */
+  def burstiness(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("total"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      .withColumn("fano_milli", expr(
+        """(CAST(n_days AS DECIMAL(38,0)) * q
+          |  - CAST(total AS DECIMAL(38,0)) * total) * 1000
+          |  div (CAST(n_days AS DECIMAL(38,0)) * total)""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("fano_milli"))
+
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame =
+    burstiness(Tables.events(spark, dir)).orderBy(col("event_type"))
+
+  def oBurstiness: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS total,
+      |    sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n_days, total,
+      |  CAST((CAST(n_days AS HUGEINT) * q
+      |    - CAST(total AS HUGEINT) * total) * 1000
+      |    // (CAST(n_days AS HUGEINT) * total) AS BIGINT) AS fano_milli
+      |FROM m ORDER BY event_type""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

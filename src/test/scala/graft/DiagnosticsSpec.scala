@@ -65,6 +65,20 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(out("2024-01-02") == (2L, 0L, 0L))
   }
 
+  test("burstiness: metronomic stream reads 0, bursty stream reads high") {
+    def ev(day: Int, n: Int, typ: String) = (0 until n).map(_ =>
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), typ))
+    // steady: 4/day × 3 days → variance 0 → fano 0
+    // bursty: (1, 1, 10): S=12, Q=102, n=3 → (306−144)*1000/(3*12)=4500
+    val df = ((1 to 3).flatMap(d => ev(d, 4, "steady")) ++
+      ev(1, 1, "bursty") ++ ev(2, 1, "bursty") ++ ev(3, 10, "bursty"))
+      .toDF("ts", "event_type")
+    val out = Diagnostics.burstiness(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("fano_milli")).toMap
+    assert(out("steady") == 0L)
+    assert(out("bursty") == 4500L)
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
