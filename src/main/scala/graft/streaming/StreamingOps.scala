@@ -579,4 +579,32 @@ object StreamingOps {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).cast("int").as("events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("events"))
+
+  /** Streaming daily dup-rate monitor — the live form of
+    * [[graft.operators.Diagnostics.dupRateDaily]], built on Spark's
+    * CHAINED stateful window aggregations (multiple stateful operators,
+    * append mode): the first windowed aggregate reduces at full event
+    * TUPLE grain (the map-side-heavy reduction of the batch twin,
+    * bounded state = tuples per watermark horizon), the second
+    * re-windows that window and rolls up to day grain. Append mode
+    * emits each day exactly once, when the watermark closes it — an
+    * open day's partial counts are never published, which is precisely
+    * what a dup-rate alarm wants (no false rates from half-seen days).
+    * Spec proves closed-day equality with the batch operator. */
+  def dupRateStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      // the tuple grain carries ts as a PLAIN long (unix_micros), not
+      // the raw column: keeping watermarked ts next to the window would
+      // leave two event-time columns in one stream (AnalysisException)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(col("window"), "1 day"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("distinct_tuples"),
+        sum(col("c") - 1).as("dup_rows"))
+      .select(col("window.start").cast("date").as("day"), col("n_rows"),
+        col("distinct_tuples"), col("dup_rows"))
+      .withColumn("dup_rate_milli", expr("dup_rows * 1000 div n_rows"))
 }

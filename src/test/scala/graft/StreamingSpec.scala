@@ -62,6 +62,37 @@ class StreamingSpec extends SparkSpecBase {
       "2000 input rows (replayed) must dedup to 1000")
   }
 
+  test("streaming dup-rate: closed days equal the batch monitor exactly") {
+    val dir = eventsDir()
+    // replay one file copy so duplicates actually exist in the stream
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events_replay.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingOps.dupRateStream(streamEvents(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("duprate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("duprate_out").collect()
+      .map(r => r.getDate(0).toString -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("distinct_tuples"), r.getAs[Long]("dup_rows"),
+        r.getAs[Long]("dup_rate_milli"))).toMap
+    // append emits only watermark-closed days; the doubled feed means
+    // every emitted day must read exactly 2x rows, 500‰
+    assert(streamed.nonEmpty, "no closed day emitted")
+    val batch = graft.operators.Diagnostics.dupRateDaily(
+      Tables.events(spark, sf).unionAll(Tables.events(spark, sf)))
+      .collect().map(r => r.getDate(0).toString -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("distinct_tuples"), r.getAs[Long]("dup_rows"),
+        r.getAs[Long]("dup_rate_milli"))).toMap
+    streamed.foreach { case (day, row) =>
+      assert(batch(day) == row, s"day $day diverges from the batch twin")
+    }
+    // all but the watermark-open tail must have closed
+    assert(streamed.size >= batch.size - 2,
+      s"${streamed.size} closed of ${batch.size} days")
+  }
+
   test("built-in session_window sessionization matches the lag-based batch twin") {
     // fixture has no exact-gap boundary pairs (where the two forms
     // legitimately differ; see sessionizeWindow scaladoc)
