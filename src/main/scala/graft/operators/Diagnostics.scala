@@ -204,6 +204,53 @@ object Diagnostics {
       |    // (CAST(n_days AS HUGEINT) * total) AS BIGINT) AS fano_milli
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Heavy-user concentration: what share of all events comes from the
+    * top-percentile most active users — the "whale" diagnostic read
+    * next to [[burstiness]] before trusting per-user aggregates. Exact
+    * integers: k = ⌈users·pct/100⌉ top users by pinned rank (count
+    * desc, user_id tiebreak), share in ‰ by integer division. Per-user
+    * counts are one partial agg BEFORE the rank, so the window sorts
+    * user grain, never events; at 100 TB user cardinality the rank
+    * lifts to the distributed range-partition rank the quantile family
+    * uses ([[Scale.globalRankGrouped]] with the trivial group). */
+  def userConcentration(events: DataFrame, pct: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = perUser.withColumn("rnk", row_number().over(w).cast("long"))
+    val totals = ranked.agg(count(lit(1)).as("users"),
+      sum(col("n")).as("events"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("k", expr(s"(users * $pct + 99) div 100"))
+      .groupBy(col("users"), col("events"), col("k"))
+      .agg(sum(when(col("rnk") <= col("k"), col("n")).otherwise(0L))
+        .as("top_events"))
+      .withColumn("share_milli", expr("top_events * 1000 div events"))
+      .select(col("users"), col("events"), col("k").as("top_k"),
+        col("top_events"), col("share_milli"))
+  }
+
+  def qUserConcentration(spark: SparkSession, dir: String): DataFrame =
+    userConcentration(Tables.events(spark, dir))
+
+  def oUserConcentration: String =
+    """WITH pu AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+      |  FROM pu),
+      |t AS (
+      |  SELECT count(*) AS users, CAST(sum(n) AS BIGINT) AS events,
+      |    (count(*) * 1 + 99) // 100 AS k
+      |  FROM pu)
+      |SELECT users, events, k AS top_k,
+      |  CAST((SELECT sum(n) FROM r WHERE rnk <= t.k) AS BIGINT)
+      |    AS top_events,
+      |  CAST((SELECT sum(n) FROM r WHERE rnk <= t.k) * 1000 // events
+      |    AS BIGINT) AS share_milli
+      |FROM t""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

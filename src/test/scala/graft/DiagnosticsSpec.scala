@@ -79,6 +79,20 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(out("bursty") == 4500L)
   }
 
+  test("user concentration: whale share hand-computed, ceil-k boundary") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 10 users: one whale with 91 events, nine with 1 → top-1% is
+    // k = ceil(10/100) = 1 user holding 910‰ of 100 events
+    val df = ((0 until 91).map(_ => (ts, 1L)) ++
+      (2L to 10L).map(u => (ts, u))).toDF("ts", "user_id")
+    val r = Diagnostics.userConcentration(df, pct = 1).head()
+    assert(r.getAs[Long]("users") == 10L)
+    assert(r.getAs[Long]("events") == 100L)
+    assert(r.getAs[Long]("top_k") == 1L)
+    assert(r.getAs[Long]("top_events") == 91L)
+    assert(r.getAs[Long]("share_milli") == 910L)
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
