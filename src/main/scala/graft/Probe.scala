@@ -790,7 +790,11 @@ object Probe {
       "dedup_semantic_contamination" -> "cross-split LSH probe join (train x eval only), fused cosine kernel, best-neighbor window bounded by block collisions",
       "quality_k_anonymity" -> "QI equivalence classes: one partial+final hash agg at QI-tuple grain, broadcast dim join",
       "quality_fd_check" -> "FD audit: per-candidate determinant-grain aggregate, 1-row summaries unioned",
-      "quality_dup_rate_daily" -> "dup-rate series: tuple-grain partial agg (map-side reduction) then day rollup")
+      "quality_dup_rate_daily" -> "dup-rate series: tuple-grain partial agg (map-side reduction) then day rollup",
+      "text_source_divergence" -> "TV divergence: one cached word stream, vocab-keyed inner join, absent-word mass in closed form, decimal(38,0) products",
+      "text_vocab_overlap" -> "vocab Jaccard map: word-keyed self-join on distinct (source, word), sparse pair table, broadcast sizes",
+      "anomaly_burstiness" -> "Fano factor: day-grain partial agg then #types rollup, exact integer moments",
+      "stats_user_concentration" -> "whale share: per-user counts reduce BEFORE the rank, 1-row totals broadcast")
     val sb = new StringBuilder
     sb.append("# PLANS - formatted physical plans of headline queries (sf0.1, local[32])\n\n")
     sb.append("Generated by `sbt \"runMain graft.Probe plans\"` against HEAD; regenerate after plan-shape changes.\n")
