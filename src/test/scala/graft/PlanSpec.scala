@@ -205,6 +205,30 @@ class PlanSpec extends SparkSpecBase {
     assert(viaDpp == direct, s"dpp $viaDpp vs direct $direct rows")
   }
 
+  test("temperature mix: quota join broadcasts, selection shuffles only on the group") {
+    val plan = physicalPlan(
+      graft.operators.Rebalance.qMixTemperature(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota join should broadcast the bounded quota table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("fertility scan reads only lang, text, n_chars") {
+    val plan = physicalPlan(
+      graft.operators.Fertility.qFertilityByLang(spark, sf))
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("doc_id"),
+      s"fertility must not read unreferenced columns:\n$plan")
+  }
+
+  test("k-anonymity plans one partial+final aggregate over a broadcast dim join") {
+    val plan = physicalPlan(
+      graft.operators.Diagnostics.qKAnonymity(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
   test("debounce shuffles once on the key with a secondary sort, no array build") {
     val plan = physicalPlan(
       graft.operators.Temporal.debounce(Tables.events(spark, sf), 3600L))
