@@ -409,6 +409,7 @@ object SparkEntry {
     "quality_dup_rate_daily" -> ((s, d) => Diagnostics.qDupRateDaily(s, d)),
     "anomaly_burstiness" -> ((s, d) => Diagnostics.qBurstiness(s, d)),
     "stats_user_concentration" -> ((s, d) => Diagnostics.qUserConcentration(s, d)),
+    "temporal_hourly_profile" -> ((s, d) => Diagnostics.qHourlyProfile(s, d)),
     "quality_fd_check" -> ((s, d) => Diagnostics.qFdCheck(s, d)),
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
@@ -683,6 +684,7 @@ object SparkEntry {
     "quality_dup_rate_daily" -> Diagnostics.oDupRateDaily,
     "anomaly_burstiness" -> Diagnostics.oBurstiness,
     "stats_user_concentration" -> Diagnostics.oUserConcentration,
+    "temporal_hourly_profile" -> Diagnostics.oHourlyProfile,
     "quality_fd_check" -> Diagnostics.oFdCheck,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,

@@ -251,6 +251,37 @@ object Diagnostics {
       |    AS BIGINT) AS share_milli
       |FROM t""".stripMargin
 
+  /** Hour-of-day seasonality profile per event type — the baseline an
+    * hourly anomaly alarm compares against: each type's share of
+    * traffic per hour slot in exact ‰. One partial+final aggregate to
+    * the ≤ types×24 grid; per-type totals come back as a window over
+    * that bounded grid, never the events. */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("share_milli", expr("n * 1000 div type_total"))
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        col("share_milli"))
+  }
+
+  def qHourlyProfile(spark: SparkSession, dir: String): DataFrame =
+    hourlyProfile(Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("hour_of_day"))
+
+  def oHourlyProfile: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_of_day, n,
+      |  CAST(n * 1000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS share_milli
+      |FROM g ORDER BY event_type, hour_of_day""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

@@ -93,6 +93,19 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("share_milli") == 910L)
   }
 
+  test("hourly profile: shares sum to 1000 per type within floor rounding") {
+    val rows = Diagnostics.qHourlyProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (typ, rs) =>
+      val total = rs.map(_.getAs[Long]("share_milli")).sum
+      val slots = rs.length
+      // each slot floors, so the sum loses < 1 per slot
+      assert(total <= 1000L && total > 1000L - slots, s"$typ sums to $total")
+      rs.foreach(r => assert(r.getAs[Int]("hour_of_day") >= 0 &&
+        r.getAs[Int]("hour_of_day") <= 23))
+    }
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
