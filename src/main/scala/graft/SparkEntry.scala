@@ -410,6 +410,7 @@ object SparkEntry {
     "anomaly_burstiness" -> ((s, d) => Diagnostics.qBurstiness(s, d)),
     "stats_user_concentration" -> ((s, d) => Diagnostics.qUserConcentration(s, d)),
     "temporal_hourly_profile" -> ((s, d) => Diagnostics.qHourlyProfile(s, d)),
+    "temporal_gap_histogram" -> ((s, d) => Diagnostics.qGapHistogram(s, d)),
     "quality_fd_check" -> ((s, d) => Diagnostics.qFdCheck(s, d)),
     "quality_benford_digits" -> ((s, d) => Diagnostics.qBenford(s, d)),
     // join-skew report with the integer salt recommendation
@@ -685,6 +686,7 @@ object SparkEntry {
     "anomaly_burstiness" -> Diagnostics.oBurstiness,
     "stats_user_concentration" -> Diagnostics.oUserConcentration,
     "temporal_hourly_profile" -> Diagnostics.oHourlyProfile,
+    "temporal_gap_histogram" -> Diagnostics.oGapHistogram,
     "quality_fd_check" -> Diagnostics.oFdCheck,
     "quality_benford_digits" -> Diagnostics.oBenford,
     "plan_join_skew" -> Diagnostics.oJoinSkew,

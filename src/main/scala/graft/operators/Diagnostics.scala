@@ -282,6 +282,41 @@ object Diagnostics {
       |    AS share_milli
       |FROM g ORDER BY event_type, hour_of_day""".stripMargin
 
+  /** Inter-event gap histogram per type: each event's distance to the
+    * same user's previous event, log₂-bucketed (bucket = ⌊log₂ gap_µs⌋
+    * via the binary-string-length trick — exact integers, no floats) —
+    * the arrival-process fingerprint behind session-gap and watermark
+    * choices. One per-user window (user grain bounds each sort task,
+    * the sessionize shape) into a ≤ types×64-bucket aggregate. */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_log2", (length(bin(col("gap_us"))) - 1).cast("int"))
+      .groupBy(col("event_type"), col("gap_log2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def qGapHistogram(spark: SparkSession, dir: String): DataFrame =
+    gapHistogram(Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("gap_log2"))
+
+  def oGapHistogram: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(length(format('{:b}', gap_us)) - 1 AS INTEGER) AS gap_log2,
+      |  count(*) AS n
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, gap_log2""".stripMargin
+
   def benfordFirstDigit(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._

@@ -106,6 +106,20 @@ class DiagnosticsSpec extends SparkSpecBase {
     }
   }
 
+  test("gap histogram: hand-placed gaps land in their log2 buckets") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 gaps: 1s (log2(1e6)=19), 2s (20); user 2: one event, no gap
+    val df = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, t("2024-01-01 10:00:01"), "view"),
+      (3L, 1L, t("2024-01-01 10:00:03"), "click"),
+      (4L, 2L, t("2024-01-01 10:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Diagnostics.gapHistogram(df).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    assert(out == Map(("view", 19) -> 1L, ("click", 20) -> 1L))
+  }
+
   test("group skew report: counts reconcile and the dial path matches hotGroups") {
     val out = graft.operators.Diagnostics.qGroupSkew(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
