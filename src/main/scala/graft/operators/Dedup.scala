@@ -246,6 +246,12 @@ object Dedup {
     * in the DuckDB oracle, unlike an xxhash64-based 64-bit variant. */
   val SimhashBits = 56
 
+  /** Shared cosine threshold for the embedding near-dup family —
+    * interpolated into BOTH the Spark operators' default arguments and
+    * every DuckDB twin, so a non-default call site cannot silently
+    * diverge from its oracle (ADVICE r12). */
+  val NearDupThreshold = 0.45
+
   /** SimHash-56 per doc: bit k is the sign of Σ_shingles (±1 on hash
     * bit k). Near-dup pairs = Hamming ≤ maxHamming over the signatures. */
   def simhash(docs: DataFrame): DataFrame = {
@@ -655,13 +661,13 @@ object Dedup {
   }
 
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.45)
+    embeddingNearDupPairs(Tables.embeddings(spark, dir), NearDupThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** Oracle: same sequential-fold accumulation as the kernel, so cosine
     * values are bit-identical (see Similarity.oCosineTopK). */
   def oEmbeddingNearDup: String =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings)
@@ -670,7 +676,7 @@ object Dedup {
       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= $NearDupThreshold
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Scale path: sign-LSH-blocked near-dup. Candidates = pairs whose
@@ -703,11 +709,11 @@ object Dedup {
     * fixed seed-42 planes → full DuckDB twin ([[oEmbeddingNearDupLsh]]);
     * subset-of-exact and recall properties are additionally spec-tested. */
   def qEmbeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.45)
+    embeddingNearDupLsh(Tables.embeddings(spark, dir), NearDupThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** Shared CTE block reproducing [[embeddingNearDupLsh]] in DuckDB —
-    * ends at `p` = (vec_a, vec_b, cosine ≥ 0.45). Used by the pair query
+    * ends at `p` = (vec_a, vec_b, cosine ≥ [[NearDupThreshold]]). Used by the pair query
     * oracle and composed further by the semantic-dedup oracle. */
   private def lshPairCtes: String =
     s"""n AS (
@@ -726,7 +732,7 @@ object Dedup {
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (na * nb) AS cosine
        |  FROM a JOIN bb USING (probe)
        |  WHERE vec_a < vec_b),
-       |p AS (SELECT * FROM p0 WHERE cosine >= 0.45)""".stripMargin
+       |p AS (SELECT * FROM p0 WHERE cosine >= $NearDupThreshold)""".stripMargin
 
   /** Full DuckDB twin of [[qEmbeddingNearDupLsh]]: identical plane
     * literals reproduce the sign buckets and Hamming-1 probes, and the
@@ -761,7 +767,7 @@ object Dedup {
   }
 
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir), 0.45)
+    semanticDedup(Tables.embeddings(spark, dir), NearDupThreshold)
       .orderBy(col("vec_id"))
 
   /** Oracle: the LSH pair CTEs + recursive-CTE transitive closure
@@ -797,7 +803,7 @@ object Dedup {
     * (max cosine, min-id tiebreak). Per-eval window is bounded by the
     * doc's block collisions, not the corpus. */
   def semanticContamination(emb: DataFrame,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = NearDupThreshold): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withB = emb
       .withColumn("split",
@@ -859,7 +865,7 @@ object Dedup {
        |    list_sum(list_transform(list_zip(ee, et),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (ne * nt) AS cosine
        |  FROM ev JOIN tr USING (probe)),
-       |h AS (SELECT * FROM h0 WHERE cosine >= 0.45)
+       |h AS (SELECT * FROM h0 WHERE cosine >= $NearDupThreshold)
        |SELECT eval_id, split, train_id, cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
        |        ORDER BY cosine DESC, train_id) AS rn FROM h)

@@ -53,8 +53,24 @@ object Forget {
       partitionCols: Seq[String], keyCol: String,
       keysDf: DataFrame): DataFrame = {
     import spark.implicits._
+    forgetKeysTableTotals(spark, path, partitionCols, keyCol, keysDf)._1
+  }
+
+  /** [[forgetKeysTable]] plus the pre-sweep grand totals the compliance
+    * report needs: (audit, rows_total_before, rows_removed_total). The
+    * totals come from the SAME single detection scan — no post-sweep
+    * read-back, which both saves a full count pass per artifact and
+    * avoids the empty-layout trap (ADVICE r12: a total erasure leaves a
+    * staging tree with no schema-bearing files, and a read-back would
+    * throw 'unable to infer schema' exactly in the all-rows-removed
+    * case). */
+  def forgetKeysTableTotals(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String,
+      keysDf: DataFrame): (DataFrame, Long, Long) = {
+    import spark.implicits._
     require(!partitionCols.contains(keyCol),
       s"$keyCol is a partition column — erase it by dropping directories")
+    recoverSwaps(Paths.get(path))
     val keys = keysDf.select(col(keyCol)).distinct()
     val layout = spark.read.option("basePath", path).parquet(path)
     // ONE scan yields removed AND total per partition, so neither
@@ -134,8 +150,10 @@ object Forget {
         (segs.mkString("/"), row.getLong(nCols),
           row.getLong(nCols + 1) - row.getLong(nCols))
       }.toSeq
-    audit.toDF("partition", "rows_removed", "rows_kept")
-      .orderBy(col("partition"))
+    (audit.toDF("partition", "rows_removed", "rows_kept")
+      .orderBy(col("partition")),
+      perPart.map(_.getLong(nCols + 1)).sum,
+      affected.map(_.getLong(nCols)).sum)
   }
 
   /** File-pruned erasure for an UNpartitioned parquet layout: one
@@ -153,6 +171,16 @@ object Forget {
   def forgetKeysFiles(spark: SparkSession, path: String, keyCol: String,
       keysDf: DataFrame): DataFrame = {
     import spark.implicits._
+    forgetKeysFilesTotals(spark, path, keyCol, keysDf)._1
+  }
+
+  /** [[forgetKeysFiles]] plus pre-sweep grand totals (audit,
+    * rows_total_before, rows_removed_total) from the single detection
+    * scan — the flat-layout counterpart of [[forgetKeysTableTotals]]. */
+  def forgetKeysFilesTotals(spark: SparkSession, path: String,
+      keyCol: String, keysDf: DataFrame): (DataFrame, Long, Long) = {
+    import spark.implicits._
+    recoverSwaps(Paths.get(path))
     val keys = keysDf.select(col(keyCol)).distinct()
     val layout = spark.read.parquet(path)
     val cols = layout.columns.toIndexedSeq
@@ -231,8 +259,10 @@ object Forget {
         (file.getFileName.toString, row.getLong(1),
           row.getLong(2) - row.getLong(1))
       }.toSeq
-    audit.toDF("file", "rows_removed", "rows_kept")
-      .orderBy(col("file"))
+    (audit.toDF("file", "rows_removed", "rows_kept")
+      .orderBy(col("file")),
+      perFile.map(_.getLong(2)).sum,
+      affected.map(_.getLong(1)).sum)
   }
 
   /** One erasure target: a primary table or derived serving artifact.
@@ -253,8 +283,13 @@ object Forget {
     * `keys` is a one-column subject table, renamed to each ref's key
     * column; refs whose path does not exist (artifact never built) are
     * reported with zero counts rather than skipped silently. rows_kept
-    * is the artifact's POST-sweep total (one read-back per artifact —
-    * the verification read a compliance record needs anyway). */
+    * = pre-sweep total − rows removed, both from the sweep's own single
+    * detection scan — NOT a post-sweep read-back, which would (a) cost
+    * a second full pass per artifact and (b) crash on the all-rows-
+    * removed case, where the staging write emits no schema-bearing
+    * files and parquet inference fails (ADVICE r12). The erasure
+    * specs pin the equivalent property directly: a re-read of every
+    * swept artifact contains zero subject rows. */
   def forgetWithDerived(spark: SparkSession, refs: Seq[DerivedRef],
       keys: DataFrame): DataFrame = {
     import spark.implicits._
@@ -264,19 +299,13 @@ object Forget {
         (ref.artifact, 0L, 0L, 0L)
       else {
         val keysDf = keys.select(col(keyColName).as(ref.keyCol))
-        val audit =
+        val (audit, totalBefore, removed) =
           if (ref.partitionCols.nonEmpty)
-            forgetKeysTable(spark, ref.path, ref.partitionCols, ref.keyCol,
-              keysDf)
-          else forgetKeysFiles(spark, ref.path, ref.keyCol, keysDf)
-        val a = audit.agg(
-          coalesce(sum(col("rows_removed")), lit(0L)).as("removed"),
-          count(lit(1)).as("units")).head()
-        val keptTotal =
-          if (ref.partitionCols.nonEmpty)
-            spark.read.option("basePath", ref.path).parquet(ref.path).count()
-          else spark.read.parquet(ref.path).count()
-        (ref.artifact, a.getLong(0), keptTotal, a.getLong(1))
+            forgetKeysTableTotals(spark, ref.path, ref.partitionCols,
+              ref.keyCol, keysDf)
+          else forgetKeysFilesTotals(spark, ref.path, ref.keyCol, keysDf)
+        val units = audit.count()
+        (ref.artifact, removed, totalBefore - removed, units)
       }
     }
     report.toDF("artifact", "rows_removed", "rows_kept", "units_rewritten")
@@ -431,6 +460,57 @@ object Forget {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     } finally s.close()
+  }
+
+  /** Crash recovery (ADVICE r12): a rename-aside swap has two windows —
+    * after `mv(dir, old)` but before `mv(staging, dir)` the target is
+    * ABSENT with the complete new tree stranded in `.X.forget_staging`
+    * and the old tree in `.X.forget_old`; after the second rename but
+    * before the old-tree delete, a stale `.X.forget_old` survives. A
+    * naive re-run then fails on the missing path with no recovery. On
+    * entry every sweep scans for leftover swap siblings (of the root,
+    * and of any partition dir / file inside the tree) and resumes:
+    * target missing + staging present → the staging write COMPLETED
+    * (writes strictly precede the first rename), so promote staging
+    * and drop old; target missing + only old → roll back to old;
+    * target present → the leftover is stale, drop it. Idempotent and
+    * safe to run concurrently with readers (only hidden dirs and a
+    * missing target are ever touched). */
+  private def recoverSwaps(root: Path): Unit = {
+    def recoverOne(hidden: Path): Unit = {
+      val name = hidden.getFileName.toString
+      val isStaging = name.endsWith(".forget_staging")
+      val base = name.stripPrefix(".")
+        .stripSuffix(if (isStaging) ".forget_staging" else ".forget_old")
+      val target = hidden.resolveSibling(base)
+      val staging = hidden.resolveSibling("." + base + ".forget_staging")
+      val old = hidden.resolveSibling("." + base + ".forget_old")
+      if (!Files.exists(target)) {
+        if (Files.exists(staging)) {
+          mv(staging, target); deleteRecursively(old)
+        } else if (Files.exists(old)) mv(old, target)
+      } else if (isStaging) deleteRecursively(staging)
+      else deleteRecursively(old)
+    }
+    // the ROOT's own swap dirs live as siblings OF the root — if the
+    // crash hit the root swap, the root itself may be absent
+    val rootName = root.getFileName.toString
+    Seq(s".$rootName.forget_staging", s".$rootName.forget_old").foreach { n =>
+      val h = root.resolveSibling(n)
+      if (Files.exists(h)) recoverOne(h)
+    }
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      val leftovers = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") &&
+            (n.endsWith(".forget_staging") || n.endsWith(".forget_old"))
+        }.toList
+      } finally s.close()
+      leftovers.foreach(h => if (Files.exists(h)) recoverOne(h))
+    }
   }
 
   private def mv(from: Path, to: Path): Unit =

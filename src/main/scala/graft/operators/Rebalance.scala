@@ -46,13 +46,28 @@ object Rebalance {
     * input is sorted so the fold order is pinned. */
   def temperatureQuotas(counts: Seq[(String, Long)],
       target: Long): Seq[(String, Long, Long)] = {
-    val sorted = counts.sortBy(_._1)
+    // null-first ordering: a null group (null lang/source) is a real
+    // category a 100 TB corpus will contain; plain sortBy on String
+    // NPEs on it (ADVICE r12)
+    val sorted = counts.sortBy(_._1)(Ordering.fromLessThan[String](
+      (a, b) => if (a == null) b != null else if (b == null) false
+      else a < b))
     val ws = sorted.map { case (_, n) => math.sqrt(n.toDouble).toLong }
     val wSum = ws.sum
     require(wSum > 0, "temperature mix over an empty corpus")
     sorted.zip(ws).map { case ((g, n), w) =>
       (g, n, math.min(n, (BigInt(target) * w / wSum).toLong))
     }
+  }
+
+  /** Group key read null- and type-safely off a collected count row:
+    * a null group (null lang/source) must survive as a category, and a
+    * non-string group column (int source id) must not crash getString
+    * (ADVICE r12). Group identity downstream is the key's STRING form
+    * (quota join below matches on cast-to-string, null-safely). */
+  private def groupKeyOf(r: org.apache.spark.sql.Row): String = {
+    val v = r.get(0)
+    if (v == null) null else v.toString
   }
 
   /** Temperature-rebalanced selection: every `groupCol` group keeps its
@@ -63,14 +78,16 @@ object Rebalance {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = docs.groupBy(col(groupCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .map(r => groupKeyOf(r) -> r.getLong(1)).toSeq
     val quotas = temperatureQuotas(counts, target)
-    val qDf = broadcast(quotas.toDF(groupCol, "group_n", "quota"))
-    Scale.groupRanks(
+    val qDf = broadcast(quotas.toDF("_graft_g", "group_n", "quota"))
+    val ranked = Scale.groupRanks(
       docs.select(col("doc_id"), col(groupCol)), Seq(groupCol),
       Seq(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id")),
       "rank_in_group", None, hotGroupsOverride)
-      .join(qDf, groupCol)
+    // <=> keeps the null group joined to its own quota row — a plain
+    // equi-join silently drops every null-group document
+    ranked.join(qDf, ranked(groupCol).cast("string") <=> qDf("_graft_g"))
       .filter(col("rank_in_group") <= col("quota"))
       .select(col("doc_id"), col(groupCol), col("rank_in_group"),
         col("group_n"), col("quota"))
@@ -125,9 +142,10 @@ object Rebalance {
     Dedup.withCached(slim) { s =>
       val totals = s.groupBy(col(groupCol))
         .agg(sum(col("token_count")).as("n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+        .map(r => groupKeyOf(r) -> r.getLong(1)).toSeq
       val quotas = temperatureQuotas(totals, targetTokens)
-      val qDf = broadcast(quotas.toDF(groupCol, "group_tokens", "token_quota"))
+      val qDf = broadcast(
+        quotas.toDF("_graft_g", "group_tokens", "token_quota"))
       val order = Seq(TextFns.md5u56(col("doc_id").cast("string")),
         col("doc_id"))
       val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(s, Seq(groupCol)))
@@ -139,8 +157,9 @@ object Rebalance {
             .partitionBy(col(groupCol)).orderBy(order: _*)
           s.withColumn("cum_tok", sum(col("token_count")).over(w).cast("long"))
         }
-      cum.withColumn("start_tok", col("cum_tok") - col("token_count"))
-        .join(qDf, groupCol)
+      val cum2 = cum.withColumn("start_tok",
+        col("cum_tok") - col("token_count"))
+      cum2.join(qDf, cum2(groupCol).cast("string") <=> qDf("_graft_g"))
         .filter(col("start_tok") < col("token_quota"))
         .select(col("doc_id"), col(groupCol), col("token_count"),
           col("start_tok"), col("group_tokens"), col("token_quota"))

@@ -105,33 +105,51 @@ object SparseSim {
     * norm column costs 16 bytes/posting at build time, once). n2 stays
     * DECIMAL(38,0) inside the artifact; it never reaches a query output.
     *
-    * sh_id is a collision-FREE integer surrogate for the shingle string
-    * (monotonically_increasing_id over the distinct-shingle df table —
-    * the candidate join keys on 8-byte longs instead of ~25-byte
-    * strings, and unlike a 64-bit hash a spurious key equality is
-    * impossible). The ids carry no meaning and never reach an output;
-    * they are consistent across every consumer because all legs read
-    * ONE materialization: this result is eagerly checkpointed by
-    * withCached, and the id expression itself is deterministic per
-    * (partition, row-offset) under recompute of a lost block. */
+    * sh_id is a CONTENT-DERIVED integer surrogate for the shingle
+    * string — xxhash64(sh) — so the candidate join keys on 8-byte longs
+    * instead of ~25-byte strings. Content-derived matters for the
+    * 100 TB determinism contract (ADVICE r12): a positional id
+    * (monotonically_increasing_id, the r12 design) is only stable
+    * per (partition, row-offset), and under a shuffle-fetch failure a
+    * retried stage can re-emit the df aggregate's rows in a different
+    * order BEFORE the eager checkpoint materializes, silently assigning
+    * one shingle two ids and dropping its candidate pairs. A hash of
+    * the content is identical under any recompute, any partitioning,
+    * and any executor loss — no checkpoint-ordering contract needed.
+    * The price is a 2⁻⁶⁴ birthday term: a spurious sh_id equality would
+    * MERGE two shingles' postings (silently wrong neighbors), so the
+    * build AUDITS the persisted vocabulary (one |vocab|-bounded
+    * aggregate over the already-persisted df table — ~free next to the
+    * df count itself) and fails loudly on any collision. Expected
+    * collisions at n distinct shingles ≈ n²/2⁶⁵: ~5·10⁻⁹ at 10M
+    * shingles, still < 3% at 25B — and the audit converts even that
+    * tail from wrong-answers into a visible build failure (lift path:
+    * salt the hash input or widen to a 2-long composite key). */
   def buildPostings(docs: DataFrame): DataFrame = {
-    // ONE checkpoint (the final postings); sh and post persist-in-place
-    // so shingling runs once (sh feeds ex twice: the df aggregate and
-    // the probe side) and the explode + df join runs once (post feeds
-    // the norm aggregate and the final join) — nesting withCached here
-    // would checkpoint per level, a full extra materialization pass
+    // ONE checkpoint (the final postings); sh, dfT and post
+    // persist-in-place so shingling runs once (sh feeds ex twice: the
+    // df aggregate and the probe side), the df aggregate runs once
+    // (dfT feeds the collision audit and the postings join), and the
+    // explode + df join runs once (post feeds the norm aggregate and
+    // the final join) — nesting withCached here would checkpoint per
+    // level, a full extra materialization pass
     val sh = Dedup.shingled(docs)
     val ex = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
       .filter(col("sh").isNotNull)
     val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= Cap)
-      .withColumn("sh_id", monotonically_increasing_id())
+      .withColumn("sh_id", xxhash64(col("sh")))
     val n1 = docs.agg(count(lit(1)).as("nn"))
     val post = ex.join(dfT, Seq("sh"))
       .crossJoin(broadcast(n1))
       .withColumn("wgt", expr(s"(nn * $IdfScale) div df"))
       .select(col("doc_id"), col("sh"), col("sh_id"), col("wgt"))
-    Dedup.withCachedAll(sh, post) {
+    Dedup.withCachedAll(sh, dfT, post) {
+      val collisions = dfT.groupBy(col("sh_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      require(collisions == 0L,
+        s"sh_id xxhash64 collision on $collisions id(s) — salt the hash " +
+          "input or widen sh_id to a (hash, length) composite")
       val nrm = post.groupBy(col("doc_id"))
         .agg(sum(expr("CAST(wgt AS DECIMAL(19,0)) * CAST(wgt AS DECIMAL(19,0))"))
           .as("n2"))

@@ -105,4 +105,61 @@ class ForgetSpec extends SparkSpecBase {
       Forget.forgetKeys(spark, "/nonexistent", Seq("year"), "year", Seq(1L))
     }
   }
+
+  test("a crash between the root-swap renames is recovered on the next sweep") {
+    // ADVICE r12: mv(dir, old); CRASH; mv(staging, dir) leaves the table
+    // path absent with the complete new tree stranded in staging — the
+    // next sweep must resume the swap instead of failing on the missing
+    // path
+    val dir = Files.createTempDirectory("graft-forget-crash")
+      .resolve("tbl")
+    val rows = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30))
+      .toDF("user_id", "region", "v")
+    rows.write.mode("overwrite").partitionBy("region")
+      .parquet(dir.toString)
+    // the "new" tree the crashed sweep had fully staged: user 1 erased
+    val staging = dir.resolveSibling(".tbl.forget_staging")
+    val old = dir.resolveSibling(".tbl.forget_old")
+    spark.read.option("basePath", dir.toString).parquet(dir.toString)
+      .filter($"user_id" =!= 1L)
+      .write.partitionBy("region").parquet(staging.toString)
+    // simulate the crash window: target absent, staging + old present
+    Files.move(dir, old)
+    // next sweep (no-op keys) must first finish the interrupted swap
+    val audit = Forget.forgetKeys(spark, dir.toString, Seq("region"),
+      "user_id", Seq(999L))
+    assert(audit.count() == 0)
+    val after = spark.read.option("basePath", dir.toString)
+      .parquet(dir.toString)
+    assert(after.count() == 2L, "staged tree must have been promoted")
+    assert(after.filter($"user_id" === 1L).count() == 0L)
+    assert(!Files.exists(staging) && !Files.exists(old),
+      "swap residue must be cleared")
+    // the complementary window — crash AFTER the second rename but
+    // before the old-tree delete — leaves only a stale old dir
+    Files.createDirectories(old)
+    Files.writeString(old.resolve("stale.txt"), "x")
+    Forget.forgetKeys(spark, dir.toString, Seq("region"), "user_id",
+      Seq(999L))
+    assert(!Files.exists(old), "stale forget_old must be dropped")
+    assert(spark.read.option("basePath", dir.toString)
+      .parquet(dir.toString).count() == 2L)
+  }
+
+  test("erasing every row of an artifact reports rows_kept = 0 without a read-back crash") {
+    // ADVICE r12: the all-rows-removed staging tree has no
+    // schema-bearing files, so a post-sweep read-back would throw
+    // 'unable to infer schema' — rows_kept now comes from the
+    // detection scan's own totals
+    val flat = Files.createTempDirectory("graft-forget-all").toString
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+      .repartition(2).write.mode("overwrite").parquet(flat)
+    val keys = Seq(1L, 2L, 3L).toDF("doc_id")
+    val report = Forget.forgetWithDerived(spark,
+      Seq(Forget.DerivedRef("flat_all", flat, "doc_id")), keys)
+      .collect()
+    assert(report.length == 1)
+    assert(report.head.getLong(1) == 3L, "rows_removed")
+    assert(report.head.getLong(2) == 0L, "rows_kept must be 0")
+  }
 }

@@ -84,6 +84,38 @@ class RebalanceSpec extends SparkSpecBase {
       "grouped prefix-sum path must match the window path")
   }
 
+  test("null and non-string group columns survive the temperature mix") {
+    // ADVICE r12: getString(0) NPE'd on a null group and crashed on an
+    // int group column; null groups must also survive the quota JOIN
+    // (a plain equi-join drops null keys)
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(7)), (2L, Some(7)), (3L, Some(7)), (4L, Some(7)),
+      (5L, Some(9)), (6L, Some(9)), (7L, None), (8L, None))
+      .toDF("doc_id", "src")
+    val res = Rebalance.sourceMixTemperature(d, "src", target = 6L)
+      .collect()
+    assert(res.nonEmpty)
+    // the null group is a real category: it keeps its quota's rows
+    assert(res.exists(_.isNullAt(1)), "null group must not be dropped")
+    // int group values round-trip unchanged in the output column
+    assert(res.filter(!_.isNullAt(1)).map(_.getInt(1)).toSet == Set(7, 9))
+    // quotas still honored exactly per group
+    val quotas = Rebalance.temperatureQuotas(
+      Seq("7" -> 4L, "9" -> 2L, (null: String) -> 2L), 6L)
+      .map(t => t._1 -> t._3).toMap
+    val got = res.groupBy(r =>
+      if (r.isNullAt(1)) null else r.getInt(1).toString)
+      .map { case (k, v) => k -> v.size.toLong }
+    got.foreach { case (k, n) => assert(n == quotas(k), s"group $k") }
+    // token-space variant takes the same path
+    val dt = d.withColumn("text", concat(lit("w x y z doc "),
+      col("doc_id").cast("string")))
+    val rt = Rebalance.sourceMixTemperatureTokens(dt, "src", 30L).collect()
+    assert(rt.nonEmpty)
+    assert(rt.exists(_.isNullAt(1)), "null group must survive token mix")
+  }
+
   test("fertility table: ratios are consistent integer surrogates") {
     val f = graft.operators.Fertility.qFertilityByLang(spark, sf).collect()
     assert(f.length >= 2)

@@ -55,6 +55,23 @@ class SparseSimSpec extends SparkSpecBase {
     assert(served.nonEmpty)
   }
 
+  test("sh_id is content-derived: equals xxhash64(sh), stable across rebuilds and partitionings") {
+    // ADVICE r12 determinism contract: a positional surrogate is only
+    // stable per (partition, row-offset) and can diverge under stage
+    // retry before the checkpoint materializes; the content hash is
+    // identical under ANY recompute or repartitioning
+    val docs = Tables.documents(spark, sf).limit(300)
+    val p1 = SparseSim.buildPostings(docs)
+    assert(p1.filter(xxhash64(col("sh")) =!= col("sh_id")).count() == 0,
+      "sh_id must be xxhash64 of the shingle content")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("sh", "sh_id").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m1 = ids(p1)
+    val m2 = ids(SparseSim.buildPostings(docs.repartition(7)))
+    assert(m1 == m2, "sh_id mapping must not depend on partitioning")
+  }
+
   test("fixture invariants: bounded cosine, dense ranks, k-limited") {
     val out = SparseSim.qSparseTopK(spark, sf).collect()
     assert(out.nonEmpty)
