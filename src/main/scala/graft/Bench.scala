@@ -70,6 +70,53 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
       }
     }
+    // ---- drift calibration anchor (VERDICT r12 item 1) ----
+    // Raw wall-clock on this harness drifts up to ~28% between
+    // same-day passes on identical code (SCALE.md r12 wrap), which
+    // swamps real regressions. Anchor: a fixed synthetic workload —
+    // one pure-CPU probe (codegen'd long-arithmetic fold over range(),
+    // no IO, no exchange) and one pure-shuffle probe (distinct-key
+    // hash aggregate, zero map-side combine, so the exchange moves
+    // every row) — measured BEFORE the first and AFTER every measured
+    // pass. Pass i's drift factor is the geomean of its two bracketing
+    // calibration points, each expressed relative to the pinned
+    // reference constants below; normalized time = raw / factor, i.e.
+    // seconds on the reference host. Probes use range() only: no
+    // parquet, no page cache, no data-dependent skew — they measure
+    // the HOST (cpu clock, memory bandwidth, scheduler), not the code
+    // under test. References were pinned from the stable tail of a
+    // 4-point (median-of-3 runs each) calibration pass on the r13 dev
+    // host at local[32]; they define the UNIT, not a target — only the
+    // ratio between rounds matters, and re-basing is arithmetic on the
+    // recorded raw points.
+    val CpuRef = 0.44
+    val ShuffleRef = 0.82
+    val calibrate = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_CALIBRATE").contains("1")
+    def calRun(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      spark.range(2000000000L)
+        .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 7))")
+        .collect()
+      val cpu = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.range(30000000L).selectExpr("id AS k", "id AS v")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      val sh = (System.nanoTime() - t1) / 1e9
+      (cpu, sh)
+    }
+    // a point is the per-probe MEDIAN of 3 back-to-back runs: single
+    // ~1 s probe runs still swing ±30% under the same host noise the
+    // anchor exists to measure out, and the factor must be steadier
+    // than the thing it corrects
+    def calPoint(): (Double, Double) = {
+      val rs = Seq.fill(3)(calRun())
+      def med3(s: Seq[Double]) = s.sorted.apply(1)
+      (med3(rs.map(_._1)), med3(rs.map(_._2)))
+    }
+    def factorOf(p: (Double, Double)): Double =
+      math.sqrt((p._1 / CpuRef) * (p._2 / ShuffleRef))
     // Interleaved passes: one unmeasured warm pass over every query, then
     // three measured full passes, median per query. Back-to-back triples
     // (the old shape) let a single noisy host window poison all 3 runs of
@@ -77,8 +124,21 @@ object Bench {
     // queries whose code hadn't changed. Interleaving turns the same window
     // into at most 1 bad run for each of several queries, which the
     // per-query median then discards.
+    if (calibrate) calRun() // JIT/codegen warm-up for the probes too
     names.foreach(once)
-    val passes = Seq.fill(3)(names.map(n => n -> once(n)).toMap)
+    val calPoints = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    if (calibrate) calPoints += calPoint()
+    val passes = Seq.fill(3) {
+      val m = names.map(n => n -> once(n)).toMap
+      if (calibrate) calPoints += calPoint()
+      m
+    }
+    // factor for measured pass i = geomean of its bracketing points
+    // (a drift ramp mid-pass is attributed half to each neighbor)
+    val passFactors: Seq[Double] =
+      if (calibrate) (0 until 3).map(i =>
+        math.sqrt(factorOf(calPoints(i)) * factorOf(calPoints(i + 1))))
+      else Seq.fill(3)(1.0)
     // Failure policy: a run that throws contributes nothing — its elapsed
     // is the time-to-throw, and folding that in would make a broken run
     // read FASTER than a healthy one. A query is `failed` only when NO
@@ -86,6 +146,12 @@ object Bench {
     // must not void three good measurements); otherwise the median is
     // taken over the runs that did succeed.
     val samples = names.map(n => n -> passes.flatMap(_(n))).toMap
+    // drift-normalized samples: each run divided by its own pass's
+    // calibration factor BEFORE the median, so a pass-local slowdown is
+    // corrected per-sample rather than averaged into the median
+    val normSamples = names.map(n => n ->
+      passes.zip(passFactors).flatMap { case (p, f) => p(n).map(_ / f) })
+      .toMap
     val failed = names.filter(samples(_).isEmpty).toSet
     def median(s: Seq[Double]): Double =
       // true median: with an even sample count (one run failed), taking
@@ -95,6 +161,9 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     val results = names.filterNot(failed).map { n =>
       n -> median(samples(n).sorted)
+    }.toMap
+    val resultsNorm = names.filterNot(failed).map { n =>
+      n -> median(normSamples(n).sorted)
     }.toMap
     // [min, median, max] over the measured runs: a wide min-max band on
     // an untouched query is host noise; a narrow band that moved is a
@@ -130,6 +199,22 @@ object Bench {
     val spreadLine =
       s"""{"metric":"spread","unit":"sec","runs":3,"queries":$spreadJson,"sf":"$sfDir"}"""
     println(spreadLine)
+    // calibration record: raw probe points, pinned references, and the
+    // per-pass factors actually applied — enough to re-derive (or
+    // re-base) every normalized number from the raw ones offline
+    val calLine = if (calibrate) {
+      val pts = calPoints.map(p => s"[${fmt(p._1)},${fmt(p._2)}]")
+        .mkString("[", ",", "]")
+      val fs = passFactors.map(fmt).mkString("[", ",", "]")
+      s"""{"metric":"calibration","cpu_ref":$CpuRef,"shuffle_ref":$ShuffleRef,"points_cpu_shuffle":$pts,"pass_factors":$fs}"""
+    } else ""
+    if (calibrate) println(calLine)
+    val qsNorm = resultsNorm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val normLine = if (calibrate)
+      s"""{"metric":"total_norm","unit":"ref_sec","queries":$qsNorm,"sf":"$sfDir"}"""
+    else ""
+    if (calibrate) println(normLine)
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"sf":"$sfDir"}"""
     println(line)
@@ -141,8 +226,13 @@ object Bench {
       "," + "\"tpch_geomean\":" +
         fmt(math.exp(tpch.values.map(math.log).sum / tpch.size))
     else ""
+    val tpchNorm = resultsNorm.filter { case (k, _) => k.matches("q\\d+_.*") }
+    val geoNorm = if (calibrate && tpchNorm.size == 22)
+      "," + "\"tpch_geomean_norm\":" +
+        fmt(math.exp(tpchNorm.values.map(math.log).sum / tpchNorm.size))
+    else ""
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"excluded":$excludedJson$geo,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"excluded":$excludedJson$geo$geoNorm,"sf":"$sfDir"}"""
     println(summary)
     // the file copy is the durable record of the full per-query breakdown;
     // SPARK_GRAFT_ONLY iteration runs land in a separate file so they
@@ -150,7 +240,9 @@ object Bench {
     val out = java.nio.file.Paths.get("target",
       if (only.isEmpty) "bench.json" else "bench_only.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    val payload = spreadLine + "\n" + line + "\n" + summary + "\n"
+    val payload = spreadLine + "\n" +
+      (if (calibrate) calLine + "\n" + normLine + "\n" else "") +
+      line + "\n" + summary + "\n"
     java.nio.file.Files.write(out, payload.getBytes("UTF-8"))
     // full-suite runs also land in a TRACKED root file: the driver's
     // bounded stdout tail recovered only ~1/3 of r8's per-query medians
