@@ -228,6 +228,11 @@ object SparkEntry {
     "plan_join_cardinality" -> ((s, d) => Planning.qJoinCardinality(s, d)),
     // bounded multi-source BFS reach histogram over the purchase graph
     "graph_bfs_reach" -> ((s, d) => Graph.qBfsReach(s, d)),
+    // the graph family over the build-once persisted edge projections
+    // (one artifact, two layouts; results identical to the inline pair)
+    "graph_pagerank_serving" -> ((s, d) => Graph.qPageRankServing(s, d)),
+    "graph_bfs_reach_serving" -> ((s, d) => Graph.qBfsReachServing(s, d)),
+    "graph_triangles_serving" -> ((s, d) => Graph.qTrianglesServing(s, d)),
     // exact integer covariance moments over the int8 code domain
     "embed_covariance" -> ((s, d) => Quant.qCodeCovariance(s, d)),
     // the full ANSI ranking-function family over one window
@@ -591,6 +596,11 @@ object SparkEntry {
     "graph_triangles" -> Graph.oTriangles,
     "plan_join_cardinality" -> Planning.oJoinCardinality,
     "graph_bfs_reach" -> Graph.oBfsReach,
+    // serving paths read persisted projections of the SAME edge sets —
+    // the inline twins apply verbatim
+    "graph_pagerank_serving" -> Graph.oPageRank,
+    "graph_bfs_reach_serving" -> Graph.oBfsReach,
+    "graph_triangles_serving" -> Graph.oTriangles,
     "embed_covariance" -> Quant.oCodeCovariance,
     "window_rank_variants" -> Advanced.oRankVariants,
     // prefix filtering changes candidates, never results — shares the

@@ -127,11 +127,10 @@ object Graph {
     ranks.select(col("node"), col("outdeg"), col("rank_fp"))
   }
 
-  /** Top-20 centrality table over the purchase graph. */
-  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = pageRank(purchaseEdges(
-      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-    ranked
+  /** Top-20 centrality presentation over ranked nodes — shared by the
+    * inline and persisted-edge paths. */
+  private def pageRankTop(edges: DataFrame): DataFrame =
+    pageRank(edges)
       .withColumn("node_type",
         when(col("node") % 2 === 0, "customer").otherwise("supplier"))
       .withColumn("entity_key",
@@ -140,7 +139,11 @@ object Graph {
       .limit(20)
       .select(col("node").as("node_id"), col("node_type"), col("entity_key"),
         col("outdeg"), col("rank_fp"))
-  }
+
+  /** Top-20 centrality table over the purchase graph. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankTop(purchaseEdges(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
 
   /** Distinct customer–customer co-purchase edges (u < v): two
     * customers are linked when they bought the SAME part from the SAME
@@ -201,13 +204,16 @@ object Graph {
       .select(col("node"), col("degree"), col("triangles"))
   }
 
+  private def trianglesTop(undirected: DataFrame): DataFrame =
+    triangleCounts(undirected)
+      .orderBy(col("triangles").desc, col("node"))
+      .limit(25)
+
   /** Top-25 most triangle-embedded customers of the co-purchase graph —
     * the local-clustering signal (dense co-purchase neighborhoods). */
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangleCounts(coPurchaseEdges(
+    trianglesTop(coPurchaseEdges(
       Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      .orderBy(col("triangles").desc, col("node"))
-      .limit(25)
 
   /** Twin: same graph, id-ordered triangle enumeration (a<b<c — the
     * count is orientation-independent), same role-union per-node
@@ -268,10 +274,10 @@ object Graph {
   val BfsMaxHops = 4
   val BfsSourceNation = 0
 
-  def qBfsReach(spark: SparkSession, dir: String): DataFrame = {
-    val edges = purchaseEdges(
-      Tables.orders(spark, dir), Tables.lineitem(spark, dir)).cache()
-    val sources = Tables.supplier(spark, dir)
+  private def bfsReachHistogram(edgesIn: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val edges = edgesIn.cache()
+    val sources = supplier
       .filter(col("s_nationkey") === BfsSourceNation)
       .select((col("s_suppkey") * 2 + 1).as("node"))
       // sources must exist in the graph (suppliers with no lines never
@@ -285,6 +291,11 @@ object Graph {
       .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("hop"))
   }
+
+  def qBfsReach(spark: SparkSession, dir: String): DataFrame =
+    bfsReachHistogram(
+      purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)),
+      Tables.supplier(spark, dir))
 
   /** Twin: bounded recursive expansion — UNION dedups (node, hop) pairs
     * so the recursion terminates at the depth bound; min hop per node,
@@ -347,4 +358,43 @@ object Graph {
        |FROM r$Iterations
        |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
   }
+
+  // -------------------------------------- persisted edge serving layout
+
+  /** Build-once persisted edge projections for the graph family
+    * (VERDICT r12 item 4). The orders⋈lineitem projection + distinct is
+    * the dominant cost of every inline graph query — pagerank, BFS
+    * reach, and triangles each rebuilt it per run (three of the five
+    * heaviest suite queries) — and the edge set is exactly the kind of
+    * slowly-changing derived table a 100 TB deployment settles once per
+    * ingest batch. ONE artifact holds both projections
+    * (purchase bipartite edges under /purchase, customer co-purchase
+    * under /copurchase) so all three serving queries share a single
+    * build; [[graft.Serving.buildOnce]]'s freshness rule rebuilds it
+    * when the source dir's data changes. Files are clustered by the
+    * probe key (repartition + sortWithinPartitions) so downstream scans
+    * stream key-local runs; row contents are identical to the inline
+    * projections, so the serving queries share the inline twins. */
+  def edgesArtifactFor(spark: SparkSession, dir: String): String =
+    graft.Serving.buildOnce("graph_edges", dir) { path =>
+      purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+        .repartition(col("src")).sortWithinPartitions(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(path + "/purchase")
+      coPurchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+        .repartition(col("u")).sortWithinPartitions(col("u"), col("v"))
+        .write.mode("overwrite").parquet(path + "/copurchase")
+    }
+
+  def qPageRankServing(spark: SparkSession, dir: String): DataFrame =
+    pageRankTop(spark.read.parquet(
+      edgesArtifactFor(spark, dir) + "/purchase"))
+
+  def qBfsReachServing(spark: SparkSession, dir: String): DataFrame =
+    bfsReachHistogram(
+      spark.read.parquet(edgesArtifactFor(spark, dir) + "/purchase"),
+      Tables.supplier(spark, dir))
+
+  def qTrianglesServing(spark: SparkSession, dir: String): DataFrame =
+    trianglesTop(spark.read.parquet(
+      edgesArtifactFor(spark, dir) + "/copurchase"))
 }
