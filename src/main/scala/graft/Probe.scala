@@ -52,6 +52,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("entityappend")) {
+      entityAppendScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 5, 20); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -289,6 +295,59 @@ object Probe {
     * with size-based broadcast off (the fact-scale join shape) — the
     * build cost and the per-query delta are reported separately because
     * the layout amortizes over every orderkey join that follows it. */
+  /** Entity signature-index maintenance probe (VERDICT r12 item 5): is
+    * `Entity.appendEdit2Index`'s cost ∝ the BATCH while a full index
+    * build is ∝ the corpus? Corpus = sf0.1 customers replicated mult×
+    * (fresh ids, replica tag fused into the name so key volume scales
+    * with rows, not duplicate collisions); the appended batch stays a
+    * constant 500 rows at every tier. Claimed shape: append flat across
+    * tiers, build growing mult× — the [[pqAppendScale]] contract for
+    * the FastSS-2 postings. */
+  def entityAppendScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Entity
+    val base = Tables.customer(spark, "/root/testdata/sf0.1")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val batch = base.limit(500)
+      .select((col("c_custkey") + lit(1000000000L)).as("c_custkey"),
+        concat(col("c_name"), lit(" b")).as("c_name"), col("c_nationkey"))
+    mults.foreach { mult =>
+      val corpus = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("c_custkey") * mult + col("rep")).as("c_custkey"),
+          concat(col("c_name"), lit(" r"), col("rep")).as("c_name"),
+          col("c_nationkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-entapp")
+      try {
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[entityappend] $label @ $n rows: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val idx = tmp.resolve("edit2_index").toString
+        time("index build (corpus)") {
+          Entity.writeEdit2Index(corpus, "c_custkey", "c_name",
+            Some("c_nationkey"), idx)
+        }
+        time("index append (500-row batch)") {
+          Entity.appendEdit2Index(batch, "c_custkey", "c_name",
+            Some("c_nationkey"), idx)
+        }
+      } finally {
+        corpus.unpersist()
+        import scala.sys.process._
+        Seq("rm", "-rf", tmp.toString).!
+        ()
+      }
+    }
+    spark.stop()
+  }
+
   /** PQ maintenance probe: is `Pq.appendCodes`' cost ∝ the BATCH while
     * a full rebuild is ∝ the corpus? The corpus is the sf0.1 embeddings
     * replicated mult× (codebooks trained once on the base and frozen —

@@ -375,6 +375,9 @@ object SparkEntry {
     "curation_dedup_curve" -> ((s, d) => DedupCurve.qThresholdCurve(s, d)),
     // distance-2 FastSS reconciliation pairs (nation-blocked)
     "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
+    // the same pair set served from the persisted FastSS-2 signature
+    // index (key generation paid once at build; shares the brute twin)
+    "entity_edit2_serving" -> ((s, d) => Entity.qCustomerEdit2PairsServing(s, d)),
     // exact ROC AUC via the Mann-Whitney rank statistic, no pair join
     "classify_auc" -> ((s, d) => Auc.qLengthAuc(s, d)),
     // per-nation Gini of customer spend (integer cents + exact ranks)
@@ -673,6 +676,7 @@ object SparkEntry {
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_dedup_curve" -> DedupCurve.oThresholdCurve,
     "entity_edit2_pairs" -> Entity.oCustomerEdit2Pairs,
+    "entity_edit2_serving" -> Entity.oCustomerEdit2Pairs,
     "classify_auc" -> Auc.oLengthAuc,
     "stats_gini_by_nation" -> Gini.oGiniBySpend,
     "sketch_stats" -> Sketches.oSketchStats,

@@ -314,4 +314,104 @@ object Entity {
       |FROM customer c LEFT JOIN cl ON c.c_custkey = cl.doc_id
       |GROUP BY entity_id
       |ORDER BY entity_id""".stripMargin
+
+  // ------------------------ persisted signature layout (VERDICT r12 #5)
+
+  private def blkOf(blockCol: Option[String]): Column =
+    blockCol.map(b => concat(col(b).cast("string"), lit("\u0000")))
+      .getOrElse(lit(""))
+
+  /** Persist the FastSS-2 signature index for `df` at `path`: the
+    * suite's heaviest query (`entity_edit2_pairs`, 11–14 s in-suite)
+    * spends its time generating ~len²/2 deletion-neighborhood keys per
+    * row — work that is a pure function of the ROW and therefore
+    * belongs in a build-once artifact, not in every match run. Two
+    * sub-layouts: `/keys` = (k, id, name) postings (k = the same
+    * xxhash64(block, deletion-key) 8-byte surrogate the inline join
+    * uses — content-derived, so independently-appended batches produce
+    * identical keys with no global coordination), clustered by k at
+    * write so the self-join's shuffle reads key-local runs; `/long` =
+    * (id, name, blk) over-length rows for the brute-force leg.
+    * Append maintenance ([[appendEdit2Index]]) writes ONLY the new
+    * batch's keys — work ∝ batch, the [[Pq.appendCodes]] discipline
+    * (probe: `Probe entityappend`). */
+  def writeEdit2Index(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: Option[String], path: String, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val isLong = length(col(nameCol)) > Del2MaxLen
+    df.filter(!isLong)
+      .select(col(idCol).as("id"), col(nameCol).as("name"),
+        blkOf(blockCol).as("blk"))
+      .select(col("id"), col("name"),
+        explode(deletionKeys2(col("name"))).as("dk"), col("blk"))
+      .select(col("id"), col("name"), xxhash64(col("blk"), col("dk")).as("k"))
+      .repartition(col("k")).sortWithinPartitions(col("k"), col("id"))
+      .write.mode(mode).parquet(path + "/keys")
+    df.filter(isLong)
+      .select(col(idCol).as("id"), col(nameCol).as("name"),
+        blkOf(blockCol).as("blk"))
+      .write.mode(mode).parquet(path + "/long")
+  }
+
+  /** Incremental maintenance: index ONLY the new batch (key generation
+    * is per-row, so cost ∝ batch; the appended files join the layout —
+    * candidate completeness holds because equal (block, deletion-key)
+    * pairs hash equal regardless of which batch wrote them). */
+  def appendEdit2Index(batch: DataFrame, idCol: String, nameCol: String,
+      blockCol: Option[String], path: String): Unit =
+    writeEdit2Index(batch, idCol, nameCol, blockCol, path, append = true)
+
+  /** Distance-≤2 pairs served from a persisted signature index: the
+    * fast leg self-joins the postings (no deletion-neighborhood
+    * expression anywhere in the plan — the build paid it once); the
+    * brute leg pairs the persisted over-length rows against the live
+    * table. Same keys ⇒ same candidates ⇒ same verified pairs as
+    * [[editPairs]] at maxEdit = 2 (spec-pinned; shares the brute-force
+    * twin). */
+  def edit2PairsFromIndex(spark: SparkSession, path: String, df: DataFrame,
+      idCol: String, nameCol: String, blockCol: Option[String]): DataFrame = {
+    val keyed = spark.read.parquet(path + "/keys")
+    val fast = keyed.as("a").join(keyed.as("b"), Seq("k"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 2)
+    val longSide = spark.read.parquet(path + "/long")
+      .select(col("id").as("lid"), col("name").as("lname"),
+        col("blk").as("lblk"))
+    val anySide = df.select(col(idCol).as("rid"), col(nameCol).as("rname"),
+      blkOf(blockCol).as("rblk"))
+    val brute = longSide
+      .join(anySide, col("lblk") <=> col("rblk") && col("lid") =!= col("rid"))
+      .select(
+        least(col("lid"), col("rid")).as("id_a"),
+        greatest(col("lid"), col("rid")).as("id_b"),
+        when(col("lid") < col("rid"), col("lname")).otherwise(col("rname"))
+          .as("name_a"),
+        when(col("lid") < col("rid"), col("rname")).otherwise(col("lname"))
+          .as("name_b"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 2)
+    fast.unionByName(brute)
+  }
+
+  private def edit2IndexFor(spark: SparkSession, dir: String): String =
+    graft.Serving.buildOnce("entity_edit2_index", dir) { path =>
+      writeEdit2Index(Tables.customer(spark, dir), "c_custkey", "c_name",
+        Some("c_nationkey"), path)
+    }
+
+  /** [[qCustomerEdit2Pairs]] served from the persisted signature index
+    * — the build path stays gated as `entity_edit2_pairs`; this row
+    * gates the serving read path against the SAME brute-force twin. */
+  def qCustomerEdit2PairsServing(spark: SparkSession, dir: String): DataFrame =
+    edit2PairsFromIndex(spark, edit2IndexFor(spark, dir),
+      Tables.customer(spark, dir), "c_custkey", "c_name",
+      Some("c_nationkey"))
+      .withColumnRenamed("id_a", "custkey_a")
+      .withColumnRenamed("id_b", "custkey_b")
+      .orderBy("custkey_a", "custkey_b")
 }

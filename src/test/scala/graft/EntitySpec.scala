@@ -112,6 +112,42 @@ class EntitySpec extends SparkSpecBase {
       s"blocked over-length routing missed ${bruteB -- gotB}, extra ${gotB -- bruteB}")
   }
 
+  test("persisted signature index serves the inline pair set; appends stay complete") {
+    // a planted mix exercising both legs: short names (fast leg) and an
+    // over-length pair (brute leg), split across two "batches"
+    val longA = "x" * 70
+    val base = Seq(
+      (1L, "acme corp", 0), (2L, "acmo corq", 0), // dist 2 via keys
+      (3L, "zenith ltd", 0), (4L, "zenith ltd", 1), // same name, other block
+      (10L, longA, 0), (11L, longA + "y", 0)) // long pair, brute leg
+      .toDF("id", "name", "blk_attr")
+    val batch = Seq(
+      (20L, "acme corq", 0), // dist 1 to #1, dist 1 to #2 — new keys
+      (21L, longA, 0)) // long dup of #10 — brute leg via appended /long
+      .toDF("id", "name", "blk_attr")
+    val all = base.unionByName(batch)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edit2-idx").toString
+    Entity.writeEdit2Index(base, "id", "name", Some("blk_attr"), dir)
+    Entity.appendEdit2Index(batch, "id", "name", Some("blk_attr"), dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "edit_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val served = pairSet(Entity.edit2PairsFromIndex(spark, dir, all,
+      "id", "name", Some("blk_attr")))
+    val inline = pairSet(Entity.editPairs(all, "id", "name",
+      maxEdit = 2, blockCol = Some("blk_attr")))
+    assert(served == inline,
+      s"index served ${served -- inline} extra, missed ${inline -- served}")
+    // cross-batch completeness specifically: pairs spanning build+append
+    assert(served.contains((1L, 20L, 1)) && served.contains((2L, 20L, 1)),
+      "cross-batch short pair missing — appended keys not joined")
+    assert(served.contains((10L, 21L, 0)),
+      "cross-batch long pair missing — appended /long rows not paired")
+    // blocking still separates: identical names in different blocks
+    assert(!served.exists(p => p._1 == 3L && p._2 == 4L))
+  }
+
   test("null blocks pair identically in the fast and brute legs") {
     // ADVICE r11: the fast leg hashes the block into the join key, where
     // null folds consistently (two null-block rows pair); the brute leg
