@@ -74,6 +74,9 @@ object SparkEntry {
     // erasure propagated to every derived serving artifact, with the
     // compliance report oracle-gated (planted fixture, real sweep path)
     "forget_audit" -> ((s, d) => Forget.qForgetAudit(s, d)),
+    // repack SEMANTICS hash gate: full post-erasure packed table, in-pack
+    // offset closure recomputed independently by the twin
+    "forget_packed_repack" -> ((s, d) => Forget.qForgetPackedRepack(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -476,6 +479,7 @@ object SparkEntry {
     "corpus_split_leakage_safe" -> SafeSplit.oClusterSafeSplit,
     "text_novelty_vs_train" -> Novelty.oNoveltyVsTrain,
     "forget_audit" -> Forget.oForgetAudit,
+    "forget_packed_repack" -> Forget.oForgetPackedRepack,
     "sql_weekly" -> Sql.oWeeklySql,
     "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
     "subq_large_orders" -> Advanced.oLargeOrders,

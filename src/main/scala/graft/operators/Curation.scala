@@ -213,6 +213,19 @@ object Curation {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
         sum(col("token_count")).as("tokens_started"))
 
+  /** Persist a [[seqPack]] assignment table with packs FILE-CONTAINED:
+    * range-partitioned on (shard, pack_id) — equal keys land in one
+    * range partition, so no pack straddles a file — and sorted within,
+    * so each file is a contiguous pack run. This is the layout contract
+    * [[Forget.forgetPacked]]'s file-pruned repack relies on (an erasure
+    * rewrites only the files holding an affected pack). */
+  def writePacked(docs: DataFrame, capacity: Int, nShards: Int,
+      path: String, nFiles: Int = 16): Unit =
+    seqPack(docs, capacity, nShards)
+      .repartitionByRange(nFiles, col("shard"), col("pack_id"))
+      .sortWithinPartitions(col("shard"), col("pack_id"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+
   def qPackManifest(spark: SparkSession, dir: String): DataFrame =
     packManifest(Tables.documents(spark, dir), capacity = 2048, nShards = 8)
       .orderBy(col("shard"), col("pack_id"))

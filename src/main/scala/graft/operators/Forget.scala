@@ -176,9 +176,18 @@ object Forget {
 
   /** [[forgetKeysFiles]] plus pre-sweep grand totals (audit,
     * rows_total_before, rows_removed_total) from the single detection
-    * scan — the flat-layout counterpart of [[forgetKeysTableTotals]]. */
+    * scan — the flat-layout counterpart of [[forgetKeysTableTotals]].
+    * `rewrite` maps (rows-of-unit, subject-keys) to the unit's
+    * post-erasure rows; the default is the plain anti-join, and
+    * [[forgetPacked]] passes the in-pack offset-closure transform.
+    * A rewrite must only DROP subject rows and/or adjust surviving
+    * rows' values — the audit counts come from the detection scan's
+    * key join, not from the rewrite. */
   def forgetKeysFilesTotals(spark: SparkSession, path: String,
-      keyCol: String, keysDf: DataFrame): (DataFrame, Long, Long) = {
+      keyCol: String, keysDf: DataFrame,
+      rewrite: (DataFrame, DataFrame, String) => DataFrame =
+        (df, k, kc) => df.join(k, Seq(kc), "left_anti"))
+      : (DataFrame, Long, Long) = {
     import spark.implicits._
     recoverSwaps(Paths.get(path))
     val keys = keysDf.select(col(keyCol)).distinct()
@@ -212,7 +221,7 @@ object Forget {
           "." + dir.getFileName.toString + ".forget_staging")
         val old = dir.resolveSibling(
           "." + dir.getFileName.toString + ".forget_old")
-        val kept = layout.join(keys, Seq(keyCol), "left_anti")
+        val kept = rewrite(layout, keys, keyCol)
           .select(cols.map(col): _*)
         kept.write.mode("overwrite").parquet(staging.toString)
         deleteRecursively(old)
@@ -224,7 +233,7 @@ object Forget {
       } else affected.map { row =>
         val file = fileOf(row.getString(0))
         val part = spark.read.parquet(file.toString)
-        val kept = part.join(keys, Seq(keyCol), "left_anti")
+        val kept = rewrite(part, keys, keyCol)
           .select(cols.map(col): _*)
         val staging = file.resolveSibling(
           "." + file.getFileName.toString + ".forget_staging")
@@ -263,6 +272,222 @@ object Forget {
       .orderBy(col("file")),
       perFile.map(_.getLong(2)).sum,
       affected.map(_.getLong(1)).sum)
+  }
+
+  // ----------- content-embedding targets (VERDICT r12 items 2 + 7) ----
+
+  /** Erasure over a persisted sequence-packing assignment table
+    * ([[Curation.writePacked]] layout: doc_id, shard, token_count,
+    * start_tok, pack_id, pack_offset; files hold contiguous
+    * (shard, pack_id) ranges, each pack wholly inside one file).
+    *
+    * Repack semantics: the subject's rows vanish and the SURVIVORS OF
+    * THE SAME PACK close the hole — every doc after an erased doc in
+    * its pack shifts back by the erased token mass
+    * (pack_offset/start_tok − Σ erased-before-it-in-pack), keeping the
+    * pack's relative layout dense. Packs without a subject are
+    * untouched BY CONSTRUCTION (the shift window is pack-local), so
+    * the rewrite is file-pruned: only files holding an affected pack
+    * are rewritten — units ∝ affected packs, never the corpus. A
+    * global re-concatenation (recomputing start_tok across the shard)
+    * would instead cascade into every downstream pack and rewrite the
+    * whole shard — exactly what a 100 TB erasure must not do; the
+    * erased mass remains as tail padding of the affected packs, which
+    * a fixed-context trainer's reader skips anyway. */
+  def forgetPacked(spark: SparkSession, path: String,
+      keysDf: DataFrame): DataFrame =
+    forgetPackedTotals(spark, path, keysDf)._1
+
+  /** [[forgetPacked]] plus (rows_total_before, rows_removed_total) for
+    * the compliance report — the [[forgetKeysFilesTotals]] contract. */
+  def forgetPackedTotals(spark: SparkSession, path: String,
+      keysDf: DataFrame): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    def packClose(df: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+      val marked = df.join(keys.withColumn("_graft_hit", lit(1L)),
+        Seq(keyCol), "left")
+      val before = Window.partitionBy(col("shard"), col("pack_id"))
+        .orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      marked
+        .withColumn("_graft_eb", coalesce(
+          sum(when(col("_graft_hit") === 1L, col("token_count")))
+            .over(before), lit(0L)))
+        .filter(col("_graft_hit").isNull)
+        .withColumn("pack_offset", col("pack_offset") - col("_graft_eb"))
+        .withColumn("start_tok", col("start_tok") - col("_graft_eb"))
+        .drop("_graft_hit", "_graft_eb")
+    }
+    forgetKeysFilesTotals(spark, path, "doc_id", keysDf, packClose)
+  }
+
+  /** Shard-pruned erasure over a JSONL export ([[graft.sinks.Jsonl]]):
+    * lines are opaque JSON strings, so the subject key is extracted
+    * with `get_json_object` at detection time; only shards containing a
+    * subject line are rewritten (same dot-prefixed staging + atomic
+    * per-file swap as the parquet sweeps — one shard stays one file),
+    * every other shard stays byte-identical. Keys compare as STRINGS
+    * (JSON's own scalar form, via the subject table's key cast) —
+    * exact for the integer ids these exports carry. Returns
+    * (file, rows_removed, rows_kept). */
+  def forgetJsonl(spark: SparkSession, path: String, jsonKeyPath: String,
+      keysDf: DataFrame): DataFrame =
+    forgetJsonlTotals(spark, path, jsonKeyPath, keysDf)._1
+
+  /** [[forgetJsonl]] plus (rows_total_before, rows_removed_total). */
+  def forgetJsonlTotals(spark: SparkSession, path: String,
+      jsonKeyPath: String, keysDf: DataFrame): (DataFrame, Long, Long) = {
+    import spark.implicits._
+    recoverSwaps(Paths.get(path))
+    val keys = keysDf.select(col(keysDf.columns.head).cast("string")
+      .as("_graft_key")).distinct()
+    val lines = spark.read.text(path)
+      .withColumn("_graft_key", get_json_object(col("value"), jsonKeyPath))
+    val perFile = lines.withColumn("_graft_file", input_file_name())
+      .join(keys.withColumn("_graft_hit", lit(1L)), Seq("_graft_key"), "left")
+      .groupBy(col("_graft_file"))
+      .agg(sum(coalesce(col("_graft_hit"), lit(0L))).as("rows_removed"),
+        count(lit(1)).as("rows_total"))
+      .collect()
+    val affected = perFile.filter(_.getLong(1) > 0L)
+    def fileOf(uri: String): Path =
+      if (uri.contains(":/")) Paths.get(java.net.URI.create(uri))
+      else Paths.get(uri)
+    val audit: Seq[(String, Long, Long)] = affected.map { row =>
+      val file = fileOf(row.getString(0))
+      val kept = spark.read.text(file.toString)
+        .withColumn("_graft_key",
+          get_json_object(col("value"), jsonKeyPath))
+        .join(keys, Seq("_graft_key"), "left_anti")
+        .select(col("value"))
+      val staging = file.resolveSibling(
+        "." + file.getFileName.toString + ".forget_staging")
+      deleteRecursively(staging)
+      kept.coalesce(1).write.mode("overwrite").text(staging.toString)
+      val partFile = {
+        val s = Files.list(staging)
+        try s.filter(p => p.getFileName.toString.startsWith("part-")
+            && p.getFileName.toString.endsWith(".txt"))
+          .findFirst().orElseThrow()
+        finally s.close()
+      }
+      val stagedCrc = staging.resolve(
+        "." + partFile.getFileName.toString + ".crc")
+      val targetCrc = file.resolveSibling(
+        "." + file.getFileName.toString + ".crc")
+      Files.deleteIfExists(targetCrc)
+      mv(partFile, file)
+      if (Files.exists(stagedCrc)) mv(stagedCrc, targetCrc)
+      deleteRecursively(staging)
+      (file.getFileName.toString, row.getLong(1),
+        row.getLong(2) - row.getLong(1))
+    }.toSeq
+    (audit.toDF("file", "rows_removed", "rows_kept").orderBy(col("file")),
+      perFile.map(_.getLong(2)).sum,
+      affected.map(_.getLong(1)).sum)
+  }
+
+  /** Subject-keyed batched DELETE against a JDBC Gold table — the
+    * reference's own retention routine sweeps every Gold table
+    * (`sql/schema.sql:259-286`); an erasure that stops at the lake
+    * while the serving database still holds the subject is a
+    * compliance failure. The subject table is deleted from EXECUTORS
+    * (foreachPartition, one PreparedStatement batch per
+    * [[JdbcDeleteBatch]] keys, one commit per partition) so a
+    * millions-key backlog never collects to the driver; the summed
+    * update counts come back through an accumulator. Returns rows
+    * deleted. */
+  val JdbcDeleteBatch = 1000
+
+  def forgetJdbc(url: String, props: java.util.Properties, table: String,
+      keyCol: String, keysDf: DataFrame): Long = {
+    require(table.matches("[A-Za-z0-9_.]+") && keyCol.matches("[A-Za-z0-9_]+"),
+      "table/key must be plain identifiers")
+    val spark = keysDf.sparkSession
+    // resolve the remote-side identifier case once and quote it exactly
+    // (Derby folds unquoted identifiers to uppercase while Spark's JDBC
+    // writer CREATEs quoted lower-case columns — the JdbcSink rule)
+    val remoteSchema = spark.read.jdbc(url, table, props).schema
+    val remoteKey = "\"" + remoteSchema.fieldNames
+      .find(_.equalsIgnoreCase(keyCol)).getOrElse(keyCol) + "\""
+    val removed = spark.sparkContext.longAccumulator(
+      s"graft.forget.$table")
+    val propsMap = {
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+    val batchSize = JdbcDeleteBatch
+    keysDf.select(col(keyCol)).distinct().foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val p = new java.util.Properties()
+          propsMap.foreach { case (k, v) => p.setProperty(k, v) }
+          Option(p.getProperty("driver")).foreach(Class.forName)
+          val conn = java.sql.DriverManager.getConnection(url, p)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(
+              s"DELETE FROM $table WHERE $remoteKey = ?")
+            try {
+              var inBatch = 0
+              it.foreach { r =>
+                st.setObject(1, r.get(0))
+                st.addBatch()
+                inBatch += 1
+                if (inBatch >= batchSize) {
+                  removed.add(st.executeBatch().map(_.toLong).sum)
+                  inBatch = 0
+                }
+              }
+              if (inBatch > 0)
+                removed.add(st.executeBatch().map(_.toLong).sum)
+              conn.commit()
+            } finally st.close()
+          } finally conn.close()
+        }
+    }
+    removed.value
+  }
+
+  /** Erasure for the CDC current-state table a
+    * [[graft.streaming.StreamingOps.cdcApplyStream]] maintains: the
+    * versioned-snapshot layout makes this a VERSION-BUMP rewrite, not a
+    * file surgery — write a new version holding the anti-joined
+    * snapshot, swap the LATEST pointer (readers always see a complete
+    * snapshot), then drop every older version: history retention would
+    * otherwise keep the subject alive in superseded snapshots, which is
+    * the same compliance failure as a stale serving index. The next
+    * micro-batch merges INTO the swept snapshot, so subjects stay gone
+    * unless the changelog itself re-introduces them (a new legal basis,
+    * not a leak). Returns (rows_removed, rows_kept, versions_dropped).
+    *
+    * The OTHER streaming state holder — the watermarked dedup/admission
+    * gate — keeps its keys inside Spark's opaque checkpointed state
+    * store, which no external sweep can rewrite safely. Its erasure
+    * story is RETENTION, not rewrite: state there is watermark-bounded
+    * by construction (dropDuplicates within the watermark;
+    * flatMapGroupsWithState with timeouts), so a subject's key
+    * self-expires within one watermark horizon of its last event, and
+    * the horizon is the documented erasure SLA for that store. Keys
+    * must not be re-admitted afterwards — admission reads the swept
+    * upstream tables, so a forgotten subject has nothing left to
+    * admit. */
+  def forgetCdcState(spark: SparkSession, stateDir: String, keyCol: String,
+      keysDf: DataFrame): (Long, Long, Long) = {
+    val keys = keysDf.select(col(keyCol)).distinct()
+    val ptr = Paths.get(stateDir, "LATEST")
+    val cur = Files.readString(ptr).trim
+    val snapshot = spark.read.parquet(s"$stateDir/$cur")
+    val total = snapshot.count()
+    val kept = snapshot.join(keys, Seq(keyCol), "left_anti")
+      .select(snapshot.columns.map(col).toIndexedSeq: _*)
+    val next = "v" + (cur.drop(1).toLong + 1)
+    kept.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val keptN = spark.read.parquet(s"$stateDir/$next").count()
+    Files.writeString(ptr, next): Path
+    val dropped = graft.streaming.StreamingOps
+      .cdcRetainVersions(stateDir, keep = 1)
+    (total - keptN, keptN, dropped.length.toLong)
   }
 
   /** One erasure target: a primary table or derived serving artifact.
@@ -352,7 +577,9 @@ object Forget {
     * query measures the SWEEP (the operator under test), not fixture
     * construction. */
   private def auditFixtureFor(spark: SparkSession, dir: String): String =
-    graft.Serving.buildOnce("forget_fixture", dir) { path =>
+    // _v2: r13 added the packed-assignment + JSONL artifacts; the kind
+    // bump invalidates pre-r13 fixture trees that lack them
+    graft.Serving.buildOnce("forget_fixture_v2", dir) { path =>
       val docs = Tables.documents(spark, dir)
         .filter(col("doc_id") < AuditDocs)
       docs.write.mode("overwrite").partitionBy("source")
@@ -363,6 +590,13 @@ object Forget {
       Retrieval.writeIndex(docs, Paths.get(path, "bm25_index").toString)
       Phrase.writePositionalIndex(docs,
         Paths.get(path, "phrase_index").toString)
+      // r13 content-embedding targets: the packed-sequence assignment
+      // table and a JSONL export shard set
+      Curation.writePacked(docs, capacity = 2048, nShards = 8,
+        Paths.get(path, "packed_assignments").toString)
+      graft.sinks.Jsonl.exportCorpus(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        Paths.get(path, "jsonl_export").toString, shards = 6)
     }
 
   /** The oracle-gated compliance report (VERDICT r12 item 6): copy the
@@ -397,9 +631,22 @@ object Forget {
         DerivedRef("bm25_postings", s"$bm25/postings", "doc_id"),
         DerivedRef("bm25_doclen", s"$bm25/doclen", "doc_id"),
         DerivedRef("phrase_index", phrase, "doc_id")), subjects)
-      // the report is driver-materialized (audit collects + read-back
-      // counts), so the swept copy can be deleted before returning
+      // r13: the content-embedding targets go through their dedicated
+      // sweeps (pack-closure rewrite; JSON-line shard rewrite) and join
+      // the same compliance report
+      val (_, packTotal, packRemoved) = forgetPackedTotals(spark,
+        tmp.resolve("packed_assignments").toString, subjects)
+      val (_, jlTotal, jlRemoved) = forgetJsonlTotals(spark,
+        tmp.resolve("jsonl_export").toString, "$.doc_id", subjects)
+      import spark.implicits._
+      val extra = Seq(
+        ("packed_assignments", packRemoved, packTotal - packRemoved),
+        ("jsonl_export", jlRemoved, jlTotal - jlRemoved))
+        .toDF("artifact", "rows_removed", "rows_kept")
+      // the report is driver-materialized (audit collects + pre-scan
+      // totals), so the swept copy can be deleted before returning
       report.select(col("artifact"), col("rows_removed"), col("rows_kept"))
+        .unionByName(extra)
         .orderBy(col("artifact"))
     } finally deleteRecursively(tmp)
   }
@@ -442,6 +689,14 @@ object Forget {
       |         CAST((SELECT coalesce(sum(n), 0) FROM ph JOIN subj USING (doc_id)) AS BIGINT),
       |         CAST((SELECT sum(n) FROM ph) - (SELECT coalesce(sum(n), 0) FROM ph JOIN subj USING (doc_id)) AS BIGINT)
       |  UNION ALL
+      |  SELECT 'jsonl_export',
+      |         (SELECT n FROM nsubj),
+      |         (SELECT n FROM ndocs) - (SELECT n FROM nsubj)
+      |  UNION ALL
+      |  SELECT 'packed_assignments',
+      |         (SELECT n FROM nsubj),
+      |         (SELECT n FROM ndocs) - (SELECT n FROM nsubj)
+      |  UNION ALL
       |  SELECT 'primary_documents',
       |         (SELECT n FROM nsubj),
       |         (SELECT n FROM ndocs) - (SELECT n FROM nsubj)
@@ -450,6 +705,66 @@ object Forget {
       |         CAST((SELECT coalesce(sum(n), 0) FROM sp JOIN subj USING (doc_id)) AS BIGINT),
       |         CAST((SELECT sum(n) FROM sp) - (SELECT coalesce(sum(n), 0) FROM sp JOIN subj USING (doc_id)) AS BIGINT))
       |SELECT artifact, rows_removed, rows_kept FROM per ORDER BY artifact""".stripMargin
+
+  /** Hash-gate for the REPACK SEMANTICS (the audit row only counts):
+    * build the packed assignment table over the audit fixture, sweep
+    * the [[AuditMod]] subjects through [[forgetPacked]], and return the
+    * ENTIRE post-sweep table — every surviving doc's pack_id unchanged,
+    * offsets closed up within affected packs, untouched packs
+    * bit-identical. The DuckDB twin recomputes the same closure from
+    * the source table, so any drift in the in-pack shift arithmetic
+    * fails the hash. The build is bounded (AuditDocs rows) and the
+    * result is driver-pinned before the temp layout is deleted. */
+  def qForgetPackedRepack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < AuditDocs)
+    val tmp = Files.createTempDirectory("graft-forget-pack")
+    try {
+      val path = tmp.resolve("packed").toString
+      Curation.writePacked(docs, capacity = 2048, nShards = 8, path)
+      val subjects = docs.filter(col("doc_id") % AuditMod === AuditRes)
+        .select(col("doc_id"))
+      forgetPacked(spark, path, subjects)
+      spark.read.parquet(path)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Twin: the oSeqPack packing CTEs restricted to the fixture, then
+    * the same pack-local closure — erased-token mass strictly before
+    * each survivor within its (shard, pack) shifts offset and
+    * start_tok back; subjects drop out. */
+  def oForgetPackedRepack: String = {
+    val h = graft.functions.TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT * FROM documents WHERE doc_id < $AuditDocs),
+       |t AS (
+       |  SELECT doc_id, CAST($h % 8 AS INTEGER) AS shard,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS token_count
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, shard, token_count,
+       |    CAST(SUM(token_count) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - token_count AS BIGINT) AS start_tok
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, shard, token_count, start_tok,
+       |    CAST(floor(start_tok / 2048.0) AS BIGINT) AS pack_id,
+       |    CAST(start_tok % 2048 AS BIGINT) AS pack_offset
+       |  FROM c),
+       |m AS (
+       |  SELECT p.*, (doc_id % $AuditMod = $AuditRes) AS hit FROM p),
+       |eb AS (
+       |  SELECT *, CAST(COALESCE(SUM(CASE WHEN hit THEN token_count END)
+       |    OVER (PARTITION BY shard, pack_id ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS ebv
+       |  FROM m)
+       |SELECT doc_id, shard, token_count,
+       |  CAST(start_tok - ebv AS BIGINT) AS start_tok, pack_id,
+       |  CAST(pack_offset - ebv AS BIGINT) AS pack_offset
+       |FROM eb WHERE NOT hit ORDER BY doc_id""".stripMargin
+  }
 
   private def copyRecursively(from: Path, to: Path): Unit = {
     val s = Files.walk(from)
