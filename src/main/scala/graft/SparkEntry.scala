@@ -141,6 +141,9 @@ object SparkEntry {
     "unpivot_daily" -> ((s, d) => Advanced.qUnpivotDaily(s, d)),
     "window_value_bounds" -> ((s, d) => Advanced.qValueBounds(s, d)),
     "agg_grouping_sets" -> ((s, d) => Advanced.qGroupingSets(s, d)),
+    // bitext mining: best pivot-language neighbor + top1-vs-top2 margin,
+    // cross-language LSH blocks only
+    "sim_crosslingual_align" -> ((s, d) => Bitext.qCrossLingualAlign(s, d)),
     "dedup_semantic_contamination" -> ((s, d) => Dedup.qSemanticContamination(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.qSemanticDedup(s, d)),
     "dedup_passages" -> ((s, d) => Passages.qPassageDedup(s, d)),
@@ -560,6 +563,7 @@ object SparkEntry {
     // LSH pairs (deterministic planes) + recursive-CTE closure + keep-min
     "dedup_semantic" -> Dedup.oSemanticDedup,
     "dedup_semantic_contamination" -> Dedup.oSemanticContamination,
+    "sim_crosslingual_align" -> Bitext.oCrossLingualAlign,
     "dedup_passages" -> Passages.oPassageDedup,
     "bm25_topk" -> Retrieval.oBm25TopK,
     // the incremental apply must equal the from-scratch rebuild, so both
