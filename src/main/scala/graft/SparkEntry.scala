@@ -379,6 +379,10 @@ object SparkEntry {
     "curation_dup_weights" -> ((s, d) => DupWeights.qDupWeights(s, d)),
     // dedup threshold-sweep trade-off curve from one candidate pass
     "curation_dedup_curve" -> ((s, d) => DedupCurve.qThresholdCurve(s, d)),
+    // Morton-curve (z-order) cell mapping — the bit interleave the
+    // 2-D layout writer sorts by (layout effect spec-measured in
+    // ScaleSpec; this gates the mapping arithmetic bit-for-bit)
+    "zorder_map" -> ((s, d) => Zorder.qZorderMap(s, d)),
     // distance-2 FastSS reconciliation pairs (nation-blocked)
     "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
     // the same pair set served from the persisted FastSS-2 signature
@@ -683,6 +687,7 @@ object SparkEntry {
     "agg_share_of_parent" -> Trend.oShareOfParent,
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_dedup_curve" -> DedupCurve.oThresholdCurve,
+    "zorder_map" -> Zorder.oZorderMap,
     "entity_edit2_pairs" -> Entity.oCustomerEdit2Pairs,
     "entity_edit2_serving" -> Entity.oCustomerEdit2Pairs,
     "classify_auc" -> Auc.oLengthAuc,

@@ -57,7 +57,16 @@ object Bitext {
       .agg(max(when(col("rn") === 1, col("pivot_id"))).as("pivot_id"),
         max(when(col("rn") === 1, col("cosine"))).as("cosine"),
         max(when(col("rn") === 2, col("cosine"))).as("cos2"))
-      .withColumn("margin", col("cosine") - coalesce(col("cos2"), lit(0.0)))
+      // margin is only meaningful with TWO candidates: a doc whose LSH
+      // blocks yielded a single pivot would get margin = cosine — the
+      // signal largest exactly where candidate recall is weakest, so a
+      // lone mediocre neighbor would look confidently unique to any
+      // downstream margin threshold (ADVICE r13). Single-candidate
+      // rows carry a NULL margin instead; consumers thresholding on
+      // margin skip them, consumers thresholding on cosine still see
+      // the pair.
+      .withColumn("margin",
+        when(col("cos2").isNotNull, col("cosine") - col("cos2")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_id"), col("lang"), col("pivot_id"), col("cosine"),
         col("margin"))
@@ -69,7 +78,8 @@ object Bitext {
       .orderBy(col("doc_id"))
 
   /** Twin: same plane literals, cross-language probe join, sequential-
-    * fold cosine, rank-2 window, and single-op margin subtraction. */
+    * fold cosine, rank-2 window, and the NULL-propagating margin
+    * subtraction (single-candidate rows carry NULL margin). */
   def oCrossLingualAlign: String =
     s"""WITH n AS (
        |  SELECT vec_id, lang, embedding,
@@ -101,7 +111,7 @@ object Bitext {
        |    max(CASE WHEN rn = 2 THEN cosine END) AS cos2
        |  FROM r WHERE rn <= 2 GROUP BY doc_id, lang)
        |SELECT doc_id, lang, pivot_id, cosine,
-       |  cosine - COALESCE(cos2, 0.0) AS margin
+       |  cosine - cos2 AS margin
        |FROM p WHERE cosine >= $AlignThreshold
        |ORDER BY doc_id""".stripMargin
 }

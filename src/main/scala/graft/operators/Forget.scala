@@ -182,11 +182,25 @@ object Forget {
     * [[forgetPacked]] passes the in-pack offset-closure transform.
     * A rewrite must only DROP subject rows and/or adjust surviving
     * rows' values — the audit counts come from the detection scan's
-    * key join, not from the rewrite. */
+    * key join, not from the rewrite.
+    *
+    * `wholeWriter` writes the kept rows when the sweep takes the
+    * whole-dir branch (subjects in a majority of files); it receives
+    * the ORIGINAL file count so a layout-preserving caller can keep
+    * the granularity stable. The default is an unconstrained parquet
+    * write — correct for layouts with no file-placement contract —
+    * but a layout whose files carry co-location semantics (packs,
+    * buckets, cells) MUST pass its settle-time writer here, or a
+    * majority-sweep scatters co-located rows across files and the
+    * NEXT per-file sweep silently breaks unit-local invariants
+    * (ADVICE r13: a pack straddling files gets only its subject-file
+    * half shifted — stale offsets in the compliance artifact). */
   def forgetKeysFilesTotals(spark: SparkSession, path: String,
       keyCol: String, keysDf: DataFrame,
       rewrite: (DataFrame, DataFrame, String) => DataFrame =
-        (df, k, kc) => df.join(k, Seq(kc), "left_anti"))
+        (df, k, kc) => df.join(k, Seq(kc), "left_anti"),
+      wholeWriter: (DataFrame, String, Int) => Unit =
+        (df, p, _) => df.write.mode("overwrite").parquet(p))
       : (DataFrame, Long, Long) = {
     import spark.implicits._
     recoverSwaps(Paths.get(path))
@@ -223,7 +237,8 @@ object Forget {
           "." + dir.getFileName.toString + ".forget_old")
         val kept = rewrite(layout, keys, keyCol)
           .select(cols.map(col): _*)
-        kept.write.mode("overwrite").parquet(staging.toString)
+        deleteRecursively(staging)
+        wholeWriter(kept, staging.toString, perFile.length)
         deleteRecursively(old)
         mv(dir, old)
         mv(staging, dir)
@@ -318,7 +333,17 @@ object Forget {
         .withColumn("start_tok", col("start_tok") - col("_graft_eb"))
         .drop("_graft_hit", "_graft_eb")
     }
-    forgetKeysFilesTotals(spark, path, "doc_id", keysDf, packClose)
+    // whole-dir branch must re-settle with the writePacked discipline
+    // (range-partition + sort on (shard, pack_id)) so every pack stays
+    // wholly inside one file — an unconstrained write would let packs
+    // straddle files and the NEXT sweep's per-file closure would shift
+    // only the half that holds a subject row (ADVICE r13, medium)
+    def packedWriter(df: DataFrame, staging: String, nFiles: Int): Unit =
+      df.repartitionByRange(nFiles, col("shard"), col("pack_id"))
+        .sortWithinPartitions(col("shard"), col("pack_id"), col("doc_id"))
+        .write.mode("overwrite").parquet(staging)
+    forgetKeysFilesTotals(spark, path, "doc_id", keysDf, packClose,
+      packedWriter)
   }
 
   /** Shard-pruned erasure over a JSONL export ([[graft.sinks.Jsonl]]):
@@ -484,7 +509,19 @@ object Forget {
     val next = "v" + (cur.drop(1).toLong + 1)
     kept.write.mode("overwrite").parquet(s"$stateDir/$next")
     val keptN = spark.read.parquet(s"$stateDir/$next").count()
-    Files.writeString(ptr, next): Path
+    // pointer swap must be ATOMIC (ADVICE r13): a truncate-then-write
+    // crash window leaves an empty/corrupt LATEST and every reader
+    // fails until manual repair. Stage the new pointer beside LATEST
+    // and rename over it — readers resolve either the old or the new
+    // version, never a torn pointer. History is then dropped
+    // IMMEDIATELY (keep = 1), not grace-retained: superseded snapshots
+    // hold the subject's rows, so for an erasure sweep retention IS
+    // the compliance failure. A concurrent reader that resolved the
+    // old pointer just before the swap can lose its snapshot dir
+    // mid-read; it must re-resolve LATEST and retry — the documented
+    // contract for this store (readers hold no long scans over CDC
+    // state; the serving path re-resolves per query).
+    graft.streaming.StreamingOps.cdcWritePointer(stateDir, next)
     val dropped = graft.streaming.StreamingOps
       .cdcRetainVersions(stateDir, keep = 1)
     (total - keptN, keptN, dropped.length.toLong)

@@ -122,9 +122,12 @@ object SparseSim {
     * aggregate over the already-persisted df table — ~free next to the
     * df count itself) and fails loudly on any collision. Expected
     * collisions at n distinct shingles ≈ n²/2⁶⁵: ~5·10⁻⁹ at 10M
-    * shingles, still < 3% at 25B — and the audit converts even that
-    * tail from wrong-answers into a visible build failure (lift path:
-    * salt the hash input or widen to a 2-long composite key). */
+    * shingles, < 3% at ~1B, but ~17 EXPECTED at 25B — a corpus that
+    * large essentially always trips the audit, so the lift path
+    * (salt the hash input or widen to a (hash, length) composite key)
+    * is not a tail contingency there, it is the required design; the
+    * audit's job is to make crossing that line a visible build
+    * failure instead of silently merged postings. */
   def buildPostings(docs: DataFrame): DataFrame = {
     // ONE checkpoint (the final postings); sh, dfT and post
     // persist-in-place so shingling runs once (sh feeds ex twice: the

@@ -14,10 +14,13 @@ import graft.Tables
   * on the other.
   *
   * The z-value is pure integer bit arithmetic (32 codegen'd shift/mask
-  * terms, no UDF, no libm), so the mapping itself is hash-gated against
-  * an identical DuckDB bit expression; the LAYOUT effect (rows of one
-  * key clustered into few files) is spec-measured against a time-sorted
-  * layout and recorded in SCALE.md.
+  * terms, no UDF, no libm); the mapping is hash-gated against an
+  * identical DuckDB bit expression (`zorder_map` in SparkEntry). The
+  * LAYOUT effect (a second-dimension predicate prunes files a 1-D sort
+  * cannot) is spec-measured in ScaleSpec via
+  * [[Scale.writeZOrderLayout]], which range-buckets real-valued
+  * dimensions before the same interleave — this module carries the
+  * integer-grid mapping and its gate; Scale carries the writer.
   *
   * Scale shape: computing z is map-only; writing the layout is ONE
   * range-partitioned sort (the same cost as any ordered write). At
@@ -72,15 +75,4 @@ object Zorder {
        |  CAST(${zValueSql("zx", "zy")} AS BIGINT) AS zval
        |FROM b ORDER BY event_id""".stripMargin
 
-  /** Write `df` z-ordered on (xCol, yCol) into `nFiles` files: one
-    * range shuffle on the z-value, sorted within, the helper column
-    * dropped before the write so the layout's schema is unchanged. */
-  def writeZordered(df: DataFrame, xCol: String, yCol: String,
-      path: String, nFiles: Int): Unit =
-    df.withColumn("_graft_z",
-      zValue(zBucket(col(xCol)), zBucket(col(yCol))))
-      .repartitionByRange(nFiles, col("_graft_z"))
-      .sortWithinPartitions(col("_graft_z"))
-      .drop("_graft_z")
-      .write.mode("overwrite").parquet(path)
 }

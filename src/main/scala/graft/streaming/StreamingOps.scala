@@ -253,11 +253,32 @@ object StreamingOps {
         val merged = graft.operators.Cdc.cdcApply(snapshot, batch)
         val v = "v" + (cur.map(_.drop(1).toLong + 1).getOrElse(0L))
         merged.write.mode("overwrite").parquet(s"$stateDir/$v")
-        java.nio.file.Files.writeString(ptr, v)
-        ()
+        cdcWritePointer(stateDir, v)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Atomic LATEST-pointer swap for a versioned state dir (ADVICE r13):
+    * a bare truncate-then-write has a crash window that leaves an
+    * empty/torn pointer every reader then fails on. Stage the new
+    * value in a dot-prefixed sibling (invisible to Spark listings) and
+    * rename over LATEST — on POSIX rename(2) replaces atomically, so a
+    * reader resolves either the old or the new version, never a torn
+    * one. */
+  def cdcWritePointer(stateDir: String, version: String): Unit = {
+    val ptr = java.nio.file.Paths.get(stateDir, "LATEST")
+    val tmp = ptr.resolveSibling(".LATEST.swap")
+    java.nio.file.Files.writeString(tmp, version)
+    try java.nio.file.Files.move(tmp, ptr,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, ptr,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+    }
+    ()
+  }
 
   /** Read the state table a [[cdcApplyStream]] maintains. */
   def cdcCurrentState(spark: SparkSession, stateDir: String): DataFrame = {

@@ -70,6 +70,49 @@ class ErasureTargetsSpec extends SparkSpecBase {
       Seq(subject).toDF("doc_id")).count() == 0)
   }
 
+  test("whole-dir packed sweep preserves pack-per-file; a following per-file sweep stays exact") {
+    // ADVICE r13 (medium): subjects in a MAJORITY of files route the
+    // sweep through the whole-dir rewrite; if that write scattered
+    // packs across files, the NEXT per-file sweep would shift only the
+    // survivors co-located with a subject row — silent stale offsets.
+    val docs = Tables.documents(spark, sf).limit(400)
+    val dir = Files.createTempDirectory("graft-packwhole").toString
+    Curation.writePacked(docs, capacity = 2048, nShards = 4, dir,
+      nFiles = 8)
+    val ids = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    // every 3rd doc: scattered subjects guarantee >half the files hit
+    val subjects = ids.filter(_ % 3 == 0)
+    Forget.forgetPacked(spark, dir, subjects.toSeq.toDF("doc_id"))
+    // the pack-per-file contract must survive the whole-dir rewrite
+    val straddling = spark.read.parquet(dir)
+      .select(col("shard"), col("pack_id"), input_file_name().as("f"))
+      .distinct().groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(straddling == 0,
+      "a (shard, pack_id) pack straddles files after the whole-dir sweep")
+    // second, SURGICAL sweep: one subject with a same-pack follower;
+    // compare the whole table against the exact in-memory closure
+    val mid = spark.read.parquet(dir).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val multi = mid.groupBy(r => (r._2, r._5)).filter(_._2.size >= 2)
+    assert(multi.nonEmpty, "fixture has no multi-doc pack — vacuous")
+    val packRows = multi.head._2.sortBy(_._1)
+    val subj2 = packRows.head
+    Forget.forgetPacked(spark, dir, Seq(subj2._1).toDF("doc_id"))
+    val after = spark.read.parquet(dir).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val expected = mid.filter(_._1 != subj2._1).map { r =>
+      if ((r._2, r._5) == (subj2._2, subj2._5) && r._1 > subj2._1)
+        r.copy(_4 = r._4 - subj2._3, _6 = r._6 - subj2._3)
+      else r
+    }.toSet
+    assert(after == expected,
+      "per-file closure after a whole-dir sweep drifted — stale offsets")
+  }
+
   test("jsonl erasure: subject lines gone, survivor lines byte-identical, untouched shards untouched") {
     val docs = Tables.documents(spark, sf).limit(300)
       .select(col("doc_id"), col("lang"), col("text"))
