@@ -215,6 +215,44 @@ object Bench {
       s"""{"metric":"total_norm","unit":"ref_sec","queries":$qsNorm,"sf":"$sfDir"}"""
     else ""
     if (calibrate) println(normLine)
+    // ---- round-over-round regression gate (VERDICT r13 item 2) ----
+    // The calibration anchor existed but nothing consumed it: the wrap
+    // still eyeballed raw numbers. Before overwriting the tracked
+    // full-suite artifact, join this run's drift-NORMALIZED medians
+    // against the PRIOR committed run's total_norm line and name every
+    // >1.15x mover (with a 0.3 ref_sec absolute floor so sub-second
+    // jitter can't flag). The movers ride the artifact itself as a
+    // `regressions` line; the SCALE.md wrap's job is to justify each
+    // named mover, not to find them by eyeball.
+    val regLine = if (only.isEmpty && calibrate) {
+      val prior = java.nio.file.Paths.get("BENCH_full_latest.json")
+      val prevNorm: Map[String, Double] =
+        if (java.nio.file.Files.exists(prior)) {
+          try {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val src = scala.io.Source.fromFile(prior.toFile)
+            val lineOpt =
+              try src.getLines().find(_.contains("\"metric\":\"total_norm\""))
+              finally src.close()
+            lineOpt.map { l =>
+              import scala.jdk.CollectionConverters._
+              om.readTree(l).get("queries").fields().asScala
+                .map(e => e.getKey -> e.getValue.asDouble()).toMap
+            }.getOrElse(Map.empty)
+          } catch { case _: Throwable => Map.empty }
+        } else Map.empty
+      val movers = resultsNorm.toSeq.flatMap { case (n, cur) =>
+        prevNorm.get(n).collect {
+          case old if old > 0 && cur / old > 1.15 && cur - old > 0.3 =>
+            n -> ((old, cur))
+        }
+      }.sortBy { case (_, (o, c)) => -(c / o) }
+      val mj = movers.map { case (n, (o, c)) =>
+        "\"" + n + "\":[" + fmt(o) + "," + fmt(c) + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline_queries":${prevNorm.size},"movers":$mj}"""
+    } else ""
+    if (regLine.nonEmpty) println(regLine)
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"sf":"$sfDir"}"""
     println(line)
@@ -242,6 +280,7 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     val payload = spreadLine + "\n" +
       (if (calibrate) calLine + "\n" + normLine + "\n" else "") +
+      (if (regLine.nonEmpty) regLine + "\n" else "") +
       line + "\n" + summary + "\n"
     java.nio.file.Files.write(out, payload.getBytes("UTF-8"))
     // full-suite runs also land in a TRACKED root file: the driver's
