@@ -77,6 +77,9 @@ object SparkEntry {
     // repack SEMANTICS hash gate: full post-erasure packed table, in-pack
     // offset closure recomputed independently by the twin
     "forget_packed_repack" -> ((s, d) => Forget.qForgetPackedRepack(s, d)),
+    // erasure-impact audit for TRAINED artifacts: per-cell erased mass
+    // + retrain flags for IVF/PQ/NB/BPE/DSIR (machine-unlearning gap)
+    "forget_model_audit" -> ((s, d) => ModelAudit.qForgetModelAudit(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -739,5 +742,7 @@ object SparkEntry {
     // trained PCA components inlined the same way
     Pca.oracleEntries ++
     // trained OLS coefficients (exact BigInt Cramer, micro fixed-point)
-    Regress.oracleEntries
+    Regress.oracleEntries ++
+    // model-erasure audit: IVF centroid + PQ codebook literals reused
+    ModelAudit.oracleEntries
 }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Erasure-impact audit for TRAINED artifacts (VERDICT r13 item 5 —
+  * the machine-unlearning gap): row erasure sweeps every persisted
+  * copy of a subject's rows ([[Forget.forgetWithDerived]]), but the
+  * MODELS fitted on the pre-erasure corpus — IVF/IVFPQ coarse
+  * centroids, PQ codebooks, the NB language classifier's class
+  * tables, BPE merges, DSIR importance weights — still encode the
+  * subject's data in their parameters. Full unlearning means
+  * retraining; the operational question is WHICH models (and which
+  * of their cells) absorbed enough erased mass to require it.
+  *
+  * This audit answers it: for every model family, compute the erased
+  * subject's share of each training cell's mass —
+  *
+  *  - `ivf`      one cell per coarse-quantizer centroid; mass = the
+  *               corpus vectors assigned to it ([[Ivf.cellOf]], the
+  *               assignment the clustered layouts persist)
+  *  - `pq`       one cell per (subquantizer j, codeword c); mass =
+  *               subvectors quantizing to that codeword
+  *               ([[Pq.encode]])
+  *  - `nb_lang`  one cell per class (lang); mass = the TRAIN-split
+  *               docs the class's count tables were fitted on
+  *               (the [[Classify.modelFor]] training partition)
+  *  - `bpe`      one corpus-level cell; mass = the train-split word
+  *               occurrences the merge table was counted over
+  *               (the [[Tokenize.modelFor]] training partition)
+  *  - `dsir`     one cell per hashed feature bucket; mass = token
+  *               occurrences per bucket ([[Dsir]]'s md5u56 % Buckets)
+  *
+  * — and flag `retrain` when the erased share exceeds
+  * [[RetrainPermille]]. Cells dominated by the subject (a departed
+  * data provider's source, here) trip; cells that barely saw it
+  * don't, and their parameters can be documented as de-minimis
+  * residue instead of triggering a fleet-wide retrain.
+  *
+  * Scale shape (100 TB): every family is ONE map-side assignment pass
+  * (the same codegen'd kernels the serving paths use: ArgMaxDot,
+  * NearestCode, md5u56) followed by a per-cell aggregate whose output
+  * is bounded by the model size (16 + 8×16 + |langs| + 1 + 512 rows),
+  * never the corpus. Subjects enter as a PREDICATE evaluated in the
+  * same scan — no join against an erasure backlog table is needed
+  * when the legal basis is source-keyed; a key-table variant would
+  * broadcast-join the backlog exactly like the sweeps do. All counts
+  * are integers and the share is an integer permille, so the DuckDB
+  * twin (trained parameters inlined as literals, the
+  * [[Ivf.oracleEntries]] pattern) matches bit-for-bit. */
+object ModelAudit {
+
+  /** The departed data provider whose corpus is being erased. */
+  val SubjectSource = "src0"
+
+  /** Retrain flag threshold: a cell whose training mass was ≥ this
+    * many permille subject-derived needs its model retrained. */
+  val RetrainPermille = 100L
+
+  /** The audit frame: (model, cell, rows_erased, rows_total,
+    * erased_permille, retrain), one row per populated model cell. */
+  def modelAudit(docs: DataFrame, emb: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      subjectSource: String = SubjectSource,
+      retrainPermille: Long = RetrainPermille): DataFrame = {
+    def perCell(df: DataFrame, model: String, cell: Column): DataFrame =
+      df.groupBy(cell.as("cell"))
+        .agg(sum(when(col("_subj"), lit(1L)).otherwise(lit(0L)))
+          .as("rows_erased"),
+          count(lit(1)).as("rows_total"))
+        .select(lit(model).as("model"), col("cell"),
+          col("rows_erased"), col("rows_total"))
+    val docsS = docs.withColumn("_subj", col("source") === subjectSource)
+    val embS = emb.join(
+      docsS.select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
+    val ivf = perCell(embS, "ivf",
+      format_string("%03d", Ivf.cellOf(col("embedding"), cents)))
+    val pq = perCell(
+      Pq.encode(embS.select(col("vec_id"), col("embedding")), books, 64)
+        .join(embS.select(col("vec_id"), col("_subj")), Seq("vec_id"))
+        .select(col("_subj"), posexplode(col("codes")).as(Seq("j", "c"))),
+      "pq", format_string("%d:%02d", col("j"), col("c")))
+    // class/merge tables were fitted on the deterministic train split
+    // (Classify.modelFor / Tokenize.modelFor); the audit mirrors that
+    // partition — erased mass OUTSIDE the training partition never
+    // entered the parameters and must not inflate the flag
+    val train = TextAnalysis.withSplit(docsS)
+      .filter(col("split") === "train")
+    val nb = perCell(train, "nb_lang", col("lang"))
+    val bpe = perCell(
+      train.select(col("_subj"),
+          explode(TextFns.words(col("text"))).as("w"))
+        .filter(col("w") =!= ""),
+      "bpe", lit("train_corpus"))
+    val dsir = perCell(
+      docsS.select(col("_subj"),
+          explode(TextFns.words(col("text"))).as("term"))
+        .select(col("_subj"),
+          (TextFns.md5u56(col("term")) % Dsir.Buckets).as("b")),
+      "dsir", format_string("%03d", col("b")))
+    ivf.unionByName(pq).unionByName(nb).unionByName(bpe).unionByName(dsir)
+      .withColumn("erased_permille",
+        expr("(1000 * rows_erased) div rows_total"))
+      .withColumn("retrain", col("erased_permille") >= retrainPermille)
+  }
+
+  def qForgetModelAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    modelAudit(Tables.documents(spark, dir), emb,
+      Ivf.centroidsFor(dir, emb), Pq.codebooksFor(spark, dir))
+      .orderBy(col("model"), col("cell"))
+  }
+
+  /** Generated after training (the [[Pq.oracleEntries]] bridge): the
+    * twin needs both the coarse quantizer and the codebooks, for the
+    * same dataset. */
+  def oracleEntries: Map[String, String] =
+    (Ivf.cachedCentroids, Pq.cachedCodebooks) match {
+      case (Some((cd, cents)), Some((bd, books))) if cd == bd =>
+        Map("forget_model_audit" -> oForgetModelAudit(cents, books))
+      case _ => Map.empty
+    }
+
+  /** Twin: IVF assignment via [[Ivf.ivfBaseSql]] (bit-identical to the
+    * clustered-layout gates), PQ assignment via [[Pq.pqAssignCtes]]
+    * (bit-identical to the ADC gates), the md5-bucket split and word
+    * machinery of the corpus-split/DSIR twins, and pure-integer share
+    * arithmetic. */
+  def oForgetModelAudit(cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): String = {
+    val hdoc = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    val hterm = TextFns.md5u56Sql("term")
+    s"""${Ivf.ivfBaseSql(cents)},
+       |${Pq.pqAssignCtes(books)},
+       |src AS (SELECT doc_id AS vec_id, (source = '$SubjectSource') AS s
+       |        FROM documents),
+       |ivf AS (
+       |  SELECT 'ivf' AS model, format('{:03d}', cell) AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM assign JOIN src ON src.vec_id = assign.neighbor_id
+       |  GROUP BY 2),
+       |pqa AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT *, row_number() OVER (
+       |        PARTITION BY vec_id, j ORDER BY dd ASC, c ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |pq AS (
+       |  SELECT 'pq' AS model, format('{:d}:{:02d}', j, c) AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM pqa JOIN src USING (vec_id) GROUP BY 2),
+       |tr AS (SELECT lang, text, (source = '$SubjectSource') AS s
+       |       FROM documents WHERE $hdoc % 100 < 80),
+       |nb AS (
+       |  SELECT 'nb_lang' AS model, lang AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM tr GROUP BY 2),
+       |wtr AS (SELECT s,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |  FROM tr),
+       |bpe AS (
+       |  SELECT 'bpe' AS model, 'train_corpus' AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM wtr WHERE w != ''),
+       |dtok AS (SELECT (source = '$SubjectSource') AS s,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |dsir AS (
+       |  SELECT 'dsir' AS model,
+       |    format('{:03d}', ($hterm) % ${Dsir.Buckets}) AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM dtok GROUP BY 2),
+       |u AS (SELECT * FROM ivf UNION ALL SELECT * FROM pq UNION ALL
+       |      SELECT * FROM nb UNION ALL SELECT * FROM bpe UNION ALL
+       |      SELECT * FROM dsir)
+       |SELECT model, cell, rows_erased, rows_total,
+       |  CAST((1000 * rows_erased) // rows_total AS BIGINT) AS erased_permille,
+       |  ((1000 * rows_erased) // rows_total >= $RetrainPermille) AS retrain
+       |FROM u ORDER BY model, cell""".stripMargin
+  }
+}

@@ -406,9 +406,13 @@ object Pq {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val books = codebooks.computeIfAbsent(dir,
+  /** Cached per-dir codebooks (the [[Ivf.centroidsFor]] counterpart). */
+  def codebooksFor(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    codebooks.computeIfAbsent(dir,
       d => trainCodebooks(Tables.embeddings(spark, d), 64))
+
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val books = codebooksFor(spark, dir)
     pqTopKWith(Tables.embeddings(spark, dir), books, k = 5, nQueries = 50)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -462,13 +466,13 @@ object Pq {
     * scan), the per-vector code list, and each query's raw-subvector
     * LUT — all on the sequential-fold dot idiom that is bit-exact with
     * the fused kernels. */
-  private def pqBaseSql(books: Seq[Seq[Array[Double]]]): String = {
+  /** The assignment CTEs alone (codebook literals, normalized
+    * subvectors, per-code distances — expects an `n` CTE with
+    * (vec_id, embedding, nrm) in scope), shared with the model-erasure
+    * audit's twin so both gates quantize with byte-identical SQL. */
+  private[operators] def pqAssignCtes(books: Seq[Seq[Array[Double]]]): String = {
     val d = 64 / M
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-       |  FROM embeddings),
-       |book AS (SELECT * FROM (VALUES ${bookValuesSql(books)}) t(j, c, cv, half)),
+    s"""book AS (SELECT * FROM (VALUES ${bookValuesSql(books)}) t(j, c, cv, half)),
        |js AS $jsSql,
        |subv AS (
        |  SELECT vec_id, j,
@@ -479,7 +483,16 @@ object Pq {
        |  SELECT vec_id, j, c,
        |    half - list_sum(list_transform(list_zip(sub, cv),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dd
-       |  FROM subv JOIN book USING (j)),
+       |  FROM subv JOIN book USING (j))""".stripMargin
+  }
+
+  private def pqBaseSql(books: Seq[Seq[Array[Double]]]): String = {
+    val d = 64 / M
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |${pqAssignCtes(books)},
        |codes AS (
        |  SELECT vec_id, list(c ORDER BY j) AS codes
        |  FROM (SELECT *, row_number() OVER (
