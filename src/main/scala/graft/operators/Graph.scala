@@ -127,10 +127,86 @@ object Graph {
     ranks.select(col("node"), col("outdeg"), col("rank_fp"))
   }
 
+  /** One PageRank iteration body, pre-checkpoint — factored out so the
+    * plan spec can pin the iteration's exchanges directly (the eager
+    * localCheckpoint otherwise hides each round's plan from the final
+    * query's executedPlan). See [[pageRankBucketed]] for the layout
+    * contract. */
+  private[graft] def iterateBucketed(edges: DataFrame, ranks: DataFrame,
+      useBroadcast: Boolean): DataFrame = {
+    val inflow =
+      if (useBroadcast) {
+        // SYMMETRY REWRITE: the edge set is bidirectional by
+        // construction, so Σ share(dst) grouped by src IS each node's
+        // inflow — and grouping by src rides the bucketed layout's
+        // HashPartitioning(src) straight through the broadcast join:
+        // ZERO exchange in the whole round. The classic groupBy(dst)
+        // form would shuffle edge-sized partial aggregates every round.
+        val share = ranks.select(col("node").as("dst"),
+          expr("rank_fp div outdeg").as("share"))
+        edges.join(broadcast(share), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("share")).as("inflow"))
+      } else {
+        // corpus-scale graph (> BroadcastNodeCap nodes): share cannot
+        // broadcast; it shuffles to meet the bucketed edges (node-sized
+        // move) and the join itself plans with ZERO exchange on the
+        // edge side. The dst aggregate's exchange carries map-side
+        // partial sums — ≤ #nodes rows per partition, the "rank vector
+        // shuffle" that is the floor for message passing along edges.
+        val share = ranks.select(col("node").as("src"),
+          expr("rank_fp div outdeg").as("share"))
+        edges.join(share.hint("shuffle_hash"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("inflow"))
+      }
+    ranks.drop("rank_fp")
+      .join(inflow, Seq("node"), "left")
+      .withColumn("rank_fp",
+        expr(s"((${DampDen - DampNum} * init_fp) + ($DampNum * coalesce(inflow, 0L))) div $DampDen"))
+      .drop("inflow")
+  }
+
+  /** PageRank whose iterations are EXCHANGE-FREE on the edge side
+    * (VERDICT r13 item 3): `edges` must come from a src-bucketed table
+    * scan ([[bucketedEdgesFor]]) carrying HashPartitioning(src), and
+    * must be SYMMETRIC (every (u,v) has (v,u) — [[purchaseEdges]]'
+    * construction), which lets the dimension-scale path aggregate
+    * inflow by src instead of dst. Per round, dimension-scale: one
+    * node-sized broadcast, no exchange anywhere. Corpus-scale: one
+    * node-sized share shuffle + one partial-agged inflow shuffle; the
+    * edge table — the 100 TB object — never moves after the settle-once
+    * bucketed write. Identical integer fixed-point arithmetic over the
+    * identical edge multiset ⇒ bit-equal to [[pageRank]] (spec-pinned
+    * both modes; shares the oPageRank twin). */
+  def pageRankBucketed(edges: DataFrame, iterations: Int = Iterations,
+      broadcastShare: Option[Boolean] = None): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nNodes = deg.count()
+    if (nNodes == 0L)
+      return deg.select(col("node"), col("outdeg"), lit(0L).as("rank_fp"))
+    val useBroadcast = broadcastShare.getOrElse(nNodes <= BroadcastNodeCap)
+    var ranks = deg
+      .withColumn("init_fp", lit(Scale / nNodes))
+      .select(col("node"), col("outdeg"), col("init_fp"),
+        col("init_fp").as("rank_fp"))
+    for (_ <- 1 to iterations)
+      // same materialization barrier as pageRank (lineage doubles per
+      // round otherwise); localCheckpoint preserves the partitioning,
+      // so the bucketed alignment survives into the next round
+      ranks = iterateBucketed(edges, ranks, useBroadcast)
+        .localCheckpoint(true)
+    ranks.select(col("node"), col("outdeg"), col("rank_fp"))
+  }
+
   /** Top-20 centrality presentation over ranked nodes — shared by the
     * inline and persisted-edge paths. */
   private def pageRankTop(edges: DataFrame): DataFrame =
-    pageRank(edges)
+    presentTop(pageRank(edges))
+
+  private def presentTop(ranked: DataFrame): DataFrame =
+    ranked
       .withColumn("node_type",
         when(col("node") % 2 === 0, "customer").otherwise("supplier"))
       .withColumn("entity_key",
@@ -385,9 +461,28 @@ object Graph {
         .write.mode("overwrite").parquet(path + "/copurchase")
     }
 
-  def qPageRankServing(spark: SparkSession, dir: String): DataFrame =
-    pageRankTop(spark.read.parquet(
-      edgesArtifactFor(spark, dir) + "/purchase"))
+  /** The purchase edges as a src-bucketed TABLE (the bucketedFacts
+    * discipline): bucket metadata lives in the session catalog, so a
+    * fresh JVM registers + writes once from the settled parquet
+    * artifact and every later query reads HashPartitioning(src,
+    * [[EdgeBuckets]]) straight off the scan. */
+  val EdgeBuckets = 8
+  private[this] var bucketedEdgesKey: Option[String] = None
+  def bucketedEdgesFor(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!bucketedEdgesKey.contains(dir) ||
+        !spark.catalog.tableExists("b3_graph_edges")) {
+      // Scale the object is shadowed by Scale the fixed-point constant
+      graft.operators.Scale.writeBucketed(
+        spark.read.parquet(edgesArtifactFor(spark, dir) + "/purchase"),
+        "b3_graph_edges", "src", EdgeBuckets)
+      bucketedEdgesKey = Some(dir)
+    }
+  }
+
+  def qPageRankServing(spark: SparkSession, dir: String): DataFrame = {
+    bucketedEdgesFor(spark, dir)
+    presentTop(pageRankBucketed(spark.table("b3_graph_edges")))
+  }
 
   def qBfsReachServing(spark: SparkSession, dir: String): DataFrame =
     bfsReachHistogram(

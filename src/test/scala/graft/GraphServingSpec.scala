@@ -22,6 +22,64 @@ class GraphServingSpec extends SparkSpecBase {
       rows(Graph.qTriangles(spark, sf)), "triangles")
   }
 
+  test("bucketed pagerank equals the classic in BOTH share modes, bit-for-bit") {
+    Graph.bucketedEdgesFor(spark, sf)
+    val edges = spark.table("b3_graph_edges")
+    val plain = spark.read.parquet(
+      Graph.edgesArtifactFor(spark, sf) + "/purchase")
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.orderBy("node").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = ranks(Graph.pageRank(plain))
+    assert(ref.nonEmpty)
+    assert(ranks(Graph.pageRankBucketed(edges,
+      broadcastShare = Some(true))) == ref, "broadcast-share mode drifted")
+    assert(ranks(Graph.pageRankBucketed(edges,
+      broadcastShare = Some(false))) == ref, "shuffle-share mode drifted")
+  }
+
+  test("bucketed pagerank iterations plan with zero exchange on the edge side") {
+    Graph.bucketedEdgesFor(spark, sf)
+    val edges = spark.table("b3_graph_edges")
+    val deg = edges.groupBy(org.apache.spark.sql.functions.col("src").as("node"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("outdeg"))
+    val ranks = deg
+      .withColumn("init_fp", org.apache.spark.sql.functions.lit(1000L))
+      .selectExpr("node", "outdeg", "init_fp", "init_fp AS rank_fp")
+    val srcExchange = """Exchange hashpartitioning\((src|dst)#\d+L?, \d+\)""".r
+    // dimension-scale (broadcast share): NO exchange anywhere in the round
+    val bPlan = Graph.iterateBucketed(edges, ranks, useBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(!bPlan.contains("Exchange hashpartitioning"),
+      s"broadcast-mode iteration still shuffles:\n$bPlan")
+    assert(bPlan.contains("Bucketed: true"), bPlan)
+    // corpus-scale (shuffled share): the EDGE side must not move — the
+    // only edge-key exchanges allowed are the node-sized share/inflow
+    // moves, never a scan-fed one. Pin it structurally: no exchange may
+    // sit directly above the bucketed scan subtree.
+    val sPlan = Graph.iterateBucketed(edges, ranks, useBroadcast = false)
+      .queryExecution.executedPlan
+    val scanFedExchange = sPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.collectLeaves().exists(_.toString.contains("b3_graph_edges")) &&
+          // partial-agged inflow may shuffle (node-sized); a raw
+          // edge-table move would surface as an exchange whose child is
+          // NOT an aggregate
+          !e.child.toString.startsWith("HashAggregate") => e
+    }
+    assert(scanFedExchange.isEmpty,
+      s"shuffle-mode iteration moved the edge table:\n$sPlan")
+    // the same round over UNbucketed edges must shuffle the scan — the
+    // spec proves the layout removed the exchange, not the fixture
+    val plain = spark.read.parquet(
+      Graph.edgesArtifactFor(spark, sf) + "/purchase")
+    val uPlan = Graph.iterateBucketed(plain, ranks, useBroadcast = false)
+      .queryExecution.executedPlan.toString
+    assert(srcExchange.findFirstIn(uPlan).isDefined,
+      "unbucketed iteration did not shuffle on the edge key — vacuous")
+  }
+
   test("one artifact serves all three; a re-read does not rebuild") {
     val path = Graph.edgesArtifactFor(spark, sf)
     assert(Files.exists(Paths.get(path, "purchase")))
