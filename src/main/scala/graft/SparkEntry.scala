@@ -691,7 +691,9 @@ object SparkEntry {
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_dedup_curve" -> DedupCurve.oThresholdCurve,
     "zorder_map" -> Zorder.oZorderMap,
-    "entity_edit2_pairs" -> Entity.oCustomerEdit2Pairs,
+    // build-path gate is a bounded nation slice (r13 item 4); the
+    // serving gate keeps the FULL pair set against the full twin
+    "entity_edit2_pairs" -> Entity.oCustomerEdit2PairsGate,
     "entity_edit2_serving" -> Entity.oCustomerEdit2Pairs,
     "classify_auc" -> Auc.oLengthAuc,
     "stats_gini_by_nation" -> Gini.oGiniBySpend,
