@@ -48,6 +48,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(total == 1000)
   }
 
+  test("dedup-gate state erasure SLA: subject keys self-expire within one watermark horizon") {
+    // VERDICT r13 item 7: the watermarked dedup store is the ONE state
+    // holder no external sweep can rewrite (opaque checkpointed state),
+    // so its erasure story is retention — a subject's key must be GONE
+    // from the recovered state store once event time passes the
+    // watermark horizon. This pins that SLA by reading the checkpoint
+    // back through the state data source after the horizon passes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp = Files.createTempDirectory("graft-dedup-sla").toString
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamingOps.dedupStream(
+        src.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .format("memory").queryName("dedup_sla").start()
+    def ts(h: Long) = new java.sql.Timestamp(3600000L * h)
+    val subjects = (1L to 5L).toSet
+    src.addData(subjects.toSeq.map(u => (u, ts(0), u, "view", 1.0)))
+    q.processAllAvailable()
+    // two later waves 10h past the subjects (horizon = 2h): the first
+    // advances the watermark, the second runs WITH it and commits the
+    // eviction (watermarks apply from the batch after they're computed)
+    src.addData(Seq((100L, ts(10), 100L, "view", 1.0)))
+    q.processAllAvailable()
+    src.addData(Seq((101L, ts(10), 101L, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    // the RECOVERED store: read the checkpoint back, not the live query
+    val keyDf = spark.read.format("statestore").load(cp).select("key.*")
+    assert(keyDf.columns.contains("user_id"), keyDf.columns.mkString(","))
+    val keys = keyDf.select(col("user_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.intersect(subjects).isEmpty,
+      s"subject keys survive past the watermark horizon: $keys")
+    // non-vacuous: in-horizon keys ARE retained in the same store
+    assert(keys.contains(100L) && keys.contains(101L),
+      s"recent keys missing — state read is broken: $keys")
+  }
+
   test("streaming dedup within watermark drops replayed rows") {
     val dir = eventsDir()
     // replay: second copy of the same file
