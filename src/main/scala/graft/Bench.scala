@@ -47,10 +47,25 @@ object Bench {
     val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(
       f => SparkEntry.queries.filter(kv => f(kv._1)))
     val names = selected.keys.toSeq
+    // optional GC attribution probe (SPARK_GRAFT_GC=1): per-run JVM GC
+    // time inside the measured window, reported as a gc_ms metric line —
+    // the discriminator between memory-pressure inflation (gc grows with
+    // wall) and scheduler/page-cache effects (wall grows, gc flat)
+    val gcProbe = sys.env.get("SPARK_GRAFT_GC").contains("1")
+    def gcNow(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.toDouble).sum
+    }
+    val gcSamples =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
     def once(name: String): Option[Double] = {
+      val g0 = if (gcProbe) gcNow() else 0.0
       val t0 = System.nanoTime()
       try {
         selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (gcProbe) gcSamples(name) = (gcNow() - g0) :: gcSamples(name)
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
       finally {
@@ -104,6 +119,14 @@ object Bench {
         .groupBy("k").count()
         .write.format("noop").mode("overwrite").save()
       val sh = (System.nanoTime() - t1) / 1e9
+      // same post-run hygiene as `once` — measured r14: WITHOUT it the
+      // probes' residue (shuffle scratch + heap churn) inflated the
+      // next measured query ~30% (sim_sparse_topk 3.40 -> 4.44 s),
+      // i.e. the drift instrument itself was perturbing the samples
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       (cpu, sh)
     }
     // a point is the per-probe MEDIAN of 3 back-to-back runs: single
@@ -253,6 +276,13 @@ object Bench {
       s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline_queries":${prevNorm.size},"movers":$mj}"""
     } else ""
     if (regLine.nonEmpty) println(regLine)
+    if (gcProbe) {
+      // warm pass included; median over the recorded runs
+      val gj = gcSamples.toSeq.sortBy(_._1).map { case (n, s) =>
+        "\"" + n + "\":" + fmt(s.sorted.apply(s.size / 2))
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"gc_ms","queries":$gj}""")
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"sf":"$sfDir"}"""
     println(line)
