@@ -386,6 +386,19 @@ object SparkEntry {
     // 2-D layout writer sorts by (layout effect spec-measured in
     // ScaleSpec; this gates the mapping arithmetic bit-for-bit)
     "zorder_map" -> ((s, d) => Zorder.qZorderMap(s, d)),
+    // 2-D Pareto frontier via distributed prefix-max (no n² anti-join)
+    "skyline_parts" -> ((s, d) => Skyline.qPartSkyline(s, d)),
+    // brand-blocked Jaro–Winkler name variants on the native codegen'd
+    // kernel (length-implication prefilter before any O(l²) scoring)
+    "entity_jarowinkler" -> ((s, d) => Entity.qPartJaroWinkler(s, d)),
+    // exact integer lag-polynomial EWMA baseline + spike flags
+    "anomaly_ewma_daily" -> ((s, d) => Ewma.qEwmaDaily(s, d)),
+    // per-cluster survivorship verdict (longest wins) over the CC map
+    "dedup_canonical" -> ((s, d) => Dedup.qDedupCanonical(s, d)),
+    // HITS hubs/authorities, integer L1-normalized (no sqrt/libm)
+    "graph_hits" -> ((s, d) => Graph.qHits(s, d)),
+    // HITS from the settled directed-edge layout, scores broadcast
+    "graph_hits_serving" -> ((s, d) => Graph.qHitsServing(s, d)),
     // distance-2 FastSS reconciliation pairs (nation-blocked)
     "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
     // the same pair set served from the persisted FastSS-2 signature
@@ -691,6 +704,12 @@ object SparkEntry {
     "curation_dup_weights" -> DupWeights.oDupWeights,
     "curation_dedup_curve" -> DedupCurve.oThresholdCurve,
     "zorder_map" -> Zorder.oZorderMap,
+    "skyline_parts" -> Skyline.oPartSkyline,
+    "entity_jarowinkler" -> Entity.oPartJaroWinkler,
+    "anomaly_ewma_daily" -> Ewma.oEwmaDaily,
+    "dedup_canonical" -> Dedup.oDedupCanonical,
+    "graph_hits" -> Graph.oHits,
+    "graph_hits_serving" -> Graph.oHits,
     // build-path gate is a bounded nation slice (r13 item 4); the
     // serving gate keeps the FULL pair set against the full twin
     "entity_edit2_pairs" -> Entity.oCustomerEdit2PairsGate,

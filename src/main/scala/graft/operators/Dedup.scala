@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -608,10 +609,11 @@ object Dedup {
     dupClusters(shingleJaccardPairs(Tables.documents(spark, dir), 0.8))
       .orderBy(col("doc_id"))
 
-  /** Oracle: transitive closure by recursive CTE over the same pair
-    * graph; cluster id = min reachable doc (incl. self). */
-  def oDedupClusters: String =
-    """WITH RECURSIVE w AS (
+  /** Shared CTE prefix: shingle-Jaccard pair graph → transitive closure
+    * (cluster id = min reachable doc, incl. self) — consumed by the
+    * cluster gate and the canonical-selection gate. */
+  private def ccClosureCtes: String =
+    """w AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
       |sh AS (
       |  SELECT doc_id, CASE WHEN len(ws) >= 3
@@ -628,9 +630,55 @@ object Dedup {
       |reach(src, dst) AS (
       |  SELECT src, dst FROM edges
       |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  /** Oracle: transitive closure by recursive CTE over the same pair
+    * graph; cluster id = min reachable doc (incl. self). */
+  def oDedupClusters: String =
+    s"""WITH RECURSIVE $ccClosureCtes
       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Canonical-document selection — the step after clustering: every
+    * doc labeled with its near-dup cluster (singletons are their own
+    * cluster, the [[Entity.goldenRecords]] coalesce), ONE survivor per
+    * cluster under an explicit rule (longest doc wins, lowest id breaks
+    * ties) and the rest marked dropped. This is the row-level verdict a
+    * dedup pass actually ships — "which copy do we train on" — where
+    * [[qDedupClusters]] ships the cluster map itself.
+    *
+    * Scale shape: the cluster map covers only MATCHED docs (pair-graph
+    * scale, a small fraction of any real corpus) and left-joins onto
+    * the full table; the survivorship window partitions BY CLUSTER, so
+    * no partition exceeds the largest near-dup family. */
+  def qDedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = dupClusters(shingleJaccardPairs(docs, 0.8))
+      .withColumnRenamed("cluster_id", "matched_cluster")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("matched_cluster"), col("doc_id")))
+      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: the same closure CTEs + the same survivorship window. */
+  def oDedupCanonical: String =
+    s"""WITH RECURSIVE $ccClosureCtes,
+      |cmap AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS mc
+      |  FROM reach GROUP BY src),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(c.mc, d.doc_id) AS cluster_id, d.n_chars
+      |  FROM documents d LEFT JOIN cmap c USING (doc_id))
+      |SELECT doc_id, cluster_id, n_chars,
+      |  CASE WHEN row_number() OVER (
+      |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+      |    THEN 1 ELSE 0 END AS keep
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   /** Embedding-cosine near-dup pairs, exact: every (a, b) with
     * cosine ≥ threshold, via the codegen'd fused kernel (one pass per

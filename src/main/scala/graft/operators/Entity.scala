@@ -440,4 +440,72 @@ object Entity {
       .withColumnRenamed("id_a", "custkey_a")
       .withColumnRenamed("id_b", "custkey_b")
       .orderBy("custkey_a", "custkey_b")
+
+  // --------------------------------------- Jaro–Winkler fuzzy matching
+
+  /** Match threshold in micro-units (0.90); comparisons run on
+    * floor(jw·10⁶) BIGINTs in both engines, so a 1-ulp double
+    * divergence could only matter exactly ON the 10⁻⁶ grid — and the
+    * kernel is op-order-identical to DuckDB anyway. */
+  val JwThresholdMicro = 900000L
+
+  /** Pairs within an exact block whose names score ≥ threshold under
+    * Jaro–Winkler — the scorer for name variants edit distance
+    * misranks (transposed words, shared prefixes). Candidates are the
+    * block equi-join (the [[goldenRecords]] closure-collapse guard:
+    * blocks are entity-scoped, so per-block pair volume stays bounded
+    * as the corpus grows by adding blocks), pre-filtered by a LENGTH
+    * IMPLICATION before any scoring: jw ≥ θ forces
+    * jaro ≥ (θ−0.4)/0.6 (boost adds at most 0.4·(1−j)), and
+    * jaro ≤ (2 + lmin/lmax)/3 (m ≤ lmin), so lmin/lmax ≥ 5θ−4 — at
+    * θ = 0.9 exactly 2·lmin ≥ lmax, checked in integer arithmetic, a
+    * codegen'd conjunct that skips the O(l²) matcher on pairs that
+    * cannot qualify. Scoring itself is the native [[graft.plans.JaroWinkler]]
+    * kernel inside whole-stage codegen.
+    *
+    * For block-free corpora the sound candidate generators are
+    * signature schemes (positional q-grams with count filtering); the
+    * length bound alone is implication-complete but quadratic — this
+    * operator requires the block for exactly that reason. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, thresholdMicro: Long = JwThresholdMicro): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      col(blockCol).as("blk"), length(col(nameCol)).cast("long").as("len"))
+    // 5θ−4 in micro-units; positive for any useful θ (> 0.8)
+    val ratioMicro = 5L * thresholdMicro - 4000000L
+    require(ratioMicro > 0, s"threshold too low for the length bound: $thresholdMicro")
+    t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id")
+          && least(col("a.len"), col("b.len")) * 1000000L
+             >= greatest(col("a.len"), col("b.len")) * ratioMicro)
+      .withColumn("jw_micro",
+        floor(graft.plans.JaroWinkler.jaroWinkler(
+          col("a.name"), col("b.name")) * 1000000d).cast("long"))
+      .filter(col("jw_micro") >= thresholdMicro)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("jw_micro"))
+  }
+
+  /** Brand-blocked part-name variants: the catalog-reconciliation
+    * query (same SKU family, renamed). */
+  def qPartJaroWinkler(spark: SparkSession, dir: String): DataFrame =
+    jaroWinklerPairs(Tables.part(spark, dir), "p_partkey", "p_name", "p_brand")
+      .withColumnRenamed("id_a", "partkey_a")
+      .withColumnRenamed("id_b", "partkey_b")
+      .orderBy("partkey_a", "partkey_b")
+
+  /** Brute-force twin: per-block n² with DuckDB's own
+    * jaro_winkler_similarity — the blocking + length bound must
+    * reproduce it exactly (quantized to the same micro grid). */
+  def oPartJaroWinkler: String =
+    s"""SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       |  a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000) AS BIGINT)
+       |    AS jw_micro
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+       |      >= $JwThresholdMicro
+       |ORDER BY partkey_a, partkey_b""".stripMargin
 }

@@ -484,6 +484,165 @@ object Graph {
     presentTop(pageRankBucketed(spark.table("b3_graph_edges")))
   }
 
+  // --------------------------------------------------- HITS (bipartite)
+
+  /** Fixed-point scale for HITS scores: 1.0 of mass = 10^6. Smaller
+    * than PageRank's 10^12 on purpose — each half-step SUMS hub mass
+    * once per out-edge before normalizing, so the un-normalized total
+    * is bounded by Scale·#edges, and raw totals must stay inside a
+    * BIGINT at corpus scale (10^6·#edges overflows only past ~9·10^12
+    * edges; 10^12 would overflow at thousands). */
+  val HitsScale = 1000000L
+  val HitsIterations = 3
+
+  /** Directed customer→supplier purchase edges (src = customer key,
+    * dst = supplier key, both raw — the bipartite sides never mix). */
+  def purchaseEdgesDirected(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+
+  /** L1-normalize a (id, raw) score frame to total ≈ [[HitsScale]] in
+    * EXACT integer arithmetic: unit = Σraw div Scale, score = raw div
+    * unit. Two floor divisions both engines share; the 1-row total
+    * broadcasts (the bounded-aggregate crossJoin idiom), no driver
+    * action. Requires Σraw ≥ Scale — guaranteed after the first
+    * half-step because the init mass is Scale per node and sums only
+    * grow with edge multiplicity. */
+  private def l1Normalize(scores: DataFrame, idCol: String): DataFrame = {
+    val tot = scores.agg(sum(col("raw")).as("tot"))
+    scores.crossJoin(broadcast(tot))
+      .select(col(idCol),
+        expr(s"raw div (tot div $HitsScale)").as("score_fp"))
+  }
+
+  /** HITS hubs/authorities over the DIRECTED bipartite purchase graph —
+    * the mutual-reinforcement centrality PageRank's random walk does
+    * not express: a customer is a good hub when it buys from good
+    * suppliers, a supplier a good authority when good hubs buy from it
+    * (Kleinberg's algorithm, L1-normalized each half-step so scores
+    * stay integer fixed-point instead of the classic L2 — same ranking
+    * fixpoint, no sqrt/libm anywhere).
+    *
+    * Scale shape per iteration: two edge joins on the edge table's own
+    * keys (src then dst) + two partial-agg sums + two 1-row broadcast
+    * normalizations. The hub/authority tables are node-sized; the edge
+    * table is the 100 TB operand and — like [[pageRankBucketed]] — can
+    * ride a bucketed layout so only node-sized tables move
+    * ([[qHitsServing]] pins src-side zero-exchange on the hub join).
+    * Exact integer floor divisions ⇒ bit-equal to the unrolled-CTE
+    * DuckDB twin after any iteration count. */
+  def hits(edges: DataFrame, iterations: Int = HitsIterations,
+      broadcastScores: Boolean = false): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one half-step pair")
+    val cached = edges.cache()
+    // score tables are node-sized; at dimension scale broadcasting them
+    // keeps the EDGE table stationary all round (the pageRankBucketed
+    // dial) — over a src-bucketed scan the hub half-step then plans
+    // with zero exchange and the authority half-step moves only
+    // node-bounded partial sums
+    def side(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
+    var hubs = cached.select(col("src").as("c")).distinct()
+      .withColumn("score_fp", lit(HitsScale))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = cached
+        .join(side(hubs.select(col("c").as("src"), col("score_fp").as("h"))),
+          Seq("src"))
+        .groupBy(col("dst").as("s")).agg(sum(col("h")).as("raw"))
+      auths = l1Normalize(aRaw, "s").localCheckpoint(true)
+      val hRaw = cached
+        .join(side(auths.select(col("s").as("dst"), col("score_fp").as("a"))),
+          Seq("dst"))
+        .groupBy(col("src").as("c")).agg(sum(col("a")).as("raw"))
+      hubs = l1Normalize(hRaw, "c").localCheckpoint(true)
+    }
+    hubs.select(lit("hub").as("role"), col("c").as("entity_key"),
+        col("score_fp"))
+      .unionByName(auths.select(lit("authority").as("role"),
+        col("s").as("entity_key"), col("score_fp")))
+  }
+
+  private def hitsTop(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("role"))
+      .orderBy(col("score_fp").desc, col("entity_key"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("role"), col("rank"), col("entity_key"), col("score_fp"))
+      .orderBy(col("role"), col("rank"))
+  }
+
+  def qHits(spark: SparkSession, dir: String): DataFrame =
+    hitsTop(hits(purchaseEdgesDirected(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir))))
+
+  /** The directed purchase edges as their own settled artifact (a third
+    * projection NEXT TO — not inside — the `graph_edges` artifact: a new
+    * sublayout under an existing kind would be invisible to already-built
+    * artifacts, whose freshness marker only watches SOURCE mtimes). */
+  def directedEdgesArtifactFor(spark: SparkSession, dir: String): String =
+    graft.Serving.buildOnce("graph_edges_directed", dir) { path =>
+      purchaseEdgesDirected(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+        .repartition(col("src")).sortWithinPartitions(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** [[qHits]] served from the settled directed-edge layout with the
+    * node-sized score tables broadcast — the edge build (the inline
+    * gate's dominant cost) is paid once per ingest, and each half-step
+    * leaves the edge table stationary. Same integer arithmetic over the
+    * same edge multiset ⇒ shares the [[oHits]] twin. */
+  def qHitsServing(spark: SparkSession, dir: String): DataFrame =
+    hitsTop(hits(
+      spark.read.parquet(directedEdgesArtifactFor(spark, dir)),
+      broadcastScores = true))
+
+  /** Twin: the identical integer recurrence, iterations unrolled as
+    * chained CTEs; each normalization is the same two floor divisions
+    * against a scalar total. */
+  def oHits: String = {
+    def iter(i: Int): String = {
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS (
+         |  SELECT e.dst AS s, sum(h.score_fp) AS raw
+         |  FROM edges e JOIN $prevH h ON e.src = h.c GROUP BY e.dst),
+         |a${i}t AS (SELECT sum(raw) AS tot FROM a${i}r),
+         |a$i AS (
+         |  SELECT s, CAST(raw // (tot // $HitsScale) AS BIGINT) AS score_fp
+         |  FROM a${i}r CROSS JOIN a${i}t),
+         |h${i}r AS (
+         |  SELECT e.src AS c, sum(a.score_fp) AS raw
+         |  FROM edges e JOIN a$i a ON e.dst = a.s GROUP BY e.src),
+         |h${i}t AS (SELECT sum(raw) AS tot FROM h${i}r),
+         |h$i AS (
+         |  SELECT c, CAST(raw // (tot // $HitsScale) AS BIGINT) AS score_fp
+         |  FROM h${i}r CROSS JOIN h${i}t)""".stripMargin
+    }
+    val iters = (1 to HitsIterations).map(iter).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS (
+       |  SELECT DISTINCT src AS c, CAST($HitsScale AS BIGINT) AS score_fp
+       |  FROM edges),
+       |$iters,
+       |scored AS (
+       |  SELECT 'hub' AS role, c AS entity_key, score_fp FROM h$HitsIterations
+       |  UNION ALL
+       |  SELECT 'authority', s, score_fp FROM a$HitsIterations),
+       |ranked AS (
+       |  SELECT role, CAST(row_number() OVER (
+       |      PARTITION BY role ORDER BY score_fp DESC, entity_key) AS INTEGER)
+       |    AS rank, entity_key, score_fp
+       |  FROM scored)
+       |SELECT role, rank, entity_key, score_fp FROM ranked
+       |WHERE rank <= 10 ORDER BY role, rank""".stripMargin
+  }
+
   def qBfsReachServing(spark: SparkSession, dir: String): DataFrame =
     bfsReachHistogram(
       spark.read.parquet(edgesArtifactFor(spark, dir) + "/purchase"),

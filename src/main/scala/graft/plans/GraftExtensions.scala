@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.normalizeTextFunction)
     ext.injectFunction(GraftExtensions.int8CodesFunction)
     ext.injectFunction(GraftExtensions.int8DotFunction)
+    ext.injectFunction(GraftExtensions.jaroWinklerFunction)
     // dot(x, x) → fused self-dot kernel (one array read per element)
     ext.injectOptimizerRule(_ => SelfDotRule)
   }
@@ -75,13 +76,24 @@ object GraftExtensions {
       Int8Vec.Int8Dot(args.head, args(1))
     })
 
+  /** (identifier, info, builder) for `jaro_winkler(a, b)` — the fuzzy
+    * name-match scorer ([[JaroWinkler]]), DuckDB-identical semantics. */
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"jaro_winkler expects 2 arguments, got ${args.length}")
+      JaroWinkler(args.head, args(1))
+    })
+
   /** Register the functions AND the self-dot optimizer rule on an
     * already-running session (conf-time extensions only apply at session
     * construction; `experimental.extraOptimizations` is the documented
     * live-session hook for optimizer rules). Idempotent. */
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimFunction, normalizeTextFunction,
-        int8CodesFunction, int8DotFunction).foreach {
+        int8CodesFunction, int8DotFunction, jaroWinklerFunction).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

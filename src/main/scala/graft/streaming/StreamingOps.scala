@@ -502,6 +502,47 @@ object StreamingOps {
       }
   }
 
+  case class DayCount(event_type: String, d: java.sql.Date, c: Long)
+  case class EwmaOut(event_type: String, d: java.sql.Date, c: Long,
+    ewma_milli: Option[Long], spike: Option[Int])
+
+  /** Streaming form of [[graft.operators.Ewma.qEwmaDaily]]: the same
+    * exact integer lag polynomial applied to daily counts AS THEY
+    * ARRIVE. Where the batch form reads the whole series through a lag
+    * window, the monitor carries the last Terms−1 counts per series
+    * (newest first) across micro-batches — Terms−1 longs of state per
+    * key REGARDLESS of history length, the bounded-state property that
+    * makes a per-entity baseline feasible on an unbounded stream.
+    * Within a batch rows are processed in day order so shuffle
+    * partitioning cannot reorder the recurrence; fed the same daily
+    * series, the output is bit-equal to the batch operator
+    * (spec-pinned), including the NULL-until-filled lookback head. */
+  def ewmaStream(counts: Dataset[DayCount]): Dataset[EwmaOut] = {
+    import counts.sparkSession.implicits._
+    import graft.operators.Ewma
+    counts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Seq[Long], EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[DayCount], state: GroupState[Seq[Long]]) =>
+          var recent = state.getOption.getOrElse(Seq.empty[Long])
+          val out = rows.toSeq.sortBy(_.d.getTime).map { r =>
+            val res =
+              if (recent.length == Ewma.Terms - 1) {
+                val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
+                  case (c, i) => c * Ewma.weight(i + 1) }.sum
+                // wsum ≥ 0 so / is the batch form's floor div
+                EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
+                  Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
+                    else 0))
+              } else EwmaOut(t, r.d, r.c, None, None)
+            recent = (r.c +: recent).take(Ewma.Terms - 1)
+            res
+          }
+          state.update(recent)
+          out.iterator
+      }
+  }
+
   case class MgEntry(shard: Int, term: String, est: Long, shard_seen: Long)
 
   /** Streaming Misra-Gries heavy-hitter summaries — the arrival-order

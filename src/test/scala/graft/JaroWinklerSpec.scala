@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Entity
+import graft.plans.JaroWinklerKernel
+
+/** Jaro–Winkler kernel: bit-identical to DuckDB's
+  * jaro_winkler_similarity (the oracle), and the blocked+length-bounded
+  * operator must reproduce the per-block brute force exactly. */
+class JaroWinklerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerKernel.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("kernel is bit-identical to DuckDB on pinned fixtures") {
+    // right-hand literals are DuckDB 1.x jaro_winkler_similarity outputs
+    // (shortest-roundtrip repr = exact double)
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      // jaro lands on 0.70000000000000007 — the boost-threshold edge
+      ("abcqq", "abcxxx", 0.79),
+      // above threshold but zero common prefix: no boost applies
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("a", "ab", 0.8500000000000001),
+      // below threshold WITH a common prefix: boost must NOT apply
+      ("abcdef", "abzzzz", 0.5555555555555555),
+      ("small ring", "small table", 0.8290909090909091),
+      ("sky blue table", "sky blue chair", 0.8857142857142858))
+    pinned.foreach { case (a, b, want) =>
+      assert(jw(a, b) == want, s"jw($a, $b)")
+      assert(jw(b, a) == want, s"jw($b, $a) — symmetry")
+    }
+  }
+
+  test("kernel edges: equal, empty, disjoint, adjacent transposition") {
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("hello", "") == 0.0)
+    assert(jw("", "hello") == 0.0)
+    assert(jw("xyz", "qrs") == 0.0)
+    // window ⌊2/2⌋−1 = 0 leaves "ab"/"ba" matchless — the standard rule
+    assert(jw("ab", "ba") == 0.0)
+  }
+
+  test("length bound never drops a qualifying pair (fixture brute force)") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val brute = (for {
+      a <- parts; b <- parts
+      if a._3 == b._3 && a._1 < b._1
+      m = math.floor(jw(a._2, b._2) * 1000000d).toLong
+      if m >= Entity.JwThresholdMicro
+    } yield (a._1, b._1, m)).toSet
+    val got = Entity.qPartJaroWinkler(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture should contain at least one name variant")
+  }
+
+  test("SQL surface: jaro_winkler registered via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS s").collect().head.getDouble(0)
+    assert(got == 0.9611111111111111)
+  }
+
+  test("prefilter implication holds at the bound: 5θ−4 length ratio") {
+    // lmin/lmax just below 1/2 at θ=0.9 can NEVER reach 0.9:
+    // jw ≤ 0.6·jaro + 0.4 and jaro ≤ (2 + lmin/lmax)/3
+    val a = "abcd"
+    val b = "abcdefghi" // 4 vs 9: ratio < 1/2
+    val bound = 0.6 * ((2.0 + 4.0 / 9.0) / 3.0) + 0.4
+    assert(bound < 0.9)
+    assert(jw(a, b) <= bound)
+  }
+}
