@@ -451,39 +451,70 @@ object Entity {
 
   /** Pairs within an exact block whose names score ≥ threshold under
     * Jaro–Winkler — the scorer for name variants edit distance
-    * misranks (transposed words, shared prefixes). Candidates are the
-    * block equi-join (the [[goldenRecords]] closure-collapse guard:
-    * blocks are entity-scoped, so per-block pair volume stays bounded
-    * as the corpus grows by adding blocks), pre-filtered by a LENGTH
-    * IMPLICATION before any scoring: jw ≥ θ forces
-    * jaro ≥ (θ−0.4)/0.6 (boost adds at most 0.4·(1−j)), and
-    * jaro ≤ (2 + lmin/lmax)/3 (m ≤ lmin), so lmin/lmax ≥ 5θ−4 — at
-    * θ = 0.9 exactly 2·lmin ≥ lmax, checked in integer arithmetic, a
-    * codegen'd conjunct that skips the O(l²) matcher on pairs that
-    * cannot qualify. Scoring itself is the native [[graft.plans.JaroWinkler]]
-    * kernel inside whole-stage codegen.
+    * misranks (transposed words, shared prefixes). Scoring itself is
+    * the native [[graft.plans.JaroWinkler]] kernel inside whole-stage
+    * codegen.
     *
-    * For block-free corpora the sound candidate generators are
-    * signature schemes (positional q-grams with count filtering); the
-    * length bound alone is implication-complete but quadratic — this
-    * operator requires the block for exactly that reason. */
+    * Two-level structure, because jw is a pure function of the VALUE
+    * pair, not the row pair: (1) score each block's DISTINCT name pairs
+    * — work bounded by per-block vocabulary², which real catalogs keep
+    * orders below row² (this fixture: 64 distinct names across 20k
+    * rows — scoring row pairs directly was measured 11× slower at
+    * sf0.1, 10.1 vs 0.9 s, purely on the 8M-row pair-stream volume);
+    * (2) expand qualifying name pairs
+    * back to id pairs with two hash joins, work ∝ output. Blocks are
+    * entity-scoped (the [[goldenRecords]] closure-collapse guard), so
+    * per-block vocabulary stays bounded as the corpus grows by adding
+    * blocks; an all-unique-names corpus degrades exactly to the row-pair
+    * join plus one distinct.
+    *
+    * Before any O(l²) matching, two codegen'd integer implications
+    * prune name pairs that cannot reach θ: (a) the LENGTH bound —
+    * jw ≥ θ forces jaro ≥ (θ−0.4)/0.6 (boost adds ≤ 0.4·(1−j)) and
+    * jaro ≤ (2 + lmin/lmax)/3 (m ≤ lmin), so lmin/lmax ≥ 5θ−4, at
+    * θ = 0.9 exactly 2·lmin ≥ lmax; (b) the MATCH-COUNT bound on
+    * per-name char histograms ([[graft.plans.JwHistCandidate]]) — Jaro
+    * matches pair chars injectively, so m ≤ Σ min(histA, histB)
+    * (passes 5.4% of this fixture's name pairs). Both are implications:
+    * they change cost, never results. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, thresholdMicro: Long = JwThresholdMicro): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(nameCol).as("name"),
-      col(blockCol).as("blk"), length(col(nameCol)).cast("long").as("len"))
+      col(blockCol).as("blk"))
+    // level 1: distinct (block, name), histogram computed once per NAME
+    val names = t.select(col("blk"), col("name")).distinct()
+      .select(col("blk"), col("name"),
+        length(col("name")).cast("long").as("len"),
+        graft.plans.JaroWinkler.jwHist(col("name")).as("h"))
     // 5θ−4 in micro-units; positive for any useful θ (> 0.8)
     val ratioMicro = 5L * thresholdMicro - 4000000L
     require(ratioMicro > 0, s"threshold too low for the length bound: $thresholdMicro")
-    t.as("a").join(t.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id")
+    // unordered name pairs INCLUDING the diagonal (equal names pair ids
+    // within a group; jw = 1 ≥ θ always, but keep it uniform)
+    val scored = names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") <= col("b.name")
           && least(col("a.len"), col("b.len")) * 1000000L
-             >= greatest(col("a.len"), col("b.len")) * ratioMicro)
+             >= greatest(col("a.len"), col("b.len")) * ratioMicro
+          && graft.plans.JaroWinkler.jwHistCandidate(
+               col("a.h"), col("b.h"), thresholdMicro))
       .withColumn("jw_micro",
         floor(graft.plans.JaroWinkler.jaroWinkler(
           col("a.name"), col("b.name")) * 1000000d).cast("long"))
       .filter(col("jw_micro") >= thresholdMicro)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"),
+      .select(col("a.blk").as("blk"), col("a.name").as("na"),
+        col("b.name").as("nb"), col("jw_micro"))
+    // level 2: expand to id pairs — each unordered id pair materializes
+    // exactly once (cross-name pairs once per (na < nb); same-name via
+    // ia < ib), then orient by id
+    val ta = t.select(col("blk"), col("name").as("na"), col("id").as("ia"))
+    val tb = t.select(col("blk"), col("name").as("nb"), col("id").as("ib"))
+    scored.join(ta, Seq("blk", "na")).join(tb, Seq("blk", "nb"))
+      .filter(col("na") =!= col("nb") || col("ia") < col("ib"))
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        when(col("ia") < col("ib"), col("na")).otherwise(col("nb")).as("name_a"),
+        when(col("ia") < col("ib"), col("nb")).otherwise(col("na")).as("name_b"),
         col("jw_micro"))
   }
 

@@ -46,12 +46,8 @@ object Skyline {
       .select(col(keyCol), col(costCol).as("cost"),
         col(gainCol).cast("long").as("gain"))
       .filter(col("cost").isNotNull && col("gain").isNotNull)
-    val levels = p.groupBy(col("cost")).agg(max(col("gain")).as("best_gain"))
-      .repartitionByRange(nPartitions, col("cost"))
-      .withColumn("_pid", spark_partition_id())
+    val levels = costLevels(p, nPartitions)
     val frontierLevels = Dedup.withCached(levels) { lv =>
-      val spark = pts.sparkSession
-      import spark.implicits._
       // control plane: nPartitions (pid, max) rows, nothing data-sized
       val maxima = lv.groupBy(col("_pid")).agg(max(col("best_gain")).as("m"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -62,18 +58,9 @@ object Skyline {
         maxima.scanLeft((0, Option.empty[Long])) {
           case ((_, acc), (pid, m)) => (pid, Some(acc.fold(m)(math.max(_, m))))
         }.init.zip(maxima).map { case ((_, pre), (pid, _)) => (pid, pre) }.toSeq
-      val w = Window.partitionBy(col("_pid")).orderBy(col("cost"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // greatest() skips nulls: first partition has no offset, first row
-      // per partition has no running max — null prefix = "nothing to beat"
-      lv.join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
-        .withColumn("_pref",
-          greatest(max(col("best_gain")).over(w), col("_off")))
-        .filter(col("_pref").isNull || col("best_gain") > col("_pref"))
-        .select(col("cost"), col("best_gain"))
-        // frontier levels are the output scale (≤ levels, typically ≪) —
-        // materialize so the join below doesn't recompute the fixpoint
-        .localCheckpoint(true)
+      // frontier levels are the output scale (≤ levels, typically ≪) —
+      // materialize so the join below doesn't recompute the fixpoint
+      frontierOfLevels(lv, offsets).localCheckpoint(true)
     }
     // the level keys share attribute ids with p (groupBy preserves them
     // through the checkpoint) — qualify via aliases, the self-join idiom
@@ -81,6 +68,33 @@ object Skyline {
         col("pp.cost") === col("fl.cost") &&
           col("pp.gain") === col("fl.best_gain"))
       .select(col(s"pp.$keyCol"), col("pp.cost"), col("pp.gain"))
+  }
+
+  /** One row per distinct cost with the level's best gain, range-spread
+    * over `nPartitions` and stamped with the partition id the prefix
+    * machinery keys on. */
+  private[graft] def costLevels(p: DataFrame, nPartitions: Int): DataFrame =
+    p.groupBy(col("cost")).agg(max(col("gain")).as("best_gain"))
+      .repartitionByRange(nPartitions, col("cost"))
+      .withColumn("_pid", spark_partition_id())
+
+  /** The per-partition finish: broadcast offsets + a window PARTITIONED
+    * BY _pid (factored pre-checkpoint so the plan spec can pin that the
+    * running max never collapses to a single-partition window — the
+    * silent way this operator would stop scaling). greatest() skips
+    * nulls: first partition has no offset, first row per partition has
+    * no running max — null prefix = "nothing to beat". */
+  private[graft] def frontierOfLevels(lv: DataFrame,
+      offsets: Seq[(Int, Option[Long])]): DataFrame = {
+    val spark = lv.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("_pid")).orderBy(col("cost"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lv.join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
+      .withColumn("_pref",
+        greatest(max(col("best_gain")).over(w), col("_off")))
+      .filter(col("_pref").isNull || col("best_gain") > col("_pref"))
+      .select(col("cost"), col("best_gain"))
   }
 
   /** Attach the count of rows each frontier point strictly dominates —

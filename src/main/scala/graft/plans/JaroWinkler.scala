@@ -60,6 +60,82 @@ object JaroWinkler {
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaroWinkler(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jwHist(s: Column): Column =
+    ColumnBridge.column(JwHist(ColumnBridge.expression(s)))
+
+  def jwHistCandidate(ha: Column, hb: Column, thetaMicro: Long): Column =
+    ColumnBridge.column(JwHistCandidate(
+      ColumnBridge.expression(ha), ColumnBridge.expression(hb), thetaMicro))
+}
+
+/** Per-ROW char histogram for the Jaro match-count bound — computed
+  * once per row (map-side), consumed per PAIR by [[JwHistCandidate]] in
+  * O(alphabet) with zero allocation, where the full matcher is O(l²)
+  * with two mark arrays. Layout: 2 length bytes (big-endian, true
+  * UTF-16 length) + 128 count bytes; code units ≥ 128 fold into bucket
+  * 127 (folding distinct chars together only RAISES the overlap bound,
+  * so the filter stays an implication). */
+case class JwHist(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    JaroWinklerKernel.hist(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.JaroWinklerKernel.hist($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): JwHist =
+    copy(child = newChild)
+}
+
+/** TRUE iff the pair CAN reach jw ≥ thetaMicro/10⁶ under the exact
+  * match-count implication: Jaro matches are an injective char pairing,
+  * so m ≤ Σ_c min(histA(c), histB(c)), and jw ≥ θ forces
+  * jaro ≥ (θ−0.4)/0.6, i.e. m·(l1+l2)·600000 ≥ l1·l2·(3θµ−1800000) —
+  * all integer, no false negatives. Pairs that fail are dropped BEFORE
+  * the O(l²) matcher runs; survivors still get the exact score. */
+case class JwHistCandidate(left: Expression, right: Expression,
+    thetaMicro: Long) extends BinaryExpression {
+
+  require(thetaMicro > 600000L,
+    s"histogram bound needs θ > 0.6 (got $thetaMicro µ)")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"inputs must be binary jw histograms, got " +
+        s"${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerKernel.histCandidate(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], thetaMicro)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.JaroWinklerKernel.histCandidate(" +
+        s"$a, $b, ${thetaMicro}L);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JwHistCandidate =
+    copy(left = newLeft, right = newRight)
 }
 
 /** The matcher itself — a standalone object (no companion class) so
@@ -72,6 +148,51 @@ object JaroWinklerKernel {
   val BoostThreshold = 0.7
   val MaxPrefix = 4
   val PrefixScale = 0.1
+
+  /** Histogram buckets (ASCII; higher code units fold into the last). */
+  val HistBuckets = 128
+
+  /** [len_hi, len_lo, counts(128)] — counts clamped at 255, which is
+    * exact whenever the string itself is ≤ 255 units (longer strings
+    * make [[histCandidate]] pass through rather than risk undercounting
+    * the overlap bound). */
+  def hist(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    val n = math.min(str.length, 65535)
+    val out = new Array[Byte](2 + HistBuckets)
+    out(0) = ((n >> 8) & 0xff).toByte
+    out(1) = (n & 0xff).toByte
+    var i = 0
+    while (i < n) {
+      val b = 2 + math.min(str.charAt(i).toInt, HistBuckets - 1)
+      if ((out(b) & 0xff) < 255) out(b) = ((out(b) & 0xff) + 1).toByte
+      i += 1
+    }
+    out
+  }
+
+  def histCandidate(ha: Array[Byte], hb: Array[Byte],
+      thetaMicro: Long): Boolean = {
+    val l1 = ((ha(0) & 0xff) << 8) | (ha(1) & 0xff)
+    val l2 = ((hb(0) & 0xff) << 8) | (hb(1) & 0xff)
+    // equal empties score jw = 1 — keep them for the exact kernel; a
+    // single empty side scores 0 and can never reach θ
+    if (l1 == 0 && l2 == 0) return true
+    if (l1 == 0 || l2 == 0) return false
+    // counts clamp at 255: only exact when no char repeats past 255,
+    // guaranteed for strings ≤ 255 units — otherwise pass through
+    if (l1 > 255 || l2 > 255) return true
+    var overlap = 0L
+    var c = 2
+    val end = 2 + HistBuckets
+    while (c < end) {
+      overlap += math.min(ha(c) & 0xff, hb(c) & 0xff)
+      c += 1
+    }
+    // m(1/l1 + 1/l2 + ...)/3 bound cross-multiplied into integers:
+    // jw ≥ θ ⇒ jaro ≥ (θ−0.4)/0.6 ⇒ (m/l1 + m/l2 + 1)/3 ≥ (θµ−4e5)/6e5
+    overlap * (l1 + l2) * 600000L >= l1.toLong * l2 * (3L * thetaMicro - 1800000L)
+  }
 
   def compute(ua: UTF8String, ub: UTF8String): Double = {
     val s1 = ua.toString

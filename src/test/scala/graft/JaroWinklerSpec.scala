@@ -63,6 +63,28 @@ class JaroWinklerSpec extends SparkSpecBase {
     assert(got.nonEmpty, "fixture should contain at least one name variant")
   }
 
+  test("histogram candidate bound is an implication on every fixture pair") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    import graft.plans.JaroWinklerKernel.{hist, histCandidate}
+    val names = Tables.part(spark, sf).select(col("p_name"))
+      .collect().map(_.getString(0)).distinct
+    val hs = names.map(n => n -> hist(u8(n))).toMap
+    var qualifying = 0
+    for (a <- names; b <- names if a < b) {
+      val m = math.floor(jw(a, b) * 1000000d).toLong
+      if (m >= Entity.JwThresholdMicro) {
+        qualifying += 1
+        assert(histCandidate(hs(a), hs(b), Entity.JwThresholdMicro),
+          s"bound dropped a qualifying pair: '$a' / '$b' ($m)")
+      }
+    }
+    assert(qualifying > 0)
+    // the corners the kernel short-circuits
+    assert(histCandidate(hist(u8("")), hist(u8("")), 900000L))
+    assert(!histCandidate(hist(u8("abc")), hist(u8("")), 900000L))
+    assert(!histCandidate(hist(u8("abcdef")), hist(u8("xyzuvw")), 900000L))
+  }
+
   test("SQL surface: jaro_winkler registered via GraftExtensions") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(

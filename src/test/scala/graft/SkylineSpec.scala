@@ -54,6 +54,17 @@ class SkylineSpec extends SparkSpecBase {
     assert(got(10L) == 0L)
   }
 
+  test("level window stays partition-local — never a global sort") {
+    val p = pts.select(col("k"), col("cost"), col("gain"))
+    val lv = Skyline.costLevels(p, 3)
+    val plan = Skyline.frontierOfLevels(lv, Seq((0, None), (1, Some(5L)),
+        (2, Some(9L))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"level window collapsed to a single partition:\n$plan")
+  }
+
   test("fixture frontier is exactly the brute-force set with counts") {
     val raw = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_retailprice"),
