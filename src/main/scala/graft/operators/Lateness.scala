@@ -17,31 +17,55 @@ import graft.Tables
   *
   * Exactness: lateness is an integer second difference against a
   * running max over a pinned ordering; buckets are CASE ranges; shares
-  * are ⌊·1000⌋. One global-ordered window — at 100 TB the running max
-  * swaps onto [[Scale.globalRank]]'s per-partition offset pattern (max
-  * per arrival range, broadcast prefix maxima), same as every other
-  * global running aggregate in the repo. */
+  * are ⌊·1000⌋.
+  *
+  * The running max is DISTRIBUTED (was the repo's last global
+  * single-task window until r14): range-partition by arrival order,
+  * collect only per-partition maxima (control plane), broadcast their
+  * strict prefix, and take the greatest of the partition-LOCAL running
+  * max and the broadcast offset — [[Scale.globalRank]]'s offset pattern
+  * pointed at a running extreme (the [[Skyline]] machinery). The hwm
+  * per row is identical for any partition count because offsets come
+  * from actual partition maxima over the same total order. */
 object Lateness {
 
-  def latenessProfile(events: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = events
+  def latenessProfile(events: DataFrame, nPartitions: Int = 32): DataFrame = {
+    val slim = events
       .select(col("event_id"), col("ts").cast("long").as("tsec"))
-      .withColumn("hwm", max(col("tsec")).over(w))
-      .withColumn("late_s", col("hwm") - col("tsec"))
-      .withColumn("bucket",
-        when(col("late_s") === 0, "a_on_time")
-          .when(col("late_s") <= 60, "b_1min")
-          .when(col("late_s") <= 3600, "c_1hour")
-          .when(col("late_s") <= 7200, "d_2hours")
-          .otherwise("e_later"))
-    val total = late.agg(count(lit(1)).as("nn"))
-    late.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
-      .crossJoin(broadcast(total))
-      .withColumn("share_milli", expr("(n * 1000) div nn"))
-      .select(col("bucket"), col("n"), col("max_late_s"), col("share_milli"))
+      .repartitionByRange(nPartitions, col("event_id"))
+      .withColumn("_pid", spark_partition_id())
+    Dedup.withCached(slim) { s =>
+      val spark = events.sparkSession
+      import spark.implicits._
+      val maxima = s.groupBy(col("_pid")).agg(max(col("tsec")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // strict prefix: the high-water mark carried in from every
+      // earlier arrival range (None for the first)
+      val offsets: Seq[(Int, Option[Long])] =
+        maxima.scanLeft((0, Option.empty[Long])) {
+          case ((_, acc), (pid, m)) => (pid, Some(acc.fold(m)(math.max(_, m))))
+        }.init.zip(maxima).map { case ((_, pre), (pid, _)) => (pid, pre) }.toSeq
+      val w = Window.partitionBy(col("_pid")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = s
+        .join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
+        // greatest() skips the null first-partition offset; the local
+        // window is inclusive, so hwm is never null
+        .withColumn("hwm", greatest(max(col("tsec")).over(w), col("_off")))
+        .withColumn("late_s", col("hwm") - col("tsec"))
+        .withColumn("bucket",
+          when(col("late_s") === 0, "a_on_time")
+            .when(col("late_s") <= 60, "b_1min")
+            .when(col("late_s") <= 3600, "c_1hour")
+            .when(col("late_s") <= 7200, "d_2hours")
+            .otherwise("e_later"))
+      val total = late.agg(count(lit(1)).as("nn"))
+      late.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
+        .crossJoin(broadcast(total))
+        .withColumn("share_milli", expr("(n * 1000) div nn"))
+        .select(col("bucket"), col("n"), col("max_late_s"), col("share_milli"))
+    }
   }
 
   def qLatenessProfile(spark: SparkSession, dir: String): DataFrame =

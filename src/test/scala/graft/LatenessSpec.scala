@@ -29,6 +29,38 @@ class LatenessSpec extends SparkSpecBase {
     assert(!out.contains("d_2hours"))
   }
 
+  test("distributed hwm is partition-count invariant and never global") {
+    // stragglers deliberately straddle range-partition boundaries so the
+    // broadcast prefix maxima — not window locality — must supply the hwm
+    val events = (1L to 200L).map { i =>
+      val base = ts("2024-06-01 10:00:00").getTime
+      // event time mostly advances with arrival, but every 17th event is
+      // an hour-old straggler
+      val t = if (i % 17 == 0) base + (i - 60) * 60000L else base + i * 60000L
+      (i, new Timestamp(t))
+    }.toDF("event_id", "ts")
+    val ref = Lateness.latenessProfile(events, nPartitions = 1)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    for (n <- Seq(3, 32)) {
+      val got = Lateness.latenessProfile(events, nPartitions = n)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(got == ref, s"nPartitions=$n diverged")
+    }
+    // and the plan never moves all rows to one window task (the
+    // lineage escape hatch keeps withCached from checkpointing the
+    // result, which would hide the window from executedPlan)
+    System.setProperty("graft.explain.lineage", "true")
+    try {
+      val plan = Lateness.latenessProfile(events, nPartitions = 3)
+        .queryExecution.executedPlan.toString
+      // the hwm window itself must be keyed on _pid (the ungrouped
+      // TOTAL count legitimately funnels map-side partials to one row —
+      // that SinglePartition exchange carries ≤1 row per partition)
+      assert(plan.contains("windowspecdefinition(_pid"),
+        s"hwm window is not partition-local:\n$plan")
+    } finally System.clearProperty("graft.explain.lineage")
+  }
+
   test("fixture feed is event-time ordered: everything on time (measured)") {
     val out = Lateness.qLatenessProfile(spark, sf).collect()
     assert(out.length == 1 && out.head.getString(0) == "a_on_time",
