@@ -399,6 +399,8 @@ object SparkEntry {
     "graph_hits" -> ((s, d) => Graph.qHits(s, d)),
     // HITS from the settled directed-edge layout, scores broadcast
     "graph_hits_serving" -> ((s, d) => Graph.qHitsServing(s, d)),
+    // seed-restart PageRank on the bucketed layout (exchange-free)
+    "graph_ppr_serving" -> ((s, d) => Graph.qPprServing(s, d)),
     // distance-2 FastSS reconciliation pairs (nation-blocked)
     "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
     // the same pair set served from the persisted FastSS-2 signature
@@ -710,6 +712,7 @@ object SparkEntry {
     "dedup_canonical" -> Dedup.oDedupCanonical,
     "graph_hits" -> Graph.oHits,
     "graph_hits_serving" -> Graph.oHits,
+    "graph_ppr_serving" -> Graph.oPprServing,
     // build-path gate is a bounded nation slice (r13 item 4); the
     // serving gate keeps the FULL pair set against the full twin
     "entity_edit2_pairs" -> Entity.oCustomerEdit2PairsGate,

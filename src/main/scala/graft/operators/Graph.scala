@@ -484,6 +484,89 @@ object Graph {
     presentTop(pageRankBucketed(spark.table("b3_graph_edges")))
   }
 
+  // ------------------------------------------- personalized PageRank
+
+  /** Personalized PageRank: the damped blend teleports to a SEED set
+    * instead of the uniform vector — "centrality as seen from these
+    * nodes", the primitive behind seed-expansion (grow a trusted-domain
+    * list), local community scoring, and contamination-neighborhood
+    * ranking. Arithmetic is [[pageRank]]'s integer fixed point with
+    * init_fp = Scale/|seeds| on seeds and 0 elsewhere — the SAME
+    * iteration body ([[iterateBucketed]]) because classic PageRank IS
+    * the uniform-restart special case (spec-pinned bit-equal when every
+    * node seeds). Iterations inherit the bucketed layout's
+    * exchange-free plan; seeds must exist in the graph (semi-join, the
+    * BFS-sources rule). */
+  def personalizedPageRankBucketed(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = Iterations,
+      broadcastShare: Option[Boolean] = None): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val seedNodes = seeds.select(col("node")).distinct()
+      .join(deg.select(col("node")), Seq("node"), "left_semi")
+    // two control-plane scalars (node count drives the broadcast dial,
+    // seed count the restart mass) — same budget as pageRank's count
+    val nNodes = deg.count()
+    val nSeeds = seedNodes.count()
+    if (nNodes == 0L || nSeeds == 0L)
+      return deg.select(col("node"), col("outdeg"), lit(0L).as("rank_fp"))
+    val useBroadcast = broadcastShare.getOrElse(nNodes <= BroadcastNodeCap)
+    var ranks = deg
+      .join(broadcast(seedNodes.withColumn("_s", lit(1))), Seq("node"), "left")
+      .withColumn("init_fp",
+        when(col("_s").isNotNull, lit(Scale / nSeeds)).otherwise(lit(0L)))
+      .select(col("node"), col("outdeg"), col("init_fp"),
+        col("init_fp").as("rank_fp"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations)
+      ranks = iterateBucketed(edges, ranks, useBroadcast)
+        .localCheckpoint(true)
+    ranks.select(col("node"), col("outdeg"), col("rank_fp"))
+  }
+
+  /** Seeds: one nation's suppliers (the BFS source set) — "purchase
+    * centrality as seen from nation 0's supplier base". */
+  def qPprServing(spark: SparkSession, dir: String): DataFrame = {
+    bucketedEdgesFor(spark, dir)
+    val seeds = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === BfsSourceNation)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    presentTop(personalizedPageRankBucketed(
+      spark.table("b3_graph_edges"), seeds))
+  }
+
+  /** Twin: oPageRank's unrolled CTE chain with the restart vector
+    * seeded on nation-0 suppliers present in the graph. */
+  def oPprServing: String = {
+    val iters = (1 to Iterations)
+      .map(i => iterSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |seeds AS (
+       |  SELECT s_suppkey * 2 + 1 AS node FROM supplier
+       |  WHERE s_nationkey = $BfsSourceNation
+       |    AND s_suppkey * 2 + 1 IN (SELECT node FROM deg)),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |r0 AS (
+       |  SELECT d.node, d.outdeg,
+       |    CASE WHEN s.node IS NOT NULL THEN $Scale // ns.n ELSE 0 END AS init_fp,
+       |    CASE WHEN s.node IS NOT NULL THEN $Scale // ns.n ELSE 0 END AS rank_fp
+       |  FROM deg d LEFT JOIN seeds s USING (node) CROSS JOIN ns),
+       |$iters
+       |SELECT node AS node_id,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  CASE WHEN node % 2 = 0 THEN node // 2 ELSE (node - 1) // 2 END AS entity_key,
+       |  outdeg, rank_fp
+       |FROM r$Iterations
+       |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+  }
+
   // --------------------------------------------------- HITS (bipartite)
 
   /** Fixed-point scale for HITS scores: 1.0 of mass = 10^6. Smaller

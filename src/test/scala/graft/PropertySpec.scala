@@ -203,6 +203,60 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  private val wordGen = Gen.oneOf("small", "large", "ring", "table", "sky",
+    "blue", "mint", "rose", "drab", "lace", "box", "chair")
+  private val nameGen = for {
+    k <- Gen.choose(1, 5)
+    ws <- Gen.listOfN(k, wordGen)
+  } yield ws.mkString(" ")
+
+  test("jaro-winkler kernel: symmetry, range, identity, hist implication (property)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    import graft.plans.JaroWinklerKernel._
+    val pairGen = for { a <- nameGen; b <- nameGen } yield (a, b)
+    forAll(pairGen, n = 300) { case (a, b) =>
+      val s = compute(u8(a), u8(b))
+      assert(s == compute(u8(b), u8(a)), s"asymmetric on '$a'/'$b'")
+      assert(s >= 0.0 && s <= 1.0, s"out of range on '$a'/'$b': $s")
+      assert(compute(u8(a), u8(a)) == 1.0)
+      // the histogram candidate bound is an implication at EVERY legal
+      // threshold, not just the query's 0.9
+      val micro = math.floor(s * 1000000d).toLong
+      Seq(650000L, 800000L, 900000L, 990000L).foreach { th =>
+        if (micro >= th)
+          assert(histCandidate(hist(u8(a)), hist(u8(b)), th),
+            s"bound dropped '$a'/'$b' (score $micro) at θ=$th")
+      }
+    }
+  }
+
+  test("skyline equals brute-force dominance on generated point sets (property)") {
+    val ptGen = for {
+      k <- Gen.choose(0L, 999999L)
+      cost <- Gen.choose(1, 40).map(_.toDouble)
+      gain <- Gen.choose(1L, 30L)
+    } yield (k, cost, gain)
+    val setGen = for {
+      pts <- Gen.listOfN(40, ptGen)
+      nPart <- Gen.choose(1, 9)
+    } yield (pts, nPart)
+    forAll(setGen, n = 8) { case (pts, nPart) =>
+      // duplicate keys collapse (keys must be unique rows)
+      val uniq = pts.groupBy(_._1).map(_._2.head).toSeq
+      whenever(uniq.nonEmpty) {
+        val df = uniq.toDF("k", "cost", "gain")
+        val got = graft.operators.Skyline
+          .frontier2d(df, "k", "cost", "gain", nPartitions = nPart)
+          .select("k").collect().map(_.getLong(0)).toSet
+        val want = uniq.filter { case (_, c, g) =>
+          !uniq.exists { case (_, qc, qg) =>
+            qc <= c && qg >= g && (qc < c || qg > g) }
+        }.map(_._1).toSet
+        assert(got == want, s"nPart=$nPart pts=$uniq")
+      }
+    }
+  }
+
   test("corpus split is total and exclusive: one split per doc, buckets in [0,100)") {
     val docs = Tables.documents(spark, sf)
     val split = graft.operators.TextAnalysis.withSplit(docs)
