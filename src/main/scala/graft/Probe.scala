@@ -58,6 +58,18 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("frontier")) {
+      frontierScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 8, 64); case ms => ms
+      })
+      return
+    }
+    if (args.headOption.contains("jw")) {
+      jwScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 4, 16); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -948,6 +960,79 @@ object Probe {
     val out = WeatherSilver.hourlyAgg(WeatherSilver.enrich(WeatherSilver.clean(bronze)))
     out.show(5, truncate = false)
     println("WEATHER_ROWS=" + out.count())
+    spark.stop()
+  }
+
+  /** Skyline tiers: rows AND cost levels scale with mult (prices get a
+    * per-replica epsilon, so the level table grows too — the prefix
+    * machinery's actual operand). Pins the claim that the frontier is
+    * one hash agg + one range shuffle of LEVELS + partition-local
+    * windows: fitted exponent ~1 in rows. */
+  def frontierScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.part(spark, "/root/testdata/sf0.1")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    mults.foreach { mult =>
+      val pts = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("p_partkey") * mult + col("rep")).as("p_partkey"),
+          (col("p_retailprice") + col("rep") * 0.001).as("p_retailprice"),
+          col("p_size"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = pts.count()
+      val t0 = System.nanoTime()
+      val f = graft.operators.Skyline
+        .frontier2d(pts, "p_partkey", "p_retailprice", "p_size").count()
+      println(f"[frontier] $n%d rows (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, frontier=$f%d")
+      pts.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** Jaro-Winkler tiers along BOTH cost axes of the two-level design:
+    * vocab tier (names get per-replica suffixes -> distinct-name count
+    * scales, scoring work ~ vocab^2 per block) and row tier (same 64
+    * names, rows scale -> scoring constant, expansion ~ output). */
+  def jwScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Entity
+    val base = Tables.part(spark, "/root/testdata/sf0.1")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    mults.foreach { mult =>
+      // vocab axis: distinct names x mult, rows x mult
+      val vocab = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("p_partkey") * mult + col("rep")).as("p_partkey"),
+          concat(col("p_name"), lit(" r"), col("rep")).as("p_name"),
+          col("p_brand"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nv = vocab.count()
+      var t0 = System.nanoTime()
+      val pv = Entity.jaroWinklerPairs(vocab, "p_partkey", "p_name", "p_brand")
+        .count()
+      println(f"[jw] vocab axis: $nv%d rows, ~${64 * mult}%d names (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, pairs=$pv%d")
+      vocab.unpersist()
+      // row axis: same names, rows x mult (output-dominated)
+      val rows = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("p_partkey") * mult + col("rep")).as("p_partkey"),
+          col("p_name"), col("p_brand"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nr = rows.count()
+      t0 = System.nanoTime()
+      val pr = Entity.jaroWinklerPairs(rows, "p_partkey", "p_name", "p_brand")
+        .count()
+      println(f"[jw] row axis:   $nr%d rows, 64 names (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, pairs=$pr%d")
+      rows.unpersist()
+    }
     spark.stop()
   }
 }

@@ -37,18 +37,24 @@ object Lateness {
     Dedup.withCached(slim) { s =>
       val spark = events.sparkSession
       import spark.implicits._
-      val maxima = s.groupBy(col("_pid")).agg(max(col("tsec")).as("m"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // ONE control-plane pass carries both per-partition maxima (the
+      // prefix offsets) and per-partition counts (the grand total the
+      // share denominator needs) — the old form paid a whole extra
+      // cached pass + a 1-row crossJoin just to count
+      val stats = s.groupBy(col("_pid"))
+        .agg(max(col("tsec")).as("m"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val nn = stats.map(_._3).sum
       // strict prefix: the high-water mark carried in from every
       // earlier arrival range (None for the first)
       val offsets: Seq[(Int, Option[Long])] =
-        maxima.scanLeft((0, Option.empty[Long])) {
-          case ((_, acc), (pid, m)) => (pid, Some(acc.fold(m)(math.max(_, m))))
-        }.init.zip(maxima).map { case ((_, pre), (pid, _)) => (pid, pre) }.toSeq
+        stats.scanLeft((0, Option.empty[Long])) {
+          case ((_, acc), (pid, m, _)) => (pid, Some(acc.fold(m)(math.max(_, m))))
+        }.init.zip(stats).map { case ((_, pre), (pid, _, _)) => (pid, pre) }.toSeq
       val w = Window.partitionBy(col("_pid")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val late = s
-        .join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
+      s.join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
         // greatest() skips the null first-partition offset; the local
         // window is inclusive, so hwm is never null
         .withColumn("hwm", greatest(max(col("tsec")).over(w), col("_off")))
@@ -59,11 +65,9 @@ object Lateness {
             .when(col("late_s") <= 3600, "c_1hour")
             .when(col("late_s") <= 7200, "d_2hours")
             .otherwise("e_later"))
-      val total = late.agg(count(lit(1)).as("nn"))
-      late.groupBy(col("bucket"))
+        .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
-        .crossJoin(broadcast(total))
-        .withColumn("share_milli", expr("(n * 1000) div nn"))
+        .withColumn("share_milli", expr(s"(n * 1000) div ${nn}L"))
         .select(col("bucket"), col("n"), col("max_late_s"), col("share_milli"))
     }
   }
