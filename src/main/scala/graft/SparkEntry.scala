@@ -622,13 +622,13 @@ object SparkEntry {
     "conversion_latency" -> Temporal.oConversionLatency,
     "text_html_extract" -> WebText.oHtmlExtract,
     "curation_domain_reputation" -> WebText.oDomainReputation,
-    "graph_pagerank" -> Graph.oPageRank,
+    "graph_pagerank" -> Graph.oPageRankGate,
     "text_hashed_tfidf" -> Features.oHashedTfIdf,
     "join_full_outer_recon" -> Joins.oDailyReconciliation,
     "entity_golden_record" -> Entity.oGoldenRecords,
-    "graph_triangles" -> Graph.oTriangles,
+    "graph_triangles" -> Graph.oTrianglesGate,
     "plan_join_cardinality" -> Planning.oJoinCardinality,
-    "graph_bfs_reach" -> Graph.oBfsReach,
+    "graph_bfs_reach" -> Graph.oBfsReachGate,
     // serving paths read persisted projections of the SAME edge sets —
     // the inline twins apply verbatim
     "graph_pagerank_serving" -> Graph.oPageRank,
@@ -710,7 +710,9 @@ object SparkEntry {
     "entity_jarowinkler" -> Entity.oPartJaroWinkler,
     "anomaly_ewma_daily" -> Ewma.oEwmaDaily,
     "dedup_canonical" -> Dedup.oDedupCanonical,
-    "graph_hits" -> Graph.oHits,
+    // inline build gates run a bounded order slice (r13-item-4 pattern);
+    // serving gates keep the FULL graph against the full twins
+    "graph_hits" -> Graph.oHitsGate,
     "graph_hits_serving" -> Graph.oHits,
     "graph_ppr_serving" -> Graph.oPprServing,
     // build-path gate is a bounded nation slice (r13 item 4); the

@@ -216,10 +216,30 @@ object Graph {
       .select(col("node").as("node_id"), col("node_type"), col("entity_key"),
         col("outdeg"), col("rank_fp"))
 
+  /** The benched inline gates run on a deterministic ORDER slice
+    * (o_orderkey ≡ 0 mod [[GateOrderMod]], 25% of orders): the serving
+    * gates already prove the FULL graph from the settled artifact, so
+    * the inline twins exist to re-prove edge-projection CONSTRUCTION +
+    * iteration — which a quarter-slice exercises end-to-end at a
+    * quarter of the suite cost (the `entity_edit2_pairs` bounding
+    * precedent, VERDICT r13 item 4). Each bounded gate has its own
+    * bounded DuckDB twin; `bounded = false` recovers the full inline
+    * query for the serving-equivalence specs. */
+  val GateOrderMod = 4
+
+  private def gateOrders(orders: DataFrame, bounded: Boolean): DataFrame =
+    if (bounded) orders.filter(col("o_orderkey") % GateOrderMod === 0)
+    else orders
+
+  private[graft] def gateWhere(bounded: Boolean): String =
+    if (bounded) s"WHERE o_orderkey % $GateOrderMod = 0" else ""
+
   /** Top-20 centrality table over the purchase graph. */
-  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+  def qPageRank(spark: SparkSession, dir: String,
+      bounded: Boolean = true): DataFrame =
     pageRankTop(purchaseEdges(
-      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+      gateOrders(Tables.orders(spark, dir), bounded),
+      Tables.lineitem(spark, dir)))
 
   /** Distinct customer–customer co-purchase edges (u < v): two
     * customers are linked when they bought the SAME part from the SAME
@@ -287,17 +307,23 @@ object Graph {
 
   /** Top-25 most triangle-embedded customers of the co-purchase graph —
     * the local-clustering signal (dense co-purchase neighborhoods). */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+  def qTriangles(spark: SparkSession, dir: String,
+      bounded: Boolean = true): DataFrame =
     trianglesTop(coPurchaseEdges(
-      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+      gateOrders(Tables.orders(spark, dir), bounded),
+      Tables.lineitem(spark, dir)))
 
   /** Twin: same graph, id-ordered triangle enumeration (a<b<c — the
     * count is orientation-independent), same role-union per-node
-    * aggregation. */
-  def oTriangles: String =
-    """WITH cp AS (
+    * aggregation. Full form gates the serving path; the bounded form
+    * gates the inline build path on the same order slice. */
+  def oTriangles: String = trianglesSql(gateWhere(false))
+  def oTrianglesGate: String = trianglesSql(gateWhere(true))
+
+  private def trianglesSql(where: String): String =
+    s"""WITH cp AS (
       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p, l_suppkey AS s
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey $where),
       |e AS (
       |  SELECT DISTINCT a.c AS u, b.c AS v
       |  FROM cp a JOIN cp b ON a.p = b.p AND a.s = b.s AND a.c < b.c),
@@ -368,18 +394,25 @@ object Graph {
       .orderBy(col("hop"))
   }
 
-  def qBfsReach(spark: SparkSession, dir: String): DataFrame =
+  def qBfsReach(spark: SparkSession, dir: String,
+      bounded: Boolean = true): DataFrame =
     bfsReachHistogram(
-      purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)),
+      purchaseEdges(gateOrders(Tables.orders(spark, dir), bounded),
+        Tables.lineitem(spark, dir)),
       Tables.supplier(spark, dir))
 
   /** Twin: bounded recursive expansion — UNION dedups (node, hop) pairs
     * so the recursion terminates at the depth bound; min hop per node,
-    * then the same histogram. */
-  def oBfsReach: String =
+    * then the same histogram. Full form gates the serving path; the
+    * bounded form gates the inline build path (sources semi-join to the
+    * sliced graph's nodes in both engines). */
+  def oBfsReach: String = bfsReachSql(gateWhere(false))
+  def oBfsReachGate: String = bfsReachSql(gateWhere(true))
+
+  private def bfsReachSql(where: String): String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey $where),
        |edges AS (
        |  SELECT cust AS src, supp AS dst FROM pairs
        |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
@@ -410,14 +443,18 @@ object Graph {
        |  USING (node))""".stripMargin
 
   /** Twin: identical integer recurrence, iterations unrolled as chained
-    * CTEs (`//` = the same floor division). */
-  def oPageRank: String = {
+    * CTEs (`//` = the same floor division). Full form gates the serving
+    * path; the bounded form gates the inline build path. */
+  def oPageRank: String = pageRankSql(gateWhere(false))
+  def oPageRankGate: String = pageRankSql(gateWhere(true))
+
+  private def pageRankSql(where: String): String = {
     val iters = (1 to Iterations)
       .map(i => iterSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
       .mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey $where),
        |edges AS (
        |  SELECT cust AS src, supp AS dst FROM pairs
        |  UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
@@ -659,9 +696,11 @@ object Graph {
       .orderBy(col("role"), col("rank"))
   }
 
-  def qHits(spark: SparkSession, dir: String): DataFrame =
+  def qHits(spark: SparkSession, dir: String,
+      bounded: Boolean = true): DataFrame =
     hitsTop(hits(purchaseEdgesDirected(
-      Tables.orders(spark, dir), Tables.lineitem(spark, dir))))
+      gateOrders(Tables.orders(spark, dir), bounded),
+      Tables.lineitem(spark, dir))))
 
   /** The directed purchase edges as their own settled artifact (a third
     * projection NEXT TO — not inside — the `graph_edges` artifact: a new
@@ -686,8 +725,12 @@ object Graph {
 
   /** Twin: the identical integer recurrence, iterations unrolled as
     * chained CTEs; each normalization is the same two floor divisions
-    * against a scalar total. */
-  def oHits: String = {
+    * against a scalar total. Full form gates the serving path; the
+    * bounded form gates the inline build path. */
+  def oHits: String = hitsSql(gateWhere(false))
+  def oHitsGate: String = hitsSql(gateWhere(true))
+
+  private def hitsSql(where: String): String = {
     def iter(i: Int): String = {
       val prevH = if (i == 1) "h0" else s"h${i - 1}"
       s"""a${i}r AS (
@@ -708,7 +751,7 @@ object Graph {
     val iters = (1 to HitsIterations).map(iter).mkString(",\n")
     s"""WITH edges AS (
        |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey $where),
        |h0 AS (
        |  SELECT DISTINCT src AS c, CAST($HitsScale AS BIGINT) AS score_fp
        |  FROM edges),

@@ -15,11 +15,11 @@ class GraphServingSpec extends SparkSpecBase {
 
   test("serving queries equal their inline twins row-for-row") {
     assert(rows(Graph.qPageRankServing(spark, sf)) ==
-      rows(Graph.qPageRank(spark, sf)), "pagerank")
+      rows(Graph.qPageRank(spark, sf, bounded = false)), "pagerank")
     assert(rows(Graph.qBfsReachServing(spark, sf)) ==
-      rows(Graph.qBfsReach(spark, sf)), "bfs reach")
+      rows(Graph.qBfsReach(spark, sf, bounded = false)), "bfs reach")
     assert(rows(Graph.qTrianglesServing(spark, sf)) ==
-      rows(Graph.qTriangles(spark, sf)), "triangles")
+      rows(Graph.qTriangles(spark, sf, bounded = false)), "triangles")
   }
 
   test("bucketed pagerank equals the classic in BOTH share modes, bit-for-bit") {

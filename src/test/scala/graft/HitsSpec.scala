@@ -95,7 +95,10 @@ class HitsSpec extends SparkSpecBase {
   }
 
   test("serving path (settled layout + broadcast scores) is bit-equal") {
-    val inline = Graph.qHits(spark, sf).collect().map(_.toSeq).toSeq
+    // the gated inline query runs a bounded order slice; the serving
+    // path proves the FULL graph, so compare against the unbounded form
+    val inline = Graph.qHits(spark, sf, bounded = false)
+      .collect().map(_.toSeq).toSeq
     val serving = Graph.qHitsServing(spark, sf).collect().map(_.toSeq).toSeq
     assert(inline == serving)
   }
