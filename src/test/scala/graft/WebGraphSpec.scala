@@ -251,12 +251,22 @@ class WebGraphSpec extends SparkSpecBase {
   }
 
   test("bfs reach histogram partitions the node universe") {
+    // the gated query runs the bounded order slice (r14) — the
+    // histogram must partition THAT graph's node universe exactly
     val out = Graph.qBfsReach(spark, sf).cache()
     val edges = Graph.purchaseEdges(
-      Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+      Tables.orders(spark, sf)
+        .filter($"o_orderkey" % Graph.GateOrderMod === 0),
+      Tables.lineitem(spark, sf))
     val nNodes = edges.select($"src").distinct().count()
     assert(out.agg(sum($"n_nodes")).head().getLong(0) == nNodes)
     assert(out.filter($"hop" < -1 || $"hop" > Graph.BfsMaxHops).count() == 0)
+    // and the full form still partitions the full universe
+    val full = Graph.qBfsReach(spark, sf, bounded = false)
+    val fullNodes = Graph.purchaseEdges(
+        Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+      .select($"src").distinct().count()
+    assert(full.agg(sum($"n_nodes")).head().getLong(0) == fullNodes)
   }
 
   test("int8 code covariance: planted two-vector fixture has hand-checked moments") {
