@@ -401,6 +401,8 @@ object SparkEntry {
     "graph_hits_serving" -> ((s, d) => Graph.qHitsServing(s, d)),
     // seed-restart PageRank on the bucketed layout (exchange-free)
     "graph_ppr_serving" -> ((s, d) => Graph.qPprServing(s, d)),
+    // exact integer two-sample KS distance (distribution drift test)
+    "stats_ks_value" -> ((s, d) => Ks.qKsValueByType(s, d)),
     // distance-2 FastSS reconciliation pairs (nation-blocked)
     "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
     // the same pair set served from the persisted FastSS-2 signature
@@ -715,6 +717,7 @@ object SparkEntry {
     "graph_hits" -> Graph.oHitsGate,
     "graph_hits_serving" -> Graph.oHits,
     "graph_ppr_serving" -> Graph.oPprServing,
+    "stats_ks_value" -> Ks.oKsValueByType,
     // build-path gate is a bounded nation slice (r13 item 4); the
     // serving gate keeps the FULL pair set against the full twin
     "entity_edit2_pairs" -> Entity.oCustomerEdit2PairsGate,

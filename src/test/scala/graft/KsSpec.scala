@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ks
+
+/** Two-sample KS: exact rational distance, tie handling on shared
+  * levels, the squared integer rejection rule, and partition-count
+  * invariance of the distributed prefix. */
+class KsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ks(rows: Seq[(Double, Boolean)], nPart: Int = 4) =
+    Ks.ksDistance(rows.toDF("value", "is_a"), "value", col("is_a"),
+        nPartitions = nPart)
+      .collect().head
+
+  test("identical samples: D = 0, no rejection") {
+    val xs = (1 to 50).map(_.toDouble)
+    val r = ks(xs.map((_, true)) ++ xs.map((_, false)))
+    assert(r.getLong(0) == 50 && r.getLong(1) == 50)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getInt(4) == 0)
+  }
+
+  test("disjoint supports: D = 1, rejected") {
+    val r = ks((1 to 30).map(i => (i.toDouble, true)) ++
+      (100 to 129).map(i => (i.toDouble, false)))
+    assert(r.getLong(2) == 30L * 30L)
+    assert(r.getLong(3) == 1000000L)
+    assert(r.getInt(4) == 1)
+  }
+
+  test("hand-checked tied case: D computed at shared levels") {
+    // A = {1,1,2}, B = {1,3,3}: levels 1,2,3
+    // v=1: |2*3 - 1*3| = 3; v=2: |3*3 - 1*3| = 6; v=3: |9-9| = 0 → 6
+    val r = ks(Seq((1.0, true), (1.0, true), (2.0, true),
+      (1.0, false), (3.0, false), (3.0, false)))
+    assert(r.getLong(2) == 6L, s"got $r")
+    assert(r.getLong(3) == 666666L) // floor(6e6/9)
+  }
+
+  test("partition-count invariance on a generated mixture") {
+    val rows = (1 to 400).map { i =>
+      val v = ((i * 2654435761L) % 997L).toDouble / 10.0
+      (if (i % 3 == 0) v + 5.0 else v, i % 2 == 0)
+    }
+    val ref = ks(rows, nPart = 1).toSeq
+    for (n <- Seq(3, 16, 40)) assert(ks(rows, nPart = n).toSeq == ref,
+      s"nPartitions=$n diverged")
+  }
+
+  test("gated query: same-generator types stay under the 0.05 rejection") {
+    val r = Ks.qKsValueByType(spark, sf).collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getLong(2) >= 0)
+    // fixture click/purchase values share a generator — the test must
+    // NOT reject (if this trips, the generator changed shape)
+    assert(r.getInt(4) == 0)
+  }
+}
