@@ -468,12 +468,13 @@ object Entity {
     * blocks; an all-unique-names corpus degrades exactly to the row-pair
     * join plus one distinct.
     *
-    * Before any O(l²) matching, two codegen'd integer implications
-    * prune name pairs that cannot reach θ: (a) the LENGTH bound —
+    * Before any O(l²) matching, two integer implications prune name
+    * pairs that cannot reach θ, both evaluated inside the codegen'd
+    * [[graft.plans.JwHistCandidate]] on the histogram headers' UTF-16
+    * unit lengths (the matcher's own measure): (a) the LENGTH bound —
     * jw ≥ θ forces jaro ≥ (θ−0.4)/0.6 (boost adds ≤ 0.4·(1−j)) and
     * jaro ≤ (2 + lmin/lmax)/3 (m ≤ lmin), so lmin/lmax ≥ 5θ−4, at
-    * θ = 0.9 exactly 2·lmin ≥ lmax; (b) the MATCH-COUNT bound on
-    * per-name char histograms ([[graft.plans.JwHistCandidate]]) — Jaro
+    * θ = 0.9 exactly 2·lmin ≥ lmax; (b) the MATCH-COUNT bound — Jaro
     * matches pair chars injectively, so m ≤ Σ min(histA, histB)
     * (passes 5.4% of this fixture's name pairs). Both are implications:
     * they change cost, never results. */
@@ -484,17 +485,16 @@ object Entity {
     // level 1: distinct (block, name), histogram computed once per NAME
     val names = t.select(col("blk"), col("name")).distinct()
       .select(col("blk"), col("name"),
-        length(col("name")).cast("long").as("len"),
         graft.plans.JaroWinkler.jwHist(col("name")).as("h"))
-    // 5θ−4 in micro-units; positive for any useful θ (> 0.8)
-    val ratioMicro = 5L * thresholdMicro - 4000000L
-    require(ratioMicro > 0, s"threshold too low for the length bound: $thresholdMicro")
     // unordered name pairs INCLUDING the diagonal (equal names pair ids
-    // within a group; jw = 1 ≥ θ always, but keep it uniform)
+    // within a group; jw = 1 ≥ θ always, but keep it uniform). Both
+    // integer implications — the 5θ−4 length-ratio bound and the
+    // match-count histogram bound — run INSIDE jwHistCandidate on the
+    // hist headers' UTF-16 unit lengths, the matcher's own measure (a
+    // Spark length() conjunct here counted CODEPOINTS and could drop a
+    // qualifying non-BMP pair)
     val scored = names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") && col("a.name") <= col("b.name")
-          && least(col("a.len"), col("b.len")) * 1000000L
-             >= greatest(col("a.len"), col("b.len")) * ratioMicro
           && graft.plans.JaroWinkler.jwHistCandidate(
                col("a.h"), col("b.h"), thresholdMicro))
       .withColumn("jw_micro",

@@ -625,17 +625,20 @@ object Graph {
       .distinct()
 
   /** L1-normalize a (id, raw) score frame to total ≈ [[HitsScale]] in
-    * EXACT integer arithmetic: unit = Σraw div Scale, score = raw div
-    * unit. Two floor divisions both engines share; the 1-row total
-    * broadcasts (the bounded-aggregate crossJoin idiom), no driver
-    * action. Requires Σraw ≥ Scale — guaranteed after the first
-    * half-step because the init mass is Scale per node and sums only
-    * grow with edge multiplicity. */
+    * EXACT integer arithmetic: unit = max(Σraw div Scale, 1), score =
+    * raw div unit. Two floor divisions both engines share; the 1-row
+    * total broadcasts (the bounded-aggregate crossJoin idiom), no
+    * driver action. The unit floors at 1: per-node floor loss can pull
+    * Σraw BELOW Scale (a perfect bipartite matching loses one unit per
+    * node per half-step), and an unguarded `div 0` would null every
+    * score — with unit = 1 the scores pass through un-shrunk, total
+    * < Scale, still a valid fixed-point vector (spec-pinned on the
+    * matching graph). */
   private def l1Normalize(scores: DataFrame, idCol: String): DataFrame = {
     val tot = scores.agg(sum(col("raw")).as("tot"))
     scores.crossJoin(broadcast(tot))
       .select(col(idCol),
-        expr(s"raw div (tot div $HitsScale)").as("score_fp"))
+        expr(s"raw div greatest(tot div $HitsScale, 1L)").as("score_fp"))
   }
 
   /** HITS hubs/authorities over the DIRECTED bipartite purchase graph —
@@ -738,14 +741,14 @@ object Graph {
          |  FROM edges e JOIN $prevH h ON e.src = h.c GROUP BY e.dst),
          |a${i}t AS (SELECT sum(raw) AS tot FROM a${i}r),
          |a$i AS (
-         |  SELECT s, CAST(raw // (tot // $HitsScale) AS BIGINT) AS score_fp
+         |  SELECT s, CAST(raw // greatest(tot // $HitsScale, 1) AS BIGINT) AS score_fp
          |  FROM a${i}r CROSS JOIN a${i}t),
          |h${i}r AS (
          |  SELECT e.src AS c, sum(a.score_fp) AS raw
          |  FROM edges e JOIN a$i a ON e.dst = a.s GROUP BY e.src),
          |h${i}t AS (SELECT sum(raw) AS tot FROM h${i}r),
          |h$i AS (
-         |  SELECT c, CAST(raw // (tot // $HitsScale) AS BIGINT) AS score_fp
+         |  SELECT c, CAST(raw // greatest(tot // $HitsScale, 1) AS BIGINT) AS score_fp
          |  FROM h${i}r CROSS JOIN h${i}t)""".stripMargin
     }
     val iters = (1 to HitsIterations).map(iter).mkString(",\n")

@@ -49,26 +49,32 @@ object Ks {
       import spark.implicits._
       val stats = s.groupBy(col("_pid"))
         .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
         .sortBy(_._1)
-      val na = stats.map(_._2).sum
-      val nb = stats.map(_._3).sum
+      val na = stats.map(_._2._1).sum
+      val nb = stats.map(_._2._2).sum
       // strict-prefix pair offsets: counts of each sample in every
-      // earlier value range
+      // earlier value range (the shared control-plane scan)
       val offsets: Seq[(Int, Long, Long)] =
-        stats.scanLeft((0, 0L, 0L)) { case ((_, accA, accB), (pid, a, b)) =>
-          (pid, accA + a, accB + b)
-        }.init.zip(stats).map { case ((_, pa, pb), (pid, _, _)) => (pid, pa, pb) }
-          .toSeq
+        Scale.strictPrefix(stats.toSeq, (0L, 0L)) {
+          case ((accA, accB), (a, b)) => (accA + a, accB + b)
+        }.map { case (pid, (pa, pb)) => (pid, pa, pb) }
       val w = Window.partitionBy(col("_pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       s.join(broadcast(offsets.toDF("_pid", "_offa", "_offb")), Seq("_pid"))
         .withColumn("cum_a", sum(col("ca")).over(w) + col("_offa"))
         .withColumn("cum_b", sum(col("cb")).over(w) + col("_offb"))
         .agg(max(abs(col("cum_a") * nb - col("cum_b") * na)).as("d_num"))
+        // empty input: the ungrouped max is one NULL row, but the twin's
+        // grouped CTE emits zero — align on zero rows
+        .filter(col("d_num").isNotNull)
         .select(
           lit(na).as("n_a"), lit(nb).as("n_b"), col("d_num"),
-          expr(s"(d_num * 1000000) div (${na}L * ${nb}L)").as("d_micro"),
+          // d_num·10⁶ passes BIGINT once n₁·n₂ > ~9.2·10¹² — the same
+          // reason the reject flag widens; quotient ≤ 10⁶ narrows back
+          expr(s"cast((cast(d_num as decimal(38,0)) * 1000000)" +
+            s" div (cast(${na}L as decimal(38,0)) * ${nb}L) as bigint)")
+            .as("d_micro"),
           (col("d_num").cast("decimal(38,0)") * col("d_num") * lit(1000000L)
             > lit(C2Micro).cast("decimal(38,0)") * lit(na + nb) * lit(na) * lit(nb))
             .cast("int").as("reject_05"))
@@ -110,7 +116,8 @@ object Ks {
        |    t.na, t.nb
        |  FROM c CROSS JOIN t GROUP BY t.na, t.nb)
        |SELECT na AS n_a, nb AS n_b, d_num,
-       |  CAST((d_num * 1000000) // (na * nb) AS BIGINT) AS d_micro,
+       |  CAST((CAST(d_num AS HUGEINT) * 1000000)
+       |       // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_micro,
        |  CAST(CASE WHEN CAST(d_num AS HUGEINT) * d_num * 1000000
        |        > CAST($C2Micro AS HUGEINT) * (na + nb) * na * nb
        |    THEN 1 ELSE 0 END AS INTEGER) AS reject_05

@@ -40,18 +40,23 @@ object Lateness {
       // ONE control-plane pass carries both per-partition maxima (the
       // prefix offsets) and per-partition counts (the grand total the
       // share denominator needs) — the old form paid a whole extra
-      // cached pass + a 1-row crossJoin just to count
+      // cached pass + a 1-row crossJoin just to count. A partition of
+      // only null-ts rows has a NULL max — carried as None, it
+      // contributes nothing to the prefix instead of NPE-ing the
+      // driver read
       val stats = s.groupBy(col("_pid"))
         .agg(max(col("tsec")).as("m"), count(lit(1)).as("c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (r.getInt(0),
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))))
         .sortBy(_._1)
-      val nn = stats.map(_._3).sum
+      val nn = stats.map(_._2._2).sum
       // strict prefix: the high-water mark carried in from every
-      // earlier arrival range (None for the first)
+      // earlier arrival range (None until a real timestamp appears)
       val offsets: Seq[(Int, Option[Long])] =
-        stats.scanLeft((0, Option.empty[Long])) {
-          case ((_, acc), (pid, m, _)) => (pid, Some(acc.fold(m)(math.max(_, m))))
-        }.init.zip(stats).map { case ((_, pre), (pid, _, _)) => (pid, pre) }.toSeq
+        Scale.strictPrefix(stats.toSeq, Option.empty[Long]) {
+          case (acc, (m, _)) =>
+            (acc ++ m).reduceOption((a: Long, b: Long) => math.max(a, b))
+        }
       val w = Window.partitionBy(col("_pid")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       s.join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))

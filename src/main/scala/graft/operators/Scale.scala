@@ -11,6 +11,20 @@ import graft.Tables
   */
 object Scale {
 
+  /** Strict-prefix fold over per-partition control-plane rows (sorted
+    * by pid): out(i) = step-fold of every row BEFORE partition i,
+    * starting from `zero`. The shared scan under the distributed
+    * running-extreme/running-sum operators ([[Skyline.frontier2d]],
+    * [[Lateness.latenessProfile]], [[Ks.ksDistance]]) — each collects
+    * its own per-partition aggregate, but the fiddly
+    * scanLeft/init/re-pair idiom lives once here. Missing pids (empty
+    * range partitions produce no aggregate row) are naturally skipped:
+    * they contribute nothing and no downstream row joins their id. */
+  def strictPrefix[A, S](rows: Seq[(Int, A)], zero: S)(
+      step: (S, A) => S): Seq[(Int, S)] =
+    rows.scanLeft((0, zero)) { case ((_, acc), (pid, a)) => (pid, step(acc, a)) }
+      .init.zip(rows).map { case ((_, pre), (pid, _)) => (pid, pre) }
+
   /** Global 1-based rank under `order` (which must end in a tiebreaker
     * making it a total order) without a global single-task sort:
     * range-partition on the order columns, collect per-partition counts

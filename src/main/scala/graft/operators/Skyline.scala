@@ -38,8 +38,11 @@ object Skyline {
   /** Frontier of `pts` minimizing `costCol` and maximizing `gainCol`
     * (an integral measure — cast to long for the control-plane prefix).
     * Output: one row per non-dominated input row (key, cost, gain).
-    * Null measures cannot dominate or be ranked — excluded, as in the
-    * SQL twin where comparisons with NULL are never true. */
+    * Null measures are EXCLUDED by definition (a point with no cost
+    * cannot sit on a cost/gain frontier) — note this is a semantic
+    * choice, not an implication: a bare NOT-EXISTS dominance query
+    * would keep null rows vacuously (no comparison against them is
+    * ever true), so the SQL twin filters nulls explicitly to match. */
   def frontier2d(pts: DataFrame, keyCol: String, costCol: String,
       gainCol: String, nPartitions: Int = 8): DataFrame = {
     val p = pts
@@ -55,9 +58,9 @@ object Skyline {
       // (every row there has strictly lower cost than every row here —
       // levels are distinct costs, so range boundaries never split a tie)
       val offsets: Seq[(Int, Option[Long])] =
-        maxima.scanLeft((0, Option.empty[Long])) {
-          case ((_, acc), (pid, m)) => (pid, Some(acc.fold(m)(math.max(_, m))))
-        }.init.zip(maxima).map { case ((_, pre), (pid, _)) => (pid, pre) }.toSeq
+        Scale.strictPrefix(maxima.toSeq, Option.empty[Long]) {
+          case (acc, m) => Some(acc.fold(m)(math.max(_, m)))
+        }
       // frontier levels are the output scale (≤ levels, typically ≪) —
       // materialize so the join below doesn't recompute the fixpoint
       frontierOfLevels(lv, offsets).localCheckpoint(true)
@@ -133,17 +136,23 @@ object Skyline {
   }
 
   /** Twin: the O(n²) dominance anti-join this operator replaces, plus a
-    * correlated dominance count per survivor. */
+    * correlated dominance count per survivor. The null filter mirrors
+    * the operator's null-measure exclusion — a bare NOT EXISTS would
+    * keep null rows vacuously. */
   def oPartSkyline: String =
-    """WITH sky AS (
+    """WITH pts AS (
       |  SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
-      |  FROM part p
+      |  FROM part
+      |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+      |sky AS (
+      |  SELECT p_partkey, p_retailprice, p_size
+      |  FROM pts p
       |  WHERE NOT EXISTS (
-      |    SELECT 1 FROM part q
+      |    SELECT 1 FROM pts q
       |    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
       |      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)))
       |SELECT s.p_partkey, s.p_retailprice, s.p_size,
-      |  (SELECT count(*) FROM part q
+      |  (SELECT count(*) FROM pts q
       |   WHERE s.p_retailprice <= q.p_retailprice AND s.p_size >= q.p_size
       |     AND (s.p_retailprice < q.p_retailprice OR s.p_size > q.p_size))
       |    AS n_dominated

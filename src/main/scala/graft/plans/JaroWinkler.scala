@@ -182,6 +182,17 @@ object JaroWinklerKernel {
     // counts clamp at 255: only exact when no char repeats past 255,
     // guaranteed for strings ≤ 255 units — otherwise pass through
     if (l1 > 255 || l2 > 255) return true
+    // length-ratio implication on the SAME UTF-16 unit lengths the
+    // matcher uses (a Spark-side length() conjunct counts CODEPOINTS
+    // and wrongly dropped qualifying non-BMP pairs): jw ≥ θ forces
+    // lmin/lmax ≥ 5θ−4, i.e. lmin·10⁶ ≥ lmax·(5θµ−4·10⁶) when that
+    // coefficient is positive
+    val ratioMicro = 5L * thetaMicro - 4000000L
+    if (ratioMicro > 0) {
+      val lmin = math.min(l1, l2).toLong
+      val lmax = math.max(l1, l2).toLong
+      if (lmin * 1000000L < lmax * ratioMicro) return false
+    }
     var overlap = 0L
     var c = 2
     val end = 2 + HistBuckets

@@ -17,7 +17,7 @@ class HitsSpec extends SparkSpecBase {
       : (Map[Long, Long], Map[Long, Long]) = {
     val S = Graph.HitsScale
     def normalize(raw: Map[Long, Long]): Map[Long, Long] = {
-      val unit = raw.values.sum / S
+      val unit = math.max(raw.values.sum / S, 1L)
       raw.map { case (k, v) => k -> v / unit }
     }
     var h = edges.map(_._1).distinct.map(_ -> S).toMap
@@ -65,11 +65,11 @@ class HitsSpec extends SparkSpecBase {
     for (_ <- 1 to Graph.HitsIterations) {
       val aRaw = edges.groupBy(_._2).map { case (s, es) =>
         s -> es.map(e => h(e._1)).sum }
-      qa = aRaw.values.sum / S
+      qa = math.max(aRaw.values.sum / S, 1L)
       val a = aRaw.map { case (k, v) => k -> v / qa }
       val hRaw = edges.groupBy(_._1).map { case (c, es) =>
         c -> es.map(e => a(e._2)).sum }
-      qh = hRaw.values.sum / S
+      qh = math.max(hRaw.values.sum / S, 1L)
       h = hRaw.map { case (k, v) => k -> v / qh }
     }
     def check(role: String, q: Long): Unit = {
@@ -79,6 +79,22 @@ class HitsSpec extends SparkSpecBase {
     }
     check("authority", qa)
     check("hub", qh)
+  }
+
+  test("perfect matching: floor loss below Scale must not null the scores") {
+    // 3 hubs, 3 auths, one edge each: hub raw total = 999999 < Scale
+    // after the first auth step — the unit floors at 1 instead of 0
+    val edges = Seq((1L, 11L), (2L, 12L), (3L, 13L)).toDF("src", "dst")
+    val rows = Graph.hits(edges).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(!r.isNullAt(2) && r.getLong(2) > 0, s"$r"))
+    // and it still matches the plain-Scala recurrence exactly
+    val (h, a) = referenceHits(Seq((1L, 11L), (2L, 12L), (3L, 13L)),
+      Graph.HitsIterations)
+    rows.foreach { r =>
+      val want = if (r.getString(0) == "hub") h(r.getLong(1)) else a(r.getLong(1))
+      assert(r.getLong(2) == want, s"$r != $want")
+    }
   }
 
   test("planted star: the universally-bought supplier is the top authority") {

@@ -85,6 +85,24 @@ class JaroWinklerSpec extends SparkSpecBase {
     assert(!histCandidate(hist(u8("abcdef")), hist(u8("xyzuvw")), 900000L))
   }
 
+  test("non-BMP names: length bound runs on kernel units, not codepoints") {
+    // "𝕏" is a surrogate pair: 10 codepoints = 20 UTF-16 units. The old
+    // Spark-side length() conjunct compared CODEPOINT counts (10 vs 22
+    // < 1/2 → dropped) while the kernel scores 0.925 ≥ 0.9 on units —
+    // the bound now lives in jwHistCandidate on the hist headers' unit
+    // lengths, so the qualifying pair must survive
+    val x = "𝕏" * 10
+    val a = x
+    val b = x + "abcdefghijkl"
+    val kernelScore = jw(a, b)
+    assert(kernelScore >= 0.9, s"fixture assumption broke: $kernelScore")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "nm")
+      .withColumn("blk", lit("B"))
+    val got = Entity.jaroWinklerPairs(df, "id", "nm", "blk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"non-BMP qualifying pair dropped: $got")
+  }
+
   test("SQL surface: jaro_winkler registered via GraftExtensions") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(

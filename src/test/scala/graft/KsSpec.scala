@@ -49,6 +49,17 @@ class KsSpec extends SparkSpecBase {
       s"nPartitions=$n diverged")
   }
 
+  test("empty input yields zero rows, matching the twin's grouped shape") {
+    val out = Ks.ksDistance(
+      Seq.empty[(Double, Boolean)].toDF("value", "is_a"), "value", col("is_a"))
+    assert(out.count() == 0L)
+    // all-null values are equally empty after the null filter
+    val nulls = Ks.ksDistance(
+      Seq((Option.empty[Double], true)).toDF("value", "is_a"),
+      "value", col("is_a"))
+    assert(nulls.count() == 0L)
+  }
+
   test("gated query: same-generator types stay under the 0.05 rejection") {
     val r = Ks.qKsValueByType(spark, sf).collect().head
     assert(r.getLong(0) > 0 && r.getLong(1) > 0)

@@ -61,6 +61,24 @@ class LatenessSpec extends SparkSpecBase {
     } finally System.clearProperty("graft.explain.lineage")
   }
 
+  test("null-timestamp ranges do not crash the control-plane collect") {
+    // few rows over many range partitions → some partitions hold ONLY a
+    // null-ts row; their NULL max must fold away instead of NPE-ing
+    val events = Seq(
+      (1L, ts("2024-06-01 10:00:00")),
+      (2L, null.asInstanceOf[Timestamp]),
+      (3L, ts("2024-06-01 09:30:00")),
+      (4L, null.asInstanceOf[Timestamp]))
+      .toDF("event_id", "ts")
+    val out = Lateness.latenessProfile(events, nPartitions = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // row 3 is 30 min late; null-ts rows null-propagate into e_later
+    // (the pre-r14 global-window behavior, unchanged)
+    assert(out("a_on_time") == 1L)
+    assert(out("c_1hour") == 1L)
+    assert(out("e_later") == 2L)
+  }
+
   test("fixture feed is event-time ordered: everything on time (measured)") {
     val out = Lateness.qLatenessProfile(spark, sf).collect()
     assert(out.length == 1 && out.head.getString(0) == "a_on_time",
