@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -16,21 +15,29 @@ import graft.Tables
   * Exactness: bucket assignment is pure integer arithmetic on exact
   * ranks — row r of n lands in bucket ⌊(r−1)·B/n⌋ — and per-bucket
   * min/max/count are exact; the only doubles are value edges already
-  * stored as doubles. Ranks are per-type windows: GROUP partitioning
-  * bounds window tasks (the [[Mining.boxplot]] argument), so no global
-  * sort exists to avoid; for a single giant group the rank swaps onto
-  * [[Scale.globalRank]] unchanged. */
+  * stored as doubles.
+  *
+  * Scale shape (100 TB): `event_type` is a ~5-value key, so a plain
+  * `Window.partitionBy(event_type)` rank is a handful of giant
+  * single-task sorts at scale — the named r9 scale-killer. Both ranks
+  * here ride [[Scale.groupRanks]]: the size-aware [[Scale.hotGroups]]
+  * dial keeps the plain window while groups are small (one in-memory
+  * sort task measurably beats two shuffles — SCALE.md r10 crossover)
+  * and swaps onto [[Scale.globalRankGrouped]]'s distributed prefix
+  * sums once any group passes [[Scale.HotGroupMinRowsPerGroup]] — max
+  * task one (group, bucket) cell, never 1/|types| of events, with the
+  * group size `n` riding the collected offsets for free.
+  * `hotGroupsOverride` forces a side for the equivalence spec. */
 object Profile {
 
   val Buckets = 10
 
-  def equiDepth(events: DataFrame, buckets: Int = Buckets): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    events
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+  def equiDepth(events: DataFrame, buckets: Int = Buckets,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"), col("value"))
+    Scale.groupRanks(base, Seq("event_type"),
+        Seq(col("value"), col("event_id")),
+        "rnk", totalOut = Some("n"), hotGroupsOverride = hotGroupsOverride)
       .withColumn("bucket",
         expr(s"((rnk - 1) * $buckets) div n").cast("long"))
       .groupBy(col("event_type"), col("bucket"))
@@ -45,22 +52,22 @@ object Profile {
 
   /** Order→ship latency distribution per order priority: count, exact
     * mean surrogate ⌊1000·Σlag/n⌋, and EXACT p50/p90 by integer
-    * selection ranks ((n+1) div 2 and (9n+9) div 10 = ⌈p·n⌉) inside the
-    * per-priority window — the ops-SLA rollup over the fact↔dim join.
-    * The join shuffles on orderkey (fact-fact shape); everything after
-    * is bounded-group windows and a 5-row aggregate. */
-  def shipLatency(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    * selection ranks ((n+1) div 2 and (9n+9) div 10 = ⌈p·n⌉) — the
+    * ops-SLA rollup over the fact↔dim join. The join shuffles on
+    * orderkey (fact-fact shape); the per-priority rank is the same
+    * 5-value hot-group shape as [[equiDepth]] and rides the same
+    * [[Scale.groupRanks]] dial (o_orderpriority has FIVE values, so at
+    * 100× a plain window is five single-task sorts of lineitem/5). */
+  def shipLatency(lineitem: DataFrame, orders: DataFrame,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val base = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"),
         col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
-    base
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    Scale.groupRanks(base, Seq("o_orderpriority"),
+        Seq(col("lag_days"), col("l_orderkey"), col("l_linenumber")),
+        "rnk", totalOut = Some("n"), hotGroupsOverride = hotGroupsOverride)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         floor(sum(col("lag_days")) * lit(1000L).cast("double") / count(lit(1)))

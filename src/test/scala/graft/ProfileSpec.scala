@@ -54,4 +54,45 @@ class ProfileSpec extends SparkSpecBase {
       assert(r.getLong(3) <= r.getLong(4), s"p50 > p90 in $r")
     }
   }
+
+  test("ship latency: grouped prefix-sum path is result-identical to the window path") {
+    val (li, ord) = (Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+    val grouped = Profile.shipLatency(li, ord, Some(true))
+      .orderBy(col("o_orderpriority")).collect().map(_.toSeq)
+    val windowed = Profile.shipLatency(li, ord, Some(false))
+      .orderBy(col("o_orderpriority")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window ship latency diverge")
+  }
+
+  test("equi-depth: grouped prefix-sum path is result-identical to the window path") {
+    val ev = Tables.events(spark, sf)
+    val grouped = Profile.equiDepth(ev, hotGroupsOverride = Some(true))
+      .orderBy(col("event_type"), col("bucket")).collect().map(_.toSeq)
+    val windowed = Profile.equiDepth(ev, hotGroupsOverride = Some(false))
+      .orderBy(col("event_type"), col("bucket")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window equi-depth diverge")
+  }
+
+  test("grouped mode plans NO per-key window — the r9 single-task-sort shape is gone") {
+    val ev = Tables.events(spark, sf)
+    // forced-hot: ranks come from the distributed prefix-sum mapPartitions
+    // scan, so the physical plan must contain no Window operator at all
+    // (a Window partitioned by the ~5-value event_type would be the
+    // handful-of-giant-tasks scale-killer)
+    val hotPlan = Profile.equiDepth(ev, hotGroupsOverride = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!hotPlan.contains("Window"),
+      s"grouped mode still plans a Window:\n$hotPlan")
+    val hotShip = Profile.shipLatency(
+        Tables.lineitem(spark, sf), Tables.orders(spark, sf), Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!hotShip.contains("Window"),
+      s"grouped ship latency still plans a Window:\n$hotShip")
+    // non-vacuous control: the plain path DOES plan the per-key window
+    val coldPlan = Profile.equiDepth(ev, hotGroupsOverride = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(coldPlan.contains("Window"), "control: cold path should window")
+  }
 }
