@@ -447,10 +447,14 @@ object Curation {
     *
     * Scale shape: per-source counts are one partial-agg shuffle of a
     * #sources-row result (control plane, like [[budgetSelect]]'s
-    * offsets); caps broadcast back; then the [[sourceCap]] ranking
-    * window — swap in [[Scale.saltedTopNPerKey]] per hot source if a
-    * single domain dominates. */
-  def sourceMix(docs: DataFrame, sharesBp: Map[String, Int]): DataFrame = {
+    * offsets); caps broadcast back; then a per-source rank of EVERY doc
+    * on a handful-valued key — the r9 hot-group shape (the cap is a
+    * data-dependent column, so WindowGroupLimit cannot bound it the way
+    * it bounds [[sourceCap]]'s literal cap). The rank rides the
+    * size-aware [[Scale.groupRanks]] dial; `hotGroupsOverride` forces a
+    * side for the equivalence spec. */
+  def sourceMix(docs: DataFrame, sharesBp: Map[String, Int],
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val cnts = docs.groupBy("source").count().collect()
@@ -459,12 +463,13 @@ object Curation {
       cnts.getOrElse(src, 0L) * 10000L / bp
     }.min
     val caps = sharesBp.toSeq.map { case (src, bp) => (src, t * bp / 10000L) }
-    val w = Window.partitionBy("source")
-      .orderBy(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id"))
-    docs.join(broadcast(caps.toDF("source", "_cap")), "source")
-      .withColumn("rank_in_source", row_number().over(w))
+    val keyed = docs.join(broadcast(caps.toDF("source", "_cap")), "source")
+      .withColumn("_h", TextFns.md5u56(col("doc_id").cast("string")))
+    Scale.groupRanks(keyed, Seq("source"),
+        Seq(col("_h"), col("doc_id")), "rank_in_source",
+        hotGroupsOverride = hotGroupsOverride)
       .filter(col("rank_in_source") <= col("_cap"))
-      .drop("_cap")
+      .drop("_cap", "_h")
   }
 
   def qSourceMix(spark: SparkSession, dir: String): DataFrame =
@@ -488,7 +493,7 @@ object Curation {
        |  SELECT doc_id, source,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk
        |  FROM documents)
-       |SELECT doc_id, source, CAST(rk AS INTEGER) AS rank_in_source
+       |SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_source
        |FROM r JOIN caps USING (source) WHERE rk <= cap
        |ORDER BY doc_id""".stripMargin
   }
@@ -560,12 +565,16 @@ object Curation {
     * Integer arithmetic throughout → bit-exact DuckDB twin.
     *
     * Scale shape: per-source token totals are one partial-agg shuffle of
-    * a #sources-row result (control plane); caps broadcast back; one
-    * running-sum window per source, skew-safe the same way seqPack's
-    * shard windows are (a source's docs sort together, never the
-    * corpus). The token projection is computed once and cached across
-    * the totals pass and the selection pass. */
-  def sourceMixTokens(docs: DataFrame, sharesBp: Map[String, Int]): DataFrame = {
+    * a #sources-row result (control plane); caps broadcast back; then a
+    * per-source running sum of EVERY doc's tokens on a handful-valued
+    * key — the r9 hot-group shape — riding the size-aware
+    * [[Scale.hotGroups]] dial: plain window small,
+    * [[Scale.groupedRunningSum]]'s distributed prefix sums past the
+    * crossover. The token projection is computed once and cached across
+    * the totals pass and the selection pass. `hotGroupsOverride` forces
+    * a side for the equivalence spec. */
+  def sourceMixTokens(docs: DataFrame, sharesBp: Map[String, Int],
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val slim = docs.select(col("doc_id"), col("source"),
@@ -577,13 +586,23 @@ object Curation {
         totals.getOrElse(src, 0L) * 10000L / bp
       }.min
       val caps = sharesBp.toSeq.map { case (src, bp) => (src, t * bp / 10000L) }
-      val w = Window.partitionBy("source")
-        .orderBy(TextFns.md5u56(col("doc_id").cast("string")), col("doc_id"))
-      s.join(broadcast(caps.toDF("source", "_cap")), "source")
+      val keyed = s.join(broadcast(caps.toDF("source", "_cap")), "source")
+        .withColumn("_h", TextFns.md5u56(col("doc_id").cast("string")))
+      val hot = hotGroupsOverride.getOrElse(
+        Scale.hotGroups(keyed, Seq("source")))
+      val cum = if (hot)
+        Scale.groupedRunningSum(keyed, Seq("source"),
+          Seq(col("_h"), col("doc_id")), col("token_count"), "_cum")
+      else {
+        val w = Window.partitionBy("source").orderBy(col("_h"), col("doc_id"))
+        keyed.withColumn("_cum", sum(col("token_count")).over(w))
+      }
+      cum
         .withColumn("start_tok",
-          (sum(col("token_count")).over(w) - col("token_count")).cast("long"))
+          (col("_cum") - col("token_count")).cast("long"))
         .filter(col("start_tok") < col("_cap"))
         .withColumnRenamed("_cap", "source_token_cap")
+        .drop("_h", "_cum")
     }
   }
 

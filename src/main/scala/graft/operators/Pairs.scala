@@ -103,19 +103,24 @@ object Pairs {
     * rank·K + source index (K = #sources) — every K consecutive
     * training rows see every source once, the arrival balance a
     * mixture-trained run wants WITHOUT a global shuffle ever touching
-    * the batch composition. One per-source window ([[Scale]] salting
-    * applies if one source dominates) + a ≤K-row broadcast of source
-    * indexes. */
-  def interleaveSources(docs: DataFrame): DataFrame = {
+    * the batch composition. The per-source rank is EVERY doc on a
+    * handful-valued key — the r9 hot-group shape — so it rides the
+    * size-aware [[Scale.groupRanks]] dial (plain window small,
+    * distributed prefix-sum ranks once a source passes the crossover);
+    * plus a ≤K-row broadcast of source indexes. `hotGroupsOverride`
+    * forces a side for the equivalence spec. */
+  def interleaveSources(docs: DataFrame,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val srcIdx = docs.select(col("source")).distinct()
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))) - 1)
     val k = srcIdx.count()
-    val w = Window.partitionBy(col("source")).orderBy(col("shuffle_key"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
-      TextFns.md5u56(concat_ws(":", col("doc_id"), lit("il"))).as("shuffle_key"))
+    val keyed = docs.select(col("doc_id"), col("source"),
+        TextFns.md5u56(concat_ws(":", col("doc_id"), lit("il"))).as("shuffle_key"))
       .join(broadcast(srcIdx), Seq("source"))
-      .withColumn("src_rank", row_number().over(w).cast("long"))
+    Scale.groupRanks(keyed, Seq("source"),
+        Seq(col("shuffle_key"), col("doc_id")), "src_rank",
+        hotGroupsOverride = hotGroupsOverride)
       .select(col("doc_id"), col("source"),
         ((col("src_rank") - 1) * lit(k) + col("src_idx")).cast("long")
           .as("position"))

@@ -65,9 +65,17 @@ object Profile {
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"),
         col("l_orderkey"), col("l_linenumber"))
+    // dial guard: the inner FK join emits each lineitem row at most
+    // once, so no priority group can exceed the FACT row count — an
+    // empty-projection count over the fact scan (parquet footer
+    // row counts) is far cheaper than Scale.hotGroups' 1% sampled scan
+    // of the JOIN, which would execute the join a second time
+    val guard = hotGroupsOverride.orElse(
+      if (lineitem.count() < Scale.HotGroupMinRowsPerGroup) Some(false)
+      else None)
     Scale.groupRanks(base, Seq("o_orderpriority"),
         Seq(col("lag_days"), col("l_orderkey"), col("l_linenumber")),
-        "rnk", totalOut = Some("n"), hotGroupsOverride = hotGroupsOverride)
+        "rnk", totalOut = Some("n"), hotGroupsOverride = guard)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         floor(sum(col("lag_days")) * lit(1000L).cast("double") / count(lit(1)))

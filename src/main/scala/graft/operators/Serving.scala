@@ -118,10 +118,17 @@ object Serving {
   /** Per-nation top-k customers by exact-cents spend PLUS the "all
     * others" residual row (rnk 0, NULL custkey) — the BI leaderboard
     * contract where the long tail must still reconcile to the total.
-    * One spend aggregate feeds both legs; the rank is a per-nation
-    * window the group-limit rule bounds map-side; the residual is a
-    * hash aggregate over the non-top remainder. Top rows + OTHER sums
-    * partition the spend exactly (integer cents — spec-pinned). */
+    *
+    * Scale shape: the ONLY ranked rows are the top-k (rank ≤ literal k
+    * ⇒ Spark's InferWindowGroupLimit bounds the per-nation sort
+    * map-side to k rows/partition before the exchange); the residual is
+    * computed as per-nation TOTALS MINUS the top-k sums — a
+    * partial-agg-friendly hash aggregate — never by ranking the tail
+    * (an `rnk > k` branch would force the full per-nation sort: 25
+    * nation keys × customers/25 rows = the r9 single-task-sort shape at
+    * 100×). Top rows + OTHER sums partition the spend exactly (integer
+    * cents — spec-pinned); a nation with ≤ k customers emits no OTHER
+    * row (totals == top-k sums filter). */
   def topKWithOther(customer: DataFrame, orders: DataFrame,
       k: Int = TopKOther): DataFrame = {
     val spend = orders.groupBy(col("o_custkey"))
@@ -133,18 +140,23 @@ object Serving {
     Dedup.withCached(spend) { s =>
       val w = Window.partitionBy(col("nation"))
         .orderBy(col("cents").desc, col("custkey"))
-      val ranked = s.withColumn("rnk", row_number().over(w))
-      val top = ranked.filter(col("rnk") <= k)
-        .select(col("nation"), col("rnk").cast("long").as("rnk"),
-          col("custkey"), col("cents"), lit(1L).as("n_members"))
-      val other = ranked.filter(col("rnk") > k)
-        .groupBy(col("nation"))
-        .agg(sum(col("cents")).cast("long").as("cents"),
-          count(lit(1)).as("n_members"))
+      val top = s.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+      val totals = s.groupBy(col("nation"))
+        .agg(sum(col("cents")).cast("long").as("t_cents"),
+          count(lit(1)).as("t_members"))
+      val topAgg = top.groupBy(col("nation"))
+        .agg(sum(col("cents")).cast("long").as("k_cents"),
+          count(lit(1)).as("k_members"))
+      val other = totals.join(topAgg, Seq("nation"))
+        .filter(col("t_members") > col("k_members"))
         .select(col("nation"), lit(0L).as("rnk"),
-          lit(null).cast("long").as("custkey"), col("cents"),
-          col("n_members"))
-      top.unionByName(other)
+          lit(null).cast("long").as("custkey"),
+          (col("t_cents") - col("k_cents")).as("cents"),
+          (col("t_members") - col("k_members")).as("n_members"))
+      top.select(col("nation"), col("rnk").cast("long").as("rnk"),
+          col("custkey"), col("cents"), lit(1L).as("n_members"))
+        .unionByName(other)
     }
   }
 
