@@ -242,13 +242,26 @@ object Bench {
     // The calibration anchor existed but nothing consumed it: the wrap
     // still eyeballed raw numbers. Before overwriting the tracked
     // full-suite artifact, join this run's drift-NORMALIZED medians
-    // against the PRIOR committed run's total_norm line and name every
-    // >1.15x mover (with a 0.3 ref_sec absolute floor so sub-second
-    // jitter can't flag). The movers ride the artifact itself as a
-    // `regressions` line; the SCALE.md wrap's job is to justify each
-    // named mover, not to find them by eyeball.
+    // against the ROUND-BOUNDARY baseline's total_norm line and name
+    // every >1.15x mover (with a 0.3 ref_sec absolute floor so
+    // sub-second jitter can't flag). The movers ride the artifact
+    // itself as a `regressions` line; the SCALE.md wrap's job is to
+    // justify each named mover, not to find them by eyeball.
+    //
+    // VERDICT r14 item 2: the baseline is the newest COMMITTED
+    // round-boundary artifact (BENCH_full_r{N}.json, pinned by
+    // round_close.sh at each close), NOT BENCH_full_latest.json —
+    // diffing the previous same-session run made every mover JVM-aging
+    // noise whenever two benches ran in one session. Override with
+    // SPARK_GRAFT_BASELINE for ad-hoc comparisons.
+    val baselineName = sys.env.getOrElse("SPARK_GRAFT_BASELINE", {
+      val pinned = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .map(_.getName).filter(_.matches("BENCH_full_r\\d+\\.json"))
+      if (pinned.isEmpty) "BENCH_full_latest.json"
+      else pinned.maxBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+    })
     val regLine = if (only.isEmpty && calibrate) {
-      val prior = java.nio.file.Paths.get("BENCH_full_latest.json")
+      val prior = java.nio.file.Paths.get(baselineName)
       val prevNorm: Map[String, Double] =
         if (java.nio.file.Files.exists(prior)) {
           try {
@@ -273,7 +286,7 @@ object Bench {
       val mj = movers.map { case (n, (o, c)) =>
         "\"" + n + "\":[" + fmt(o) + "," + fmt(c) + "]"
       }.mkString("{", ",", "}")
-      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline_queries":${prevNorm.size},"movers":$mj}"""
+      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline":"$baselineName","baseline_queries":${prevNorm.size},"movers":$mj}"""
     } else ""
     if (regLine.nonEmpty) println(regLine)
     if (gcProbe) {

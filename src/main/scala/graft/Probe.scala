@@ -70,6 +70,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("packrewrite")) {
+      packRewriteScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 4); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -1032,6 +1038,53 @@ object Probe {
       println(f"[jw] row axis:   $nr%d rows, 64 names (x$mult): " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s, pairs=$pr%d")
       rows.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** Cost attribution for the layout-preserving whole-dir packed
+    * rewrite (VERDICT r14: forget_audit grew 1.48x without a written
+    * justification). Builds a writePacked layout, scatters subjects so
+    * >half the files are affected (forcing the whole-dir branch), and
+    * times the sweep with the range-partition+sort writer (the ADVICE
+    * r13 correctness fix) vs the unconstrained writer it replaced.
+    * Each timing rebuilds the layout fresh — the sweep mutates it. */
+  def packRewriteScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Curation, Forget}
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    mults.foreach { mult =>
+      val corpus = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          col("text"), col("source"))
+      // every 20th doc is a subject: uniformly scattered across packs,
+      // so the affected-file majority dispatch takes the whole-dir path
+      val subjects = corpus.select(col("doc_id"))
+        .filter(col("doc_id") % 20 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-packrw-probe")
+      try {
+        val path = tmp.resolve("packed").toString
+        def build(): Long = {
+          Curation.writePacked(corpus, capacity = 2048, nShards = 8, path)
+          spark.read.parquet(path).count()
+        }
+        def time(label: String, unconstrained: Boolean): Unit = {
+          val rows = build()
+          val t0 = System.nanoTime()
+          val (_, _, removed) = Forget.forgetPackedTotals(spark, path,
+            subjects, probeUnsafeUnconstrainedWrite = unconstrained)
+          println(f"[packrw] $label @ $rows%d rows (x$mult): " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s, removed=$removed%d")
+        }
+        time("unconstrained write  ", unconstrained = true)
+        time("layout-preserving    ", unconstrained = false)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
     }
     spark.stop()
   }

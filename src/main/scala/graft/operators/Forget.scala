@@ -314,9 +314,16 @@ object Forget {
     forgetPackedTotals(spark, path, keysDf)._1
 
   /** [[forgetPacked]] plus (rows_total_before, rows_removed_total) for
-    * the compliance report — the [[forgetKeysFilesTotals]] contract. */
+    * the compliance report — the [[forgetKeysFilesTotals]] contract.
+    *
+    * `probeUnsafeUnconstrainedWrite` exists ONLY for `graft.Probe
+    * packrewrite`'s cost attribution (whole-dir sweep with vs without
+    * the layout-preserving range partition): it reintroduces the
+    * pack-straddle corruption ADVICE r13 flagged, so nothing outside
+    * the probe may set it. */
   def forgetPackedTotals(spark: SparkSession, path: String,
-      keysDf: DataFrame): (DataFrame, Long, Long) = {
+      keysDf: DataFrame,
+      probeUnsafeUnconstrainedWrite: Boolean = false): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     def packClose(df: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
       val marked = df.join(keys.withColumn("_graft_hit", lit(1L)),
@@ -339,9 +346,12 @@ object Forget {
     // straddle files and the NEXT sweep's per-file closure would shift
     // only the half that holds a subject row (ADVICE r13, medium)
     def packedWriter(df: DataFrame, staging: String, nFiles: Int): Unit =
-      df.repartitionByRange(nFiles, col("shard"), col("pack_id"))
-        .sortWithinPartitions(col("shard"), col("pack_id"), col("doc_id"))
-        .write.mode("overwrite").parquet(staging)
+      if (probeUnsafeUnconstrainedWrite)
+        df.write.mode("overwrite").parquet(staging)
+      else
+        df.repartitionByRange(nFiles, col("shard"), col("pack_id"))
+          .sortWithinPartitions(col("shard"), col("pack_id"), col("doc_id"))
+          .write.mode("overwrite").parquet(staging)
     forgetKeysFilesTotals(spark, path, "doc_id", keysDf, packClose,
       packedWriter)
   }
