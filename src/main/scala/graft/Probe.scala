@@ -76,6 +76,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("modelrebuild")) {
+      modelRebuildScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 4, 16); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -1085,6 +1091,45 @@ object Probe {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
+    }
+    spark.stop()
+  }
+
+  /** Cost of the IVF/PQ rebuild a tripped retrain flag schedules
+    * (VERDICT r14 item 3: flag-only is acceptable for the codebooks IF
+    * the rebuild path is documented + measured). Both trainers sample
+    * a FIXED TrainSample of vectors via a distributed TakeOrdered on
+    * xxhash64(embedding), so the k-means itself is constant-cost and
+    * the corpus axis should contribute only the hash-order scan —
+    * near-flat growth is the claim these tiers pin. Post-erasure input
+    * (subject source removed) to match the retrain scenario. */
+  def modelRebuildScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Ivf, Pq}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val post = emb.join(
+      docs.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    mults.foreach { mult =>
+      val corpus = post.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+          col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      var t0 = System.nanoTime()
+      val cents = Ivf.trainCentroids(corpus)
+      println(f"[rebuild] ivf centroids  @ $n%d vectors (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (${cents.length}%d cells)")
+      t0 = System.nanoTime()
+      val books = Pq.trainCodebooks(corpus, 64)
+      println(f"[rebuild] pq codebooks   @ $n%d vectors (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (${books.length}%d subq)")
+      corpus.unpersist()
     }
     spark.stop()
   }

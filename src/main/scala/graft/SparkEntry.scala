@@ -80,6 +80,9 @@ object SparkEntry {
     // erasure-impact audit for TRAINED artifacts: per-cell erased mass
     // + retrain flags for IVF/PQ/NB/BPE/DSIR (machine-unlearning gap)
     "forget_model_audit" -> ((s, d) => ModelAudit.qForgetModelAudit(s, d)),
+    // act on the flag: erase the subject source, retrain the flagged
+    // text models (NB/BPE/DSIR) on the clean corpus, re-audit to zero
+    "forget_retrain" -> ((s, d) => ModelAudit.qForgetRetrain(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),
@@ -507,6 +510,7 @@ object SparkEntry {
     "text_novelty_vs_train" -> Novelty.oNoveltyVsTrain,
     "forget_audit" -> Forget.oForgetAudit,
     "forget_packed_repack" -> Forget.oForgetPackedRepack,
+    "forget_retrain" -> ModelAudit.oForgetRetrain,
     "sql_weekly" -> Sql.oWeeklySql,
     "subq_above_avg_parts" -> Advanced.oAboveAvgParts,
     "subq_large_orders" -> Advanced.oLargeOrders,

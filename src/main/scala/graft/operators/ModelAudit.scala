@@ -60,29 +60,25 @@ object ModelAudit {
     * many permille subject-derived needs its model retrained. */
   val RetrainPermille = 100L
 
-  /** The audit frame: (model, cell, rows_erased, rows_total,
-    * erased_permille, retrain), one row per populated model cell. */
-  def modelAudit(docs: DataFrame, emb: DataFrame,
-      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
-      subjectSource: String = SubjectSource,
-      retrainPermille: Long = RetrainPermille): DataFrame = {
-    def perCell(df: DataFrame, model: String, cell: Column): DataFrame =
-      df.groupBy(cell.as("cell"))
-        .agg(sum(when(col("_subj"), lit(1L)).otherwise(lit(0L)))
-          .as("rows_erased"),
-          count(lit(1)).as("rows_total"))
-        .select(lit(model).as("model"), col("cell"),
-          col("rows_erased"), col("rows_total"))
-    val docsS = docs.withColumn("_subj", col("source") === subjectSource)
-    val embS = emb.join(
-      docsS.select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
-    val ivf = perCell(embS, "ivf",
-      format_string("%03d", Ivf.cellOf(col("embedding"), cents)))
-    val pq = perCell(
-      Pq.encode(embS.select(col("vec_id"), col("embedding")), books, 64)
-        .join(embS.select(col("vec_id"), col("_subj")), Seq("vec_id"))
-        .select(col("_subj"), posexplode(col("codes")).as(Seq("j", "c"))),
-      "pq", format_string("%d:%02d", col("j"), col("c")))
+  private def perCell(df: DataFrame, model: String, cell: Column): DataFrame =
+    df.groupBy(cell.as("cell"))
+      .agg(sum(when(col("_subj"), lit(1L)).otherwise(lit(0L)))
+        .as("rows_erased"),
+        count(lit(1)).as("rows_total"))
+      .select(lit(model).as("model"), col("cell"),
+        col("rows_erased"), col("rows_total"))
+
+  private def withShare(cells: DataFrame, retrainPermille: Long): DataFrame =
+    cells
+      .withColumn("erased_permille",
+        expr("(1000 * rows_erased) div rows_total"))
+      .withColumn("retrain", col("erased_permille") >= retrainPermille)
+
+  /** The three TEXT model legs (nb_lang, bpe, dsir) of the audit — the
+    * cheap deterministic models [[retrainFlagged]] can retrain inside
+    * the sweep, split out so the retrain path does not pay the IVF/PQ
+    * assignment passes. */
+  private def textCells(docsS: DataFrame): DataFrame = {
     // class/merge tables were fitted on the deterministic train split
     // (Classify.modelFor / Tokenize.modelFor); the audit mirrors that
     // partition — erased mass OUTSIDE the training partition never
@@ -101,17 +97,169 @@ object ModelAudit {
         .select(col("_subj"),
           (TextFns.md5u56(col("term")) % Dsir.Buckets).as("b")),
       "dsir", format_string("%03d", col("b")))
-    ivf.unionByName(pq).unionByName(nb).unionByName(bpe).unionByName(dsir)
-      .withColumn("erased_permille",
-        expr("(1000 * rows_erased) div rows_total"))
-      .withColumn("retrain", col("erased_permille") >= retrainPermille)
+    nb.unionByName(bpe).unionByName(dsir)
   }
+
+  /** The audit frame: (model, cell, rows_erased, rows_total,
+    * erased_permille, retrain), one row per populated model cell. */
+  def modelAudit(docs: DataFrame, emb: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      subjectSource: String = SubjectSource,
+      retrainPermille: Long = RetrainPermille): DataFrame = {
+    val docsS = docs.withColumn("_subj", col("source") === subjectSource)
+    val embS = emb.join(
+      docsS.select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
+    val ivf = perCell(embS, "ivf",
+      format_string("%03d", Ivf.cellOf(col("embedding"), cents)))
+    val pq = perCell(
+      Pq.encode(embS.select(col("vec_id"), col("embedding")), books, 64)
+        .join(embS.select(col("vec_id"), col("_subj")), Seq("vec_id"))
+        .select(col("_subj"), posexplode(col("codes")).as(Seq("j", "c"))),
+      "pq", format_string("%d:%02d", col("j"), col("c")))
+    withShare(ivf.unionByName(pq).unionByName(textCells(docsS)),
+      retrainPermille)
+  }
+
+  /** Text-model-only audit (nb_lang, bpe, dsir) — the input to the
+    * retrain decision. Same columns as [[modelAudit]]. */
+  def textModelAudit(docs: DataFrame,
+      subjectSource: String = SubjectSource,
+      retrainPermille: Long = RetrainPermille): DataFrame =
+    withShare(
+      textCells(docs.withColumn("_subj", col("source") === subjectSource)),
+      retrainPermille)
 
   def qForgetModelAudit(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     modelAudit(Tables.documents(spark, dir), emb,
       Ivf.centroidsFor(dir, emb), Pq.codebooksFor(spark, dir))
       .orderBy(col("model"), col("cell"))
+  }
+
+  /** The retrained artifacts a tripped flag produced, plus the re-audit
+    * summary: post-erasure cell masses for the flagged families (every
+    * `rows_erased` is 0 — the training partitions no longer contain the
+    * subject) joined with the pre-erasure flags that triggered the
+    * retrain. */
+  case class RetrainResult(summary: DataFrame,
+      nb: Option[Classify.NbModel], bpe: Option[graft.plans.BpeTokens.Bpe],
+      dsirWeights: Option[DataFrame])
+
+  /** Act on the retrain flag (VERDICT r14 item 3): audit, erase the
+    * subject source, RETRAIN every flagged text model on the
+    * post-erasure corpus with the exact training entry points the
+    * serving queries use (`Classify.trainNaiveBayes`,
+    * `Tokenize.trainBpe`, `Dsir.bucketWeights` — determinism means the
+    * retrained model is byte-identical to one trained fresh on the
+    * clean corpus), then re-audit: the retrained training partitions
+    * must carry ZERO erased mass. Families with no tripped cell are
+    * NOT retrained (their parameters carry only de-minimis residue,
+    * documented by the audit row itself).
+    *
+    * The deterministic doc_id-hash split means the post-erasure train
+    * partition is exactly the pre-erasure one minus subject docs — no
+    * surviving doc changes split, so the retrain never leaks
+    * val/test rows into training.
+    *
+    * IVF coarse centroids and PQ codebooks stay flag-only here: their
+    * rebuild is a k-means over the post-erasure embedding corpus whose
+    * cost is measured in `graft.Probe modelrebuild` (SCALE.md r15) —
+    * the audit names the affected cells; scheduling the rebuild is an
+    * operational decision the flag feeds. */
+  def retrainFlagged(docs: DataFrame,
+      subjectSource: String = SubjectSource,
+      retrainPermille: Long = RetrainPermille): RetrainResult = {
+    val pre = textModelAudit(docs, subjectSource, retrainPermille)
+    val flagged = pre.filter(col("retrain"))
+      .select(col("model")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val post = docs.filter(col("source") =!= subjectSource)
+    lazy val postTrain = TextAnalysis.withSplit(post)
+      .filter(col("split") === "train")
+    val nb = if (flagged("nb_lang"))
+      Some(Classify.trainNaiveBayes(postTrain)) else None
+    val bpe = if (flagged("bpe"))
+      Some(Tokenize.trainBpe(postTrain)) else None
+    val dsir = if (flagged("dsir")) {
+      val tokens = post
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.words(col("text"))).as("term"))
+        .select((TextFns.md5u56(col("term")) % Dsir.Buckets).as("b"),
+          (col("source") === subjectSource).as("is_target"))
+      Some(Dsir.bucketWeights(tokens))
+    } else None
+    val reAudit = textModelAudit(post, subjectSource, retrainPermille)
+      .select(col("model"), col("cell"), col("rows_erased"),
+        col("rows_total"), col("erased_permille"))
+    val summary = reAudit
+      .join(broadcast(pre.select(col("model"), col("cell"),
+        col("retrain").as("was_flagged"))), Seq("model", "cell"), "left")
+      .withColumn("was_flagged", coalesce(col("was_flagged"), lit(false)))
+      .withColumn("retrained",
+        col("model").isin(flagged.toSeq: _*))
+      .select(col("model"), col("cell"), col("was_flagged"),
+        col("retrained"), col("rows_erased"), col("rows_total"),
+        col("erased_permille"))
+    RetrainResult(summary, nb, bpe, dsir)
+  }
+
+  def qForgetRetrain(spark: SparkSession, dir: String): DataFrame =
+    retrainFlagged(Tables.documents(spark, dir)).summary
+      .orderBy(col("model"), col("cell"))
+
+  /** Twin: the nb/bpe/dsir audit legs twice — once on the full corpus
+    * (the flags) and once on the post-erasure corpus (the re-audit) —
+    * joined per cell; pure integer arithmetic, no model literals. */
+  def oForgetRetrain: String = {
+    val hdoc = TextFns.md5u56Sql("CAST(doc_id AS VARCHAR)")
+    val hterm = TextFns.md5u56Sql("term")
+    def legs(tag: String, where: String): String =
+      s"""tr_$tag AS (SELECT lang, text, (source = '$SubjectSource') AS s
+         |  FROM documents WHERE $where AND $hdoc % 100 < 80),
+         |nb_$tag AS (
+         |  SELECT 'nb_lang' AS model, lang AS cell,
+         |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+         |    CAST(count(*) AS BIGINT) AS rows_total
+         |  FROM tr_$tag GROUP BY 2),
+         |wtr_$tag AS (SELECT s,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM tr_$tag),
+         |bpe_$tag AS (
+         |  SELECT 'bpe' AS model, 'train_corpus' AS cell,
+         |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+         |    CAST(count(*) AS BIGINT) AS rows_total
+         |  FROM wtr_$tag WHERE w != ''),
+         |dtok_$tag AS (SELECT (source = '$SubjectSource') AS s,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents WHERE $where),
+         |dsir_$tag AS (
+         |  SELECT 'dsir' AS model,
+         |    format('{:03d}', ($hterm) % ${Dsir.Buckets}) AS cell,
+         |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+         |    CAST(count(*) AS BIGINT) AS rows_total
+         |  FROM dtok_$tag GROUP BY 2),
+         |u_$tag AS (SELECT * FROM nb_$tag UNION ALL SELECT * FROM bpe_$tag
+         |  UNION ALL SELECT * FROM dsir_$tag)""".stripMargin
+    s"""WITH ${legs("pre", "1 = 1")},
+       |${legs("post", s"source != '$SubjectSource'")},
+       |flags AS (
+       |  SELECT model, cell,
+       |    ((1000 * rows_erased) // rows_total >= $RetrainPermille)
+       |      AS was_flagged
+       |  FROM u_pre),
+       |fam AS (
+       |  SELECT model, bool_or(was_flagged) AS retrained FROM flags
+       |  GROUP BY 1)
+       |SELECT p.model, p.cell,
+       |  coalesce(f.was_flagged, false) AS was_flagged,
+       |  fam.retrained,
+       |  p.rows_erased, p.rows_total,
+       |  CAST((1000 * p.rows_erased) // p.rows_total AS BIGINT)
+       |    AS erased_permille
+       |FROM u_post p
+       |LEFT JOIN flags f ON p.model = f.model AND p.cell = f.cell
+       |JOIN fam ON fam.model = p.model
+       |ORDER BY p.model, p.cell""".stripMargin
   }
 
   /** Generated after training (the [[Pq.oracleEntries]] bridge): the
