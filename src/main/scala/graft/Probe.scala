@@ -82,6 +82,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("hitsscale")) {
+      hitsScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(4, 16); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -1089,6 +1095,64 @@ object Probe {
         time("unconstrained write  ", unconstrained = true)
         time("layout-preserving    ", unconstrained = false)
       } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.stop()
+  }
+
+  /** Layout win for the HITS half-steps (VERDICT r14 item 4): time the
+    * same hitsOn core over (a) the plain parquet edge artifact and (b)
+    * the dual src/dst-bucketed twins, at replicated-edge tiers. At
+    * fixture scale the query is checkpoint-overhead-bound; these tiers
+    * show where the exchange elimination starts paying. */
+  def hitsScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Graph, Scale => Sc}
+    val base = spark.read.parquet(
+      Graph.directedEdgesArtifactFor(spark, "/root/testdata/sf0.1"))
+    mults.foreach { mult =>
+      // shift both endpoints so nodes AND edges scale by mult (disjoint
+      // replicas: the graph structure per replica is unchanged)
+      val edges = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("src") * mult + col("rep")).as("src"),
+          (col("dst") * mult + col("rep")).as("dst"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hits-probe")
+      try {
+        val plainPath = tmp.resolve("plain").toString
+        edges.write.mode("overwrite").parquet(plainPath)
+        // bucket count is a CAPACITY parameter: 8 buckets cap the scan
+        // at 8 parallel tasks, which loses past ~10M edges on 32 cores
+        // (measured below) — size it like shuffle.partitions
+        val buckets = sys.env.get("SPARK_GRAFT_HITS_BUCKETS").map(_.toInt)
+          .getOrElse(Graph.EdgeBuckets)
+        Sc.writeBucketed(edges, "probe_hits_src", "src", buckets)
+        Sc.writeBucketed(edges, "probe_hits_dst", "dst", buckets)
+        val plain = spark.read.parquet(plainPath)
+        val n = plain.count()
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[hits] $label @ $n%d edges (x$mult): " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        // warm both paths once, then measure
+        Graph.hitsOn(plain, plain, 3, broadcastScores = true).count()
+        time("plain parquet   ") {
+          Graph.hitsOn(plain, plain, 3, broadcastScores = true).count()
+        }
+        val eS = spark.table("probe_hits_src")
+        val eD = spark.table("probe_hits_dst")
+        Graph.hitsOn(eS, eD, 3, broadcastScores = true).count()
+        time("dual-bucketed   ") {
+          Graph.hitsOn(eS, eD, 3, broadcastScores = true).count()
+        }
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS probe_hits_src")
+        spark.sql("DROP TABLE IF EXISTS probe_hits_dst")
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     }

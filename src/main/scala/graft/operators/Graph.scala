@@ -659,30 +659,71 @@ object Graph {
     * DuckDB twin after any iteration count. */
   def hits(edges: DataFrame, iterations: Int = HitsIterations,
       broadcastScores: Boolean = false): DataFrame = {
-    require(iterations >= 1, "HITS needs at least one half-step pair")
     val cached = edges.cache()
-    // score tables are node-sized; at dimension scale broadcasting them
-    // keeps the EDGE table stationary all round (the pageRankBucketed
-    // dial) — over a src-bucketed scan the hub half-step then plans
-    // with zero exchange and the authority half-step moves only
-    // node-bounded partial sums
-    def side(df: DataFrame): DataFrame =
-      if (broadcastScores) broadcast(df) else df
-    var hubs = cached.select(col("src").as("c")).distinct()
+    // scope the cache to the run: every half-step localCheckpoints
+    // eagerly, so by return nothing downstream re-reads the cached
+    // edges — an unscoped cache() would accumulate blocks for the
+    // SparkSession lifetime across repeated invocations (ADVICE r14)
+    try hitsOn(cached, cached, iterations, broadcastScores)
+    finally cached.unpersist(false)
+  }
+
+  /** One HITS half-step's edge join + mass aggregate, pre-checkpoint —
+    * factored out so the plan spec can pin each half-step's exchanges
+    * directly (the eager localCheckpoint otherwise hides them).
+    * Authority half-step: scores = hubs keyed `c`, join on src,
+    * aggregate by dst (swap the key triple for the hub half-step).
+    *
+    * [[hitsOn]] checkpoints THIS frame before normalizing:
+    * [[l1Normalize]] consumes its input twice (the 1-row total and the
+    * per-node division), and without a barrier the edge join + sum —
+    * the data-sized work — executed twice per half-step (measured ~2×
+    * on graph_hits/serving, SCALE.md r15); the checkpoint is node-sized. */
+  private[graft] def hitsHalfStepRaw(edges: DataFrame, scores: DataFrame,
+      scoreIdCol: String, joinKey: String, outKey: String, outId: String,
+      broadcastScores: Boolean): DataFrame = {
+    val side = scores.select(col(scoreIdCol).as(joinKey),
+      col("score_fp").as("m"))
+    edges
+      .join(if (broadcastScores) broadcast(side) else side, Seq(joinKey))
+      .groupBy(col(outKey).as(outId)).agg(sum(col("m")).as("raw"))
+  }
+
+  /** HITS core over per-half-step edge frames. `edgesSrc`/`edgesDst`
+    * are the SAME edge multiset (possibly two bucketed layouts of it);
+    * which layout each half-step reads depends on the score-table mode:
+    *
+    *  - broadcast mode (dimension scale): the joins are broadcast-hash
+    *    (no distribution requirement), so each half-step reads the
+    *    layout matching its AGGREGATE key — authority groups by dst
+    *    over the dst-bucketed scan, hub groups by src over the
+    *    src-bucketed scan: ZERO exchange in the whole round.
+    *  - shuffle mode (corpus scale, > [[BroadcastNodeCap]] nodes): the
+    *    node-sized score table shuffles to meet the edges, so each
+    *    half-step reads the layout matching its JOIN key — the edge
+    *    table never moves and the aggregate exchange carries only
+    *    node-bounded partial sums (the [[iterateBucketed]] floor).
+    *
+    * Pairings swap between modes; results are identical either way
+    * (same joins, same integer arithmetic — the layouts only relocate
+    * exchanges). */
+  private[graft] def hitsOn(edgesSrc: DataFrame, edgesDst: DataFrame,
+      iterations: Int, broadcastScores: Boolean): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one half-step pair")
+    val (eA, eH) =
+      if (broadcastScores) (edgesDst, edgesSrc) else (edgesSrc, edgesDst)
+    var hubs = edgesSrc.select(col("src").as("c")).distinct()
       .withColumn("score_fp", lit(HitsScale))
       .localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = cached
-        .join(side(hubs.select(col("c").as("src"), col("score_fp").as("h"))),
-          Seq("src"))
-        .groupBy(col("dst").as("s")).agg(sum(col("h")).as("raw"))
-      auths = l1Normalize(aRaw, "s").localCheckpoint(true)
-      val hRaw = cached
-        .join(side(auths.select(col("s").as("dst"), col("score_fp").as("a"))),
-          Seq("dst"))
-        .groupBy(col("src").as("c")).agg(sum(col("a")).as("raw"))
-      hubs = l1Normalize(hRaw, "c").localCheckpoint(true)
+      // checkpoint the RAW mass (node-sized) so l1Normalize's two reads
+      // hit the barrier, not the edge join; the normalized frame itself
+      // is a bounded crossJoin over the barrier — no second checkpoint
+      auths = l1Normalize(hitsHalfStepRaw(eA, hubs, "c", "src", "dst", "s",
+        broadcastScores).localCheckpoint(true), "s")
+      hubs = l1Normalize(hitsHalfStepRaw(eH, auths, "s", "dst", "src", "c",
+        broadcastScores).localCheckpoint(true), "c")
     }
     hubs.select(lit("hub").as("role"), col("c").as("entity_key"),
         col("score_fp"))
@@ -716,15 +757,48 @@ object Graph {
         .write.mode("overwrite").parquet(path)
     }
 
-  /** [[qHits]] served from the settled directed-edge layout with the
-    * node-sized score tables broadcast — the edge build (the inline
-    * gate's dominant cost) is paid once per ingest, and each half-step
-    * leaves the edge table stationary. Same integer arithmetic over the
+  /** The directed edges as TWO bucketed tables — src- and dst-bucketed
+    * twins of the same multiset (the [[bucketedEdgesFor]] discipline,
+    * doubled because HITS is directed: the hub half-step keys on src,
+    * the authority half-step on dst, and one layout can only satisfy
+    * one side). Settled once per (JVM, dataset); both twins rebuild
+    * from the same settled artifact. */
+  private[this] var bucketedDirectedKey: Option[String] = None
+  def bucketedDirectedEdgesFor(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      if (!bucketedDirectedKey.contains(dir) ||
+          !spark.catalog.tableExists("b3_hits_src") ||
+          !spark.catalog.tableExists("b3_hits_dst")) {
+        val e = spark.read.parquet(directedEdgesArtifactFor(spark, dir))
+        graft.operators.Scale.writeBucketed(e, "b3_hits_src", "src", EdgeBuckets)
+        graft.operators.Scale.writeBucketed(e, "b3_hits_dst", "dst", EdgeBuckets)
+        bucketedDirectedKey = Some(dir)
+      }
+    }
+
+  /** [[qHits]] served from the dual-bucketed directed-edge layout — the
+    * edge build (the inline gate's dominant cost) is paid once per
+    * ingest, and each half-step reads the twin matching its keys, so a
+    * full round plans with ZERO exchange in broadcast mode (spec-pinned
+    * with an unbucketed control). Score-table broadcast rides the
+    * [[BroadcastNodeCap]] dial like [[pageRankBucketed]] — hard-coding
+    * it would blow the broadcast limit on a corpus-scale graph (ADVICE
+    * r14); past the cap each half-step still leaves the edge table
+    * stationary (join-key-matched twin) and moves only node-sized
+    * score/partial-sum exchanges. Same integer arithmetic over the
     * same edge multiset ⇒ shares the [[oHits]] twin. */
-  def qHitsServing(spark: SparkSession, dir: String): DataFrame =
-    hitsTop(hits(
-      spark.read.parquet(directedEdgesArtifactFor(spark, dir)),
-      broadcastScores = true))
+  def qHitsServing(spark: SparkSession, dir: String): DataFrame = {
+    bucketedDirectedEdgesFor(spark, dir)
+    val eSrc = spark.table("b3_hits_src")
+    val eDst = spark.table("b3_hits_dst")
+    // both score tables broadcast each round, so the dial watches the
+    // larger side's cardinality
+    val n = eSrc.agg(greatest(
+      countDistinct(col("src")), countDistinct(col("dst"))).as("n"))
+      .head().getLong(0)
+    hitsTop(hitsOn(eSrc, eDst, HitsIterations,
+      broadcastScores = n <= BroadcastNodeCap))
+  }
 
   /** Twin: the identical integer recurrence, iterations unrolled as
     * chained CTEs; each normalization is the same two floor divisions

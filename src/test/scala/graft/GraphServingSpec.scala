@@ -99,4 +99,45 @@ class GraphServingSpec extends SparkSpecBase {
     Graph.qTrianglesServing(spark, sf).collect()
     assert(newest() == before, "artifact was rebuilt on re-read")
   }
+
+  test("HITS half-steps plan with zero exchange over the dual-bucketed twins") {
+    import org.apache.spark.sql.functions._
+    Graph.bucketedDirectedEdgesFor(spark, sf)
+    val eSrc = spark.table("b3_hits_src")
+    val eDst = spark.table("b3_hits_dst")
+    val hubs = eSrc.select(col("src").as("c")).distinct()
+      .withColumn("score_fp", lit(1000000L)).localCheckpoint(true)
+    // broadcast mode: authority reads the dst twin (aggregate by dst),
+    // hub reads the src twin — NO exchange in either half-step
+    val aPlan = Graph.hitsHalfStepRaw(eDst, hubs, "c", "src", "dst", "s",
+      broadcastScores = true).queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange hashpartitioning"),
+      s"authority half-step still shuffles:\n$aPlan")
+    assert(aPlan.contains("Bucketed: true"), aPlan)
+    val auths = Graph.hitsHalfStepRaw(eDst, hubs, "c", "src", "dst", "s",
+        broadcastScores = true)
+      .withColumnRenamed("raw", "score_fp").localCheckpoint(true)
+    val hPlan = Graph.hitsHalfStepRaw(eSrc, auths, "s", "dst", "src", "c",
+      broadcastScores = true).queryExecution.executedPlan.toString
+    assert(!hPlan.contains("Exchange hashpartitioning"),
+      s"hub half-step still shuffles:\n$hPlan")
+    // shuffle mode (corpus scale): the half-step reads the twin matching
+    // its JOIN key; the edge scan must never feed an exchange directly
+    val sPlan = Graph.hitsHalfStepRaw(eSrc, hubs, "c", "src", "dst", "s",
+      broadcastScores = false).queryExecution.executedPlan
+    val scanFed = sPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.collectLeaves().exists(_.toString.contains("b3_hits_src")) &&
+          !e.child.toString.startsWith("HashAggregate") => e
+    }
+    assert(scanFed.isEmpty, s"shuffle-mode half-step moved the edges:\n$sPlan")
+    // non-vacuous control: the same half-step over the UNbucketed
+    // artifact shuffles the scan
+    val plain = spark.read.parquet(Graph.directedEdgesArtifactFor(spark, sf))
+    val uPlan = Graph.hitsHalfStepRaw(plain, hubs, "c", "src", "dst", "s",
+      broadcastScores = false).queryExecution.executedPlan.toString
+    assert("""Exchange hashpartitioning\((src|dst)#\d+L?, \d+\)""".r
+      .findFirstIn(uPlan).isDefined,
+      "unbucketed half-step did not shuffle on the edge key — vacuous")
+  }
 }
