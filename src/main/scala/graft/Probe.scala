@@ -88,6 +88,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("distinctscale")) {
+      distinctScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 8, 64); case ms => ms
+      })
+      return
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -1097,6 +1103,44 @@ object Probe {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
+    }
+    spark.stop()
+  }
+
+  /** All-distinct worst case for the level-table operators (VERDICT r14
+    * item 8): skyline and KS collapse input to DISTINCT-value levels
+    * assuming levels ≪ rows; with every value unique (continuous
+    * measures) levels = rows and the range shuffle carries the full
+    * table. Still partition-parallel by design — these tiers pin that
+    * the exponent stays ~linear when the level table is data-sized.
+    * Skyline gains are hashed (staircase frontier ~ log n) so output
+    * size never masks the level-path cost. */
+  def distinctScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val BaseRows = 500000L
+    mults.foreach { mult =>
+      val n = BaseRows * mult
+      val rows = spark.range(n).select(col("id"),
+          col("id").cast("double").as("v"),
+          (col("id") * 2654435761L % 1000003L).as("gain"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      var t0 = System.nanoTime()
+      val ks = graft.operators.Ks
+        .ksDistance(rows, "v", col("id") % 2 === 0, nPartitions = 32)
+        .collect()
+      println(f"[distinct] ks      @ $n%d unique levels (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, d_num=${ks.head.getLong(2)}%d")
+      t0 = System.nanoTime()
+      val fr = graft.operators.Skyline
+        .frontier2d(rows, "id", "v", "gain", nPartitions = 32).count()
+      println(f"[distinct] skyline @ $n%d unique levels (x$mult): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, frontier=$fr%d")
+      rows.unpersist()
     }
     spark.stop()
   }
