@@ -514,31 +514,43 @@ object StreamingOps {
     * key REGARDLESS of history length, the bounded-state property that
     * makes a per-entity baseline feasible on an unbounded stream.
     * Within a batch rows are processed in day order so shuffle
-    * partitioning cannot reorder the recurrence; fed the same daily
-    * series, the output is bit-equal to the batch operator
-    * (spec-pinned), including the NULL-until-filled lookback head. */
+    * partitioning cannot reorder the recurrence; ACROSS batches the
+    * state carries the newest processed day and DROPS any row at or
+    * before it (ADVICE r14: a day arriving out of order across
+    * micro-batches would otherwise be folded into the recurrence as if
+    * it were newest, corrupting every later baseline for the key — the
+    * documented in-order contract is now machine-enforced; dropped
+    * days surface in the day-count reconciliation a monitor keeps, the
+    * same place watermark-dropped rows do). Fed the same daily series,
+    * the output is bit-equal to the batch operator (spec-pinned),
+    * including the NULL-until-filled lookback head. */
   def ewmaStream(counts: Dataset[DayCount]): Dataset[EwmaOut] = {
     import counts.sparkSession.implicits._
     import graft.operators.Ewma
     counts.groupByKey(_.event_type)
-      .flatMapGroupsWithState[Seq[Long], EwmaOut](
+      .flatMapGroupsWithState[(Long, Seq[Long]), EwmaOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (t: String, rows: Iterator[DayCount], state: GroupState[Seq[Long]]) =>
-          var recent = state.getOption.getOrElse(Seq.empty[Long])
-          val out = rows.toSeq.sortBy(_.d.getTime).map { r =>
-            val res =
-              if (recent.length == Ewma.Terms - 1) {
-                val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
-                  case (c, i) => c * Ewma.weight(i + 1) }.sum
-                // wsum ≥ 0 so / is the batch form's floor div
-                EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
-                  Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
-                    else 0))
-              } else EwmaOut(t, r.d, r.c, None, None)
-            recent = (r.c +: recent).take(Ewma.Terms - 1)
-            res
-          }
-          state.update(recent)
+        (t: String, rows: Iterator[DayCount],
+            state: GroupState[(Long, Seq[Long])]) =>
+          var (lastDay, recent) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+          val out = rows.toSeq.sortBy(_.d.getTime)
+            .filter(_.d.getTime > lastDay)
+            .map { r =>
+              val res =
+                if (recent.length == Ewma.Terms - 1) {
+                  val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
+                    case (c, i) => c * Ewma.weight(i + 1) }.sum
+                  // wsum ≥ 0 so / is the batch form's floor div
+                  EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
+                    Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
+                      else 0))
+                } else EwmaOut(t, r.d, r.c, None, None)
+              recent = (r.c +: recent).take(Ewma.Terms - 1)
+              lastDay = r.d.getTime
+              res
+            }
+          state.update((lastDay, recent))
           out.iterator
       }
   }

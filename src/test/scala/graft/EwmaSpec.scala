@@ -104,4 +104,36 @@ class EwmaSpec extends SparkSpecBase {
     assert(streamed == expected,
       s"stream ${streamed.size} rows vs batch ${expected.size}")
   }
+
+  test("a day arriving out of order across micro-batches is dropped, not folded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-02-$d%02d")
+    val src = MemoryStream[(String, java.sql.Date, Long)]
+    val ds = src.toDS().map { case (t, d, c) => StreamingOps.DayCount(t, d, c) }
+    val q = StreamingOps.ewmaStream(ds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_late").start()
+    // batch 1: days 1..10 in order
+    src.addData((1 to 10).map(i => ("t", day(i), 10L)))
+    q.processAllAvailable()
+    // batch 2: day 3 AGAIN (out of order across batches) + day 11
+    src.addData(Seq(("t", day(3), 999L), ("t", day(11), 10L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ewma_late").collect()
+      .map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    // the stale day-3 row must NOT re-emit (its first emission stands)
+    assert(rows("2024-02-03") == 10L, "stale re-arrival replaced the row")
+    assert(rows.size == 11, s"expected 11 distinct days, got ${rows.size}")
+    // and day 11's baseline is uncorrupted by the 999 count: on a flat
+    // all-10s series the ewma is exactly 10000 milli
+    val d11 = spark.table("ewma_late").collect()
+      .find(_.getDate(1).toString == "2024-02-11").get
+    assert(d11.getLong(3) == 10000L,
+      s"baseline corrupted by the out-of-order day: ${d11.getLong(3)}")
+    assert(d11.getInt(4) == 0)
+  }
 }

@@ -119,4 +119,22 @@ class JaroWinklerSpec extends SparkSpecBase {
     assert(bound < 0.9)
     assert(jw(a, b) <= bound)
   }
+
+  test("gated fixture column is pure ASCII (the documented parity assumption)") {
+    // the kernel scores UTF-16 code units while DuckDB's
+    // jaro_winkler_similarity scores UTF-8 bytes, so the
+    // entity_jarowinkler oracle gate only holds while the fixture's
+    // p_name stays ASCII (ADVICE r14) — machine-check it on every
+    // fixture tier the gate can run against, so a testdata regen that
+    // introduces non-ASCII names fails HERE with a diagnosis instead of
+    // as an inscrutable hash mismatch
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+         if java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      val nonAscii = Tables.part(spark, dir)
+        .filter(col("p_name").rlike("[^\\x00-\\x7F]")).count()
+      assert(nonAscii == 0L,
+        s"$dir p_name has $nonAscii non-ASCII rows — the DuckDB parity " +
+          "assumption no longer holds; the kernel needs a UTF-8-unit twin")
+    }
+  }
 }
