@@ -121,6 +121,9 @@ object SparkEntry {
     "q9_product_profit" -> ((s, d) => TpchDeep.q9ProductProfit(s, d)),
     "q12_late_lines" -> ((s, d) => TpchDeep.q12LateLines(s, d)),
     "curation_pii_scrub" -> ((s, d) => Curation.qPiiScrub(s, d)),
+    // checksum-validated card scrub: only Luhn-valid 16-digit runs
+    // rewrite (false-positive guard a bare regex scrub lacks)
+    "curation_pii_luhn" -> ((s, d) => Curation.qPiiLuhn(s, d)),
     "curation_repetition" -> ((s, d) => Curation.qRepetition(s, d)),
     "curation_stratified_sample" -> ((s, d) => Curation.qStratifiedSample(s, d)),
     "curation_seq_pack" -> ((s, d) => Curation.qSeqPack(s, d)),
@@ -559,6 +562,7 @@ object SparkEntry {
     "q9_product_profit" -> TpchDeep.q9OracleSql,
     "q12_late_lines" -> TpchDeep.q12OracleSql,
     "curation_pii_scrub" -> Curation.oPiiScrub,
+    "curation_pii_luhn" -> Curation.oPiiLuhn,
     "curation_repetition" -> Curation.oRepetition,
     "curation_stratified_sample" -> Curation.oStratifiedSample,
     "curation_seq_pack" -> Curation.oSeqPack,

@@ -91,6 +91,107 @@ object Curation {
       |  regexp_replace(no_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- Luhn-validated card PII
+
+  /** Luhn mod-10 sum of a 16-digit string: from the RIGHT, every second
+    * digit doubles (digits > 9 after doubling subtract 9) — for a fixed
+    * even length that is every LEFT-even index. Pure integer HOF
+    * arithmetic, identical in DuckDB (`list_transform` over `range`),
+    * so validity is oracle-exact. */
+  private def luhnSum16(c: Column): Column =
+    aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) => {
+      val d = (ascii(c.substr((i + 1).cast("int"), lit(1))) - lit(48))
+        .cast("long")
+      acc + when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+
+  private def luhnValid16(c: Column): Column = luhnSum16(c) % 10 === 0
+
+  /** Card-number scrub with CHECKSUM validation: a bare
+    * `\d{16} → <CARD>` rewrite nukes order ids, hashes, and timestamps
+    * that happen to be 16 digits — the classic PII-scrub false-positive
+    * that silently destroys training signal at corpus scale. Candidates
+    * come from the regex; only Luhn-VALID candidates scrub (the same
+    * two-stage detect→validate structure payment processors use).
+    * Per-row HOF expression work, no shuffle; the scrub itself is an
+    * `aggregate` over the validated candidate list, so any number of
+    * valid cards per doc rewrite in one pass. */
+  def luhnScrub(text: Column): (Column, Column, Column) = {
+    val cands = regexp_extract_all(text, lit("\\b\\d{16}\\b"), lit(0))
+    val valid = filter(cands, c => luhnValid16(c))
+    val clean = aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+    (size(cands).cast("long"), size(valid).cast("long"), clean)
+  }
+
+  /** The synthetic corpus carries no organic card numbers, so the query
+    * leg plants TWO deterministic 16-digit candidates per doc — one
+    * with the correct Luhn check digit, one with check+1 — making the
+    * validator (not the fixture) the thing under test: exactly one of
+    * the two may scrub. The check digit is derived with the same
+    * integer arithmetic in both engines. */
+  private def withCardLine(docs: DataFrame): DataFrame = {
+    val prefix = concat(lit("4"),
+      lpad(((col("doc_id") * 7919) % 100000000000000L).cast("string"), 14, "0"))
+    // prefix occupies LEFT indices 0..14 of the 16-digit card; doubling
+    // hits left-even indices, so the prefix sum shares luhn's parity
+    val pSum = aggregate(sequence(lit(0), lit(14)), lit(0L), (acc, i) => {
+      val d = (ascii(prefix.substr((i + 1).cast("int"), lit(1))) - lit(48))
+        .cast("long")
+      acc + when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    val check = (lit(10L) - pSum % 10) % 10
+    val good = concat(prefix, check.cast("string"))
+    val bad = concat(prefix, ((check + 1) % 10).cast("string"))
+    docs.withColumn("aug",
+      concat(col("text"), lit(" card "), good, lit(" ref "), bad))
+  }
+
+  def qPiiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val (nCands, nValid, clean) = luhnScrub(col("aug"))
+    withCardLine(Tables.documents(spark, dir))
+      .select(col("doc_id"), nCands.as("n_candidates"),
+        nValid.as("n_valid"), clean.as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oPiiLuhn: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),
+      |      14, '0') AS pre
+      |  FROM documents),
+      |ck AS (
+      |  SELECT doc_id, pre,
+      |    (10 - list_sum(list_transform(range(15), i ->
+      |      CASE WHEN i % 2 = 0 THEN
+      |        CASE WHEN 2 * (ascii(substr(pre, CAST(i + 1 AS INTEGER), 1)) - 48) > 9
+      |          THEN 2 * (ascii(substr(pre, CAST(i + 1 AS INTEGER), 1)) - 48) - 9
+      |          ELSE 2 * (ascii(substr(pre, CAST(i + 1 AS INTEGER), 1)) - 48) END
+      |      ELSE ascii(substr(pre, CAST(i + 1 AS INTEGER), 1)) - 48 END)) % 10)
+      |      % 10 AS check
+      |  FROM p),
+      |a AS (
+      |  SELECT d.doc_id,
+      |    d.text || ' card ' || ck.pre || CAST(ck.check AS VARCHAR)
+      |      || ' ref ' || ck.pre || CAST((ck.check + 1) % 10 AS VARCHAR) AS aug,
+      |    ck.pre || CAST(ck.check AS VARCHAR) AS good
+      |  FROM documents d JOIN ck ON d.doc_id = ck.doc_id)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '\b\d{16}\b')) AS BIGINT)
+      |    AS n_candidates,
+      |  CAST(len(list_filter(regexp_extract_all(aug, '\b\d{16}\b'), c ->
+      |    list_sum(list_transform(range(16), i ->
+      |      CASE WHEN i % 2 = 0 THEN
+      |        CASE WHEN 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) > 9
+      |          THEN 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) - 9
+      |          ELSE 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) END
+      |      ELSE ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48 END)) % 10 = 0))
+      |    AS BIGINT) AS n_valid,
+      |  replace(aug, good, '<CARD>') AS clean_text
+      |FROM a ORDER BY doc_id""".stripMargin
+
   /** Within-document repetition: ordered 3-gram shingles vs distinct
     * shingles. High ratio = boilerplate / template / degenerate text —
     * the standard pre-training drop signal that corpus-level dedup
