@@ -56,6 +56,9 @@ object SparkEntry {
     // JDK's animated-GIF codec (mp4 stays env-bound hash-fallback)
     "multimodal_frame_sample" -> ((s, d) => Multimodal.qMultimodalFrameSample(s, d)),
     "classify_lang_nb" -> ((s, d) => Classify.qClassifyLang(s, d)),
+    // chance-corrected agreement (exact integer rational; the
+    // imbalance-robust one-number twin of the confusion matrix)
+    "classify_cohens_kappa" -> ((s, d) => Classify.qClassifyKappa(s, d)),
     "gapfill_hourly" -> ((s, d) => Temporal.qGapFillHourly(s, d)),
     "funnel_view_click_purchase" -> ((s, d) => Temporal.qEventFunnel(s, d)),
     "entity_edit_pairs" -> ((s, d) => Entity.qCustomerEditPairs(s, d)),

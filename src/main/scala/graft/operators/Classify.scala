@@ -201,7 +201,8 @@ object Classify {
   def oracleEntries: Map[String, String] =
     cachedModel.map(m => Map(
       "classify_lang_nb" -> oClassifyLang(m),
-      "classify_confusion" -> oClassifyConfusion(m)))
+      "classify_confusion" -> oClassifyConfusion(m),
+      "classify_cohens_kappa" -> oClassifyKappa(m)))
       .getOrElse(Map.empty)
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -273,4 +274,62 @@ object Classify {
   def qClassifyConfusion(spark: SparkSession, dir: String): DataFrame =
     confusionMatrix(Tables.documents(spark, dir), modelFor(spark, dir))
       .orderBy(col("lang"), col("pred_lang"))
+
+  // ------------------------------------------------------ Cohen's kappa
+
+  /** Chance-corrected agreement between the classifier and the labels —
+    * the one-number model-quality summary accuracy overstates when
+    * classes are imbalanced (a majority-class guesser scores high
+    * accuracy but κ ≈ 0). Exact integer rational: with N = Σ cells,
+    * D = Σ diagonal, E = Σ_l rowTotal(l)·colTotal(l),
+    * κ = (N·D − E) / (N² − E); `kappa_milli` = ⌊1000·κ⌋ via a double
+    * floor whose operands are exact integers ≪ 2⁵³ (the Dsir floor
+    * argument, and κ ≥ 0 here so both engines' floor agree). Everything
+    * after the prediction pass is |langs|²-bounded. */
+  def cohensKappa(docs: DataFrame, model: NbModel): DataFrame = {
+    val conf = predict(docs, model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    Dedup.withCached(conf) { c =>
+      val tot = c.agg(sum(col("n")).as("n_total"))
+      val diag = c.filter(col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_agree"))
+      val e = c.groupBy(col("lang")).agg(sum(col("n")).as("r"))
+        .join(c.groupBy(col("pred_lang").as("lang"))
+          .agg(sum(col("n")).as("cc")), Seq("lang"))
+        .agg(sum(col("r") * col("cc")).as("e_num"))
+      tot.crossJoin(broadcast(diag)).crossJoin(broadcast(e))
+        .select(col("n_total"), col("n_agree"), col("e_num"),
+          (col("n_total") * col("n_agree") - col("e_num")).as("kappa_num"),
+          (col("n_total") * col("n_total") - col("e_num")).as("kappa_den"))
+        .withColumn("kappa_milli",
+          floor(lit(1000).cast("double") * col("kappa_num") / col("kappa_den"))
+            .cast("long"))
+    }
+  }
+
+  def qClassifyKappa(spark: SparkSession, dir: String): DataFrame =
+    cohensKappa(Tables.documents(spark, dir), modelFor(spark, dir))
+
+  private[graft] def oClassifyKappa(m: NbModel): String =
+    s"""${predictionCtes(m)},
+       |conf AS (
+       |  SELECT d2.lang, r.label AS pred_lang, count(*) AS n
+       |  FROM ranked r JOIN documents d2 USING (doc_id)
+       |  WHERE r.rnk = 1 GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM conf),
+       |diag AS (SELECT CAST(sum(n) AS BIGINT) AS n_agree FROM conf
+       |         WHERE lang = pred_lang),
+       |e AS (
+       |  SELECT CAST(sum(r * cc) AS BIGINT) AS e_num FROM
+       |    (SELECT lang, sum(n) AS r FROM conf GROUP BY 1) rt JOIN
+       |    (SELECT pred_lang AS lang, sum(n) AS cc FROM conf GROUP BY 1) ct
+       |    USING (lang))
+       |SELECT n_total, n_agree, e_num,
+       |  CAST(n_total * n_agree - e_num AS BIGINT) AS kappa_num,
+       |  CAST(n_total * n_total - e_num AS BIGINT) AS kappa_den,
+       |  CAST(floor(CAST(1000 AS DOUBLE) * (n_total * n_agree - e_num)
+       |    / (n_total * n_total - e_num)) AS BIGINT) AS kappa_milli
+       |FROM tot, diag, e""".stripMargin
 }

@@ -125,4 +125,26 @@ class ClassifySpec extends SparkSpecBase {
     model.labels.foreach(l => assert(sql.contains(s"'$l'")))
     assert(sql.contains(model.priors.head.toString))
   }
+
+  test("cohen's kappa: exact rational matches a hand-computed confusion") {
+    // fixture kappa agrees with a driver-side recomputation from the
+    // confusion matrix — exact integers end to end
+    val conf = Classify.qClassifyConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = conf.values.sum
+    val d = conf.collect { case ((a, p), c) if a == p => c }.sum
+    val rows = conf.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val cols = conf.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    val e = rows.map { case (l, r) => r * cols.getOrElse(l, 0L) }.sum
+    val out = Classify.qClassifyKappa(spark, sf).collect().head
+    assert(out.getAs[Long]("n_total") == n)
+    assert(out.getAs[Long]("n_agree") == d)
+    assert(out.getAs[Long]("e_num") == e)
+    assert(out.getAs[Long]("kappa_milli") ==
+      math.floor(1000.0 * (n * d - e) / (n * n - e)).toLong)
+    // the classifier must beat chance on the fixture (κ > 0; the tiny
+    // sf0.001 split trains on ~40 docs, so demand direction, not size)
+    assert(out.getAs[Long]("kappa_milli") > 0,
+      s"classifier does not beat chance: ${out.getAs[Long]("kappa_milli")}")
+  }
 }
