@@ -88,6 +88,98 @@ object Ks {
         .filter(col("event_type").isin("click", "purchase")),
       "value", col("event_type") === "click")
 
+  // -------------------------------------------------- Mann-Whitney U
+
+  /** Two-sample Mann-Whitney U — the rank-based drift test next to the
+    * ECDF-based [[ksDistance]]: KS is sensitive to ANY distributional
+    * difference, U specifically to stochastic dominance (one cohort's
+    * values systematically larger), and U/(n₁n₂) IS the AUC of the
+    * value as a separator of the two cohorts. Exact integers under
+    * ties: ranks are midranks carried DOUBLED (2·before + m + 1 is
+    * integral for a tie-group of m values starting after `before`
+    * pooled rows), so R₁ and U₁ live ×2 and never see a fraction;
+    * `auc_micro` = ⌊10⁶·U₁/(n₁n₂)⌋ evaluated in DECIMAL(38) (u1_x2
+    * alone can pass 2⁶³/10⁶ at corpus cohorts).
+    *
+    * Scale shape: the [[ksDistance]] level-table discipline verbatim —
+    * hash-aggregate to distinct values, range-partition levels, ONE
+    * control-plane collect of per-partition pair totals,
+    * [[Scale.strictPrefix]] offsets broadcast back, partition-local
+    * exclusive running sums, one 1-row aggregate. No global sort. */
+  def mwu(df: DataFrame, valueCol: String,
+      isA: org.apache.spark.sql.Column, nPartitions: Int = 32): DataFrame = {
+    val lv = df
+      .select(col(valueCol).as("v"), when(isA, 1L).otherwise(0L).as("ia"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      .repartitionByRange(nPartitions, col("v"))
+      .withColumn("_pid", spark_partition_id())
+    Dedup.withCached(lv) { s =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val stats = s.groupBy(col("_pid"))
+        .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+        .sortBy(_._1)
+      val na = stats.map(_._2._1).sum
+      val nb = stats.map(_._2._2).sum
+      val offsets: Seq[(Int, Long)] =
+        Scale.strictPrefix(stats.toSeq, 0L) {
+          case (acc, (a, b)) => acc + a + b
+        }
+      val w = Window.partitionBy(col("_pid")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      s.join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
+        .withColumn("before",
+          coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)) + col("_off"))
+        .agg(sum(col("ca") *
+          (lit(2L) * col("before") + col("ca") + col("cb") + 1L)).as("r1_x2"))
+        .filter(col("r1_x2").isNotNull)
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("r1_x2"),
+          (col("r1_x2") - lit(na) * lit(na + 1)).as("u1_x2"))
+        .withColumn("auc_micro",
+          expr(s"cast((cast(u1_x2 as decimal(38,0)) * 500000)" +
+            s" div (cast(${na}L as decimal(38,0)) * ${nb}L) as bigint)"))
+    }
+  }
+
+  def qMwuValueByType(spark: SparkSession, dir: String): DataFrame =
+    mwu(
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase")),
+      "value", col("event_type") === "click")
+
+  /** Twin: the textbook single-window midrank form over the level
+    * table — doubled ranks keep ties integral in both engines. */
+  def oMwuValueByType: String =
+    s"""WITH p AS (
+       |  SELECT value AS v,
+       |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+       |lv AS (
+       |  SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+       |    CAST(sum(1 - ia) AS BIGINT) AS cb
+       |  FROM p GROUP BY v),
+       |t AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+       |  FROM lv),
+       |c AS (
+       |  SELECT ca, cb,
+       |    CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS before
+       |  FROM lv),
+       |r AS (
+       |  SELECT CAST(sum(ca * (2 * before + ca + cb + 1)) AS BIGINT) AS r1_x2
+       |  FROM c)
+       |SELECT t.na AS n_a, t.nb AS n_b, r.r1_x2,
+       |  CAST(r.r1_x2 - t.na * (t.na + 1) AS BIGINT) AS u1_x2,
+       |  CAST((CAST(r.r1_x2 - t.na * (t.na + 1) AS HUGEINT) * 500000)
+       |       // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS auc_micro
+       |FROM r CROSS JOIN t""".stripMargin
+
   /** Twin: the textbook single-window form over the level table (the
     * operator must equal it exactly — same tied-value levels, same
     * integer cross-multiplication, same HUGEINT flag arithmetic). */

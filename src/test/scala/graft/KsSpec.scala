@@ -68,4 +68,46 @@ class KsSpec extends SparkSpecBase {
     // NOT reject (if this trips, the generator changed shape)
     assert(r.getInt(4) == 0)
   }
+
+  private def mwuRow(rows: Seq[(Double, Boolean)], nPart: Int = 4) =
+    Ks.mwu(rows.toDF("value", "is_a"), "value", col("is_a"),
+        nPartitions = nPart)
+      .collect().head
+
+  test("mwu: complete dominance gives U1 = n1*n2 (AUC = 1)") {
+    // every A value above every B value
+    val r = mwuRow((1 to 20).map(v => (v + 100.0, true)) ++
+      (1 to 30).map(v => (v.toDouble, false)))
+    assert(r.getLong(0) == 20 && r.getLong(1) == 30)
+    assert(r.getLong(3) == 2L * 20 * 30, s"u1_x2 ${r.getLong(3)}")
+    assert(r.getLong(4) == 1000000L)
+  }
+
+  test("mwu: identical samples give AUC exactly 1/2 via midranks") {
+    val xs = (1 to 40).map(_.toDouble)
+    val r = mwuRow(xs.map((_, true)) ++ xs.map((_, false)))
+    // ties: each level holds one A and one B; symmetric → U1 = n²/2
+    assert(r.getLong(3) == 2L * 40 * 40 / 2 * 2 / 2, s"u1_x2 ${r.getLong(3)}")
+    assert(r.getLong(4) == 500000L, s"auc_micro ${r.getLong(4)}")
+  }
+
+  test("mwu: hand-computed tied case") {
+    // A = {1, 2, 2}, B = {2, 3}: pooled midranks 1, 3, 3, 3, 5 (the
+    // three 2s share rank (2+3+4)/3 = 3) → R1 = 1 + 3 + 3 = 7,
+    // U1 = 7 − 3·4/2 = 1 → u1_x2 = 2, auc = 1/6
+    val r = mwuRow(Seq((1.0, true), (2.0, true), (2.0, true),
+      (2.0, false), (3.0, false)))
+    assert(r.getLong(2) == 14L, s"r1_x2 ${r.getLong(2)}")
+    assert(r.getLong(3) == 2L, s"u1_x2 ${r.getLong(3)}")
+    assert(r.getLong(4) == 166666L)
+  }
+
+  test("mwu: invariant to partition count") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ =>
+      (rng.nextInt(40).toDouble, rng.nextBoolean()))
+    val ref = mwuRow(rows, 1).toSeq
+    for (n <- Seq(3, 16, 40))
+      assert(mwuRow(rows, n).toSeq == ref, s"nPartitions=$n diverged")
+  }
 }
