@@ -59,6 +59,8 @@ object SparkEntry {
     // chance-corrected agreement (exact integer rational; the
     // imbalance-robust one-number twin of the confusion matrix)
     "classify_cohens_kappa" -> ((s, d) => Classify.qClassifyKappa(s, d)),
+    // margin-decile reliability table (does margin predict accuracy?)
+    "classify_calibration" -> ((s, d) => Classify.qClassifyCalibration(s, d)),
     "gapfill_hourly" -> ((s, d) => Temporal.qGapFillHourly(s, d)),
     "funnel_view_click_purchase" -> ((s, d) => Temporal.qEventFunnel(s, d)),
     "entity_edit_pairs" -> ((s, d) => Entity.qCustomerEditPairs(s, d)),

@@ -202,7 +202,8 @@ object Classify {
     cachedModel.map(m => Map(
       "classify_lang_nb" -> oClassifyLang(m),
       "classify_confusion" -> oClassifyConfusion(m),
-      "classify_cohens_kappa" -> oClassifyKappa(m)))
+      "classify_cohens_kappa" -> oClassifyKappa(m),
+      "classify_calibration" -> oClassifyCalibration(m)))
       .getOrElse(Map.empty)
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -311,6 +312,52 @@ object Classify {
 
   def qClassifyKappa(spark: SparkSession, dir: String): DataFrame =
     cohensKappa(Tables.documents(spark, dir), modelFor(spark, dir))
+
+  // ------------------------------------------------- calibration bins
+
+  /** Reliability table: does a larger decision margin actually mean a
+    * more reliable prediction? Rank every prediction by (margin,
+    * doc_id), cut into 10 equal-depth bins, and report per-bin
+    * accuracy — the monotonicity (or not) of this table is what decides
+    * whether `margin` can gate auto-accept thresholds downstream.
+    * Exact: bin = (rank−1)·10 div n on the distributed
+    * [[Scale.globalRank]] (no single-task global sort at corpus
+    * scale); accuracy in exact milli (counts ≪ 2⁵³). */
+  def calibration(docs: DataFrame, model: NbModel): DataFrame = {
+    val scored = predict(docs, model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("margin"),
+        when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("ok"))
+    val ranked = Scale.globalRank(scored,
+      Seq(col("margin"), col("doc_id")), "rnk", 32)
+    val n = docs.count()
+    ranked
+      .withColumn("bin", expr(s"((rnk - 1) * 10) div ${n}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .withColumn("acc_milli", expr("(1000 * n_correct) div n_docs"))
+  }
+
+  def qClassifyCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibration(Tables.documents(spark, dir), modelFor(spark, dir))
+      .orderBy(col("bin"))
+
+  private[graft] def oClassifyCalibration(m: NbModel): String =
+    s"""${predictionCtes(m)},
+       |sc AS (
+       |  SELECT r.doc_id, r.margin,
+       |    CASE WHEN r.label = d2.lang THEN 1 ELSE 0 END AS ok
+       |  FROM ranked r JOIN documents d2 USING (doc_id) WHERE r.rnk = 1),
+       |n AS (SELECT count(*) AS nd FROM sc),
+       |g AS (
+       |  SELECT ok, ((row_number() OVER (ORDER BY margin, doc_id) - 1) * 10)
+       |    // nd AS bin
+       |  FROM sc, n)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ok) AS BIGINT) AS n_correct,
+       |  CAST((1000 * sum(ok)) // count(*) AS BIGINT) AS acc_milli
+       |FROM g GROUP BY bin ORDER BY bin""".stripMargin
 
   private[graft] def oClassifyKappa(m: NbModel): String =
     s"""${predictionCtes(m)},

@@ -147,4 +147,32 @@ class ClassifySpec extends SparkSpecBase {
     assert(out.getAs[Long]("kappa_milli") > 0,
       s"classifier does not beat chance: ${out.getAs[Long]("kappa_milli")}")
   }
+
+  test("calibration bins: equal-depth partition, driver-recomputed accuracy") {
+    val docs = Tables.documents(spark, sf)
+    val model = Classify.modelFor(spark, sf)
+    val out = Classify.qClassifyCalibration(spark, sf).collect()
+    val n = docs.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n, "bins must partition")
+    assert(out.forall(r => r.getAs[Long]("bin") >= 0 &&
+      r.getAs[Long]("bin") <= 9))
+    // equal depth up to rounding: bin sizes differ by at most 1
+    val sizes = out.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    // driver-side recomputation from the raw predictions
+    val lang = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val preds = Classify.predict(docs, model).collect()
+      .map(r => (r.getLong(3), r.getLong(0),
+        if (r.getString(1) == lang(r.getLong(0))) 1L else 0L))
+      .sortBy(p => (p._1, p._2))
+    val expect = preds.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .map { case (b, g) => b -> (g.length.toLong, g.map(_._1._3).sum) }
+    out.foreach { r =>
+      val (en, ec) = expect(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_docs") == en && r.getAs[Long]("n_correct") == ec,
+        s"bin ${r.getAs[Long]("bin")} diverged from driver recomputation")
+    }
+  }
 }
