@@ -328,14 +328,20 @@ object Classify {
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("margin"),
         when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("ok"))
-    val ranked = Scale.globalRank(scored,
-      Seq(col("margin"), col("doc_id")), "rnk", 32)
-    val n = docs.count()
-    ranked
-      .withColumn("bin", expr(s"((rnk - 1) * 10) div ${n}L"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
-      .withColumn("acc_milli", expr("(1000 * n_correct) div n_docs"))
+    Dedup.withCached(scored) { s =>
+      // denominator = SCORED rows, matching the twin's `sc` CTE — a doc
+      // the prediction pass drops (e.g. null text) must not shift the
+      // bin boundaries (review r15 finding)
+      val n = s.count()
+      if (n == 0L) return s.select(lit(0L).as("bin"),
+        lit(0L).as("n_docs"), lit(0L).as("n_correct"),
+        lit(0L).as("acc_milli")).limit(0)
+      Scale.globalRank(s, Seq(col("margin"), col("doc_id")), "rnk", 32)
+        .withColumn("bin", expr(s"((rnk - 1) * 10) div ${n}L"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+        .withColumn("acc_milli", expr("(1000 * n_correct) div n_docs"))
+    }
   }
 
   def qClassifyCalibration(spark: SparkSession, dir: String): DataFrame =
@@ -366,8 +372,8 @@ object Classify {
        |  FROM ranked r JOIN documents d2 USING (doc_id)
        |  WHERE r.rnk = 1 GROUP BY 1, 2),
        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM conf),
-       |diag AS (SELECT CAST(sum(n) AS BIGINT) AS n_agree FROM conf
-       |         WHERE lang = pred_lang),
+       |diag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+       |         FROM conf WHERE lang = pred_lang),
        |e AS (
        |  SELECT CAST(sum(r * cc) AS BIGINT) AS e_num FROM
        |    (SELECT lang, sum(n) AS r FROM conf GROUP BY 1) rt JOIN

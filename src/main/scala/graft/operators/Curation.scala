@@ -175,22 +175,26 @@ object Curation {
       |a AS (
       |  SELECT d.doc_id,
       |    d.text || ' card ' || ck.pre || CAST(ck.check AS VARCHAR)
-      |      || ' ref ' || ck.pre || CAST((ck.check + 1) % 10 AS VARCHAR) AS aug,
-      |    ck.pre || CAST(ck.check AS VARCHAR) AS good
-      |  FROM documents d JOIN ck ON d.doc_id = ck.doc_id)
+      |      || ' ref ' || ck.pre || CAST((ck.check + 1) % 10 AS VARCHAR) AS aug
+      |  FROM documents d JOIN ck ON d.doc_id = ck.doc_id),
+      |v AS (
+      |  SELECT doc_id, aug,
+      |    list_filter(regexp_extract_all(aug, '\b\d{16}\b'), c ->
+      |      list_sum(list_transform(range(16), i ->
+      |        CASE WHEN i % 2 = 0 THEN
+      |          CASE WHEN 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) > 9
+      |            THEN 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) - 9
+      |            ELSE 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) END
+      |        ELSE ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48 END)) % 10 = 0)
+      |      AS valids
+      |  FROM a)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(aug, '\b\d{16}\b')) AS BIGINT)
       |    AS n_candidates,
-      |  CAST(len(list_filter(regexp_extract_all(aug, '\b\d{16}\b'), c ->
-      |    list_sum(list_transform(range(16), i ->
-      |      CASE WHEN i % 2 = 0 THEN
-      |        CASE WHEN 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) > 9
-      |          THEN 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) - 9
-      |          ELSE 2 * (ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48) END
-      |      ELSE ascii(substr(c, CAST(i + 1 AS INTEGER), 1)) - 48 END)) % 10 = 0))
-      |    AS BIGINT) AS n_valid,
-      |  replace(aug, good, '<CARD>') AS clean_text
-      |FROM a ORDER BY doc_id""".stripMargin
+      |  CAST(len(valids) AS BIGINT) AS n_valid,
+      |  list_reduce(list_prepend(aug, valids),
+      |    (acc, c) -> replace(acc, c, '<CARD>')) AS clean_text
+      |FROM v ORDER BY doc_id""".stripMargin
 
   /** Within-document repetition: ordered 3-gram shingles vs distinct
     * shingles. High ratio = boilerplate / template / degenerate text —

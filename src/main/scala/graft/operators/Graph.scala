@@ -764,16 +764,30 @@ object Graph {
     * one side). Settled once per (JVM, dataset); both twins rebuild
     * from the same settled artifact. */
   private[this] var bucketedDirectedKey: Option[String] = None
-  def bucketedDirectedEdgesFor(spark: SparkSession, dir: String): Unit =
+  private[this] var bucketedDirectedNodes: Long = 0L
+  def bucketedDirectedEdgesFor(spark: SparkSession, dir: String): Long =
     synchronized {
       if (!bucketedDirectedKey.contains(dir) ||
           !spark.catalog.tableExists("b3_hits_src") ||
           !spark.catalog.tableExists("b3_hits_dst")) {
         val e = spark.read.parquet(directedEdgesArtifactFor(spark, dir))
-        graft.operators.Scale.writeBucketed(e, "b3_hits_src", "src", EdgeBuckets)
-        graft.operators.Scale.writeBucketed(e, "b3_hits_dst", "dst", EdgeBuckets)
+        // bucket count is a CAPACITY parameter — a scan's parallelism IS
+        // its bucket count (measured: 8 buckets lose to a plain scan
+        // past ~10M edges on 32 cores, `Probe hitsscale`), so size it
+        // like shuffle.partitions rather than pinning a constant
+        val buckets = math.max(EdgeBuckets,
+          spark.sessionState.conf.numShufflePartitions)
+        graft.operators.Scale.writeBucketed(e, "b3_hits_src", "src", buckets)
+        graft.operators.Scale.writeBucketed(e, "b3_hits_dst", "dst", buckets)
+        // the broadcast dial's node count is a constant of the settled
+        // layout — memoize it with the twins instead of paying an
+        // Expand-based double-distinct scan on every serving call
+        bucketedDirectedNodes = e.agg(greatest(
+          countDistinct(col("src")), countDistinct(col("dst"))).as("n"))
+          .head().getLong(0)
         bucketedDirectedKey = Some(dir)
       }
+      bucketedDirectedNodes
     }
 
   /** [[qHits]] served from the dual-bucketed directed-edge layout — the
@@ -788,14 +802,11 @@ object Graph {
     * score/partial-sum exchanges. Same integer arithmetic over the
     * same edge multiset ⇒ shares the [[oHits]] twin. */
   def qHitsServing(spark: SparkSession, dir: String): DataFrame = {
-    bucketedDirectedEdgesFor(spark, dir)
+    // both score tables broadcast each round, so the dial watches the
+    // larger side's cardinality (memoized with the settled twins)
+    val n = bucketedDirectedEdgesFor(spark, dir)
     val eSrc = spark.table("b3_hits_src")
     val eDst = spark.table("b3_hits_dst")
-    // both score tables broadcast each round, so the dial watches the
-    // larger side's cardinality
-    val n = eSrc.agg(greatest(
-      countDistinct(col("src")), countDistinct(col("dst"))).as("n"))
-      .head().getLong(0)
     hitsTop(hitsOn(eSrc, eDst, HitsIterations,
       broadcastScores = n <= BroadcastNodeCap))
   }

@@ -178,7 +178,8 @@ object Ks {
        |  CAST(r.r1_x2 - t.na * (t.na + 1) AS BIGINT) AS u1_x2,
        |  CAST((CAST(r.r1_x2 - t.na * (t.na + 1) AS HUGEINT) * 500000)
        |       // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS auc_micro
-       |FROM r CROSS JOIN t""".stripMargin
+       |FROM r CROSS JOIN t
+       |WHERE r.r1_x2 IS NOT NULL""".stripMargin
 
   /** Twin: the textbook single-window form over the level table (the
     * operator must equal it exactly — same tied-value levels, same

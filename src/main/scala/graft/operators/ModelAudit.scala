@@ -165,14 +165,29 @@ object ModelAudit {
     * rebuild is a k-means over the post-erasure embedding corpus whose
     * cost is measured in `graft.Probe modelrebuild` (SCALE.md r15) —
     * the audit names the affected cells; scheduling the rebuild is an
-    * operational decision the flag feeds. */
+    * operational decision the flag feeds.
+    *
+    * `dsirTarget` is the in-domain exemplar the retrained DSIR weights
+    * score against. It must be a SURVIVING source: when the departed
+    * subject was itself the exemplar (the fixture's src0 doubles as
+    * both), the pipeline has to designate a new target before DSIR can
+    * be retrained at all — evaluating the old predicate over the
+    * erased corpus would silently train target-free "rarity" weights
+    * (review r15 finding), so that case throws instead. */
   def retrainFlagged(docs: DataFrame,
       subjectSource: String = SubjectSource,
-      retrainPermille: Long = RetrainPermille): RetrainResult = {
-    val pre = textModelAudit(docs, subjectSource, retrainPermille)
-    val flagged = pre.filter(col("retrain"))
-      .select(col("model")).distinct()
-      .collect().map(_.getString(0)).toSet
+      retrainPermille: Long = RetrainPermille,
+      dsirTarget: String = "src1"): RetrainResult = {
+    // the pre audit is model-cell-bounded (|langs| + 1 + 512 rows) —
+    // collect it ONCE and reuse the local rows for both the flag set
+    // and the was_flagged join (re-executing the frame would re-run
+    // the full-corpus explodes twice, review r15 finding)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val preRows = textModelAudit(docs, subjectSource, retrainPermille)
+      .select(col("model"), col("cell"), col("retrain"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val flagged = preRows.filter(_._3).map(_._1).toSet
     val post = docs.filter(col("source") =!= subjectSource)
     lazy val postTrain = TextAnalysis.withSplit(post)
       .filter(col("split") === "train")
@@ -181,19 +196,22 @@ object ModelAudit {
     val bpe = if (flagged("bpe"))
       Some(Tokenize.trainBpe(postTrain)) else None
     val dsir = if (flagged("dsir")) {
+      require(dsirTarget != subjectSource,
+        s"DSIR exemplar '$dsirTarget' is the erased subject — designate " +
+          "a surviving target source before retraining")
       val tokens = post
         .select(col("doc_id"), col("source"),
           explode(TextFns.words(col("text"))).as("term"))
         .select((TextFns.md5u56(col("term")) % Dsir.Buckets).as("b"),
-          (col("source") === subjectSource).as("is_target"))
+          (col("source") === dsirTarget).as("is_target"))
       Some(Dsir.bucketWeights(tokens))
     } else None
     val reAudit = textModelAudit(post, subjectSource, retrainPermille)
       .select(col("model"), col("cell"), col("rows_erased"),
         col("rows_total"), col("erased_permille"))
     val summary = reAudit
-      .join(broadcast(pre.select(col("model"), col("cell"),
-        col("retrain").as("was_flagged"))), Seq("model", "cell"), "left")
+      .join(broadcast(preRows.toSeq
+        .toDF("model", "cell", "was_flagged")), Seq("model", "cell"), "left")
       .withColumn("was_flagged", coalesce(col("was_flagged"), lit(false)))
       .withColumn("retrained",
         col("model").isin(flagged.toSeq: _*))
@@ -204,7 +222,9 @@ object ModelAudit {
   }
 
   def qForgetRetrain(spark: SparkSession, dir: String): DataFrame =
-    retrainFlagged(Tables.documents(spark, dir)).summary
+    // src0 (the departed subject) was also the DSIR exemplar; src1 is
+    // the designated replacement target should the dsir family trip
+    retrainFlagged(Tables.documents(spark, dir), dsirTarget = "src1").summary
       .orderBy(col("model"), col("cell"))
 
   /** Twin: the nb/bpe/dsir audit legs twice — once on the full corpus

@@ -43,31 +43,39 @@ object Sweep {
     val ends = events.select(col("event_type"),
       expr(s"ts + INTERVAL $HoldSeconds SECONDS").as("t"),
       lit(-1L).as("delta"), col("event_id"))
+    // the union re-reads events TWICE per pass, and the dial path makes
+    // up to three passes (hotGroups sample, bucket boundaries, main
+    // scan) — cache the boundary frame for the duration; the consumer
+    // below checkpoints its output eagerly, so the unpersist in
+    // finally is safe (review r15 finding)
     val bounds = starts.union(ends)
-    val hot = hotGroupsOverride.getOrElse(
-      Scale.hotGroups(bounds, Seq("event_type")))
-    val running = if (hot) {
-      // timestamps cast to epoch-seconds doubles for the deterministic
-      // range buckets; order and ties are unchanged
-      Scale.groupedRunningSum(bounds, Seq("event_type"),
-        Seq(col("t"), col("delta"), col("event_id")), col("delta"), "run")
-    } else {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("t"), col("delta"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bounds.withColumn("run", sum(col("delta")).over(w))
-    }
-    Dedup.withCached(running) { r =>
-      val peaks = r.groupBy(col("event_type"))
-        .agg(max(col("run")).as("peak_concurrency"),
-          (count(lit(1)) / 2).cast("long").as("n_intervals"))
-      r.join(peaks, Seq("event_type"))
-        .filter(col("run") === col("peak_concurrency"))
-        .groupBy(col("event_type"), col("peak_concurrency"), col("n_intervals"))
-        .agg(min(col("t")).as("peak_at"))
-        .select(col("event_type"), col("n_intervals"),
-          col("peak_concurrency"), col("peak_at"))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hot = hotGroupsOverride.getOrElse(
+        Scale.hotGroups(bounds, Seq("event_type")))
+      val running = if (hot) {
+        // timestamps cast to epoch-seconds doubles for the deterministic
+        // range buckets; order and ties are unchanged
+        Scale.groupedRunningSum(bounds, Seq("event_type"),
+          Seq(col("t"), col("delta"), col("event_id")), col("delta"), "run")
+      } else {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bounds.withColumn("run", sum(col("delta")).over(w))
+      }
+      Dedup.withCached(running) { r =>
+        val peaks = r.groupBy(col("event_type"))
+          .agg(max(col("run")).as("peak_concurrency"),
+            (count(lit(1)) / 2).cast("long").as("n_intervals"))
+        r.join(peaks, Seq("event_type"))
+          .filter(col("run") === col("peak_concurrency"))
+          .groupBy(col("event_type"), col("peak_concurrency"), col("n_intervals"))
+          .agg(min(col("t")).as("peak_at"))
+          .select(col("event_type"), col("n_intervals"),
+            col("peak_concurrency"), col("peak_at"))
+      }
+    } finally bounds.unpersist(false)
   }
 
   def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame =

@@ -534,21 +534,28 @@ object StreamingOps {
             state: GroupState[(Long, Seq[Long])]) =>
           var (lastDay, recent) =
             state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+          // the guard compares against the RUNNING lastDay, not the
+          // pre-batch snapshot: a duplicate day arriving in the SAME
+          // micro-batch must drop exactly like one arriving a batch
+          // later — results must not depend on batch boundaries
+          // (review r15 finding)
           val out = rows.toSeq.sortBy(_.d.getTime)
-            .filter(_.d.getTime > lastDay)
-            .map { r =>
-              val res =
-                if (recent.length == Ewma.Terms - 1) {
-                  val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
-                    case (c, i) => c * Ewma.weight(i + 1) }.sum
-                  // wsum ≥ 0 so / is the batch form's floor div
-                  EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
-                    Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
-                      else 0))
-                } else EwmaOut(t, r.d, r.c, None, None)
-              recent = (r.c +: recent).take(Ewma.Terms - 1)
-              lastDay = r.d.getTime
-              res
+            .flatMap { r =>
+              if (r.d.getTime <= lastDay) None
+              else {
+                val res =
+                  if (recent.length == Ewma.Terms - 1) {
+                    val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
+                      case (c, i) => c * Ewma.weight(i + 1) }.sum
+                    // wsum ≥ 0 so / is the batch form's floor div
+                    EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
+                      Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
+                        else 0))
+                  } else EwmaOut(t, r.d, r.c, None, None)
+                recent = (r.c +: recent).take(Ewma.Terms - 1)
+                lastDay = r.d.getTime
+                Some(res)
+              }
             }
           state.update((lastDay, recent))
           out.iterator

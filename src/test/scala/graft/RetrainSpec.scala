@@ -26,7 +26,7 @@ class RetrainSpec extends SparkSpecBase {
     val docs = synthetic(subjShare = 20)
     val pre = ModelAudit.textModelAudit(docs, "s0")
     assert(pre.filter(col("retrain")).count() > 0, "subject at 50% must trip")
-    val r = ModelAudit.retrainFlagged(docs, "s0")
+    val r = ModelAudit.retrainFlagged(docs, "s0", dsirTarget = "s1")
     assert(r.nb.isDefined && r.bpe.isDefined && r.dsirWeights.isDefined,
       "all three text families must retrain at 50% subject share")
     // the compliance statement: the retrained training partitions carry
@@ -55,6 +55,21 @@ class RetrainSpec extends SparkSpecBase {
     assert(r.bpe.get.merges.map(_.toSeq).toSeq ==
       fresh.merges.map(_.toSeq).toSeq,
       "retrained BPE diverges from a fresh train on the clean corpus")
+    // the retrained DSIR weights target the DESIGNATED surviving
+    // exemplar: positive mass in target buckets (not the degenerate
+    // target-free weights the review caught)
+    val w = r.dsirWeights.get.collect()
+    assert(w.nonEmpty && w.exists(_.getAs[Long]("wgt") >
+      w.map(_.getAs[Long]("wgt")).min),
+      "retrained DSIR weights are flat — no target signal")
+  }
+
+  test("retraining DSIR with the erased subject as exemplar is refused") {
+    val docs = synthetic(subjShare = 20)
+    val ex = intercept[IllegalArgumentException] {
+      ModelAudit.retrainFlagged(docs, "s0", dsirTarget = "s0")
+    }
+    assert(ex.getMessage.contains("erased subject"))
   }
 
   test("no tripped flag, no retrain — artifacts stay in place") {
