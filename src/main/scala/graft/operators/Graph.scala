@@ -773,10 +773,15 @@ object Graph {
         val e = spark.read.parquet(directedEdgesArtifactFor(spark, dir))
         // bucket count is a CAPACITY parameter — a scan's parallelism IS
         // its bucket count (measured: 8 buckets lose to a plain scan
-        // past ~10M edges on 32 cores, `Probe hitsscale`), so size it
-        // like shuffle.partitions rather than pinning a constant
-        val buckets = math.max(EdgeBuckets,
-          spark.sessionState.conf.numShufflePartitions)
+        // past ~10M edges on 32 cores, `Probe hitsscale`), but
+        // over-bucketing a small table costs pure scheduling overhead
+        // (32 tiny tasks × 6 half-steps measured 1.5× on the sf0.1
+        // serving gate). Size by DATA — ~1M edges per bucket — clamped
+        // to [EdgeBuckets, shuffle.partitions]
+        val nEdges = e.count()
+        val buckets = math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          math.max(EdgeBuckets.toLong, nEdges / 1000000L + 1L)).toInt
         graft.operators.Scale.writeBucketed(e, "b3_hits_src", "src", buckets)
         graft.operators.Scale.writeBucketed(e, "b3_hits_dst", "dst", buckets)
         // the broadcast dial's node count is a constant of the settled
