@@ -46,7 +46,13 @@ object Bench {
     val benchExcluded = Set("sim_cosine_topk")
     val selected = only.fold(SparkEntry.queries.filterNot(kv => benchExcluded(kv._1)))(
       f => SparkEntry.queries.filter(kv => f(kv._1)))
-    val names = selected.keys.toSeq
+    // SORTED execution order: Map iteration order is hash-based, so
+    // adding ONE query used to reshuffle every query's position in the
+    // suite — and in-suite medians are position-sensitive (JVM aging,
+    // SCALE.md r14), so each round's additions manufactured systematic
+    // no-code-change "movers". Alphabetical order keeps a query's
+    // position stable across rounds unless a new name sorts before it.
+    val names = selected.keys.toSeq.sorted
     // optional GC attribution probe (SPARK_GRAFT_GC=1): per-run JVM GC
     // time inside the measured window, reported as a gc_ms metric line —
     // the discriminator between memory-pressure inflation (gc grows with
