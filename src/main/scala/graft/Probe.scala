@@ -1171,7 +1171,10 @@ object Probe {
         edges.write.mode("overwrite").parquet(plainPath)
         // bucket count is a CAPACITY parameter: 8 buckets cap the scan
         // at 8 parallel tasks, which loses past ~10M edges on 32 cores
-        // (measured below) — size it like shuffle.partitions
+        // (measured below), while over-bucketing a small table costs
+        // pure scheduling overhead — production (bucketedDirectedEdgesFor)
+        // sizes by DATA (~1M edges/bucket, floor 8); override here to
+        // probe other points on that curve
         val buckets = sys.env.get("SPARK_GRAFT_HITS_BUCKETS").map(_.toInt)
           .getOrElse(Graph.EdgeBuckets)
         Sc.writeBucketed(edges, "probe_hits_src", "src", buckets)

@@ -771,25 +771,29 @@ object Graph {
           !spark.catalog.tableExists("b3_hits_src") ||
           !spark.catalog.tableExists("b3_hits_dst")) {
         val e = spark.read.parquet(directedEdgesArtifactFor(spark, dir))
+        // ONE settle-time stats scan: edge count (sizes the buckets) and
+        // the broadcast dial's node count (memoized so serving calls
+        // never pay the Expand-based double-distinct again)
+        val stats = e.agg(count(lit(1)).as("m"), greatest(
+          countDistinct(col("src")), countDistinct(col("dst"))).as("n"))
+          .head()
+        val nEdges = stats.getLong(0)
+        bucketedDirectedNodes = stats.getLong(1)
         // bucket count is a CAPACITY parameter — a scan's parallelism IS
         // its bucket count (measured: 8 buckets lose to a plain scan
         // past ~10M edges on 32 cores, `Probe hitsscale`), but
         // over-bucketing a small table costs pure scheduling overhead
         // (32 tiny tasks × 6 half-steps measured 1.5× on the sf0.1
-        // serving gate). Size by DATA — ~1M edges per bucket — clamped
-        // to [EdgeBuckets, shuffle.partitions]
-        val nEdges = e.count()
-        val buckets = math.min(
-          spark.sessionState.conf.numShufflePartitions.toLong,
-          math.max(EdgeBuckets.toLong, nEdges / 1000000L + 1L)).toInt
+        // serving gate). Size by DATA — ~1M edges per bucket — with an
+        // EdgeBuckets floor that always wins and a ceiling of
+        // max(shuffle.partitions, floor) so a low-parallelism session
+        // cannot undercut the floor
+        val cap = math.max(EdgeBuckets,
+          spark.sessionState.conf.numShufflePartitions)
+        val buckets = math.max(EdgeBuckets.toLong,
+          math.min(cap.toLong, nEdges / 1000000L + 1L)).toInt
         graft.operators.Scale.writeBucketed(e, "b3_hits_src", "src", buckets)
         graft.operators.Scale.writeBucketed(e, "b3_hits_dst", "dst", buckets)
-        // the broadcast dial's node count is a constant of the settled
-        // layout — memoize it with the twins instead of paying an
-        // Expand-based double-distinct scan on every serving call
-        bucketedDirectedNodes = e.agg(greatest(
-          countDistinct(col("src")), countDistinct(col("dst"))).as("n"))
-          .head().getLong(0)
         bucketedDirectedKey = Some(dir)
       }
       bucketedDirectedNodes
