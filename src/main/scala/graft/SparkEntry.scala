@@ -417,6 +417,9 @@ object SparkEntry {
     // rank-based dominance test next to KS; U/(n1*n2) doubles as the
     // value's AUC as a cohort separator (exact doubled midranks)
     "stats_mwu_value" -> ((s, d) => Ks.qMwuValueByType(s, d)),
+    // clamp to exact per-type [p05, p95] (the robust-feature TRANSFORM
+    // next to the outlier FLAGS; rank selection, no float arithmetic)
+    "feature_winsorize" -> ((s, d) => QuantNorm.qWinsorize(s, d)),
     // distance-2 FastSS reconciliation pairs (nation-blocked)
     "entity_edit2_pairs" -> ((s, d) => Entity.qCustomerEdit2Pairs(s, d)),
     // the same pair set served from the persisted FastSS-2 signature
@@ -735,6 +738,7 @@ object SparkEntry {
     "graph_ppr_serving" -> Graph.oPprServing,
     "stats_ks_value" -> Ks.oKsValueByType,
     "stats_mwu_value" -> Ks.oMwuValueByType,
+    "feature_winsorize" -> QuantNorm.oWinsorize,
     // build-path gate is a bounded nation slice (r13 item 4); the
     // serving gate keeps the FULL pair set against the full twin
     "entity_edit2_pairs" -> Entity.oCustomerEdit2PairsGate,

@@ -77,4 +77,57 @@ object QuantNorm {
       |FROM r, n
       |JOIN g ON g.g_rank = (r.r * n.nn + r.n_s - 1) // r.n_s
       |ORDER BY r.doc_id""".stripMargin
+
+  // ------------------------------------------------------- winsorize
+
+  /** Winsorization: CLAMP each value to its group's exact [p05, p95] —
+    * the robust-feature TRANSFORM next to [[Mining.boxplot]]'s fences
+    * (which only FLAG outliers): one spiky metric stops dominating any
+    * downstream mean/regression while every row survives. Bounds are
+    * exact rank selections (⌈n/20⌉ and ⌈19n/20⌉ under the pinned
+    * (value, event_id) order), the clamp is pure selection — no
+    * arithmetic on doubles, so the gate is a full hash match.
+    *
+    * Scale shape: event_type is a ~5-value key, so the rank rides the
+    * size-aware [[Scale.groupRanks]] dial (the r15 audit discipline);
+    * bounds are a |groups|-row broadcast back onto the scan. */
+  def winsorize(events: DataFrame,
+      hotGroupsOverride: Option[Boolean] = None): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val ranked = Scale.groupRanks(base, Seq("event_type"),
+      Seq(col("value"), col("event_id")), "r", totalOut = Some("n"),
+      hotGroupsOverride = hotGroupsOverride)
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(max(when(col("r") === expr("(n + 19) div 20"), col("value")))
+          .as("lo"),
+        max(when(col("r") === expr("(19 * n + 19) div 20"), col("value")))
+          .as("hi"))
+    base.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(col("lo"), least(col("hi"), col("value")))
+          .as("value_winsorized"))
+  }
+
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  def oWinsorize: String =
+    """WITH b AS (
+      |  SELECT event_id, event_type, value FROM events
+      |  WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS BIGINT) AS r,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM b),
+      |bounds AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN r = (n + 19) // 20 THEN value END) AS lo,
+      |    max(CASE WHEN r = (19 * n + 19) // 20 THEN value END) AS hi
+      |  FROM r GROUP BY 1)
+      |SELECT b.event_id, b.event_type, b.value,
+      |  greatest(bounds.lo, least(bounds.hi, b.value)) AS value_winsorized
+      |FROM b JOIN bounds USING (event_type)
+      |ORDER BY event_id""".stripMargin
 }

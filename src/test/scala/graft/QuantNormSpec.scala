@@ -50,4 +50,31 @@ class QuantNormSpec extends SparkSpecBase {
       .filter(col("rn") === 1)
     assert(tops.filter(col("norm_chars") =!= gmax).count() == 0)
   }
+
+  test("winsorize: hand-computed bounds on a planted group") {
+    import spark.implicits._
+    // values 1..100, one type: p05 rank = ceil(100/20) = 5 → lo = 5,
+    // p95 rank = ceil(95·100/100)... (19n+19) div 20 = 95 → hi = 95
+    val ev = (1 to 100).map(i => (i.toLong, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = QuantNorm.winsorize(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 5.0 && out(4L) == 5.0, "below p05 clamps up")
+    assert(out(5L) == 5.0 && out(50L) == 50.0 && out(95L) == 95.0)
+    assert(out(96L) == 95.0 && out(100L) == 95.0, "above p95 clamps down")
+  }
+
+  test("winsorize: grouped prefix-sum path ≡ window path; bounds contain the middle") {
+    val ev = Tables.events(spark, sf)
+    val grouped = QuantNorm.winsorize(ev, Some(true))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    val windowed = QuantNorm.winsorize(ev, Some(false))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(grouped.toSeq == windowed.toSeq,
+      "forced grouped vs window winsorize diverge")
+    // ~90% of rows must be untouched (the definition of a 5/95 clamp)
+    val n = windowed.length
+    val touched = windowed.count(r => r(2) != r(3))
+    assert(touched <= n / 5 && touched > 0, s"$touched of $n clamped")
+  }
 }
