@@ -210,25 +210,48 @@ object Diagnostics {
     * integers: k = ⌈users·pct/100⌉ top users by pinned rank (count
     * desc, user_id tiebreak), share in ‰ by integer division. Per-user
     * counts are one partial agg BEFORE the rank, so the window sorts
-    * user grain, never events; at 100 TB user cardinality the rank
-    * lifts to the distributed range-partition rank the quantile family
-    * uses ([[Scale.globalRankGrouped]] with the trivial group). */
-  def userConcentration(events: DataFrame, pct: Int = 1): DataFrame = {
+    * user grain, never events. An ungrouped rank window still plans
+    * `Exchange SinglePartition` (one task sorts every user), so the
+    * gated query rides the size-aware dial: below
+    * [[Scale.HotGroupMinRowsPerGroup]] the plain window wins; past it
+    * the rank comes from [[Scale.globalRank]]'s distributed
+    * range-partition rank — max task one range partition at any user
+    * cardinality. The event count is the cheap first bound (users ≤
+    * events); only a plausibly-hot table pays the exact user count.
+    * `hotOverride` forces a side for the equivalence spec. */
+  def userConcentration(events: DataFrame, pct: Int = 1,
+      hotOverride: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    val ranked = perUser.withColumn("rnk", row_number().over(w).cast("long"))
-    val totals = ranked.agg(count(lit(1)).as("users"),
-      sum(col("n")).as("events"))
-    ranked.crossJoin(broadcast(totals))
-      .withColumn("k", expr(s"(users * $pct + 99) div 100"))
-      .groupBy(col("users"), col("events"), col("k"))
-      .agg(sum(when(col("rnk") <= col("k"), col("n")).otherwise(0L))
-        .as("top_events"))
-      .withColumn("share_milli", expr("top_events * 1000 div events"))
-      .select(col("users"), col("events"), col("k").as("top_k"),
-        col("top_events"), col("share_milli"))
+
+    def on(pu: DataFrame, hot: Boolean): DataFrame = {
+      val ranked =
+        if (hot) Scale.globalRank(pu,
+          Seq(col("n").desc, col("user_id")), "rnk", 32)
+        else {
+          val w = Window.orderBy(col("n").desc, col("user_id"))
+          pu.withColumn("rnk", row_number().over(w).cast("long"))
+        }
+      val totals = ranked.agg(count(lit(1)).as("users"),
+        sum(col("n")).as("events"))
+      ranked.crossJoin(broadcast(totals))
+        .withColumn("k", expr(s"(users * $pct + 99) div 100"))
+        .groupBy(col("users"), col("events"), col("k"))
+        .agg(sum(when(col("rnk") <= col("k"), col("n")).otherwise(0L))
+          .as("top_events"))
+        .withColumn("share_milli", expr("top_events * 1000 div events"))
+        .select(col("users"), col("events"), col("k").as("top_k"),
+          col("top_events"), col("share_milli"))
+    }
+
+    hotOverride match {
+      case Some(h) => on(perUser, h)
+      case None =>
+        if (events.count() < Scale.HotGroupMinRowsPerGroup) on(perUser, false)
+        else Dedup.withCached(perUser)(pu =>
+          on(pu, pu.count() >= Scale.HotGroupMinRowsPerGroup))
+    }
   }
 
   def qUserConcentration(spark: SparkSession, dir: String): DataFrame =

@@ -19,30 +19,69 @@ object Pareto {
     * engines (Spark decimal `div` → BIGINT; the twin uses HUGEINT `//`):
     * no decimal or double division anywhere, so the value cannot drift a
     * bp at any corpus magnitude (both sides stay exact far past 2^53).
-    * The window runs over the ≤#suppliers rollup, not the fact; at
-    * billions of entities the running sum swaps onto
-    * [[Scale.globalRank]]'s offset pattern exactly like
-    * [[Rfm.rfmScalable]]. */
-  def supplierPareto(lineitem: DataFrame): DataFrame = {
+    *
+    * Scale shape (100 TB): the window runs over the ≤#suppliers rollup,
+    * not the fact — but an UNGROUPED rank + running-sum window still
+    * plans `Exchange SinglePartition` (one task sorts every entity), so
+    * the gated query rides the size-aware dial: below
+    * [[Scale.HotGroupMinRowsPerGroup]] the plain window wins (one
+    * in-memory sort, no extra shuffles); past it both the rank and the
+    * exact cumulative sum come from
+    * [[Scale.globalRankAndRunningSum]]'s range-partition + broadcast-
+    * offset pattern, max task one range partition at any entity count.
+    * The fact count is the cheap first bound (the rollup can never
+    * exceed it); only a plausibly-hot fact pays the exact rollup count.
+    * `hotOverride` forces a side for the equivalence spec. */
+  def supplierPareto(lineitem: DataFrame,
+      hotOverride: Option[Boolean] = None): DataFrame = {
     val rev = lineitem
       .select(col("l_suppkey"),
         (col("l_extendedprice").cast("decimal(14,2)") *
           (lit(1) - col("l_discount").cast("decimal(6,2)"))).as("r"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("r")).as("rev_dec"))
-    val total = rev.agg(sum(col("rev_dec")).as("total_dec"))
-    val w = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wR = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
-    rev.crossJoin(broadcast(total))
-      .withColumn("rnk", row_number().over(wR))
-      .withColumn("cum_e4", (sum(col("rev_dec")).over(w) * 10000).cast("decimal(38,0)"))
+
+    def finish(df: DataFrame): DataFrame = df
       .withColumn("total_e4", (col("total_dec") * 10000).cast("decimal(38,0)"))
       .withColumn("cum_share_bp", expr("(cum_e4 * 10000) div total_e4"))
       .withColumn("in_top80", col("cum_share_bp") <= 8000L)
       .select(col("rnk"), col("l_suppkey"),
         col("rev_dec").cast("double").as("revenue"),
         col("cum_share_bp"), col("in_top80"))
+
+    def plainOn(r: DataFrame): DataFrame = {
+      val total = r.agg(sum(col("rev_dec")).as("total_dec"))
+      val w = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wR = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
+      finish(r.crossJoin(broadcast(total))
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .withColumn("cum_e4",
+          (sum(col("rev_dec")).over(w) * 10000).cast("decimal(38,0)")))
+    }
+
+    // distributed form: rank AND exact cumulative revenue from the
+    // range-partition + broadcast-offset pattern — no single-task sort
+    def hotOn(r: DataFrame): DataFrame = {
+      val total = r.agg(sum(col("rev_dec")).as("total_dec"))
+      finish(Scale.globalRankAndRunningSum(r,
+          Seq(col("rev_dec").desc, col("l_suppkey")), col("rev_dec"),
+          "rnk", "_cum", 32)
+        .crossJoin(broadcast(total))
+        .withColumn("cum_e4", (col("_cum") * 10000).cast("decimal(38,0)"))
+        .drop("_cum"))
+    }
+
+    hotOverride match {
+      case Some(false) => plainOn(rev)
+      case Some(true)  => Dedup.withCached(rev)(hotOn)
+      case None =>
+        if (lineitem.count() < Scale.HotGroupMinRowsPerGroup) plainOn(rev)
+        else Dedup.withCached(rev) { r =>
+          if (r.count() >= Scale.HotGroupMinRowsPerGroup) hotOn(r)
+          else plainOn(r)
+        }
+    }
   }
 
   def qSupplierPareto(spark: SparkSession, dir: String): DataFrame =
@@ -63,7 +102,7 @@ object Pareto {
       |      AS DECIMAL(38,0)) AS HUGEINT) AS cum_e4,
       |    CAST(CAST(total_dec * 10000 AS DECIMAL(38,0)) AS HUGEINT) AS total_e4
       |  FROM rev, t)
-      |SELECT CAST(rnk AS INTEGER) AS rnk, l_suppkey,
+      |SELECT CAST(rnk AS BIGINT) AS rnk, l_suppkey,
       |  CAST(rev_dec AS DOUBLE) AS revenue,
       |  CAST((cum_e4 * 10000) // total_e4 AS BIGINT) AS cum_share_bp,
       |  CAST((cum_e4 * 10000) // total_e4 AS BIGINT) <= 8000 AS in_top80

@@ -21,28 +21,32 @@ import graft.Tables
   *
   * Scale shape (100 TB): one shuffle (custkey agg). The three ntile
   * windows are each a single global order over #customers rows — the
-  * textbook global-sort bottleneck at billions of entities; the fix is
-  * the distributed quantile-boundary pattern already shipped in
-  * [[Curation.budgetSelect]] (range partition + per-partition offsets),
-  * which replaces each ntile with a 2-pass boundary broadcast. At the
-  * serving tier (#customers ≪ #orders) the single-sort form is the
-  * right default and keeps the plan declarative.
-  */
+  * textbook UNGROUPED global-sort bottleneck at billions of entities
+  * (Spark plans `Exchange SinglePartition` + one sort task per
+  * window). The gated query therefore rides a size-aware dial, the
+  * ungrouped twin of [[Scale.hotGroups]]: while the fact (and hence
+  * the ≤#facts rollup) is below [[Scale.HotGroupMinRowsPerGroup]] the
+  * plain windows win (one in-memory sort task, no extra shuffles —
+  * the measured SCALE.md r10 crossover); past it each quintile comes
+  * from [[Scale.globalRank]]'s distributed range-partition rank plus
+  * the closed-form ntile bucket, max task one range partition at any
+  * entity count. The fact-count guard is the cheap bound (the rollup
+  * can never exceed the fact row count), so the common not-hot case
+  * never materializes the rollup twice; only a plausibly-hot fact pays
+  * the exact rollup count — which the scalable form needs anyway.
+  * `hotOverride` forces a side for the equivalence spec. */
 object Rfm {
 
-  def rfm(orders: DataFrame): DataFrame = {
-    val base = orders.groupBy(col("o_custkey"))
+  private def rollup(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
       .agg(
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(14,2)")).as("m_dec"))
-    val rW = Window.orderBy(col("last_order"), col("o_custkey"))
-    val fW = Window.orderBy(col("n_orders"), col("o_custkey"))
-    val mW = Window.orderBy(col("m_dec"), col("o_custkey"))
-    base
-      .withColumn("r_score", ntile(5).over(rW))
-      .withColumn("f_score", ntile(5).over(fW))
-      .withColumn("m_score", ntile(5).over(mW))
+
+  /** Segment rules + final projection shared by both plan shapes. */
+  private def segmented(scored: DataFrame): DataFrame =
+    scored
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
           "champion")
@@ -54,6 +58,36 @@ object Rfm {
       .select(col("o_custkey"), col("last_order"), col("n_orders"),
         col("m_dec").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"), col("segment"))
+
+  /** Plain three-window form — right while the rollup fits one healthy
+    * sort task. */
+  private def plainOn(base: DataFrame): DataFrame = {
+    val rW = Window.orderBy(col("last_order"), col("o_custkey"))
+    val fW = Window.orderBy(col("n_orders"), col("o_custkey"))
+    val mW = Window.orderBy(col("m_dec"), col("o_custkey"))
+    segmented(base
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW)))
+  }
+
+  def rfm(orders: DataFrame, hotOverride: Option[Boolean] = None): DataFrame = {
+    val base = rollup(orders)
+    hotOverride match {
+      case Some(false) => plainOn(base)
+      case Some(true) =>
+        Dedup.withCached(base)(b => scalableOn(b, b.count(), 8))
+      case None =>
+        // cheap bound first: the per-customer rollup can never exceed
+        // the fact row count, so a small fact settles the dial without
+        // materializing the rollup twice
+        if (orders.count() < Scale.HotGroupMinRowsPerGroup) plainOn(base)
+        else Dedup.withCached(base) { b =>
+          val n = b.count()
+          if (n < Scale.HotGroupMinRowsPerGroup) plainOn(b)
+          else scalableOn(b, n, 32)
+        }
+    }
   }
 
   def qRfm(spark: SparkSession, dir: String): DataFrame =
@@ -80,41 +114,28 @@ object Rfm {
         .cast("int"))
   }
 
-  /** [[rfm]] without any single-task global sort: each quintile comes
-    * from a distributed global rank + the closed-form ntile bucket.
-    * Row-identical to [[rfm]] (spec-pinned) — this is the form that
-    * holds at billions of entities, where three ntile windows would
-    * serialize the whole dimension through one task each. */
-  def rfmScalable(orders: DataFrame, nPartitions: Int = 8): DataFrame = {
-    val base = orders.groupBy(col("o_custkey"))
-      .agg(
-        max(col("o_orderdate")).as("last_order"),
-        count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(14,2)")).as("m_dec"))
-    Dedup.withCached(base) { b =>
-      val n = b.count()
-      val ranked = Seq(
-        (col("last_order"), "r_rank"),
-        (col("n_orders"), "f_rank"),
-        (col("m_dec"), "m_rank"))
-        .foldLeft(b) { case (df, (m, out)) => globalRank(df, m, out, nPartitions) }
-      ranked
-        .withColumn("r_score", ntileFromRank(col("r_rank"), n, 5))
-        .withColumn("f_score", ntileFromRank(col("f_rank"), n, 5))
-        .withColumn("m_score", ntileFromRank(col("m_rank"), n, 5))
-        .withColumn("segment",
-          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
-            "champion")
-            .when(col("f_score") >= 4, "loyal")
-            .when(col("m_score") >= 4, "big_spender")
-            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
-            .when(col("r_score") <= 2, "hibernating")
-            .otherwise("regular"))
-        .select(col("o_custkey"), col("last_order"), col("n_orders"),
-          col("m_dec").cast("double").as("monetary"),
-          col("r_score"), col("f_score"), col("m_score"), col("segment"))
-    }
+  /** The no-single-task-sort body over an already-cached rollup of `n`
+    * rows: each quintile comes from a distributed global rank + the
+    * closed-form ntile bucket. Row-identical to [[plainOn]]
+    * (spec-pinned) — the form that holds at billions of entities,
+    * where three ntile windows would serialize the whole dimension
+    * through one task each. */
+  private def scalableOn(b: DataFrame, n: Long, nPartitions: Int): DataFrame = {
+    val ranked = Seq(
+      (col("last_order"), "r_rank"),
+      (col("n_orders"), "f_rank"),
+      (col("m_dec"), "m_rank"))
+      .foldLeft(b) { case (df, (m, out)) => globalRank(df, m, out, nPartitions) }
+    segmented(ranked
+      .withColumn("r_score", ntileFromRank(col("r_rank"), n, 5))
+      .withColumn("f_score", ntileFromRank(col("f_rank"), n, 5))
+      .withColumn("m_score", ntileFromRank(col("m_rank"), n, 5)))
   }
+
+  /** [[rfm]] with the distributed form forced at an explicit partition
+    * count — the partition-invariance spec's entry point. */
+  def rfmScalable(orders: DataFrame, nPartitions: Int = 8): DataFrame =
+    Dedup.withCached(rollup(orders))(b => scalableOn(b, b.count(), nPartitions))
 
   def oRfm: String =
     """WITH base AS (

@@ -55,6 +55,61 @@ object Scale {
     }
   }
 
+  /** Ungrouped 1-based rank AND inclusive running sum of a decimal
+    * `value` under `order` (which must end in a tiebreaker making it a
+    * total order) without a single-task global sort — the running-sum
+    * sibling of [[globalRank]] for Pareto / concentration tables:
+    * range-partition on the order columns, collect per-partition
+    * (count, exact decimal sum) — control plane, nPartitions rows —
+    * broadcast the running offsets back, and add them to per-partition
+    * row_numbers and running sums. Exactness: `value` is carried as
+    * DECIMAL(38,6) end to end and the offsets are BigDecimal additions
+    * of per-partition EXACT decimal sums, so the result is identical
+    * to the single-window form at any partitioning (results are
+    * invariant to nPartitions because offsets come from actual
+    * counts/sums). Max task = one range partition at any row count. */
+  def globalRankAndRunningSum(df: DataFrame, order: Seq[Column],
+      value: Column, rankOut: String, sumOut: String,
+      nPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType,
+      StructField, StructType}
+    val spark = df.sparkSession
+    val p = df.repartitionByRange(nPartitions, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value.cast(DecimalType(38, 6)))
+    Dedup.withCached(p) { s =>
+      val perPart = s.groupBy(col("_pid"))
+        .agg(count(lit(1)).as("_c"), sum(col("_v")).as("_s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO)))
+        .sortBy(_._1)
+      var cOff = 0L
+      var sOff = java.math.BigDecimal.ZERO
+      val offRows = perPart.map { case (pid, c, sm) =>
+        val row = Row(pid, cOff, sOff.setScale(6))
+        cOff += c; sOff = sOff.add(sm)
+        row
+      }
+      val offSchema = StructType(Seq(
+        StructField("_pid", IntegerType, nullable = false),
+        StructField("_coff", LongType, nullable = false),
+        StructField("_soff", DecimalType(38, 6), nullable = false)))
+      val offDf = spark.createDataFrame(
+        java.util.Arrays.asList(offRows: _*), offSchema)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(order: _*)
+      val wS = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+      s.join(broadcast(offDf), "_pid")
+        .withColumn(rankOut, (row_number().over(w) + col("_coff")).cast("long"))
+        .withColumn(sumOut,
+          (sum(col("_v")).over(wS) + col("_soff")).cast(DecimalType(38, 6)))
+        .drop("_pid", "_v", "_coff", "_soff")
+    }
+  }
+
   /** Above this group-key cardinality the grouped prefix-sum machinery
     * stops being the right tool: with many groups each per-group window
     * task is small anyway, while few-to-a-handful groups turn plain
