@@ -1093,8 +1093,8 @@ object Probe {
         def time(label: String, unconstrained: Boolean): Unit = {
           val rows = build()
           val t0 = System.nanoTime()
-          val (_, _, removed) = Forget.forgetPackedTotals(spark, path,
-            subjects, probeUnsafeUnconstrainedWrite = unconstrained)
+          val (_, _, removed) = Forget.forgetPackedTotalsProbe(spark, path,
+            subjects, unconstrainedWrite = unconstrained)
           println(f"[packrw] $label @ $rows%d rows (x$mult): " +
             f"${(System.nanoTime() - t0) / 1e9}%.2f s, removed=$removed%d")
         }

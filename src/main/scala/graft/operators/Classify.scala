@@ -283,10 +283,15 @@ object Classify {
     * classes are imbalanced (a majority-class guesser scores high
     * accuracy but κ ≈ 0). Exact integer rational: with N = Σ cells,
     * D = Σ diagonal, E = Σ_l rowTotal(l)·colTotal(l),
-    * κ = (N·D − E) / (N² − E); `kappa_milli` = ⌊1000·κ⌋ via a double
-    * floor whose operands are exact integers ≪ 2⁵³ (the Dsir floor
-    * argument, and κ ≥ 0 here so both engines' floor agree). Everything
-    * after the prediction pass is |langs|²-bounded. */
+    * κ = (N·D − E) / (N² − E); `kappa_milli` = ⌊1000·κ⌋ as an EXACT
+    * integer division in DECIMAL(38)/HUGEINT (the sibling [[Ks.mwu]]
+    * path — a double floor drifts off-by-one once 1000·N² passes 2⁵³,
+    * ~3M docs). Negative κ is floored through an explicit
+    * non-negative division (−⌈·⌉ of the negated numerator), so Spark's
+    * truncating `div` and DuckDB's flooring `//` cannot diverge; a
+    * single-class corpus (kappa_den = 0: κ undefined) yields NULL in
+    * BOTH engines rather than a Spark-NULL/DuckDB-error split.
+    * Everything after the prediction pass is |langs|²-bounded. */
   def cohensKappa(docs: DataFrame, model: NbModel): DataFrame = {
     val conf = predict(docs, model)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -304,9 +309,15 @@ object Classify {
         .select(col("n_total"), col("n_agree"), col("e_num"),
           (col("n_total") * col("n_agree") - col("e_num")).as("kappa_num"),
           (col("n_total") * col("n_total") - col("e_num")).as("kappa_den"))
-        .withColumn("kappa_milli",
-          floor(lit(1000).cast("double") * col("kappa_num") / col("kappa_den"))
-            .cast("long"))
+        .withColumn("kappa_milli", expr(
+          """CASE WHEN kappa_den = 0 THEN CAST(NULL AS BIGINT)
+            |WHEN kappa_num >= 0 THEN CAST(
+            |  (CAST(kappa_num AS DECIMAL(38,0)) * 1000)
+            |    div CAST(kappa_den AS DECIMAL(38,0)) AS BIGINT)
+            |ELSE -CAST(
+            |  (CAST(-kappa_num AS DECIMAL(38,0)) * 1000 + kappa_den - 1)
+            |    div CAST(kappa_den AS DECIMAL(38,0)) AS BIGINT)
+            |END""".stripMargin))
     }
   }
 
@@ -333,14 +344,18 @@ object Classify {
       // the prediction pass drops (e.g. null text) must not shift the
       // bin boundaries (review r15 finding)
       val n = s.count()
-      if (n == 0L) return s.select(lit(0L).as("bin"),
-        lit(0L).as("n_docs"), lit(0L).as("n_correct"),
-        lit(0L).as("acc_milli")).limit(0)
-      Scale.globalRank(s, Seq(col("margin"), col("doc_id")), "rnk", 32)
-        .withColumn("bin", expr(s"((rnk - 1) * 10) div ${n}L"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
-        .withColumn("acc_milli", expr("(1000 * n_correct) div n_docs"))
+      // plain if/else, NOT a non-local return: a `return` inside this
+      // closure would throw NonLocalReturnControl past withCached's
+      // localCheckpoint (deprecated in 2.13, gone in Scala 3)
+      if (n == 0L)
+        s.select(lit(0L).as("bin"), lit(0L).as("n_docs"),
+          lit(0L).as("n_correct"), lit(0L).as("acc_milli")).limit(0)
+      else
+        Scale.globalRank(s, Seq(col("margin"), col("doc_id")), "rnk", 32)
+          .withColumn("bin", expr(s"((rnk - 1) * 10) div ${n}L"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+          .withColumn("acc_milli", expr("(1000 * n_correct) div n_docs"))
     }
   }
 
@@ -378,11 +393,19 @@ object Classify {
        |  SELECT CAST(sum(r * cc) AS BIGINT) AS e_num FROM
        |    (SELECT lang, sum(n) AS r FROM conf GROUP BY 1) rt JOIN
        |    (SELECT pred_lang AS lang, sum(n) AS cc FROM conf GROUP BY 1) ct
-       |    USING (lang))
-       |SELECT n_total, n_agree, e_num,
-       |  CAST(n_total * n_agree - e_num AS BIGINT) AS kappa_num,
-       |  CAST(n_total * n_total - e_num AS BIGINT) AS kappa_den,
-       |  CAST(floor(CAST(1000 AS DOUBLE) * (n_total * n_agree - e_num)
-       |    / (n_total * n_total - e_num)) AS BIGINT) AS kappa_milli
-       |FROM tot, diag, e""".stripMargin
+       |    USING (lang)),
+       |k AS (
+       |  SELECT n_total, n_agree, e_num,
+       |    CAST(n_total * n_agree - e_num AS BIGINT) AS kappa_num,
+       |    CAST(n_total * n_total - e_num AS BIGINT) AS kappa_den
+       |  FROM tot, diag, e)
+       |SELECT n_total, n_agree, e_num, kappa_num, kappa_den,
+       |  CASE WHEN kappa_den = 0 THEN CAST(NULL AS BIGINT)
+       |    WHEN kappa_num >= 0 THEN CAST(
+       |      (CAST(kappa_num AS HUGEINT) * 1000) // kappa_den AS BIGINT)
+       |    ELSE -CAST(
+       |      (CAST(-kappa_num AS HUGEINT) * 1000 + kappa_den - 1)
+       |        // kappa_den AS BIGINT)
+       |  END AS kappa_milli
+       |FROM k""".stripMargin
 }

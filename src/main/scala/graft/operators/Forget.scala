@@ -315,15 +315,29 @@ object Forget {
 
   /** [[forgetPacked]] plus (rows_total_before, rows_removed_total) for
     * the compliance report — the [[forgetKeysFilesTotals]] contract.
-    *
-    * `probeUnsafeUnconstrainedWrite` exists ONLY for `graft.Probe
-    * packrewrite`'s cost attribution (whole-dir sweep with vs without
-    * the layout-preserving range partition): it reintroduces the
-    * pack-straddle corruption ADVICE r13 flagged, so nothing outside
-    * the probe may set it. */
+    * The public erasure entry point cannot express the unconstrained
+    * (pack-straddling) writer: that path lives only on the
+    * `private[graft]` probe overload below (ADVICE r15 — a default
+    * parameter on a compliance API is one call-site typo away from the
+    * r13 corruption). */
   def forgetPackedTotals(spark: SparkSession, path: String,
+      keysDf: DataFrame): (DataFrame, Long, Long) =
+    forgetPackedTotalsImpl(spark, path, keysDf,
+      probeUnsafeUnconstrainedWrite = false)
+
+  /** Probe-only overload: `graft.Probe packrewrite`'s cost attribution
+    * (whole-dir sweep with vs without the layout-preserving range
+    * partition). The unconstrained writer reintroduces the
+    * pack-straddle corruption ADVICE r13 flagged, so it is sealed
+    * inside the package — nothing outside the probe may reach it. */
+  private[graft] def forgetPackedTotalsProbe(spark: SparkSession,
+      path: String, keysDf: DataFrame,
+      unconstrainedWrite: Boolean): (DataFrame, Long, Long) =
+    forgetPackedTotalsImpl(spark, path, keysDf, unconstrainedWrite)
+
+  private def forgetPackedTotalsImpl(spark: SparkSession, path: String,
       keysDf: DataFrame,
-      probeUnsafeUnconstrainedWrite: Boolean = false): (DataFrame, Long, Long) = {
+      probeUnsafeUnconstrainedWrite: Boolean): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     def packClose(df: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
       val marked = df.join(keys.withColumn("_graft_hit", lit(1L)),

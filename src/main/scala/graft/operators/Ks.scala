@@ -139,7 +139,11 @@ object Ks {
         .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("r1_x2"),
           (col("r1_x2") - lit(na) * lit(na + 1)).as("u1_x2"))
         .withColumn("auc_micro",
-          expr(s"cast((cast(u1_x2 as decimal(38,0)) * 500000)" +
+          // an empty cohort has no defined ranking AUC: NULL in BOTH
+          // engines, not a Spark-NULL/DuckDB-division-error divergence
+          // (na/nb are driver-side, so the guard is a plan-time branch)
+          if (na == 0L || nb == 0L) lit(null).cast("bigint")
+          else expr(s"cast((cast(u1_x2 as decimal(38,0)) * 500000)" +
             s" div (cast(${na}L as decimal(38,0)) * ${nb}L) as bigint)"))
     }
   }
@@ -176,8 +180,10 @@ object Ks {
        |  FROM c)
        |SELECT t.na AS n_a, t.nb AS n_b, r.r1_x2,
        |  CAST(r.r1_x2 - t.na * (t.na + 1) AS BIGINT) AS u1_x2,
-       |  CAST((CAST(r.r1_x2 - t.na * (t.na + 1) AS HUGEINT) * 500000)
-       |       // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS auc_micro
+       |  CASE WHEN t.na * t.nb = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE CAST((CAST(r.r1_x2 - t.na * (t.na + 1) AS HUGEINT) * 500000)
+       |       // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT)
+       |  END AS auc_micro
        |FROM r CROSS JOIN t
        |WHERE r.r1_x2 IS NOT NULL""".stripMargin
 

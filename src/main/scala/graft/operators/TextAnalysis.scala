@@ -509,8 +509,8 @@ object TextAnalysis {
     val words = docs.select(explode(TextFns.words(col("text"))).as("term"))
     // one corpus pass: MG summary keys per partition, plus a marker row
     // carrying the partition's element count (so the guarantee threshold
-    // needs no second scan).   cannot occur in a split token.
-    val Marker = " total"
+    // needs no second scan). U+0000 (escaped below) cannot occur in a split token.
+    val Marker = "\u0000total"
     val summaries = words.as[String].mapPartitions { it =>
       val m = summarySize
       val counts = new scala.collection.mutable.HashMap[String, Long]()

@@ -523,7 +523,16 @@ object StreamingOps {
     * days surface in the day-count reconciliation a monitor keeps, the
     * same place watermark-dropped rows do). Fed the same daily series,
     * the output is bit-equal to the batch operator (spec-pinned),
-    * including the NULL-until-filled lookback head. */
+    * including the NULL-until-filled lookback head.
+    *
+    * STATE-SCHEMA BREAK (r15): the per-key state widened from
+    * `Seq[Long]` to `(Long, Seq[Long])` when the cross-batch in-order
+    * guard landed. flatMapGroupsWithState state is encoder-decoded
+    * from the checkpoint, so a checkpoint written by the old shape
+    * fails (or silently misdecodes) on restore — restarting this
+    * monitor across the upgrade requires a FRESH checkpoint directory
+    * plus a replay from the source's retained offsets (the standard
+    * stateful-upgrade path for state-schema changes). */
   def ewmaStream(counts: Dataset[DayCount]): Dataset[EwmaOut] = {
     import counts.sparkSession.implicits._
     import graft.operators.Ewma

@@ -148,6 +148,30 @@ class ClassifySpec extends SparkSpecBase {
       s"classifier does not beat chance: ${out.getAs[Long]("kappa_milli")}")
   }
 
+  test("kappa: single-class corpus is undefined → NULL, and negative kappa floors exactly") {
+    // single class: E = N² → kappa_den = 0, κ undefined; the guard must
+    // emit NULL symmetrically with the twin's CASE (ADVICE r15: DuckDB
+    // CAST(NaN AS BIGINT) would raise where Spark floors NaN to NULL)
+    val one = planted(30).filter($"lang" === "aa")
+    val mono = Classify.trainNaiveBayes(one)
+    val r = Classify.cohensKappa(one, mono).collect().head
+    assert(r.getAs[Long]("kappa_den") == 0L)
+    assert(r.isNullAt(r.fieldIndex("kappa_milli")),
+      s"single-class kappa must be NULL: $r")
+    // systematically swapped labels score WORSE than chance (κ < 0);
+    // the exact-integer milli must equal the true rational floor (the
+    // explicit non-negative division, where Spark div ≡ DuckDB //)
+    val docs = planted(60).filter($"lang" =!= "cc")
+    val swapped = docs.withColumn("lang",
+      when($"lang" === "aa", "bb").otherwise("aa"))
+    val bad = Classify.trainNaiveBayes(swapped)
+    val out = Classify.cohensKappa(docs, bad).collect().head
+    val (num, den) = (out.getAs[Long]("kappa_num"), out.getAs[Long]("kappa_den"))
+    assert(num < 0L, s"swapped labels must be anti-correlated: $out")
+    assert(out.getAs[Long]("kappa_milli") ==
+      math.floor(1000.0 * num / den).toLong, s"negative floor drift: $out")
+  }
+
   test("calibration bins: equal-depth partition, driver-recomputed accuracy") {
     val docs = Tables.documents(spark, sf)
     val model = Classify.modelFor(spark, sf)

@@ -102,6 +102,16 @@ class KsSpec extends SparkSpecBase {
     assert(r.getLong(4) == 166666L)
   }
 
+  test("mwu: an empty cohort yields NULL auc, not a division error") {
+    // one-cohort input has no defined ranking AUC; the guard must emit
+    // NULL symmetrically with the twin's CASE (ADVICE r15: DuckDB's
+    // integer // would raise where non-ANSI Spark silently NULLs)
+    val r = mwuRow((1 to 10).map(i => (i.toDouble, true)))
+    assert(r.getLong(0) == 10 && r.getLong(1) == 0)
+    assert(r.isNullAt(r.fieldIndex("auc_micro")),
+      s"auc over an empty cohort must be NULL: $r")
+  }
+
   test("mwu: invariant to partition count") {
     val rng = new scala.util.Random(7)
     val rows = (1 to 500).map(_ =>
