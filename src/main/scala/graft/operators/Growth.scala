@@ -69,8 +69,12 @@ object Growth {
     */
   def rankNormalize(events: DataFrame, nPartitions: Int = 8): DataFrame = {
     val slim = events.select(col("event_id"), col("value"))
-    val n = slim.count()
-    Scale.globalRank(slim, Seq(col("value"), col("event_id")), "rnk", nPartitions)
+    // n rides the rank's already-collected offsets control plane — the
+    // old separate count() was a whole extra pass over the input
+    val (ranked, n) =
+      Scale.globalRankWithTotal(slim, Seq(col("value"), col("event_id")),
+        "rnk", nPartitions)
+    ranked
       .withColumn("pct_milli",
         floor(col("rnk") * lit(1000L) / lit(n)).cast("long"))
       .select(col("event_id"), col("value"), col("rnk"), col("pct_milli"))

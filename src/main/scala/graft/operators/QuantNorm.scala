@@ -33,26 +33,30 @@ object QuantNorm {
   def quantileNormalize(docs: DataFrame,
       hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
-    val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(base, Seq("source")))
+    // ONE pass over the corpus: the global rank runs first and its
+    // eagerly-materialized output is the shared base every later leg
+    // reads (dial sample, within-source rank, rank-selection lookup) —
+    // the old shape re-scanned the input parquet three times and paid
+    // a separate count job for nn (which the rank's offsets control
+    // plane had already collected)
+    val (g, nn) = Scale.globalRankWithTotal(base,
+      Seq(col("n_chars"), col("doc_id")), "g_rank", 32)
+    val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(g, Seq("source")))
     val ranked = if (hot) {
       // source sizes ride the collected offsets — no extra agg pass
-      Scale.globalRankGrouped(base, Seq("source"),
+      Scale.globalRankGrouped(g, Seq("source"),
         Seq(col("n_chars"), col("doc_id")), "r", totalOut = Some("n_s"))
     } else {
       val ws = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
-      base
-        .withColumn("r", row_number().over(ws).cast("long"))
+      g.withColumn("r", row_number().over(ws).cast("long"))
         .withColumn("n_s",
           count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
     }
-    val globalRanked = Scale.globalRank(base,
-        Seq(col("n_chars"), col("doc_id")), "g_rank", 32)
-      .select(col("g_rank"), col("n_chars").as("norm_chars"))
-    val total = globalRanked.agg(count(lit(1)).as("nn"))
-    ranked.crossJoin(broadcast(total))
-      .withColumn("g_rank", expr("(r * nn + n_s - 1) div n_s"))
-      .join(globalRanked, Seq("g_rank"))
+    val lookup = g.select(col("g_rank"), col("n_chars").as("norm_chars"))
+    ranked.drop("g_rank")
+      .withColumn("g_rank", expr(s"(r * ${nn}L + n_s - 1) div n_s"))
+      .join(lookup, Seq("g_rank"))
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("norm_chars"))
   }

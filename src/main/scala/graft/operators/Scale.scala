@@ -36,14 +36,24 @@ object Scale {
     * [[Rfm.rfmScalable]]'s quintiles, and
     * [[Quantiles.quantilesScalable]]'s percentile selection. */
   def globalRank(df: DataFrame, order: Seq[Column], out: String,
-      nPartitions: Int): DataFrame = {
+      nPartitions: Int): DataFrame =
+    globalRankWithTotal(df, order, out, nPartitions)._1
+
+  /** [[globalRank]] that also returns the TOTAL row count, which the
+    * offsets control plane has already collected — consumers needing
+    * (rank, n) pairs (percentile transforms, closed-form ntile) skip a
+    * whole extra count pass over the input this way. */
+  def globalRankWithTotal(df: DataFrame, order: Seq[Column], out: String,
+      nPartitions: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = df.repartitionByRange(nPartitions, order: _*)
       .withColumn("_pid", spark_partition_id())
-    Dedup.withCached(p) { s =>
+    var total = 0L
+    val ranked = Dedup.withCached(p) { s =>
       val counts = s.groupBy(col("_pid")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      total = counts.map(_._2).sum
       val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
         (pid, acc + c)
       }.tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }
@@ -53,6 +63,7 @@ object Scale {
         .withColumn(out, (row_number().over(w) + col("_off")).cast("long"))
         .drop("_pid", "_off")
     }
+    (ranked, total)
   }
 
   /** Ungrouped 1-based rank AND inclusive running sum of a decimal
