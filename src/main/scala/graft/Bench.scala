@@ -268,31 +268,62 @@ object Bench {
     })
     val regLine = if (only.isEmpty && calibrate) {
       val prior = java.nio.file.Paths.get(baselineName)
-      val prevNorm: Map[String, Double] =
-        if (java.nio.file.Files.exists(prior)) {
+      def baselineWhere(p: String => Boolean): Option[String] =
+        if (!java.nio.file.Files.exists(prior)) None
+        else try {
+          val src = scala.io.Source.fromFile(prior.toFile)
+          try src.getLines().find(p) finally src.close()
+        } catch { case _: Throwable => None }
+      def baselineLine(marker: String): Option[String] =
+        baselineWhere(_.contains(marker))
+      def queriesOf(line: String): Map[String, Double] =
+        try {
+          import scala.jdk.CollectionConverters._
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(line).get("queries").fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        } catch { case _: Throwable => Map.empty }
+      val prevNorm = baselineLine("\"metric\":\"total_norm\"")
+        .map(queriesOf).getOrElse(Map.empty)
+      // raw medians of the baseline — the cross-check when the
+      // NORMALIZER itself moved (see below)
+      val prevRaw = baselineWhere(l => l.contains("\"metric\":\"total\"") &&
+          l.contains("\"queries\"") && !l.contains("total_norm"))
+        .map(queriesOf).getOrElse(Map.empty)
+      // ---- calibration-drift visibility (VERDICT r15 item 8) ----
+      // The r15 wrap's lesson ("a normalizer shift moves every query
+      // at once — diff pass factors FIRST") as machine arithmetic:
+      // norm_shift = median current pass factor / median baseline pass
+      // factor. When the normalizer itself shifted >10%, a mover is
+      // only real if it ALSO moved raw-to-raw — otherwise 40+ fake
+      // movers appear in lockstep and the one real regression drowns.
+      val prevFactors: Seq[Double] =
+        baselineLine("\"metric\":\"calibration\"").toSeq.flatMap { l =>
           try {
-            val om = new com.fasterxml.jackson.databind.ObjectMapper()
-            val src = scala.io.Source.fromFile(prior.toFile)
-            val lineOpt =
-              try src.getLines().find(_.contains("\"metric\":\"total_norm\""))
-              finally src.close()
-            lineOpt.map { l =>
-              import scala.jdk.CollectionConverters._
-              om.readTree(l).get("queries").fields().asScala
-                .map(e => e.getKey -> e.getValue.asDouble()).toMap
-            }.getOrElse(Map.empty)
-          } catch { case _: Throwable => Map.empty }
-        } else Map.empty
+            import scala.jdk.CollectionConverters._
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(l).get("pass_factors").elements().asScala
+              .map(_.asDouble()).toSeq
+          } catch { case _: Throwable => Nil }
+        }
+      def med(s: Seq[Double]): Double = s.sorted.apply(s.size / 2)
+      val normShift =
+        if (prevFactors.nonEmpty && passFactors.nonEmpty)
+          med(passFactors) / med(prevFactors)
+        else 1.0
+      val shifted = math.abs(normShift - 1.0) > 0.10
       val movers = resultsNorm.toSeq.flatMap { case (n, cur) =>
         prevNorm.get(n).collect {
-          case old if old > 0 && cur / old > 1.15 && cur - old > 0.3 =>
+          case old if old > 0 && cur / old > 1.15 && cur - old > 0.3 &&
+            (!shifted || prevRaw.get(n).forall(or =>
+              or > 0 && results.get(n).exists(_ / or > 1.15))) =>
             n -> ((old, cur))
         }
       }.sortBy { case (_, (o, c)) => -(c / o) }
       val mj = movers.map { case (n, (o, c)) =>
         "\"" + n + "\":[" + fmt(o) + "," + fmt(c) + "]"
       }.mkString("{", ",", "}")
-      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline":"$baselineName","baseline_queries":${prevNorm.size},"movers":$mj}"""
+      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline":"$baselineName","baseline_queries":${prevNorm.size},"norm_shift":${fmt(normShift)},"norm_shift_gated":$shifted,"movers":$mj}"""
     } else ""
     if (regLine.nonEmpty) println(regLine)
     if (gcProbe) {

@@ -88,6 +88,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("dialcost")) {
+      dialCost(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(1, 8, 64); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("distinctscale")) {
       distinctScale(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(1, 8, 64); case ms => ms
@@ -1150,6 +1156,59 @@ object Probe {
     * the dual src/dst-bucketed twins, at replicated-edge tiers. At
     * fixture scale the query is checkpoint-overhead-bound; these tiers
     * show where the exchange elimination starts paying. */
+  /** Cost of the size-aware dial's pre-checks vs input size (VERDICT
+    * r15 item 6): ~20 operators now ride [[graft.operators.Scale
+    * .hotGroups]], whose 1% sampled pre-check is itself a real job at
+    * corpus scale — this tier measures, per input size, (a) the bare
+    * count() a scan-only input answers from parquet footer metadata,
+    * (b) the 1% sampled pre-check, (c) the exact group-max confirm,
+    * and (d) the full dial — the empirical basis for the r16 rule:
+    * scan-only inputs take the footer count FIRST (wired into
+    * hotGroups itself), derived inputs keep the caller-provided bound
+    * (the Profile.shipLatency pattern) or the sample. */
+  def dialCost(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Scale => Sc}
+    val src = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("event_type"), col("value"))
+    mults.foreach { mult =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dial-probe")
+      try {
+        src.crossJoin(spark.range(mult).toDF("rep"))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val df = spark.read.parquet(tmp.toString)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val n = df.count() // warm file listing + footer cache
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[dial] $label @ $n%d rows (x$mult): " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        time("footer count      ")(df.count())
+        time("1pct sample check ") {
+          df.sample(withReplacement = false, 0.01, seed = 42)
+            .groupBy(col("event_type")).count()
+            .agg(max(col("count"))).head()
+        }
+        time("exact group max   ") {
+          df.groupBy(col("event_type")).count()
+            .agg(count(lit(1)), max(col("count"))).head()
+        }
+        time("hotGroups dial    ") {
+          println(s"[dial]   -> hot=${Sc.hotGroups(df, Seq("event_type"))}")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.stop()
+  }
+
   def hitsScale(mults: Seq[Int]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1172,30 +1231,41 @@ object Probe {
         // bucket count is a CAPACITY parameter: 8 buckets cap the scan
         // at 8 parallel tasks, which loses past ~10M edges on 32 cores
         // (measured below), while over-bucketing a small table costs
-        // pure scheduling overhead — production (bucketedDirectedEdgesFor)
-        // sizes by DATA (~1M edges/bucket, floor 8); override here to
-        // probe other points on that curve
+        // pure scheduling overhead. Default mirrors production
+        // (bucketedDirectedEdgesFor: ~1M edges/bucket, floor
+        // EdgeBuckets, ceiling shuffle.partitions) so the probe runs
+        // the SERVING configuration; override to probe other points
+        val nEdges = edges.count()
         val buckets = sys.env.get("SPARK_GRAFT_HITS_BUCKETS").map(_.toInt)
-          .getOrElse(Graph.EdgeBuckets)
+          .getOrElse(math.max(Graph.EdgeBuckets.toLong, math.min(
+            math.max(Graph.EdgeBuckets,
+              spark.sessionState.conf.numShufflePartitions).toLong,
+            nEdges / 1000000L + 1L)).toInt)
         Sc.writeBucketed(edges, "probe_hits_src", "src", buckets)
         Sc.writeBucketed(edges, "probe_hits_dst", "dst", buckets)
         val plain = spark.read.parquet(plainPath)
         val n = plain.count()
+        // the serving query end-to-end (VERDICT r15 item 4): the same
+        // broadcast dial qHitsServing takes, plus the top-10 ranking —
+        // not just the raw half-step recurrence
+        val nNodes = plain.agg(greatest(countDistinct(col("src")),
+          countDistinct(col("dst")))).head().getLong(0)
+        val bc = nNodes <= Graph.BroadcastNodeCap
         def time(label: String)(f: => Unit): Unit = {
           val t0 = System.nanoTime(); f
-          println(f"[hits] $label @ $n%d edges (x$mult): " +
-            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          println(f"[hits] $label @ $n%d edges (x$mult, buckets=$buckets, " +
+            f"broadcast=$bc): ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         // warm both paths once, then measure
-        Graph.hitsOn(plain, plain, 3, broadcastScores = true).count()
-        time("plain parquet   ") {
-          Graph.hitsOn(plain, plain, 3, broadcastScores = true).count()
+        Graph.hitsTop(Graph.hitsOn(plain, plain, 3, bc)).count()
+        time("plain serving   ") {
+          Graph.hitsTop(Graph.hitsOn(plain, plain, 3, bc)).count()
         }
         val eS = spark.table("probe_hits_src")
         val eD = spark.table("probe_hits_dst")
-        Graph.hitsOn(eS, eD, 3, broadcastScores = true).count()
-        time("dual-bucketed   ") {
-          Graph.hitsOn(eS, eD, 3, broadcastScores = true).count()
+        Graph.hitsTop(Graph.hitsOn(eS, eD, 3, bc)).count()
+        time("bucketed serving") {
+          Graph.hitsTop(Graph.hitsOn(eS, eD, 3, bc)).count()
         }
       } finally {
         spark.sql("DROP TABLE IF EXISTS probe_hits_src")

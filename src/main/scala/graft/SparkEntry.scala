@@ -88,6 +88,8 @@ object SparkEntry {
     // act on the flag: erase the subject source, retrain the flagged
     // text models (NB/BPE/DSIR) on the clean corpus, re-audit to zero
     "forget_retrain" -> ((s, d) => ModelAudit.qForgetRetrain(s, d)),
+    "forget_retrain_quantizers" -> ((s, d) =>
+      ModelAudit.qForgetRetrainQuantizers(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),

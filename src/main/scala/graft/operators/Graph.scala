@@ -731,7 +731,7 @@ object Graph {
         col("s").as("entity_key"), col("score_fp")))
   }
 
-  private def hitsTop(scored: DataFrame): DataFrame = {
+  private[graft] def hitsTop(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("role"))
       .orderBy(col("score_fp").desc, col("entity_key"))
     scored.withColumn("rank", row_number().over(w))

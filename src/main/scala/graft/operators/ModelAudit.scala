@@ -100,6 +100,21 @@ object ModelAudit {
     nb.unionByName(bpe).unionByName(dsir)
   }
 
+  /** The two QUANTIZER legs (ivf, pq) of the audit over an embedding
+    * frame already carrying the `_subj` flag — shared by [[modelAudit]]
+    * and the [[retrainQuantizers]] pre/re-audit passes. */
+  private def quantCells(embS: DataFrame, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val ivf = perCell(embS, "ivf",
+      format_string("%03d", Ivf.cellOf(col("embedding"), cents)))
+    val pq = perCell(
+      Pq.encode(embS.select(col("vec_id"), col("embedding")), books, 64)
+        .join(embS.select(col("vec_id"), col("_subj")), Seq("vec_id"))
+        .select(col("_subj"), posexplode(col("codes")).as(Seq("j", "c"))),
+      "pq", format_string("%d:%02d", col("j"), col("c")))
+    ivf.unionByName(pq)
+  }
+
   /** The audit frame: (model, cell, rows_erased, rows_total,
     * erased_permille, retrain), one row per populated model cell. */
   def modelAudit(docs: DataFrame, emb: DataFrame,
@@ -109,14 +124,7 @@ object ModelAudit {
     val docsS = docs.withColumn("_subj", col("source") === subjectSource)
     val embS = emb.join(
       docsS.select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
-    val ivf = perCell(embS, "ivf",
-      format_string("%03d", Ivf.cellOf(col("embedding"), cents)))
-    val pq = perCell(
-      Pq.encode(embS.select(col("vec_id"), col("embedding")), books, 64)
-        .join(embS.select(col("vec_id"), col("_subj")), Seq("vec_id"))
-        .select(col("_subj"), posexplode(col("codes")).as(Seq("j", "c"))),
-      "pq", format_string("%d:%02d", col("j"), col("c")))
-    withShare(ivf.unionByName(pq).unionByName(textCells(docsS)),
+    withShare(quantCells(embS, cents, books).unionByName(textCells(docsS)),
       retrainPermille)
   }
 
@@ -227,6 +235,92 @@ object ModelAudit {
     retrainFlagged(Tables.documents(spark, dir), dsirTarget = "src1").summary
       .orderBy(col("model"), col("cell"))
 
+  // ------------------------------------------- quantizer retrain leg
+
+  /** Post-sweep quantizer state: the re-audit summary over the
+    * post-erasure corpus, the CHOSEN quantizers (retrained where a
+    * cell tripped, the originals otherwise), and which families
+    * retrained. */
+  case class QuantRetrainResult(summary: DataFrame,
+      centroids: Seq[Array[Double]], codebooks: Seq[Seq[Array[Double]]],
+      retrainedFamilies: Set[String])
+
+  /** Opt-in quantizer leg of the erasure sweep (VERDICT r15 item 5 —
+    * [[retrainFlagged]] covers nb/bpe/dsir but a tripped IVF/PQ flag
+    * used to leave stale codebooks): audit the IVF cells and PQ
+    * codewords against the erased subject, and when any cell of a
+    * family trips, RETRAIN that family on the post-erasure embedding
+    * corpus through the SAME bounded-TrainSample entry points the
+    * serving queries use ([[Ivf.trainCentroids]] /
+    * [[Pq.trainCodebooks]] — seeded and deterministic, so the
+    * retrained quantizer is byte-identical to one trained fresh on the
+    * clean corpus, spec-pinned). The re-audit assigns the POST-erasure
+    * corpus to the chosen quantizers: every `rows_erased` is zero — no
+    * cell of the serving layout carries erased training mass. Families
+    * with no tripped cell keep their quantizers (de-minimis residue,
+    * documented by the pre-audit row). Rebuild cost is the measured
+    * near-flat `graft.Probe modelrebuild` curve (SCALE.md r15) — the
+    * sweep stays opt-in because rescheduling a serving layout rebuild
+    * is an operational decision; this entry point IS that schedule.
+    *
+    * Does NOT touch the per-dir serving caches ([[Ivf.centroidsFor]] /
+    * [[Pq.codebooksFor]]) — the live ANN gates keep their quantizers
+    * until the operator swaps layouts explicitly. */
+  def retrainQuantizers(docs: DataFrame, emb: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      subjectSource: String = SubjectSource,
+      retrainPermille: Long = RetrainPermille): QuantRetrainResult = {
+    val docsS = docs.withColumn("_subj", col("source") === subjectSource)
+    val embS = emb.join(
+      docsS.select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
+    // pre-audit is model-cell-bounded (16 + 8×16 rows) — collect once
+    val preRows = withShare(quantCells(embS, cents, books), retrainPermille)
+      .select(col("model"), col("retrain")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    val flagged = preRows.filter(_._2).map(_._1).toSet
+    val postEmbS = emb.join(
+      docsS.filter(!col("_subj"))
+        .select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
+    val newCents =
+      if (flagged("ivf")) Ivf.trainCentroids(postEmbS) else cents
+    val newBooks =
+      if (flagged("pq")) Pq.trainCodebooks(postEmbS, 64) else books
+    val summary = withShare(quantCells(postEmbS, newCents, newBooks),
+        retrainPermille)
+      .withColumn("retrained", col("model").isin(flagged.toSeq: _*))
+      .select(col("model"), col("cell"), col("retrained"),
+        col("rows_erased"), col("rows_total"), col("erased_permille"))
+    QuantRetrainResult(summary, newCents, newBooks, flagged)
+  }
+
+  /** Chosen post-sweep quantizers per dataset dir — the
+    * [[Ivf.cachedCentroids]] cache-to-oracle bridge for the retrained
+    * models (training is deterministic; caching only skips the k-means
+    * on repeated bench runs). */
+  private val retrainedQuant = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Array[Double]], Seq[Seq[Array[Double]]], Set[String])]()
+
+  def qForgetRetrainQuantizers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val (cents, books, flagged) = retrainedQuant.computeIfAbsent(dir, { _ =>
+      val r = retrainQuantizers(docs, emb,
+        Ivf.centroidsFor(dir, emb), Pq.codebooksFor(spark, dir))
+      (r.centroids, r.codebooks, r.retrainedFamilies)
+    })
+    // rebuild the (cheap, two-assignment-pass) summary from the cached
+    // chosen quantizers — the k-means is paid once per JVM+dir
+    val docsS = docs.withColumn("_subj", col("source") === SubjectSource)
+    val postEmbS = emb.join(
+      docsS.filter(!col("_subj"))
+        .select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
+    withShare(quantCells(postEmbS, cents, books), RetrainPermille)
+      .withColumn("retrained", col("model").isin(flagged.toSeq: _*))
+      .select(col("model"), col("cell"), col("retrained"),
+        col("rows_erased"), col("rows_total"), col("erased_permille"))
+      .orderBy(col("model"), col("cell"))
+  }
+
   /** Twin: the nb/bpe/dsir audit legs twice — once on the full corpus
     * (the flags) and once on the post-erasure corpus (the re-audit) —
     * joined per cell; pure integer arithmetic, no model literals. */
@@ -285,12 +379,61 @@ object ModelAudit {
   /** Generated after training (the [[Pq.oracleEntries]] bridge): the
     * twin needs both the coarse quantizer and the codebooks, for the
     * same dataset. */
-  def oracleEntries: Map[String, String] =
-    (Ivf.cachedCentroids, Pq.cachedCodebooks) match {
+  def oracleEntries: Map[String, String] = {
+    val audit = (Ivf.cachedCentroids, Pq.cachedCodebooks) match {
       case (Some((cd, cents)), Some((bd, books))) if cd == bd =>
         Map("forget_model_audit" -> oForgetModelAudit(cents, books))
-      case _ => Map.empty
+      case _ => Map.empty[String, String]
     }
+    // retrained-quantizer twin: the CHOSEN post-sweep models are
+    // deterministic, so they inline as literals exactly like the
+    // serving quantizers (generated after the query trained them)
+    val quant =
+      if (retrainedQuant.size == 1) {
+        val e = retrainedQuant.entrySet.iterator.next.getValue
+        Map("forget_retrain_quantizers" ->
+          oForgetRetrainQuantizers(e._1, e._2, e._3))
+      } else Map.empty[String, String]
+    audit ++ quant
+  }
+
+  /** Twin of [[qForgetRetrainQuantizers]]: the re-audit's assignment
+    * legs with the RETRAINED quantizers inlined as literals, restricted
+    * to the surviving corpus — `rows_erased` is zero by construction on
+    * both sides (the training partitions no longer contain the
+    * subject), which is exactly the property the gate pins. */
+  def oForgetRetrainQuantizers(cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]], flagged: Set[String]): String = {
+    val retrainedExpr =
+      if (flagged.isEmpty) "FALSE"
+      else flagged.toSeq.sorted.map(f => s"'$f'").mkString("model IN (", ", ", ")")
+    s"""${Ivf.ivfBaseSql(cents)},
+       |${Pq.pqAssignCtes(books)},
+       |src AS (SELECT doc_id AS vec_id, (source = '$SubjectSource') AS s
+       |        FROM documents WHERE source != '$SubjectSource'),
+       |ivf AS (
+       |  SELECT 'ivf' AS model, format('{:03d}', cell) AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM assign JOIN src ON src.vec_id = assign.neighbor_id
+       |  GROUP BY 2),
+       |pqa AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT *, row_number() OVER (
+       |        PARTITION BY vec_id, j ORDER BY dd ASC, c ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |pq AS (
+       |  SELECT 'pq' AS model, format('{:d}:{:02d}', j, c) AS cell,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       |    CAST(count(*) AS BIGINT) AS rows_total
+       |  FROM pqa JOIN src USING (vec_id) GROUP BY 2),
+       |u AS (SELECT * FROM ivf UNION ALL SELECT * FROM pq)
+       |SELECT model, cell, $retrainedExpr AS retrained,
+       |  rows_erased, rows_total,
+       |  CAST((1000 * rows_erased) // rows_total AS BIGINT)
+       |    AS erased_permille
+       |FROM u ORDER BY model, cell""".stripMargin
+  }
 
   /** Twin: IVF assignment via [[Ivf.ivfBaseSql]] (bit-identical to the
     * clustered-layout gates), PQ assignment via [[Pq.pqAssignCtes]]

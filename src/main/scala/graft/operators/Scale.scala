@@ -263,11 +263,30 @@ object Scale {
     * scale-killer). Many small groups keep the plain window: each
     * window task is already bounded. Two partial-agg control-plane
     * scalars drive the plan, like [[Graph.pageRank]]'s node count. */
+  /** True when `df` is a bare projection over leaf scans — the shape
+    * whose count() the parquet reader answers from footer row counts
+    * without decoding a single column, strictly cheaper than even the
+    * 1% sampled scan (measured: `graft.Probe dialcost`, SCALE.md r16).
+    * A Filter is excluded on purpose: a filtered count must decode the
+    * predicate columns, which is sample-cost, not footer-cost. */
+  private def scanOnly(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Project}
+    df.queryExecution.optimizedPlan.collect { case n => n }
+      .forall(n => n.isInstanceOf[Project] || n.isInstanceOf[LeafNode])
+  }
+
   def hotGroups(df: DataFrame, groups: Seq[String]): Boolean = {
-    // cheap 1% sampled pre-check first: a truly hot group (≥ 8M rows)
+    // footer-count fast path (r16 dialcost probe): on a bare scan the
+    // TOTAL row count bounds every group, and count() costs footer
+    // metadata only — the common not-hot case across the ~20 dial
+    // operators exits without touching row data. Decision-identical:
+    // maxGroup ≤ total < threshold ⇒ the sample/exact path would also
+    // say false.
+    if (scanOnly(df) && df.count() < HotGroupMinRowsPerGroup) return false
+    // cheap 1% sampled pre-check next: a truly hot group (≥ 8M rows)
     // shows ≥ ~80k sampled rows with overwhelming probability, so a
     // sampled max far below threshold/2 exits without the full scan —
-    // the common (not-hot) case costs 1% of a partial agg, and only a
+    // a not-hot DERIVED input costs 1% of a partial agg, and only a
     // plausibly-hot table pays the exact confirmation
     val sampled = df.sample(withReplacement = false, 0.01, seed = 42)
       .groupBy(groups.map(col): _*).count()

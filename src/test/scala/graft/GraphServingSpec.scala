@@ -131,6 +131,17 @@ class GraphServingSpec extends SparkSpecBase {
           !e.child.toString.startsWith("HashAggregate") => e
     }
     assert(scanFed.isEmpty, s"shuffle-mode half-step moved the edges:\n$sPlan")
+    // shuffle-mode DST twin (the r15 audit covered only the src side):
+    // the hub half-step joins on dst and must read the dst-bucketed
+    // twin without the edge scan feeding an exchange
+    val dPlan = Graph.hitsHalfStepRaw(eDst, auths, "s", "dst", "src", "c",
+      broadcastScores = false).queryExecution.executedPlan
+    val dstScanFed = dPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.collectLeaves().exists(_.toString.contains("b3_hits_dst")) &&
+          !e.child.toString.startsWith("HashAggregate") => e
+    }
+    assert(dstScanFed.isEmpty, s"shuffle-mode hub half-step moved the edges:\n$dPlan")
     // non-vacuous control: the same half-step over the UNbucketed
     // artifact shuffles the scan
     val plain = spark.read.parquet(Graph.directedEdgesArtifactFor(spark, sf))

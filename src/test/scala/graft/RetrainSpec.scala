@@ -84,6 +84,65 @@ class RetrainSpec extends SparkSpecBase {
     }
   }
 
+  test("quantizer sweep: tripped IVF/PQ retrain to a zero-residue layout ≡ fresh train") {
+    import graft.operators.{Ivf, Pq}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.centroidsFor(sf, emb)
+    val books = Pq.codebooksFor(spark, sf)
+    // expected flags from the audit operator itself (src0 is a ~1/6
+    // corpus slice, so cells sit near 166‰ against the 100‰ threshold)
+    val expected = ModelAudit.modelAudit(docs, emb, cents, books)
+      .filter(col("model").isin("ivf", "pq") && col("retrain"))
+      .select("model").distinct().collect().map(_.getString(0)).toSet
+    val r = ModelAudit.retrainQuantizers(docs, emb, cents, books)
+    assert(r.retrainedFamilies == expected,
+      s"retrained ${r.retrainedFamilies} != audit-flagged $expected")
+    assert(r.retrainedFamilies == Set("ivf", "pq"),
+      s"fixture subject share must trip both families: ${r.retrainedFamilies}")
+    // compliance statement: no cell of the post-sweep layout carries
+    // erased training mass
+    val s = r.summary.collect()
+    assert(s.nonEmpty)
+    s.foreach { row =>
+      assert(row.getAs[Long]("rows_erased") == 0L, row.toString)
+      assert(row.getAs[Long]("erased_permille") == 0L, row.toString)
+      assert(row.getAs[Boolean]("retrained"), row.toString)
+    }
+    // determinism ties the retrained artifact to its input: byte-equal
+    // to a fresh train on the post-erasure corpus (the operator's own
+    // postEmbS construction, replicated)
+    val docsS = docs.withColumn("_subj", col("source") === "src0")
+    val postEmbS = emb.join(
+      docsS.filter(!col("_subj"))
+        .select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
+    assert(r.centroids.map(_.toSeq) ==
+      Ivf.trainCentroids(postEmbS).map(_.toSeq),
+      "retrained centroids diverge from a fresh train on the clean corpus")
+    assert(r.codebooks.map(_.map(_.toSeq)) ==
+      Pq.trainCodebooks(postEmbS, 64).map(_.map(_.toSeq)),
+      "retrained codebooks diverge from a fresh train on the clean corpus")
+    // non-vacuous: the retrain saw different data than the originals
+    assert(r.centroids.map(_.toSeq) != cents.map(_.toSeq),
+      "retrained centroids identical to pre-erasure quantizer")
+  }
+
+  test("quantizer sweep: untripped subject keeps the serving quantizers") {
+    import graft.operators.{Ivf, Pq}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.centroidsFor(sf, emb)
+    val books = Pq.codebooksFor(spark, sf)
+    val r = ModelAudit.retrainQuantizers(docs, emb, cents, books,
+      subjectSource = "no_such_source")
+    assert(r.retrainedFamilies.isEmpty, "nothing erased, nothing retrains")
+    assert(r.centroids.map(_.toSeq) == cents.map(_.toSeq))
+    assert(r.codebooks.map(_.map(_.toSeq)) == books.map(_.map(_.toSeq)))
+    r.summary.collect().foreach { row =>
+      assert(!row.getAs[Boolean]("retrained"), row.toString)
+    }
+  }
+
   test("fixture: only flagged families retrain; summary matches the gate shape") {
     val docs = Tables.documents(spark, sf)
     val pre = ModelAudit.textModelAudit(docs)

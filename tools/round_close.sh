@@ -10,6 +10,14 @@
 #   tools/round_close.sh [pin-round-number]
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# "close is the last commit", enforced at the entrance (VERDICT r15
+# item 3): the pin describes a COMMITTED state, so refuse to close
+# over uncommitted source — and the exit message makes the other half
+# of the invariant explicit
+if [ -n "$(git status --porcelain -- src build.sbt tools 2>/dev/null)" ]; then
+  echo "round_close: uncommitted source changes — commit first; the pin must describe a committed state" >&2
+  exit 2
+fi
 sbt -batch test
 python3 tools/coverage_totals.py
 python3 tools/coverage_totals.py --check
@@ -17,8 +25,38 @@ SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/r
 python3 tools/verify_local.py /tmp/round_close_verify /root/testdata/sf0.01
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench"
 grep -h '"metric":"regressions"' BENCH_full_latest.json || true
+# declared-vs-benched reconciliation (VERDICT r15 item 3: the r15 pin
+# silently missed feature_winsorize): every query Verify just dumped
+# must appear in the bench artifact or its excluded list
+python3 - <<'EOF'
+import json, glob, os, sys
+declared = {os.path.basename(p).removesuffix('.parquet')
+            for p in glob.glob('/tmp/round_close_verify/*.parquet')}
+benched, excluded = set(), set()
+for line in open('BENCH_full_latest.json'):
+    line = line.strip()
+    if not line.startswith('{'):
+        continue
+    d = json.loads(line)
+    if d.get('metric') == 'total' and 'queries' in d:
+        benched |= set(d['queries'])
+        excluded |= set(d.get('excluded', []))
+missing = declared - benched - excluded
+extra = benched - declared
+if missing or extra:
+    print(f"round_close: bench/declared mismatch: "
+          f"missing={sorted(missing)} extra={sorted(extra)}", file=sys.stderr)
+    sys.exit(3)
+print(f"reconciled: {len(declared)} declared == "
+      f"{len(benched)} benched + {len(excluded)} excluded")
+EOF
 if [ -n "${1:-}" ]; then
+  head_sha=$(git rev-parse --short HEAD)
   cp BENCH_full_latest.json "BENCH_full_r${1}.json"
-  echo "pinned BENCH_full_r${1}.json as the round-boundary baseline"
+  # stamp the pin with the HEAD it describes: a later source commit is
+  # then mechanically detectable (pinned head != round's last commit)
+  printf '{"metric":"pinned_at","round":%s,"head":"%s"}\n' \
+    "$1" "$head_sha" >> "BENCH_full_r${1}.json"
+  echo "pinned BENCH_full_r${1}.json at HEAD $head_sha — commit the artifacts NOW; any later source commit invalidates this pin"
 fi
 echo "round-close artifacts refreshed: COVERAGE.md + BENCH_full_latest.json"
