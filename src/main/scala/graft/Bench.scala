@@ -306,17 +306,21 @@ object Bench {
               .map(_.asDouble()).toSeq
           } catch { case _: Throwable => Nil }
         }
-      def med(s: Seq[Double]): Double = s.sorted.apply(s.size / 2)
       val normShift =
         if (prevFactors.nonEmpty && passFactors.nonEmpty)
-          med(passFactors) / med(prevFactors)
+          median(passFactors.sorted) / median(prevFactors.sorted)
         else 1.0
       val shifted = math.abs(normShift - 1.0) > 0.10
+      // raw cross-check under a shifted normalizer: raw_ratio ≈
+      // norm_ratio × normShift, so the raw threshold must scale by the
+      // shift too — a flat 1.15 would silently drop real regressions
+      // whenever the host got FASTER (normShift < 1: a 1.3× normalized
+      // regression reads 1.04× raw) and keep fake ones when slower
       val movers = resultsNorm.toSeq.flatMap { case (n, cur) =>
         prevNorm.get(n).collect {
           case old if old > 0 && cur / old > 1.15 && cur - old > 0.3 &&
             (!shifted || prevRaw.get(n).forall(or =>
-              or > 0 && results.get(n).exists(_ / or > 1.15))) =>
+              or > 0 && results.get(n).exists(_ / or > 1.15 * normShift))) =>
             n -> ((old, cur))
         }
       }.sortBy { case (_, (o, c)) => -(c / o) }

@@ -245,13 +245,8 @@ object Diagnostics {
           col("top_events"), col("share_milli"))
     }
 
-    hotOverride match {
-      case Some(h) => on(perUser, h)
-      case None =>
-        if (events.count() < Scale.HotGroupMinRowsPerGroup) on(perUser, false)
-        else Dedup.withCached(perUser)(pu =>
-          on(pu, pu.count() >= Scale.HotGroupMinRowsPerGroup))
-    }
+    Scale.ungroupedDial(hotOverride, events.count(), perUser)(
+      on(_, hot = false))((pu, _) => on(pu, hot = true))
   }
 
   def qUserConcentration(spark: SparkSession, dir: String): DataFrame =

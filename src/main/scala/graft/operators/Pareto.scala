@@ -72,16 +72,8 @@ object Pareto {
         .drop("_cum"))
     }
 
-    hotOverride match {
-      case Some(false) => plainOn(rev)
-      case Some(true)  => Dedup.withCached(rev)(hotOn)
-      case None =>
-        if (lineitem.count() < Scale.HotGroupMinRowsPerGroup) plainOn(rev)
-        else Dedup.withCached(rev) { r =>
-          if (r.count() >= Scale.HotGroupMinRowsPerGroup) hotOn(r)
-          else plainOn(r)
-        }
-    }
+    Scale.ungroupedDial(hotOverride, lineitem.count(), rev)(
+      plainOn)((r, _) => hotOn(r))
   }
 
   def qSupplierPareto(spark: SparkSession, dir: String): DataFrame =

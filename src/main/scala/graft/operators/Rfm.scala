@@ -71,24 +71,9 @@ object Rfm {
       .withColumn("m_score", ntile(5).over(mW)))
   }
 
-  def rfm(orders: DataFrame, hotOverride: Option[Boolean] = None): DataFrame = {
-    val base = rollup(orders)
-    hotOverride match {
-      case Some(false) => plainOn(base)
-      case Some(true) =>
-        Dedup.withCached(base)(b => scalableOn(b, b.count(), 8))
-      case None =>
-        // cheap bound first: the per-customer rollup can never exceed
-        // the fact row count, so a small fact settles the dial without
-        // materializing the rollup twice
-        if (orders.count() < Scale.HotGroupMinRowsPerGroup) plainOn(base)
-        else Dedup.withCached(base) { b =>
-          val n = b.count()
-          if (n < Scale.HotGroupMinRowsPerGroup) plainOn(b)
-          else scalableOn(b, n, 32)
-        }
-    }
-  }
+  def rfm(orders: DataFrame, hotOverride: Option[Boolean] = None): DataFrame =
+    Scale.ungroupedDial(hotOverride, orders.count(), rollup(orders))(
+      plainOn)((b, n) => scalableOn(b, n, 32))
 
   def qRfm(spark: SparkSession, dir: String): DataFrame =
     rfm(Tables.orders(spark, dir)).orderBy(col("o_custkey"))

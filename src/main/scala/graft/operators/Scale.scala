@@ -66,6 +66,31 @@ object Scale {
     (ranked, total)
   }
 
+  /** The UNGROUPED twin of the [[hotGroups]] dial (r16): decide
+    * plain-global-window vs distributed-rank for an entity-grain
+    * rollup, ONCE, so the three consumers (Rfm / Pareto /
+    * Diagnostics.userConcentration) cannot drift apart on the
+    * threshold, caching rule, or count-bound protocol. `factCount` is
+    * the cheap upper bound — a rollup can never exceed its fact's row
+    * count, so a small fact settles the dial without materializing the
+    * rollup twice (and is only evaluated when needed); only a
+    * plausibly-hot fact pays the exact rollup count, over a cache the
+    * hot path needs materialized anyway. `hotOverride` forces a side
+    * for the equivalence specs. */
+  def ungroupedDial(hotOverride: Option[Boolean], factCount: => Long,
+      rollup: DataFrame)(plain: DataFrame => DataFrame)(
+      hot: (DataFrame, Long) => DataFrame): DataFrame =
+    hotOverride match {
+      case Some(false) => plain(rollup)
+      case Some(true)  => Dedup.withCached(rollup)(b => hot(b, b.count()))
+      case None =>
+        if (factCount < HotGroupMinRowsPerGroup) plain(rollup)
+        else Dedup.withCached(rollup) { b =>
+          val n = b.count()
+          if (n < HotGroupMinRowsPerGroup) plain(b) else hot(b, n)
+        }
+    }
+
   /** Ungrouped 1-based rank AND inclusive running sum of a decimal
     * `value` under `order` (which must end in a tiebreaker making it a
     * total order) without a single-task global sort — the running-sum

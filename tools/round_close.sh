@@ -30,8 +30,11 @@ grep -h '"metric":"regressions"' BENCH_full_latest.json || true
 # must appear in the bench artifact or its excluded list
 python3 - <<'EOF'
 import json, glob, os, sys
-declared = {os.path.basename(p).removesuffix('.parquet')
-            for p in glob.glob('/tmp/round_close_verify/*.parquet')}
+# Verify writes one DIRECTORY per query (outDir/<name>, no suffix)
+# plus the oracle_sql.json file
+declared = {os.path.basename(p)
+            for p in glob.glob('/tmp/round_close_verify/*')
+            if os.path.isdir(p)}
 benched, excluded = set(), set()
 for line in open('BENCH_full_latest.json'):
     line = line.strip()
