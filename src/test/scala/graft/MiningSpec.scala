@@ -145,8 +145,10 @@ class MiningSpec extends SparkSpecBase {
     val shares = out.map(_.getAs[Long]("cum_share_bp"))
     assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
     assert(shares.last == 10000L)
-    // ranks are 1..n by descending revenue
-    assert(out.map(_.getAs[Int]("rnk")).toSeq == (1 to out.length))
+    // ranks are 1..n by descending revenue (BIGINT since the r16 dial:
+    // the lifted distributed rank is a long, so both plan shapes agree)
+    assert(out.map(_.getAs[Long]("rnk")).toSeq ==
+      (1 to out.length).map(_.toLong))
     val revs = out.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
     // the top-80 flag flips exactly once
