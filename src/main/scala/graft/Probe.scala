@@ -88,6 +88,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("ungroupedscale")) {
+      ungroupedScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(8, 64); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("dialcost")) {
       dialCost(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(1, 8, 64); case ms => ms
@@ -1156,6 +1162,65 @@ object Probe {
     * the dual src/dst-bucketed twins, at replicated-edge tiers. At
     * fixture scale the query is checkpoint-overhead-bound; these tiers
     * show where the exchange elimination starts paying. */
+  /** Does the ungrouped dial's HOT path actually WIN where it engages
+    * (r16 follow-through on the [[graft.operators.Scale.ungroupedDial]]
+    * wiring — forced-switch specs prove result identity; this probe
+    * measures the crossover the 8M-row threshold encodes)? Inflate the
+    * sf0.1 orders fact with per-replica-shifted custkeys so the
+    * CUSTOMER ENTITY COUNT scales with mult (x64 ≈ 9.6M customers —
+    * past the dial threshold), then time [[graft.operators.Rfm]]'s
+    * plain three-ntile-window form (three single-task sorts of the
+    * whole rollup) against the forced distributed form on the same
+    * rollup. One measured run per form per tier after a warm run —
+    * tiers are compared for the CROSSOVER, not absolute speed. */
+  def ungroupedScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Rfm
+    val base = Tables.orders(spark, "/root/testdata/sf0.1")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    mults.foreach { mult =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rfm-probe")
+      try {
+        base.crossJoin(spark.range(mult).toDF("rep"))
+          .select((col("o_custkey") * mult + col("rep")).as("o_custkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val orders = spark.read.parquet(tmp.toString)
+        val n = orders.count()
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[rfm] $label @ $n%d orders (x$mult): " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        Rfm.rfm(orders, Some(false)).write.format("noop")
+          .mode("overwrite").save()
+        time("plain 3x ntile  ") {
+          Rfm.rfm(orders, Some(false)).write.format("noop")
+            .mode("overwrite").save()
+        }
+        Rfm.rfm(orders, Some(true)).write.format("noop")
+          .mode("overwrite").save()
+        time("distributed rank") {
+          Rfm.rfm(orders, Some(true)).write.format("noop")
+            .mode("overwrite").save()
+        }
+        time("dial (None)     ") {
+          Rfm.rfm(orders).write.format("noop").mode("overwrite").save()
+        }
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.stop()
+  }
+
   /** Cost of the size-aware dial's pre-checks vs input size (VERDICT
     * r15 item 6): ~20 operators now ride [[graft.operators.Scale
     * .hotGroups]], whose 1% sampled pre-check is itself a real job at
