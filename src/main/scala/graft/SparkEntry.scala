@@ -183,6 +183,7 @@ object SparkEntry {
     "agg_incremental_merge" -> ((s, d) => Rollup.qIncrementalRollup(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.qTextNormalize(s, d)),
     "curation_chunks" -> ((s, d) => Passages.qChunks(s, d)),
+    "curation_length_batching" -> ((s, d) => Batching.qLengthBatches(s, d)),
     "embed_quantize_stats" -> ((s, d) => Quant.qQuantizeStats(s, d)),
     "sim_quantized_topk" -> ((s, d) => Quant.qQuantizedTopK(s, d)),
     "sim_int8_topk" -> ((s, d) => Quant.qInt8TopK(s, d)),
@@ -622,6 +623,7 @@ object SparkEntry {
     "agg_incremental_merge" -> Rollup.oIncrementalRollup,
     "text_normalize" -> TextAnalysis.oTextNormalize,
     "curation_chunks" -> Passages.oChunks,
+    "curation_length_batching" -> Batching.oLengthBatches,
     "embed_quantize_stats" -> Quant.oQuantizeStats,
     "sim_quantized_topk" -> Quant.oQuantizedTopK,
     "sim_int8_topk" -> Quant.oInt8TopK,
