@@ -1166,13 +1166,16 @@ object Probe {
     * (r16 follow-through on the [[graft.operators.Scale.ungroupedDial]]
     * wiring — forced-switch specs prove result identity; this probe
     * measures the crossover the 8M-row threshold encodes)? Inflate the
-    * sf0.1 orders fact with per-replica-shifted custkeys so the
-    * CUSTOMER ENTITY COUNT scales with mult (x64 ≈ 9.6M customers —
-    * past the dial threshold), then time [[graft.operators.Rfm]]'s
-    * plain three-ntile-window form (three single-task sorts of the
-    * whole rollup) against the forced distributed form on the same
-    * rollup. One measured run per form per tier after a warm run —
-    * tiers are compared for the CROSSOVER, not absolute speed. */
+    * sf0.1 orders fact giving every replicated order a UNIQUE custkey
+    * (orderkey-derived — custkey-derived shifting would scale entities
+    * by only the 15k distinct custkeys, ~10× under the claim; review
+    * r16), so the CUSTOMER ENTITY COUNT equals the order count and
+    * scales with mult (×64 = 9.6M entities — past the dial threshold).
+    * Then time [[graft.operators.Rfm]]'s plain three-ntile-window form
+    * (three single-task sorts of the whole rollup) against the forced
+    * distributed form on the same rollup. One measured run per form
+    * per tier after a warm run — tiers are compared for the CROSSOVER,
+    * not absolute speed. */
   def ungroupedScale(mults: Seq[Int]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1181,19 +1184,20 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Rfm
     val base = Tables.orders(spark, "/root/testdata/sf0.1")
-      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
     mults.foreach { mult =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-rfm-probe")
       try {
         base.crossJoin(spark.range(mult).toDF("rep"))
-          .select((col("o_custkey") * mult + col("rep")).as("o_custkey"),
+          .select((col("o_orderkey") * mult + col("rep")).as("o_custkey"),
             col("o_orderdate"), col("o_totalprice"))
           .write.mode("overwrite").parquet(tmp.toString)
         val orders = spark.read.parquet(tmp.toString)
         val n = orders.count()
+        val entities = orders.select(col("o_custkey")).distinct().count()
         def time(label: String)(f: => Unit): Unit = {
           val t0 = System.nanoTime(); f
-          println(f"[rfm] $label @ $n%d orders (x$mult): " +
+          println(f"[rfm] $label @ $entities%d entities (x$mult): " +
             f"${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         Rfm.rfm(orders, Some(false)).write.format("noop")

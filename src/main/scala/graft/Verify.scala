@@ -51,7 +51,13 @@ object Verify {
     // local-iteration filter (comma-separated names); the driver sets
     // nothing and always dumps the full set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    // fail loudly on unknown names, like Bench: a typo'd filter that
+    // silently dumps zero queries reads as a vacuously green check
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names no known queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

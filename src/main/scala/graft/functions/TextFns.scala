@@ -20,6 +20,13 @@ object TextFns {
   val TokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
   def tokenCount(text: Column): Column = regexp_count(text, lit(TokenPattern))
 
+  /** ⌊log₂ c⌋ for a positive integral column as `length(bin(c)) − 1` —
+    * no libm call, bit-identical to the DuckDB twin expression
+    * `length(bin(c)) - 1`. The shared form of the idiom inlined across
+    * the bucketing operators (review r16: each hand-inlined copy is a
+    * Spark/DuckDB drift point). Caller guards non-positive inputs. */
+  def log2Floor(c: Column): Column = length(bin(c)) - 1
+
   def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
   def capsCount(text: Column): Column = regexp_count(text, lit("[A-Z]"))
 

@@ -39,25 +39,40 @@ object Batching {
 
   def lengthBatches(docs: DataFrame,
       hotGroupsOverride: Option[Boolean] = None): DataFrame = {
+    // tokens coalesced to 0: a NULL would sort NULLS FIRST in Spark
+    // but NULLS LAST in DuckDB, shifting every batch cut (review r16);
+    // it would also violate groupedRunningSum's non-null-order contract
     val base = docs.select(col("doc_id"),
-        TextFns.tokenCount(col("text")).cast("long").as("tokens"))
+        coalesce(TextFns.tokenCount(col("text")).cast("long"), lit(0L))
+          .as("tokens"))
       .withColumn("bucket",
-        (length(bin(greatest(col("tokens"), lit(1L)))) - 1).cast("long"))
-    val ranked = Scale.groupRanks(base, Seq("bucket"),
-      Seq(col("tokens"), col("doc_id")), "r",
-      hotGroupsOverride = hotGroupsOverride)
-    ranked
-      .withColumn("batch_id", expr(s"(r - 1) div $BatchDocs"))
-      .groupBy(col("bucket"), col("batch_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        max(col("tokens")).as("max_tokens"),
-        sum(col("tokens")).as("sum_tokens"))
-      .withColumn("capacity", col("n_docs") * col("max_tokens"))
-      .withColumn("pad_waste_permille",
-        expr("(1000 * (capacity - sum_tokens)) div capacity"))
-      .select(col("bucket"), col("batch_id"), col("n_docs"),
-        col("max_tokens"), col("sum_tokens"), col("capacity"),
-        col("pad_waste_permille"))
+        TextFns.log2Floor(greatest(col("tokens"), lit(1L))).cast("long"))
+    // the regexp projection feeds up to three passes once the dial's
+    // hot path engages (sample/exact pre-check + groupedRunningSum's
+    // two scans) — cache it for the duration; the checkpointed result
+    // is batch-grain (corpus/BatchDocs rows), far smaller than the input
+    Dedup.withCached(base) { b =>
+      val ranked = Scale.groupRanks(b, Seq("bucket"),
+        Seq(col("tokens"), col("doc_id")), "r",
+        hotGroupsOverride = hotGroupsOverride)
+      ranked
+        .withColumn("batch_id", expr(s"(r - 1) div $BatchDocs"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("tokens")).as("max_tokens"),
+          sum(col("tokens")).as("sum_tokens"))
+        .withColumn("capacity", col("n_docs") * col("max_tokens"))
+        // an all-empty batch has zero capacity and zero waste — guard
+        // the division symmetrically (Spark ANSI would throw, DuckDB
+        // `// 0` yields NULL: both wrong answers; review r16)
+        .withColumn("pad_waste_permille", expr(
+          """CASE WHEN capacity = 0 THEN CAST(0 AS BIGINT)
+            |ELSE (1000 * (capacity - sum_tokens)) div capacity
+            |END""".stripMargin))
+        .select(col("bucket"), col("batch_id"), col("n_docs"),
+          col("max_tokens"), col("sum_tokens"), col("capacity"),
+          col("pad_waste_permille"))
+    }
   }
 
   def qLengthBatches(spark: SparkSession, dir: String): DataFrame =
@@ -67,8 +82,8 @@ object Batching {
   def oLengthBatches: String =
     raw"""WITH b AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text,
-      |      '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+      |    COALESCE(CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT), 0) AS tokens
       |  FROM documents),
       |k AS (
       |  SELECT doc_id, tokens,
@@ -87,7 +102,9 @@ object Batching {
       |SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id, n_docs,
       |  max_tokens, sum_tokens,
       |  CAST(n_docs * max_tokens AS BIGINT) AS capacity,
-      |  CAST((1000 * (n_docs * max_tokens - sum_tokens))
-      |    // (n_docs * max_tokens) AS BIGINT) AS pad_waste_permille
+      |  CASE WHEN n_docs * max_tokens = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST((1000 * (n_docs * max_tokens - sum_tokens))
+      |      // (n_docs * max_tokens) AS BIGINT)
+      |  END AS pad_waste_permille
       |FROM g ORDER BY bucket, batch_id""".stripMargin
 }

@@ -314,7 +314,7 @@ object Diagnostics {
       .withColumn("gap_us",
         unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
       .filter(col("gap_us").isNotNull)
-      .withColumn("gap_log2", (length(bin(col("gap_us"))) - 1).cast("int"))
+      .withColumn("gap_log2", graft.functions.TextFns.log2Floor(col("gap_us")).cast("int"))
       .groupBy(col("event_type"), col("gap_log2"))
       .agg(count(lit(1)).as("n"))
   }

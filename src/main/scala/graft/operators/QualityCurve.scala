@@ -41,7 +41,7 @@ object QualityCurve {
       val vocab = t.groupBy(col("tri"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("tri"),
-          (length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+          graft.functions.TextFns.log2Floor(col("cnt")).cast("long").as("bucket"))
       val perDoc = t.join(broadcast(vocab), Seq("tri"))
         .groupBy(col("doc_id"))
         .agg(sum(col("bucket")).as("sb"), count(lit(1)).as("nt"))

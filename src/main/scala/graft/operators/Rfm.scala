@@ -104,13 +104,26 @@ object Rfm {
     * closed-form ntile bucket. Row-identical to [[plainOn]]
     * (spec-pinned) — the form that holds at billions of entities,
     * where three ntile windows would serialize the whole dimension
-    * through one task each. */
+    * through one task each.
+    *
+    * Each metric ranks a SLIM (metric, custkey) projection of the
+    * cached rollup and the three rank tables join back on custkey:
+    * threading the full frame through the three chained globalRanks
+    * materialized the GROWING frame six times (each rank's internal
+    * persist + checkpoint), which turned storage-bound at the 38M
+    * tier (`Probe ungroupedscale`, r16) — the slim form materializes
+    * ~16 B/row per rank instead, and the join-back is three
+    * co-keyed hash joins at entity grain. */
   private def scalableOn(b: DataFrame, n: Long, nPartitions: Int): DataFrame = {
-    val ranked = Seq(
+    val rankTables = Seq(
       (col("last_order"), "r_rank"),
       (col("n_orders"), "f_rank"),
       (col("m_dec"), "m_rank"))
-      .foldLeft(b) { case (df, (m, out)) => globalRank(df, m, out, nPartitions) }
+      .map { case (m, out) =>
+        globalRank(b.select(col("o_custkey"), m), m, out, nPartitions)
+          .select(col("o_custkey"), col(out))
+      }
+    val ranked = rankTables.foldLeft(b)((acc, r) => acc.join(r, Seq("o_custkey")))
     segmented(ranked
       .withColumn("r_score", ntileFromRank(col("r_rank"), n, 5))
       .withColumn("f_score", ntileFromRank(col("f_rank"), n, 5))

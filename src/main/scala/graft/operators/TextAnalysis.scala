@@ -472,7 +472,7 @@ object TextAnalysis {
     Dedup.withCached(tris) { t =>
       val vocab = t.groupBy(col("tri"))
         .agg(count(lit(1)).as("cnt"))
-        .select(col("tri"), (length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+        .select(col("tri"), TextFns.log2Floor(col("cnt")).cast("long").as("bucket"))
       t.join(broadcast(vocab), Seq("tri"))
         .groupBy(col("doc_id"))
         .agg(

@@ -35,6 +35,26 @@ class BatchingSpec extends SparkSpecBase {
       b1.getAs[Long]("pad_waste_permille") == 166L)
   }
 
+  test("degenerate docs: NULL and empty text land in bucket 0 with zero waste") {
+    // NULL text → tokens coalesced to 0 (Spark NULLS FIRST vs DuckDB
+    // NULLS LAST would otherwise shift every batch cut); an all-empty
+    // batch has capacity 0 and the waste guard must emit 0, not a
+    // division error (Spark ANSI) or NULL (DuckDB // 0)
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "one two")).toDF("doc_id", "text")
+    val out = Batching.lengthBatches(docs)
+      .orderBy(col("bucket"), col("batch_id")).collect()
+    assert(out.length == 2)
+    val zero = out(0)
+    assert(zero.getAs[Long]("bucket") == 0L && zero.getAs[Long]("n_docs") == 3L)
+    assert(zero.getAs[Long]("max_tokens") == 0L &&
+      zero.getAs[Long]("capacity") == 0L)
+    assert(zero.getAs[Long]("pad_waste_permille") == 0L,
+      s"zero-capacity batch must report zero waste: $zero")
+    assert(out(1).getAs[Long]("bucket") == 1L &&
+      out(1).getAs[Long]("max_tokens") == 2L)
+  }
+
   test("batches partition each bucket; only the trailing batch is partial") {
     val out = Batching.qLengthBatches(spark, sf).collect()
     assert(out.nonEmpty)
