@@ -1193,7 +1193,6 @@ object Probe {
             col("o_orderdate"), col("o_totalprice"))
           .write.mode("overwrite").parquet(tmp.toString)
         val orders = spark.read.parquet(tmp.toString)
-        val n = orders.count()
         val entities = orders.select(col("o_custkey")).distinct().count()
         def time(label: String)(f: => Unit): Unit = {
           val t0 = System.nanoTime(); f

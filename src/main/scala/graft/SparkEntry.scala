@@ -90,6 +90,10 @@ object SparkEntry {
     "forget_retrain" -> ((s, d) => ModelAudit.qForgetRetrain(s, d)),
     "forget_retrain_quantizers" -> ((s, d) =>
       ModelAudit.qForgetRetrainQuantizers(s, d)),
+    // the opt-in swap: rebuild the IVFPQ serving layout from the
+    // chosen post-sweep quantizers, re-audit THROUGH the serving scan
+    "forget_retrain_serving" -> ((s, d) =>
+      ModelAudit.qForgetRetrainServing(s, d)),
     "sql_weekly" -> ((s, d) => Sql.qWeeklySql(s, d)),
     "sketch_stats" -> ((s, d) => graft.operators.Sketches.qSketchStats(s, d)),
     "subq_above_avg_parts" -> ((s, d) => Advanced.qAboveAvgParts(s, d)),

@@ -233,7 +233,10 @@ object Diagnostics {
           val w = Window.orderBy(col("n").desc, col("user_id"))
           pu.withColumn("rnk", row_number().over(w).cast("long"))
         }
-      val totals = ranked.agg(count(lit(1)).as("users"),
+      // totals don't need ranks — aggregating pu (the dial-cached
+      // rollup in hot mode) instead of `ranked` keeps the (lazy, since
+      // r17) rank pipeline single-consumption
+      val totals = pu.agg(count(lit(1)).as("users"),
         sum(col("n")).as("events"))
       ranked.crossJoin(broadcast(totals))
         .withColumn("k", expr(s"(users * $pct + 99) div 100"))

@@ -60,17 +60,21 @@ object Dsir {
         (TextFns.md5u56(col("term")) % Buckets).as("b"),
         (col("source") === targetSource).as("is_target"))
     Dedup.withCached(tokens) { t =>
-      val scored = t.join(broadcast(bucketWeights(t)), Seq("b"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("dsir_sum"))
-        .withColumn("dsir_mil",
-          floor((lit(1000) * col("dsir_sum")).cast("double") / col("n_tokens"))
-            .cast("long"))
-      val total = scored.agg(count(lit(1)).as("nd"))
-      Scale.globalRank(scored, Seq(col("dsir_mil").desc, col("doc_id")),
-          "rnk", 32)
-        .crossJoin(broadcast(total))
-        .withColumn("selected", col("rnk") <= expr("(nd + 3) div 4"))
+      // materialized once: the (lazy, since r17) rank scans its input
+      // several times, and re-running this doc-grain aggregate shuffle
+      // per scan would dominate; nd rides the rank's control plane
+      // instead of a separate count pass
+      val scored = Dedup.materialized(
+        t.join(broadcast(bucketWeights(t)), Seq("b"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("dsir_sum"))
+          .withColumn("dsir_mil",
+            floor((lit(1000) * col("dsir_sum")).cast("double") / col("n_tokens"))
+              .cast("long")))
+      val (ranked, nd) = Scale.globalRankWithTotal(scored,
+        Seq(col("dsir_mil").desc, col("doc_id")), "rnk", 32)
+      ranked
+        .withColumn("selected", col("rnk") <= lit((nd + 3) / 4))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("dsir_sum"), col("dsir_mil"), col("selected"))
     }

@@ -300,14 +300,24 @@ object ModelAudit {
   private val retrainedQuant = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Array[Double]], Seq[Seq[Array[Double]]], Set[String])]()
 
-  def qForgetRetrainQuantizers(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val docs = Tables.documents(spark, dir)
-    val (cents, books, flagged) = retrainedQuant.computeIfAbsent(dir, { _ =>
-      val r = retrainQuantizers(docs, emb,
+  /** The CHOSEN post-sweep quantizers for `dir` — cached per JVM+dir
+    * (training is deterministic; the cache only skips the k-means on
+    * repeated runs). Shared by the inline re-audit gate and the
+    * serving-swap leg so they can never disagree on which quantizers
+    * "post-sweep" means. */
+  private def chosenQuantizers(spark: SparkSession, dir: String)
+      : (Seq[Array[Double]], Seq[Seq[Array[Double]]], Set[String]) =
+    retrainedQuant.computeIfAbsent(dir, { _ =>
+      val emb = Tables.embeddings(spark, dir)
+      val r = retrainQuantizers(Tables.documents(spark, dir), emb,
         Ivf.centroidsFor(dir, emb), Pq.codebooksFor(spark, dir))
       (r.centroids, r.codebooks, r.retrainedFamilies)
     })
+
+  def qForgetRetrainQuantizers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val (cents, books, flagged) = chosenQuantizers(spark, dir)
     // rebuild the (cheap, two-assignment-pass) summary from the cached
     // chosen quantizers — the k-means is paid once per JVM+dir
     val docsS = docs.withColumn("_subj", col("source") === SubjectSource)
@@ -315,6 +325,53 @@ object ModelAudit {
       docsS.filter(!col("_subj"))
         .select(col("doc_id").as("vec_id"), col("_subj")), Seq("vec_id"))
     withShare(quantCells(postEmbS, cents, books), RetrainPermille)
+      .withColumn("retrained", col("model").isin(flagged.toSeq: _*))
+      .select(col("model"), col("cell"), col("retrained"),
+        col("rows_erased"), col("rows_total"), col("erased_permille"))
+      .orderBy(col("model"), col("cell"))
+  }
+
+  /** Opt-in post-retrain SERVING swap (VERDICT r16 #3): rebuild the
+    * IVFPQ serving layout ([[Pq.writeCodesClustered]] — the same
+    * cell-partitioned 32×-compressed shape `sim_ivfpq_serving_topk`
+    * reads) from the CHOSEN post-sweep quantizers over the
+    * post-erasure corpus. Build-once semantics, its own artifact kind —
+    * the live pre-erasure layout is untouched until the operator runs
+    * this, which is exactly the "swapping layouts is an operational
+    * decision" contract, now WITH the swap implemented. */
+  def rebuildServingLayout(spark: SparkSession, dir: String): String = {
+    val (cents, books, _) = chosenQuantizers(spark, dir)
+    graft.Serving.buildOnce("ivfpq_codes_retrained", dir) { p =>
+      val surviving = Tables.documents(spark, dir)
+        .filter(col("source") =!= SubjectSource)
+        .select(col("doc_id").as("vec_id"))
+      Pq.writeCodesClustered(
+        Tables.embeddings(spark, dir).join(surviving, Seq("vec_id")),
+        p, cents, books)
+    }
+  }
+
+  /** The re-audit THROUGH the serving read path: ivf cell masses from
+    * the rebuilt layout's PARTITION column and pq codeword masses from
+    * its STORED codes — no inline re-assignment anywhere on the Spark
+    * side. Gated by the same literal-quantizer twin as the inline
+    * re-audit ([[oForgetRetrainQuantizers]]), so a layout still built
+    * from a STALE quantizer disagrees on the first retrained family's
+    * cell counts and hash-fails; every `rows_erased` is computed (not
+    * asserted) via the subject-flag join and reads zero. */
+  def qForgetRetrainServing(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, flagged) = chosenQuantizers(spark, dir)
+    val path = rebuildServingLayout(spark, dir)
+    val docFlags = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"),
+        (col("source") === SubjectSource).as("_subj"))
+    val scan = spark.read.parquet(path).join(docFlags, Seq("vec_id"))
+    val ivf = perCell(scan.select(col("_subj"), col("cell")), "ivf",
+      format_string("%03d", col("cell")))
+    val pq = perCell(
+      scan.select(col("_subj"), posexplode(col("codes")).as(Seq("j", "c"))),
+      "pq", format_string("%d:%02d", col("j"), col("c")))
+    withShare(ivf.unionByName(pq), RetrainPermille)
       .withColumn("retrained", col("model").isin(flagged.toSeq: _*))
       .select(col("model"), col("cell"), col("retrained"),
         col("rows_erased"), col("rows_total"), col("erased_permille"))
@@ -387,13 +444,31 @@ object ModelAudit {
     }
     // retrained-quantizer twin: the CHOSEN post-sweep models are
     // deterministic, so they inline as literals exactly like the
-    // serving quantizers (generated after the query trained them)
-    val quant =
-      if (retrainedQuant.size == 1) {
-        val e = retrainedQuant.entrySet.iterator.next.getValue
-        Map("forget_retrain_quantizers" ->
-          oForgetRetrainQuantizers(e._1, e._2, e._3))
-      } else Map.empty[String, String]
+    // serving quantizers (generated after the query trained them).
+    // Keyed to the DIR the Ivf/Pq serving caches name (ADVICE r16) —
+    // a JVM that retrained for two datasets emits the twin for the one
+    // being verified instead of silently dropping both; a retrain run
+    // whose dir no serving cache corroborates fails LOUDLY rather than
+    // dumping a gated parquet with no oracle.
+    val quant = (Ivf.cachedCentroids, Pq.cachedCodebooks) match {
+      case (Some((cd, _)), Some((bd, _)))
+          if cd == bd && retrainedQuant.containsKey(cd) =>
+        val e = retrainedQuant.get(cd)
+        val twin = oForgetRetrainQuantizers(e._1, e._2, e._3)
+        // the serving-swap re-audit reads the same numbers out of the
+        // rebuilt layout, so it shares the literal-assignment twin —
+        // that sharing IS the gate: a stale layout hash-fails it
+        Map("forget_retrain_quantizers" -> twin,
+          "forget_retrain_serving" -> twin)
+      case _ if !retrainedQuant.isEmpty =>
+        throw new IllegalStateException(
+          "forget_retrain_quantizers ran for dirs " +
+            s"${retrainedQuant.keySet} but the Ivf/Pq serving caches " +
+            s"name ${Ivf.cachedCentroids.map(_._1)} / " +
+            s"${Pq.cachedCodebooks.map(_._1)} — no dir-consistent twin " +
+            "can be emitted for the dumped result")
+      case _ => Map.empty[String, String]
+    }
     audit ++ quant
   }
 

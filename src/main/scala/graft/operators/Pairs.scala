@@ -83,15 +83,13 @@ object Pairs {
       .crossJoin(broadcast((0 until epochs).toDF("epoch")))
       .withColumn("shuffle_key",
         TextFns.md5u56(concat_ws(":", col("doc_id"), col("epoch"))))
-    val ranked = Scale.globalRank(keyed,
-      Seq(col("epoch"), col("shuffle_key"), col("doc_id")), "position",
-      nPartitions)
-    // rank is global across epochs (epoch leads the order); rebase it
-    // to a per-epoch 1-based position with one count collect
-    val perEpoch = ranked.groupBy(col("epoch")).agg(min(col("position")).as("base"))
-    ranked.join(broadcast(perEpoch), Seq("epoch"))
-      .select(col("epoch"), (col("position") - col("base") + 1).as("position"),
-        col("doc_id"), col("shuffle_key"))
+    // per-epoch 1-based positions DIRECTLY from the grouped rank (one
+    // shuffle, deterministic baked buckets on the uniform hash key) —
+    // the old shape ranked globally with epoch leading the order, then
+    // paid a second full pass to rebase each epoch to 1
+    Scale.globalRankGrouped(keyed, Seq("epoch"),
+        Seq(col("shuffle_key"), col("doc_id")), "position", nPartitions)
+      .select(col("epoch"), col("position"), col("doc_id"), col("shuffle_key"))
   }
 
   def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =

@@ -33,14 +33,15 @@ object QuantNorm {
   def quantileNormalize(docs: DataFrame,
       hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
-    // ONE pass over the corpus: the global rank runs first and its
-    // eagerly-materialized output is the shared base every later leg
-    // reads (dial sample, within-source rank, rank-selection lookup) —
-    // the old shape re-scanned the input parquet three times and paid
-    // a separate count job for nn (which the rank's offsets control
-    // plane had already collected)
-    val (g, nn) = Scale.globalRankWithTotal(base,
+    // ONE pass over the corpus: the global rank runs first and is
+    // materialized ONCE as the shared base every later leg reads (dial
+    // sample, within-source rank, rank-selection lookup) — the rank
+    // itself is lazy since r17, so the fan-out point pays the single
+    // checkpoint explicitly; nn still rides the rank's control plane
+    // instead of a separate count job
+    val (g0, nn) = Scale.globalRankWithTotal(base,
       Seq(col("n_chars"), col("doc_id")), "g_rank", 32)
+    val g = Dedup.materialized(g0)
     val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(g, Seq("source")))
     val ranked = if (hot) {
       // source sizes ride the collected offsets — no extra agg pass

@@ -28,10 +28,11 @@ object Quantiles {
     val spark = events.sparkSession
     import spark.implicits._
     val slim = events.select(col("event_id"), col("value"))
-    val n = slim.count()
+    // n rides the rank's control plane — no separate count pass
+    val (ranked, n) = Scale.globalRankWithTotal(slim,
+      Seq(col("value"), col("event_id")), "rn", nPartitions)
     val targets = ps.map(p => p -> math.ceil(p * n).toLong)
-    Scale.globalRank(slim, Seq(col("value"), col("event_id")), "rn", nPartitions)
-      .join(broadcast(targets.toDF("p", "rn")), Seq("rn"))
+    ranked.join(broadcast(targets.toDF("p", "rn")), Seq("rn"))
       .select(col("p"), col("value"))
   }
 

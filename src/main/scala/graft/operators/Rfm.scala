@@ -73,7 +73,7 @@ object Rfm {
 
   def rfm(orders: DataFrame, hotOverride: Option[Boolean] = None): DataFrame =
     Scale.ungroupedDial(hotOverride, orders.count(), rollup(orders))(
-      plainOn)((b, n) => scalableOn(b, n, 32))
+      plainOn)((b, n) => scalableOn(b, n(), 32))
 
   def qRfm(spark: SparkSession, dir: String): DataFrame =
     rfm(Tables.orders(spark, dir)).orderBy(col("o_custkey"))

@@ -72,14 +72,19 @@ object Transitions {
     * spikes) with the classic whole-column robust-fence verdict. */
   def outlierFences(events: DataFrame, nPartitions: Int = 8): DataFrame = {
     val slim = events.select(col("event_id"), col("value"), col("event_type"))
-    val n = slim.count()
-    val ranked = Scale.globalRank(slim.select(col("event_id"), col("value")),
+    // n rides the rank's control plane — no separate count pass
+    val (ranked, n) = Scale.globalRankWithTotal(
+      slim.select(col("event_id"), col("value")),
       Seq(col("value"), col("event_id")), "rn", nPartitions)
-    def at(p: Double) = ranked
-      .filter(col("rn") === math.ceil(p * n).toLong)
-      .select(col("value")).collect().head.getDouble(0)
-    val q1 = at(0.25)
-    val q3 = at(0.75)
+    // both quartile rows in ONE pass over the (lazy, since r17) rank —
+    // two filtered collects would re-run the whole rank pipeline twice
+    val r1 = math.ceil(0.25 * n).toLong
+    val r3 = math.ceil(0.75 * n).toLong
+    val sel = ranked.filter(col("rn").isin(r1, r3))
+      .select(col("rn"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q1 = sel(r1)
+    val q3 = sel(r3)
     val lo = q1 - 1.5 * (q3 - q1)
     val hi = q3 + 1.5 * (q3 - q1)
     slim.groupBy(col("event_type"))

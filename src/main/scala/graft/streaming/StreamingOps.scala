@@ -525,50 +525,66 @@ object StreamingOps {
     * the output is bit-equal to the batch operator (spec-pinned),
     * including the NULL-until-filled lookback head.
     *
-    * STATE-SCHEMA BREAK (r15): the per-key state widened from
-    * `Seq[Long]` to `(Long, Seq[Long])` when the cross-batch in-order
-    * guard landed. flatMapGroupsWithState state is encoder-decoded
-    * from the checkpoint, so a checkpoint written by the old shape
-    * fails (or silently misdecodes) on restore — restarting this
-    * monitor across the upgrade requires a FRESH checkpoint directory
-    * plus a replay from the source's retained offsets (the standard
-    * stateful-upgrade path for state-schema changes). */
+    * STATE-SCHEMA VERSIONING (r15 break, r16 ADVICE closed in r17):
+    * the per-key state is `(version, lastDay, recent)`. Spark's
+    * state-schema compatibility checker catches SHAPE changes on
+    * restore; the explicit version tag catches SEMANTIC changes the
+    * schema cannot see (same column types, new meaning — exactly the
+    * r15 `Seq[Long]` → in-order-guard widening class of break, had it
+    * kept the shape), and [[ewmaFold]]'s decode shim turns either into
+    * a loud, named failure instead of a misdecoded recurrence.
+    * Restarting across a version bump requires a FRESH checkpoint
+    * directory plus a replay from the source's retained offsets (the
+    * standard stateful-upgrade path). */
   def ewmaStream(counts: Dataset[DayCount]): Dataset[EwmaOut] = {
     import counts.sparkSession.implicits._
-    import graft.operators.Ewma
     counts.groupByKey(_.event_type)
-      .flatMapGroupsWithState[(Long, Seq[Long]), EwmaOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (t: String, rows: Iterator[DayCount],
-            state: GroupState[(Long, Seq[Long])]) =>
-          var (lastDay, recent) =
-            state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
-          // the guard compares against the RUNNING lastDay, not the
-          // pre-batch snapshot: a duplicate day arriving in the SAME
-          // micro-batch must drop exactly like one arriving a batch
-          // later — results must not depend on batch boundaries
-          // (review r15 finding)
-          val out = rows.toSeq.sortBy(_.d.getTime)
-            .flatMap { r =>
-              if (r.d.getTime <= lastDay) None
-              else {
-                val res =
-                  if (recent.length == Ewma.Terms - 1) {
-                    val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
-                      case (c, i) => c * Ewma.weight(i + 1) }.sum
-                    // wsum ≥ 0 so / is the batch form's floor div
-                    EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
-                      Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
-                        else 0))
-                  } else EwmaOut(t, r.d, r.c, None, None)
-                recent = (r.c +: recent).take(Ewma.Terms - 1)
-                lastDay = r.d.getTime
-                Some(res)
-              }
-            }
-          state.update((lastDay, recent))
-          out.iterator
+      .flatMapGroupsWithState[(Int, Long, Seq[Long]), EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(ewmaFold)
+  }
+
+  /** Current [[ewmaStream]] state-tuple version. Bump on ANY change to
+    * the tuple's shape OR meaning. */
+  val EwmaStateVersion = 2
+
+  /** The per-key fold behind [[ewmaStream]], named so the upgrade path
+    * is spec-testable through `TestGroupState`. */
+  private[graft] def ewmaFold(t: String, rows: Iterator[DayCount],
+      state: GroupState[(Int, Long, Seq[Long])]): Iterator[EwmaOut] = {
+    import graft.operators.Ewma
+    var (v, lastDay, recent) = state.getOption
+      .getOrElse((EwmaStateVersion, Long.MinValue, Seq.empty[Long]))
+    if (v != EwmaStateVersion)
+      throw new IllegalStateException(
+        s"ewmaStream state decoded as version $v but this build writes " +
+          s"version $EwmaStateVersion — the checkpoint predates a state " +
+          "upgrade; restart with a fresh checkpoint directory and replay " +
+          "from the source's retained offsets")
+    // the guard compares against the RUNNING lastDay, not the
+    // pre-batch snapshot: a duplicate day arriving in the SAME
+    // micro-batch must drop exactly like one arriving a batch
+    // later — results must not depend on batch boundaries
+    // (review r15 finding)
+    val out = rows.toSeq.sortBy(_.d.getTime)
+      .flatMap { r =>
+        if (r.d.getTime <= lastDay) None
+        else {
+          val res =
+            if (recent.length == Ewma.Terms - 1) {
+              val wsum = r.c * Ewma.weight(0) + recent.zipWithIndex.map {
+                case (c, i) => c * Ewma.weight(i + 1) }.sum
+              // wsum ≥ 0 so / is the batch form's floor div
+              EwmaOut(t, r.d, r.c, Some(wsum * 1000 / Ewma.WeightSum),
+                Some(if (r.c * Ewma.WeightSum > Ewma.SpikeNum * wsum) 1
+                  else 0))
+            } else EwmaOut(t, r.d, r.c, None, None)
+          recent = (r.c +: recent).take(Ewma.Terms - 1)
+          lastDay = r.d.getTime
+          Some(res)
+        }
       }
+    state.update((EwmaStateVersion, lastDay, recent))
+    out.iterator
   }
 
   case class MgEntry(shard: Int, term: String, est: Long, shard_seen: Long)

@@ -136,4 +136,35 @@ class EwmaSpec extends SparkSpecBase {
       s"baseline corrupted by the out-of-order day: ${d11.getLong(3)}")
     assert(d11.getInt(4) == 0)
   }
+
+  test("state version shim: a foreign-version checkpoint fails loudly, current version folds on") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingOps
+    val day = java.sql.Date.valueOf("2024-02-01")
+    val rows = Iterator(StreamingOps.DayCount("t", day, 10L))
+    // a state tuple written by a PREVIOUS version (same shape, older
+    // semantics — the class of break Spark's schema checker cannot
+    // see) must be refused by name, not folded into the recurrence
+    import org.apache.spark.api.java.Optional
+    val stale = TestGroupState.create[(Int, Long, Seq[Long])](
+      Optional.of((StreamingOps.EwmaStateVersion - 1,
+        Long.MinValue, Seq.empty[Long])),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long](), hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      StreamingOps.ewmaFold("t", rows, stale).toList
+    }
+    assert(e.getMessage.contains("fresh checkpoint"),
+      s"upgrade failure must name the remediation: ${e.getMessage}")
+    // the current version folds normally and re-stamps itself
+    val ok = TestGroupState.create[(Int, Long, Seq[Long])](
+      Optional.of((StreamingOps.EwmaStateVersion,
+        Long.MinValue, Seq.empty[Long])),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long](), hasTimedOut = false)
+    val out = StreamingOps.ewmaFold("t",
+      Iterator(StreamingOps.DayCount("t", day, 10L)), ok).toList
+    assert(out.size == 1 && out.head.c == 10L)
+    assert(ok.get._1 == StreamingOps.EwmaStateVersion)
+  }
 }

@@ -68,4 +68,39 @@ class ModelAuditSpec extends SparkSpecBase {
     assert(!rowsAt(p + 1)(("nb_lang", "zz"))._4,
       "share < threshold must not trip")
   }
+
+  test("serving swap: rebuilt-layout ivfpq reads equal the retrained-quantizer inline path") {
+    // VERDICT r16 #3 — the opt-in swap, proven THROUGH the read path:
+    // a sim_ivfpq_serving_topk-shaped query over the rebuilt layout
+    // must equal the inline path under the RETRAINED quantizers, and
+    // the read-path re-audit must carry zero erased mass everywhere
+    val dir = sf
+    val emb = Tables.embeddings(spark, dir)
+    val dcs = Tables.documents(spark, dir)
+    val stale = Ivf.centroidsFor(dir, emb)
+    val r = ModelAudit.retrainQuantizers(dcs, emb, stale,
+      Pq.codebooksFor(spark, dir))
+    assert(r.retrainedFamilies.nonEmpty,
+      "fixture vacuous — no quantizer family tripped, the swap tests nothing")
+    if (r.retrainedFamilies("ivf"))
+      assert(!r.centroids.zip(stale).forall { case (a, b) => a.sameElements(b) },
+        "retrained coarse quantizer is byte-identical to the stale one")
+    val post = emb.join(
+      dcs.filter(col("source") =!= ModelAudit.SubjectSource)
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val path = ModelAudit.rebuildServingLayout(spark, dir)
+    val viaLayout = Pq.ivfPqTopKFromCodes(spark.read.parquet(path), post,
+        r.centroids, r.codebooks, k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    val inline = Pq.ivfPqTopKWith(post, r.centroids, r.codebooks,
+        k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    assert(viaLayout.nonEmpty)
+    assert(viaLayout.toSeq == inline.toSeq,
+      "serving-layout reads diverge from the retrained inline path")
+    val audit = ModelAudit.qForgetRetrainServing(spark, dir).collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(_.getLong(3) == 0L),
+      "the rebuilt serving layout still carries erased mass")
+  }
 }

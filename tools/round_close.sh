@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 # item 3): the pin describes a COMMITTED state, so refuse to close
 # over uncommitted source — and the exit message makes the other half
 # of the invariant explicit
-if [ -n "$(git status --porcelain -- src build.sbt tools 2>/dev/null)" ]; then
+if [ -n "$(git status --porcelain -- src build.sbt tools project 2>/dev/null)" ]; then
   echo "round_close: uncommitted source changes — commit first; the pin must describe a committed state" >&2
   exit 2
 fi
