@@ -66,13 +66,17 @@ object Bench {
     val gcSamples =
       scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
-    def once(name: String): Option[Double] = {
+    // (seconds, wall-clock start) per run: the start stamps ride the
+    // artifact so a temporal host stall is one tool call to spot
+    // (VERDICT r16 #4 — the r16 outlier attribution was done by hand)
+    def once(name: String): Option[(Double, Long)] = {
       val g0 = if (gcProbe) gcNow() else 0.0
+      val s0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
         selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         if (gcProbe) gcSamples(name) = (gcNow() - g0) :: gcSamples(name)
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9, s0))
       } catch { case _: Throwable => None }
       finally {
         // storage hygiene between measurements (outside the timer):
@@ -174,13 +178,43 @@ object Bench {
     // measured run succeeded (a transient warm-pass or single-run blip
     // must not void three good measurements); otherwise the median is
     // taken over the runs that did succeed.
-    val samples = names.map(n => n -> passes.flatMap(_(n))).toMap
+    val samples = names.map(n => n -> passes.flatMap(_(n)).map(_._1)).toMap
     // drift-normalized samples: each run divided by its own pass's
     // calibration factor BEFORE the median, so a pass-local slowdown is
     // corrected per-sample rather than averaged into the median
     val normSamples = names.map(n => n ->
-      passes.zip(passFactors).flatMap { case (p, f) => p(n).map(_ / f) })
+      passes.zip(passFactors).flatMap { case (p, f) => p(n).map(_._1 / f) })
       .toMap
+    // ---- temporal stall detection (VERDICT r16 #4) ----
+    // A host stall inflates whatever queries happened to be running in
+    // its window — in start-time order, a run is `stalled` when the
+    // MEDIAN inflation (duration / that query's own fastest run) over
+    // the 5 temporally-adjacent runs around it reaches 1.3×: one slow
+    // query inflates alone (a real regression), a stall inflates its
+    // NEIGHBORS too. Per-query stall counts annotate the movers line,
+    // mechanizing the r16 hand analysis (contiguous alphabetical block
+    // + flat elsewhere = host, not code).
+    val bestRun: Map[String, Double] =
+      names.map(n => n -> passes.flatMap(_(n)).map(_._1)
+        .foldLeft(Double.MaxValue)(math.min)).toMap
+    val stalled = scala.collection.mutable.Set.empty[(Int, String)]
+    passes.zipWithIndex.foreach { case (p, pi) =>
+      val runs = names.flatMap(n => p(n).map { case (d, s0) => (n, s0, d) })
+        .sortBy(_._2)
+      val infl = runs.map { case (n, _, d) =>
+        val b = bestRun.getOrElse(n, 0.0)
+        (n, if (b > 0 && b < Double.MaxValue) d / b else 1.0)
+      }
+      for (i <- infl.indices) {
+        val lo = math.max(0, i - 2)
+        val hi = math.min(infl.size - 1, i + 2)
+        val win = (lo to hi).map(j => infl(j)._2).sorted
+        if (win.size >= 3 && win(win.size / 2) >= 1.3)
+          stalled += ((pi, infl(i)._1))
+      }
+    }
+    val stallRuns: Map[String, Int] =
+      names.map(n => n -> passes.indices.count(pi => stalled((pi, n)))).toMap
     val failed = names.filter(samples(_).isEmpty).toSet
     def median(s: Seq[Double]): Double =
       // true median: with an even sample count (one run failed), taking
@@ -225,6 +259,17 @@ object Bench {
     // stdout, so lines are printed least-important-first — the (longest)
     // spread line truncates first, then the per-query median line, and the
     // short summary line printed last always survives and parses.
+    // per-run (start_epoch_ms, duration_ms) stamps — printed FIRST so
+    // the driver's bounded stdout tail truncates them before anything
+    // else; the artifact file keeps them in full
+    val stampsJson = passes.map { p =>
+      names.flatMap(n => p(n).map { case (d, s0) =>
+        "\"" + n + "\":[" + s0 + "," + math.round(d * 1000) + "]"
+      }).mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val stampsLine =
+      s"""{"metric":"stamps","unit":"epoch_ms_dur_ms","passes":$stampsJson,"sf":"$sfDir"}"""
+    println(stampsLine)
     val spreadLine =
       s"""{"metric":"spread","unit":"sec","runs":3,"queries":$spreadJson,"sf":"$sfDir"}"""
     println(spreadLine)
@@ -324,10 +369,14 @@ object Bench {
             n -> ((old, cur))
         }
       }.sortBy { case (_, (o, c)) => -(c / o) }
+      // third element: how many of the mover's 3 measured runs sat in
+      // a detected stall window (VERDICT r16 #4 — 2+ means the median
+      // itself is stall-fed and the wrap should attribute to host)
       val mj = movers.map { case (n, (o, c)) =>
-        "\"" + n + "\":[" + fmt(o) + "," + fmt(c) + "]"
+        "\"" + n + "\":[" + fmt(o) + "," + fmt(c) + "," +
+          stallRuns.getOrElse(n, 0) + "]"
       }.mkString("{", ",", "}")
-      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline":"$baselineName","baseline_queries":${prevNorm.size},"norm_shift":${fmt(normShift)},"norm_shift_gated":$shifted,"movers":$mj}"""
+      s"""{"metric":"regressions","threshold":1.15,"floor_ref_sec":0.3,"baseline":"$baselineName","baseline_queries":${prevNorm.size},"norm_shift":${fmt(normShift)},"norm_shift_gated":$shifted,"mover_format":"[old_ref_sec,new_ref_sec,stall_runs]","movers":$mj}"""
     } else ""
     if (regLine.nonEmpty) println(regLine)
     if (gcProbe) {
@@ -362,7 +411,7 @@ object Bench {
     val out = java.nio.file.Paths.get("target",
       if (only.isEmpty) "bench.json" else "bench_only.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    val payload = spreadLine + "\n" +
+    val payload = stampsLine + "\n" + spreadLine + "\n" +
       (if (calibrate) calLine + "\n" + normLine + "\n" else "") +
       (if (regLine.nonEmpty) regLine + "\n" else "") +
       line + "\n" + summary + "\n"

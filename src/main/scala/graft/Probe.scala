@@ -94,6 +94,12 @@ object Probe {
       })
       return
     }
+    if (args.headOption.contains("lengthbatch")) {
+      lengthBatchScale(args.drop(1).map(_.toInt).toSeq match {
+        case Nil => Seq(64); case ms => ms
+      })
+      return
+    }
     if (args.headOption.contains("dialcost")) {
       dialCost(args.drop(1).map(_.toInt).toSeq match {
         case Nil => Seq(1, 8, 64); case ms => ms
@@ -1213,6 +1219,68 @@ object Probe {
         }
         time("dial (None)     ") {
           Rfm.rfm(orders).write.format("noop").mode("overwrite").save()
+        }
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.stop()
+  }
+
+  /** Degenerate-tier probe for `curation_length_batching` (VERDICT r16
+    * #6): real web corpora are NOT uniform across ⌊log₂ tokens⌋
+    * buckets — one 2^k bucket holds most documents. Two planted
+    * distributions per tier, each written to parquet and re-read so
+    * the dial sees a scan: (a) `hot90` — 90% of docs in the [1024,2048)
+    * bucket, the rest spread over ~10 buckets; (b) `samelen` — every
+    * doc exactly 1500 tokens, the fully-degenerate single-(bucket,
+    * token-value) cell where range-bucketing on the leading order
+    * column cannot split ties. Measures forced plain vs forced hot vs
+    * the dial's own choice on [[graft.operators.Batching.batchesOn]].
+    * Tiers are compared for the crossover and for whether the
+    * degenerate cell collapses the hot path to one task. */
+  def lengthBatchScale(mults: Seq[Int]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Batching
+    import graft.functions.TextFns
+    mults.foreach { mult =>
+      val n = 150000L * mult
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lb-probe")
+      try {
+        for ((shape, tokensExpr) <- Seq(
+          "hot90" -> when(pmod(col("id"), lit(10)) < 9,
+            lit(1024L) + pmod(col("id"), lit(1024)))
+            .otherwise(lit(1L) + pmod(col("id"), lit(1000))),
+          "samelen" -> lit(1500L))) {
+          val dir = s"$tmp/$shape"
+          spark.range(n).select(
+              concat(lit("d"), col("id")).as("doc_id"),
+              tokensExpr.cast("long").as("tokens"))
+            .withColumn("bucket",
+              TextFns.log2Floor(greatest(col("tokens"), lit(1L))).cast("long"))
+            .write.mode("overwrite").parquet(dir)
+          val base = spark.read.parquet(dir)
+          def time(label: String)(f: => Unit): Unit = {
+            val t0 = System.nanoTime(); f
+            println(f"[lengthbatch] $shape/$label @ $n%d docs (x$mult): " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          for ((label, ov) <- Seq("plain window" -> Some(false),
+              "grouped hot  " -> Some(true), "dial (None)  " -> None)) {
+            Batching.batchesOn(base, ov).write.format("noop")
+              .mode("overwrite").save()
+            time(label) {
+              Batching.batchesOn(base, ov).write.format("noop")
+                .mode("overwrite").save()
+            }
+          }
         }
       } finally {
         spark.sharedState.cacheManager.clearCache()

@@ -45,6 +45,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.qSimhashPairs(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.qCosineTopK(s, d)),
+    // bounded-oracle subset twin: bench-scale driver evidence for the
+    // brute-force composition the full variant can only gate at sf0.01
+    "sim_cosine_topk_subset" -> ((s, d) => Similarity.qCosineTopKSubset(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.qLshTopK(s, d)),
     "sessionize_batch" -> ((s, d) =>
       graft.streaming.StreamingOps.sessionizeBatch(Tables.events(s, d))
@@ -520,6 +523,7 @@ object SparkEntry {
     // the exact shingle-Jaccard operator's.
     "dedup_minhash_lsh" -> Dedup.oNgramJaccard,
     "sim_cosine_topk" -> Similarity.oCosineTopK,
+    "sim_cosine_topk_subset" -> Similarity.oCosineTopKSubset,
     "sessionize_batch" -> Oracles.sessionizeBatch,
     "asof_events_orders" -> AsOf.oEventsAsofOrders,
     // native kernel accumulates in the same order as the composition →

@@ -75,6 +75,35 @@ object Similarity {
       |      FROM p)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Deterministic 500-doc subset twin (VERDICT r16 #7): the full
+    * brute-force gate's DuckDB oracle is quadratic in the corpus, so
+    * `sim_cosine_topk` is excluded from the BENCH-scale artifact; this
+    * subset bounds the oracle at 500×500 pairs regardless of sf, so the
+    * same composition (dot/norm folds, tie-broken window, broadcast
+    * Q×N join) carries a driver hash gate AT bench scale too — the
+    * exclusion stays bench-only, not evidence-only. */
+  def qCosineTopKSubset(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, dir).filter(col("vec_id") < 500),
+      k = 5, nQueries = 50)
+      .orderBy(col("query_id"), col("rank"))
+
+  def oCosineTopKSubset: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings WHERE vec_id < 500),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+      |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+      |SELECT query_id, neighbor_id, neighbor_label, cosine,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM p)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Brute-force top-k on the native fused-loop kernel
     * (plans.CosineSimilarity) — same accumulation order as dot/norm, so
     * results are bit-identical to the composition and share its oracle;

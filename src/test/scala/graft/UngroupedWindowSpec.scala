@@ -106,6 +106,34 @@ class UngroupedWindowSpec extends SparkSpecBase {
     } finally System.clearProperty("graft.explain.lineage")
   }
 
+  test("the dial is width-aware: same sort-byte budget, width-scaled row thresholds") {
+    import spark.implicits._
+    // slim rank projection (two 8-byte cols): flips LATER than the 8M
+    // row anchor; a wide rollup flips EARLIER — both hit the same
+    // HotGroupSortBytes budget (clamped 16x either side of the anchor)
+    val slim = Seq((1L, 2L)).toDF("k", "v")
+    val wide = Seq((1L, "a")).toDF("k", "v")
+      .select(col("k") +: (0 until 100).map(i => col("v").as(s"c$i")): _*)
+    val ts = Scale.hotRowThreshold(slim)
+    val tw = Scale.hotRowThreshold(wide)
+    assert(ts > Scale.HotGroupMinRowsPerGroup,
+      s"16-byte rows must flip later than the 100-byte anchor: $ts")
+    assert(tw < Scale.HotGroupMinRowsPerGroup,
+      s"2-KB rows must flip earlier than the 100-byte anchor: $tw")
+    // both thresholds express the SAME byte budget — unless the 16×
+    // clamp engaged (the wide frame's 2 KB rows ask for ~400k rows,
+    // below the 500k floor, so it sits ON the floor by design)
+    def bytes(df: org.apache.spark.sql.DataFrame) =
+      Scale.estimatedRowBytes(df.schema)
+    def onClamp(t: Long) = t == Scale.HotGroupMinRowsPerGroup / 16 ||
+      t == Scale.HotGroupMinRowsPerGroup * 16
+    assert(ts * bytes(slim) <= Scale.HotGroupSortBytes || onClamp(ts))
+    assert(tw * bytes(wide) <= Scale.HotGroupSortBytes || onClamp(tw))
+    assert((ts + 1) * bytes(slim) > Scale.HotGroupSortBytes || onClamp(ts),
+      "slim threshold neither fills the budget nor sits on the clamp")
+    assert(onClamp(tw), "the 2 KB frame should sit on the lower clamp")
+  }
+
   test("the dial is size-aware: fixture facts stay on the plain window") {
     // the None path takes the cheap fact-count bound — fixture facts
     // are far below HotGroupMinRowsPerGroup, so the gated queries keep
