@@ -64,16 +64,6 @@ object Dedup {
     * runs; on a cluster with executor churn, configure a checkpoint dir
     * and use reliable checkpoint() (or persist with replication 2) for
     * the pair result instead. */
-  /** Eagerly materialize ONE bounded intermediate consumed by several
-    * downstream legs (same lineage-prop escape hatch as [[withCached]]).
-    * Since r17 the [[Scale.globalRank]] family returns LAZY frames
-    * (deterministic baked buckets need no pinning), so a caller fanning
-    * a rank result into 2+ legs decides the materialization itself —
-    * here — instead of every single-consumer caller paying it. */
-  private[operators] def materialized(frame: DataFrame): DataFrame =
-    if (sys.props.get("graft.explain.lineage").contains("true")) frame
-    else frame.localCheckpoint(true)
-
   private[operators] def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // -Dgraft.explain.lineage=true keeps the logical plan visible (for
@@ -98,6 +88,17 @@ object Dedup {
       else out.localCheckpoint(true)
     } finally frames.foreach(_.unpersist(false))
   }
+
+  /** Eagerly materialize ONE bounded intermediate consumed by several
+    * downstream legs (same lineage-prop escape hatch and localCheckpoint
+    * reliability caveats as [[withCached]]). Since r17 the
+    * [[Scale.globalRank]] family returns LAZY frames (deterministic
+    * baked buckets need no pinning), so a caller fanning a rank result
+    * into 2+ legs decides the materialization itself — here — instead
+    * of every single-consumer caller paying it. */
+  private[operators] def materialized(frame: DataFrame): DataFrame =
+    if (sys.props.get("graft.explain.lineage").contains("true")) frame
+    else frame.localCheckpoint(true)
 
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
     * generation: |A∩B| counted by the equi-join, |A∪B| = |A|+|B|−|A∩B|. */

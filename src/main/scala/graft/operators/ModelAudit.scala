@@ -445,28 +445,34 @@ object ModelAudit {
     // retrained-quantizer twin: the CHOSEN post-sweep models are
     // deterministic, so they inline as literals exactly like the
     // serving quantizers (generated after the query trained them).
-    // Keyed to the DIR the Ivf/Pq serving caches name (ADVICE r16) —
-    // a JVM that retrained for two datasets emits the twin for the one
-    // being verified instead of silently dropping both; a retrain run
-    // whose dir no serving cache corroborates fails LOUDLY rather than
-    // dumping a gated parquet with no oracle.
+    // Dir resolution (ADVICE r16): prefer the dir the Ivf/Pq serving
+    // caches corroborate; a single-dir retrain JVM (every Verify run)
+    // is unambiguous even when other datasets muddied those caches;
+    // only a MULTI-dir retrain the caches cannot disambiguate fails
+    // LOUDLY — silently dropping the twin would dump a gated parquet
+    // with no oracle.
+    def emitFor(
+        e: (Seq[Array[Double]], Seq[Seq[Array[Double]]], Set[String])) = {
+      val twin = oForgetRetrainQuantizers(e._1, e._2, e._3)
+      // the serving-swap re-audit reads the same numbers out of the
+      // rebuilt layout, so it shares the literal-assignment twin —
+      // that sharing IS the gate: a stale layout hash-fails it
+      Map("forget_retrain_quantizers" -> twin,
+        "forget_retrain_serving" -> twin)
+    }
     val quant = (Ivf.cachedCentroids, Pq.cachedCodebooks) match {
       case (Some((cd, _)), Some((bd, _)))
           if cd == bd && retrainedQuant.containsKey(cd) =>
-        val e = retrainedQuant.get(cd)
-        val twin = oForgetRetrainQuantizers(e._1, e._2, e._3)
-        // the serving-swap re-audit reads the same numbers out of the
-        // rebuilt layout, so it shares the literal-assignment twin —
-        // that sharing IS the gate: a stale layout hash-fails it
-        Map("forget_retrain_quantizers" -> twin,
-          "forget_retrain_serving" -> twin)
+        emitFor(retrainedQuant.get(cd))
+      case _ if retrainedQuant.size == 1 =>
+        emitFor(retrainedQuant.entrySet.iterator.next.getValue)
       case _ if !retrainedQuant.isEmpty =>
         throw new IllegalStateException(
           "forget_retrain_quantizers ran for dirs " +
-            s"${retrainedQuant.keySet} but the Ivf/Pq serving caches " +
-            s"name ${Ivf.cachedCentroids.map(_._1)} / " +
-            s"${Pq.cachedCodebooks.map(_._1)} — no dir-consistent twin " +
-            "can be emitted for the dumped result")
+            s"${retrainedQuant.keySet} and the Ivf/Pq serving caches " +
+            s"(${Ivf.cachedCentroids.map(_._1)} / " +
+            s"${Pq.cachedCodebooks.map(_._1)}) cannot disambiguate " +
+            "which one the dumped result belongs to — no twin emitted")
       case _ => Map.empty[String, String]
     }
     audit ++ quant

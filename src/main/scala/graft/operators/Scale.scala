@@ -82,20 +82,27 @@ object Scale {
             val gt = if (d) c < b else c > b
             gt || (c === b && tieRest)
         }
-      // binary-search when-TREE, not a linear fold: per-row cost is
-      // O(log buckets) comparisons and the generated code nests ~6
-      // deep. The linear `Σ when(after(cut),1)` fold measured 69.5 s
-      // where the tree measures 0.8 s on a 10M-row bucket-count pass
-      // (r17 micro-probe, 84×) — evaluated twice per rank, that
-      // WAS the x64 ungroupedscale regression.
-      def tree(lo: Int, hi: Int): Column =
-        if (lo == hi) lit(lo)
-        else {
-          val mid = (lo + hi) / 2
-          when(after(cuts(mid)), tree(mid + 1, hi)).otherwise(tree(lo, mid))
-        }
-      tree(0, cuts.length)
+      whenTree(cuts.length)(i => after(cuts(i)))
     }
+  }
+
+  /** Binary-search when-TREE over `nCuts` order-sorted cut predicates
+    * (leaf i = bucket id i; the node at `mid` descends right when the
+    * row is strictly after cut `mid`) — the shared builder under
+    * [[bakedBucketExpr]] and [[groupedRunningSum]]. Per-row cost is
+    * O(log buckets) comparisons and the generated code nests ~log₂
+    * deep; the linear `Σ when(after(cut), 1)` fold it replaced
+    * measured 84× slower (r17 micro-probe: 69.5 s vs 0.83 s on a
+    * 10M-row bucket-count pass) — evaluated twice per rank, that WAS
+    * the x64 ungroupedscale regression. */
+  private def whenTree(nCuts: Int)(after: Int => Column): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(after(mid), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, nCuts)
   }
 
   /** Global 1-based rank under `order` (which must end in a tiebreaker
@@ -156,10 +163,33 @@ object Scale {
     * [[Classify.calibration]]) — unpersisting here would evict THEIR
     * cache mid-flight. */
   private def withControlPlaneCache[A](df: DataFrame)(body: DataFrame => A): A = {
-    val own = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val own = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      !cheapOverMaterialized(df)
     if (own) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try body(df)
     finally if (own) df.unpersist(false)
+  }
+
+  /** True when re-scanning `df` costs no recompute worth caching away:
+    * only projections/filters over already-materialized leaves — an
+    * InMemoryRelation (a caller's cache: the dial-cached rollup behind
+    * Rfm's slim projections) or a LogicalRDD (a localCheckpoint
+    * product: Dsir's materialized rollup). `storageLevel` alone misses
+    * both shapes (it consults the cache manager for THIS plan), so
+    * without this check the control-plane cache would re-persist a
+    * second rank-sized copy of data that is already sitting in
+    * storage (r17 review finding). */
+  private def cheapOverMaterialized(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation, Project}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    df.queryExecution.optimizedPlan.collect { case n => n }.forall {
+      case _: Project | _: LFilter => true
+      case _: InMemoryRelation => true
+      case _: LogicalRDD => true
+      case _: LocalRelation => true
+      case _ => false
+    }
   }
 
   /** The UNGROUPED twin of the [[hotGroups]] dial (r16): decide
@@ -310,18 +340,10 @@ object Scale {
       else df.select(order.head.cast("double").as("_b"))
         .sample(withReplacement = false, 0.01, seed = 42)
         .stat.approxQuantile("_b", probs, 0.01).distinct.sorted
-    // binary-search when-tree (see [[bakedBucketExpr]]: the linear
+    // binary-search when-tree (shared [[whenTree]] builder: the linear
     // Σ-when fold measured 84× slower on the r17 micro-probe)
-    val bktExpr = {
-      def tree(lo: Int, hi: Int): Column =
-        if (lo == hi) lit(lo)
-        else {
-          val mid = (lo + hi) / 2
-          when(order.head.cast("double") > lit(bounds(mid)),
-            tree(mid + 1, hi)).otherwise(tree(lo, mid))
-        }
-      tree(0, bounds.length)
-    }
+    val bktExpr =
+      whenTree(bounds.length)(i => order.head.cast("double") > lit(bounds(i)))
     val withB = df.withColumn("_v", value.cast("long"))
       .withColumn("_bkt", bktExpr)
     val counts = withB.groupBy((col("_bkt") +: gCols): _*)
