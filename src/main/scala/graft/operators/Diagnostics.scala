@@ -416,7 +416,12 @@ object Diagnostics {
     * otherwise). One partial-agg pass per key, 1-row outputs unioned —
     * the report an operator author reads before choosing a window key,
     * as data. */
-  def groupSkewReport(df: DataFrame, keys: Seq[String]): DataFrame =
+  def groupSkewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // the WIDTH-AWARE threshold the dial actually consults (r17) — a
+    // report quoting the old 8M constant would disagree with
+    // Scale.hotGroups on wide/slim frames, which is the one thing a
+    // planner-facing report must never do
+    val threshold = Scale.hotRowThreshold(df)
     keys.map { k =>
       df.groupBy(col(k)).agg(count(lit(1)).as("n_rows"))
         .agg(count(lit(1)).as("n_groups"),
@@ -429,9 +434,20 @@ object Diagnostics {
           expr("(max_group * 1000 * n_groups) div total_rows"))
         .withColumn("dial_path",
           when(col("n_groups") <= Scale.HotGroupCap &&
-              col("max_group") >= Scale.HotGroupMinRowsPerGroup,
+              col("max_group") >= threshold,
             "grouped_prefix_sum").otherwise("partitioned_window"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** The events table's width-scaled dial threshold, pinned as a shared
+    * constant so [[oGroupSkew]] (a static twin with no schema access)
+    * and the Spark report cannot drift: the events schema estimates
+    * 72 B/row (event_id + user_id + ts + value at 8 B each,
+    * event_type + props strings at 20 B each) → HotGroupSortBytes / 72.
+    * DiagnosticsSpec pins this equal to
+    * `Scale.hotRowThreshold(events)` so an events schema change fails
+    * the build instead of silently skewing the twin. */
+  val EventsHotThreshold: Long = Scale.HotGroupSortBytes / 72L
 
   def qGroupSkew(spark: SparkSession, dir: String): DataFrame =
     groupSkewReport(Tables.events(spark, dir),
@@ -446,7 +462,7 @@ object Diagnostics {
         |  (CAST(max(n_rows) AS BIGINT) * 1000 * count(*))
         |    // CAST(sum(n_rows) AS BIGINT) AS skew_milli,
         |  CASE WHEN count(*) <= ${Scale.HotGroupCap}
-        |        AND CAST(max(n_rows) AS BIGINT) >= ${Scale.HotGroupMinRowsPerGroup}
+        |        AND CAST(max(n_rows) AS BIGINT) >= $EventsHotThreshold
         |       THEN 'grouped_prefix_sum' ELSE 'partitioned_window' END
         |    AS dial_path
         |FROM (SELECT $k, CAST(count(*) AS BIGINT) AS n_rows

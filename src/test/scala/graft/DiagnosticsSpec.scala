@@ -134,10 +134,19 @@ class DiagnosticsSpec extends SparkSpecBase {
         Tables.events(spark, sf), Seq(r.getString(0)))
       assert((r.getString(6) == "grouped_prefix_sum") == dial)
     }
-    // a planted giant group flips the recommendation
-    val giant = spark.range(graft.operators.Scale.HotGroupMinRowsPerGroup)
-      .select(lit("g").as("k"))
-    val rep = graft.operators.Diagnostics.groupSkewReport(giant, Seq("k")).head()
+    // the static twin's pinned events threshold must equal the
+    // width-aware one the live dial computes — an events schema change
+    // breaks here, not silently in the oracle (r17)
+    assert(graft.operators.Scale.hotRowThreshold(Tables.events(spark, sf)) ==
+      graft.operators.Diagnostics.EventsHotThreshold)
+    // a planted giant group flips the recommendation (threshold is
+    // width-aware: size the fixture off its own flip point)
+    def giantOf(n: Long) = spark.range(n).select(lit("g").as("k"),
+      lit("pad0").as("p0"), lit("pad1").as("p1"), lit("pad2").as("p2"),
+      lit("pad3").as("p3"), lit("pad4").as("p4"))
+    val need = graft.operators.Scale.hotRowThreshold(giantOf(1L))
+    val rep = graft.operators.Diagnostics.groupSkewReport(giantOf(need),
+      Seq("k")).head()
     assert(rep.getString(6) == "grouped_prefix_sum")
   }
 

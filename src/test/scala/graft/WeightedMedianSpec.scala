@@ -48,9 +48,13 @@ class WeightedMedianSpec extends SparkSpecBase {
     // fixture scale each group is small → plain window; a group past
     // HotGroupMinRowsPerGroup flips to the distributed prefix sums
     assert(!graft.operators.Scale.hotGroups(li, Seq("l_returnflag")))
-    val giant = spark.range(graft.operators.Scale.HotGroupMinRowsPerGroup)
-      .select(lit("g0").as("grp"), col("id"))
-    assert(graft.operators.Scale.hotGroups(giant, Seq("grp")))
+    // the threshold is WIDTH-aware (r17): size the planted giant off
+    // the frame's own flip point (padding columns keep it ~7M rows)
+    def giantOf(n: Long) = spark.range(n).select(lit("g0").as("grp"),
+      col("id"), lit("pad0").as("p0"), lit("pad1").as("p1"),
+      lit("pad2").as("p2"), lit("pad3").as("p3"))
+    val need = graft.operators.Scale.hotRowThreshold(giantOf(1L))
+    assert(graft.operators.Scale.hotGroups(giantOf(need), Seq("grp")))
   }
 
   test("fixture: quartiles ordered and inside the price range per flag") {
