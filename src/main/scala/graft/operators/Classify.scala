@@ -351,7 +351,8 @@ object Classify {
         s.select(lit(0L).as("bin"), lit(0L).as("n_docs"),
           lit(0L).as("n_correct"), lit(0L).as("acc_milli")).limit(0)
       else
-        Scale.globalRank(s, Seq(col("margin"), col("doc_id")), "rnk", 32)
+        Scale.globalRankWithTotal(s, Seq(col("margin"), col("doc_id")),
+          "rnk", 32, knownTotal = n)._1
           .withColumn("bin", expr(s"((rnk - 1) * 10) div ${n}L"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))

@@ -33,15 +33,21 @@ object QuantNorm {
   def quantileNormalize(docs: DataFrame,
       hotGroupsOverride: Option[Boolean] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
-    // ONE pass over the corpus: the global rank runs first and is
-    // materialized ONCE as the shared base every later leg reads (dial
-    // sample, within-source rank, rank-selection lookup) — the rank
-    // itself is lazy since r17, so the fan-out point pays the single
-    // checkpoint explicitly; nn still rides the rank's control plane
-    // instead of a separate count job
-    val (g0, nn) = Scale.globalRankWithTotal(base,
-      Seq(col("n_chars"), col("doc_id")), "g_rank", 32)
-    val g = Dedup.materialized(g0)
+    // ONE pass over the corpus: base is persisted for the whole rank
+    // build, so the rank's control-plane passes AND its ranking pass
+    // all read the same cache instead of re-scanning the parquet (the
+    // r17 lazy rank otherwise pays one extra scan here — the one real
+    // bench mover of that round); the eager materialization of g then
+    // releases it. g is the shared frame every later leg reads (dial
+    // sample, within-source rank, rank-selection lookup); nn rides the
+    // rank's control plane instead of a separate count job.
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (g, nn) =
+      try {
+        val (g0, n0) = Scale.globalRankWithTotal(base,
+          Seq(col("n_chars"), col("doc_id")), "g_rank", 32)
+        (Dedup.materialized(g0), n0)
+      } finally base.unpersist(false)
     val hot = hotGroupsOverride.getOrElse(Scale.hotGroups(g, Seq("source")))
     val ranked = if (hot) {
       // source sizes ride the collected offsets — no extra agg pass

@@ -128,13 +128,16 @@ object Scale {
   /** [[globalRank]] that also returns the TOTAL row count, which the
     * bucket-sizing control plane has already collected — consumers
     * needing (rank, n) pairs (percentile transforms, closed-form ntile)
-    * skip a whole extra count pass over the input this way. */
+    * skip a whole extra count pass over the input this way. Callers
+    * that already hold the exact input count pass it as `knownTotal`
+    * and the internal count job is skipped ([[Classify.calibration]]
+    * counts its cached input for the empty-guard anyway). */
   def globalRankWithTotal(df: DataFrame, order: Seq[Column], out: String,
-      nPartitions: Int): (DataFrame, Long) = {
+      nPartitions: Int, knownTotal: Long = -1L): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     withControlPlaneCache(df) { d =>
-      val total = d.count()
+      val total = if (knownTotal >= 0L) knownTotal else d.count()
       val withB = d.withColumn("_bkt",
         bakedBucketExpr(d, order, 2 * nPartitions, total))
       val counts = withB.groupBy(col("_bkt")).count()
