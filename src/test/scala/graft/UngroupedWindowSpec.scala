@@ -106,6 +106,32 @@ class UngroupedWindowSpec extends SparkSpecBase {
     } finally System.clearProperty("graft.explain.lineage")
   }
 
+  test("baked-bucket rank: exotic order types, heavy ties, nPartitions invariance") {
+    import spark.implicits._
+    // 400 rows: a TIMESTAMP leading key with only 4 distinct values
+    // (power-law ties — the case head-only cuts cannot split), a
+    // DECIMAL desc key, STRING tiebreaks; every combination must equal
+    // the single-window form at several partition counts
+    val df = (0 until 400).map { i =>
+      (f"d$i%03d", s"2024-0${1 + i % 4}-01 00:00:00", (i % 7) * 10.5)
+    }.toDF("id", "tss", "v0")
+      .select(col("id"), to_timestamp(col("tss")).as("ts"),
+        col("v0").cast("decimal(14,2)").as("v"))
+    for ((order, tag) <- Seq(
+      (Seq(col("ts"), col("id")), "timestamp asc + string tiebreak"),
+      (Seq(col("v").desc, col("id")), "decimal desc + string tiebreak"),
+      (Seq(col("ts"), col("v").desc, col("id")), "3-column mixed"))) {
+      val w = Window.orderBy(order: _*)
+      val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+        .collect().map(_.toSeq).toSet
+      for (np <- Seq(1, 4, 16)) {
+        val got = Scale.globalRank(df, order, "rn", np)
+          .collect().map(_.toSeq).toSet
+        assert(got == expected, s"$tag diverges at nPartitions=$np")
+      }
+    }
+  }
+
   test("the dial is width-aware: same sort-byte budget, width-scaled row thresholds") {
     import spark.implicits._
     // slim rank projection (two 8-byte cols): flips LATER than the 8M
