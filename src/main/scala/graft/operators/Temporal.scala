@@ -43,33 +43,32 @@ object Temporal {
       .filter(col("value").isNotNull)
       .groupBy(col("user_id"), col("hr"))
       .agg(Exprs.exactAvg(col("value")).as("v"))
-    val grid = hourly.groupBy(col("user_id"))
-      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
-      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
-    val joined = grid.join(hourly, Seq("user_id", "hr"), "left")
-    // both brackets as RUNNING frames (unbounded-preceding..current is
-    // incremental in Spark's window engine): "previous observation" over
-    // the ascending sort, "next observation" as the same running frame
-    // over the DESCENDING sort — an unbounded-FOLLOWING frame here would
-    // re-scan to the partition end for every row, O(span²) per user
-    // (measured: 20 s → 2.8 s at sf0.1 for this query)
-    val wPrev = Window.partitionBy("user_id").orderBy(col("hr").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("user_id").orderBy(col("hr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
-    val prevH = last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev)
-    val nextV = last(col("v"), ignoreNulls = true).over(wNext)
-    val nextH = last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext)
-    joined
-      .withColumn("pv", prevV).withColumn("ph", prevH)
-      .withColumn("nv", nextV).withColumn("nh", nextH)
-      .withColumn("filled",
-        when(col("v").isNotNull, col("v")).otherwise(
-          col("pv") + ((col("nv") - col("pv")) * (col("hr") - col("ph")).cast("double")) /
-            (col("nh") - col("ph")).cast("double")))
+    // One pass, not grid-join-and-bracket: every gap hour lies strictly
+    // between two CONSECUTIVE observed hours of its user (the grid spans
+    // [min hr, max hr] OF OBSERVATIONS), so its brackets are exactly the
+    // observed row before it and that row's lead(). Each observed row
+    // therefore GENERATES itself plus the gap rows up to the next
+    // observation — explode(sequence(hr, next_hr−1)) — carrying both
+    // brackets with it. This removes, versus the r1–r16 shape: the
+    // grid aggregate, the grid⋈hourly join (whose hourly leg recomputed
+    // the events scan + hourly aggregate a second time), and the second
+    // (descending) window sort — 4 exchanges → 2, 2 source scans → 1.
+    // The interpolation expression is kept OPERATION-IDENTICAL to the
+    // old two-window form (pv + ((nv−pv)·Δh)/span with the same casts),
+    // so the doubles — and the DuckDB oracle hash — are bit-equal.
+    val wNext = Window.partitionBy("user_id").orderBy(col("hr").asc)
+    hourly
+      .withColumn("nh", lead(col("hr"), 1).over(wNext))
+      .withColumn("nv", lead(col("v"), 1).over(wNext))
+      .select(col("user_id"), col("hr").as("ph"), col("v").as("pv"),
+        col("nh"), col("nv"),
+        explode(sequence(col("hr"),
+          coalesce(col("nh") - lit(1L), col("hr")))).as("hr"))
       .select(col("user_id"), col("hr").as("epoch_hr"),
-        col("filled").as("value"), col("v").isNotNull.as("is_observed"))
+        when(col("hr") === col("ph"), col("pv")).otherwise(
+          col("pv") + ((col("nv") - col("pv")) * (col("hr") - col("ph")).cast("double")) /
+            (col("nh") - col("ph")).cast("double")).as("value"),
+        (col("hr") === col("ph")).as("is_observed"))
   }
 
   def qGapFillHourly(spark: SparkSession, dir: String): DataFrame =

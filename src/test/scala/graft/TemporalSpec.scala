@@ -35,6 +35,68 @@ class TemporalSpec extends SparkSpecBase {
     assert(u2.length == 1 && u2(0).getDouble(2) == 7.5 && u2(0).getBoolean(3))
   }
 
+  test("gap-fill one-pass lead/explode form ≡ the grid-join + two-window reference") {
+    // r17 optimization gate: the rewrite (single lead() window + per-
+    // segment explode) must be row- and BIT-identical to the original
+    // grid-join + asc/desc running-frame form on an adversarial fixture:
+    // many users, irregular gaps (1..37 h), duplicate in-hour events,
+    // single-observation users, and values whose interpolation is
+    // float-inexact (thirds) so any operation-order drift would show.
+    val rng = new scala.util.Random(42)
+    val rows = (1L to 25L).flatMap { u =>
+      var h = rng.nextInt(48).toLong
+      (0 until (1 + rng.nextInt(9))).flatMap { _ =>
+        h += 1 + rng.nextInt(37)
+        val reps = 1 + rng.nextInt(3)
+        (0 until reps).map { r =>
+          (u, new Timestamp(h * 3600000L + r * 60000L),
+            (rng.nextInt(1000) + 1).toDouble / 3.0)
+        }
+      }
+    }
+    val ev = rows.toDF("user_id", "ts", "value")
+    // reference: the pre-r17 shape, verbatim
+    import org.apache.spark.sql.expressions.Window
+    val hourly = ev
+      .select($"user_id", floor($"ts".cast("long") / lit(3600)).cast("long").as("hr"),
+        $"value")
+      .filter($"value".isNotNull)
+      .groupBy($"user_id", $"hr")
+      .agg(graft.functions.Exprs.exactAvg($"value").as("v"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"hr").as("lo"), max($"hr").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi")).as("hr"))
+    val joined = grid.join(hourly, Seq("user_id", "hr"), "left")
+    val wPrev = Window.partitionBy("user_id").orderBy($"hr".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy($"hr".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = joined
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", last($"v", ignoreNulls = true).over(wNext))
+      .withColumn("nh", last(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(wNext))
+      .withColumn("filled",
+        when($"v".isNotNull, $"v").otherwise(
+          $"pv" + (($"nv" - $"pv") * ($"hr" - $"ph").cast("double")) /
+            ($"nh" - $"ph").cast("double")))
+      .select($"user_id", $"hr".as("epoch_hr"),
+        $"filled".as("value"), $"v".isNotNull.as("is_observed"))
+      .orderBy("user_id", "epoch_hr").collect()
+    val got = Temporal.gapFillHourly(ev)
+      .orderBy("user_id", "epoch_hr").collect()
+    assert(got.length == ref.length, s"${got.length} vs ${ref.length} rows")
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g.getLong(0) == r.getLong(0) && g.getLong(1) == r.getLong(1))
+      // bit equality, not tolerance: same IEEE ops in the same order
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"value drift at (${g.getLong(0)}, ${g.getLong(1)}): " +
+          s"${g.getDouble(2)} vs ${r.getDouble(2)}")
+      assert(g.getBoolean(3) == r.getBoolean(3))
+    }
+  }
+
   test("funnel requires strict ordering: later steps only count after earlier ones") {
     val ev = Seq(
       // user 1: full ordered chain
