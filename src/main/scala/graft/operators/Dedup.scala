@@ -383,12 +383,18 @@ object Dedup {
       wideBlocks: Boolean = true): DataFrame = {
     require(if (wideBlocks) maxHamming <= 6 else maxHamming <= 7,
       s"blocking scheme incomplete at Hamming $maxHamming")
-    val sh = simhash(docs)
-    val cands = if (wideBlocks) simhashCandidates16(sh) else simhashCandidates8(sh)
-    cands
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // r17: the candidate self-join's two legs each re-derived the FULL
+    // signature build (shingle + md5 + 56 bit-sum aggregate — 2 scans
+    // of documents in the before plan); the signature table is one slim
+    // (doc_id, simhash) row per doc, so cache it and let both legs
+    // explode from the cached frame.
+    withCached(simhash(docs)) { sh =>
+      val cands = if (wideBlocks) simhashCandidates16(sh) else simhashCandidates8(sh)
+      cands
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
   }
 
   /** [[simhashPairs]] under an explicit blocking configuration — the
@@ -399,10 +405,13 @@ object Dedup {
       nBlocks: Int, keep: Int): DataFrame = {
     require(maxHamming <= nBlocks - keep,
       s"(nBlocks=$nBlocks, keep=$keep) blocking incomplete at Hamming $maxHamming")
-    simhashCandidatesBlocked(simhash(docs), nBlocks, keep)
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // same one-signature-build discipline as [[simhashPairs]] (r17)
+    withCached(simhash(docs)) { sh =>
+      simhashCandidatesBlocked(sh, nBlocks, keep)
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
   }
 
   /** The measured (8,2)→(14,8) crossover (SCALE.md scaling probe):

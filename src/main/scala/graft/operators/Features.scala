@@ -46,11 +46,19 @@ object Features {
       .groupBy(col("doc_id"),
         pmod(TextFns.md5u56(col("word")), lit(Buckets)).as("bucket"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+    // r17: the tf table feeds both the document-frequency rollup and
+    // the scoring join — un-cached, the tokenize+hash+count pipeline
+    // ran twice (2 of the 3 documents scans in the before plan). tf is
+    // (doc_id, bucket, tf) — slim — so settle it once and tokenize once
+    // (the withCached form — persist + checkpoint of the RESULT — was
+    // measured 23% slower here: the output is doc-grain × TopSlots and
+    // its extra materialization outweighs the saved tokenize).
+    val t = Dedup.materialized(tf)
+    val df = t.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
     val n1 = docs.agg(count(lit(1)).as("nn"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("bucket"))
-    tf.join(broadcast(df.crossJoin(n1)), Seq("bucket"))
+    t.join(broadcast(df.crossJoin(n1)), Seq("bucket"))
       .withColumn("weight", expr(s"tf * ((nn * $IdfScale) div df)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopSlots)

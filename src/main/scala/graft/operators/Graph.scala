@@ -54,8 +54,17 @@ object Graph {
       .select((col("o_custkey") * 2).as("cust"),
         (col("l_suppkey") * 2 + 1).as("supp"))
       .distinct()
-    pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    // r17: both union legs read the SAME pair table — un-cached, the
+    // planner inlined the orders⋈lineitem join + distinct under each
+    // leg (2 scans of both facts in the before plan). Materializing the
+    // pair table once makes the union two projections of one settled
+    // frame; downstream consumers keep their own cache/checkpoint of
+    // the symmetric edge set (checkpointing the UNION here instead was
+    // measured 15-50% SLOWER at sf0.1 — it double-materializes under
+    // pagerank/bfs, which re-pin edges for their iterations).
+    val p = Dedup.materialized(pairs)
+    p.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(p.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
   /** Above this node count the per-round rank join switches from
@@ -255,7 +264,12 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
         col("l_suppkey").as("s"))
       .distinct()
-    cp.as("a").join(cp.as("b"),
+    // r17: materialize the (c, p, s) incidence once instead of
+    // re-running the facts join + distinct under BOTH self-join legs
+    // (2 scans of both facts in the before plan); the pair join and its
+    // distinct stay lazy for the consumer's own cache.
+    val c = Dedup.materialized(cp)
+    c.as("a").join(c.as("b"),
         col("a.p") === col("b.p") && col("a.s") === col("b.s")
           && col("a.c") < col("b.c"))
       .select(col("a.c").as("u"), col("b.c").as("v"))

@@ -34,8 +34,13 @@ object Novelty {
 
   def noveltyVsTrain(docs: DataFrame): DataFrame = {
     val tagged = TextAnalysis.withSplit(docs)
-    val sh = Dedup.shingled(tagged.select(col("doc_id"), col("text")))
-      .join(tagged.select(col("doc_id"), col("split")), Seq("doc_id"))
+    // r17: the shingled+split frame feeds THREE legs (train vocab,
+    // incoming explode, and the 0-novelty restore join) — un-cached,
+    // the tokenize+shingle pipeline ran three times (6 documents scans
+    // in the before plan). One cached pass, same discipline as
+    // shingleJaccardPairs.
+    Dedup.withCached(Dedup.shingled(tagged.select(col("doc_id"), col("text")))
+      .join(tagged.select(col("doc_id"), col("split")), Seq("doc_id"))) { sh =>
     val trainVocab = sh.filter(col("split") === "train")
       .select(explode_outer(col("shingles")).as("sh"))
       .filter(col("sh").isNotNull).distinct()
@@ -57,6 +62,7 @@ object Novelty {
         expr("(novel_shingles * 10000) div n_sh"))
       .select(col("doc_id"), col("split"), col("n_sh").cast("long").as("n_sh"),
         col("novel_shingles"), col("novelty_bp"))
+    }
   }
 
   def qNoveltyVsTrain(spark: SparkSession, dir: String): DataFrame =

@@ -36,25 +36,35 @@ object Reco {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
       .distinct()
     val counts = items.groupBy(col("part")).agg(count(lit(1)).as("n"))
-    val co = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
-      .groupBy(col("a.part").as("part"), col("b.part").as("other"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= minCo)
-    val w = Window.partitionBy(col("part"))
-      .orderBy(col("cos2_milli").desc, col("n_co").desc, col("other"))
-    co
-      .join(broadcast(counts.select(col("part"), col("n").as("n_a"))), Seq("part"))
-      .join(broadcast(counts.select(col("part").as("other"), col("n").as("n_b"))),
-        Seq("other"))
-      .withColumn("cos2_milli",
-        floor(col("n_co") * col("n_co") * lit(1000L) / (col("n_a") * col("n_b")))
-          .cast("long"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("part"), col("other"), col("n_co"), col("n_a"), col("n_b"),
-        col("cos2_milli"), col("rnk"))
+    // r17: `items` feeds FOUR legs (both sides of the self-join and,
+    // through `counts`, both broadcast count dims) and `counts` feeds
+    // two — un-cached, the planner re-ran the full scan + distinct for
+    // every leg (4 parquet scans / 4 distinct aggregates in the before
+    // plan). Persisting both slim frames makes it one scan + one
+    // distinct + one count aggregate; at 100 TB `items` is basket-grain
+    // (≤ rows) and `counts` item-grain (≪ rows), both MEMORY_AND_DISK
+    // so an overflow spills instead of OOMing.
+    Dedup.withCachedAll(items, counts) {
+      val co = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
+        .groupBy(col("a.part").as("part"), col("b.part").as("other"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= minCo)
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("cos2_milli").desc, col("n_co").desc, col("other"))
+      co
+        .join(broadcast(counts.select(col("part"), col("n").as("n_a"))), Seq("part"))
+        .join(broadcast(counts.select(col("part").as("other"), col("n").as("n_b"))),
+          Seq("other"))
+        .withColumn("cos2_milli",
+          floor(col("n_co") * col("n_co") * lit(1000L) / (col("n_a") * col("n_b")))
+            .cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("part"), col("other"), col("n_co"), col("n_a"), col("n_b"),
+          col("cos2_milli"), col("rnk"))
+    }
   }
 
   def qItemSimilarity(spark: SparkSession, dir: String): DataFrame =

@@ -148,8 +148,13 @@ object WebText {
     * the reputation table rejoins broadcast. At 100 TB the funnel
     * signals dominate cost and are computed once, feeding both levels. */
   def domainReputation(docs: DataFrame): DataFrame = {
-    val verd = Curation.funnelVerdict(docs)
-      .select(col("doc_id"), col("source"), col("keep").as("doc_keep"))
+    // r17: the verdict frame feeds BOTH the per-source reputation
+    // aggregate and the doc-grain join leg — un-cached, the full text
+    // funnel (tokenize + shingle + 4 quality scans) ran twice (2
+    // documents scans in the before plan). The verdict is 3 slim
+    // columns per doc; cache it and pay the funnel once.
+    Dedup.withCached(Curation.funnelVerdict(docs)
+      .select(col("doc_id"), col("source"), col("keep").as("doc_keep"))) { verd =>
     val rep = verd.groupBy(col("source")).agg(
         count(lit(1)).as("source_total"),
         count_if(col("doc_keep")).as("source_kept"))
@@ -160,6 +165,7 @@ object WebText {
       .select(col("doc_id"), col("source"), col("doc_keep"),
         col("source_total"), col("source_kept"), col("source_reputable"),
         col("admitted"))
+    }
   }
 
   def qDomainReputation(spark: SparkSession, dir: String): DataFrame =
