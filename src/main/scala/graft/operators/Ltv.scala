@@ -18,8 +18,11 @@ object Ltv {
     * (partial-agg friendly), then cohort×year cells; the cohort-size
     * rejoin broadcasts ≤#years rows. */
   def cohortLtv(orders: DataFrame): DataFrame = {
-    val firsts = orders.groupBy(col("o_custkey"))
-      .agg(year(min(col("o_orderdate"))).as("cohort_year"))
+    // r17: the first-order cohort table feeds both the cell join and
+    // the cohort-size rollup — un-cached, the orders scan + customer-
+    // grain aggregate ran twice (3 orders scans in the before plan).
+    val firsts = Dedup.materialized(orders.groupBy(col("o_custkey"))
+      .agg(year(min(col("o_orderdate"))).as("cohort_year")))
     val cells = orders
       .select(col("o_custkey"), year(col("o_orderdate")).as("order_year"),
         col("o_totalprice").cast("decimal(14,2)").as("price"))

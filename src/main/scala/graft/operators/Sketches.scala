@@ -366,8 +366,51 @@ object Sketches {
         .withColumn("est_distinct",
           when(col("k_kept") < K, col("k_kept"))
             .otherwise(expr(s"(${K - 1}L * ${M}L) div kth_hash")))
-      val exact = pool(d).groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("exact_distinct"))
+      // r17: the exact audit leg used to route the FULL distinct-hash
+      // table through pool() — an event-type-keyed join fanning every
+      // hash row across ALL of its type's days before the 7-day range
+      // filter (|dh| × days-per-type intermediate rows), followed by a
+      // corpus-sized distinct. Rewritten as
+      // interval deltas: a hash h counts toward day D iff h appeared in
+      // [D−6, D], i.e. iff D lies in the union of [a, a+6] over h's
+      // appearance days a; merging runs of appearances ≤6 days apart
+      // gives disjoint covered intervals [s, e+6], so per (type, h) we
+      // emit +1 at each run start and −1 at run end + 7, aggregate
+      // deltas to CALENDAR grain, and one running sum over (type, day)
+      // — a bounded, calendar-sized window — yields the identical
+      // integer counts with no fan-out and no second distinct
+      // (measured 3.7 s → see OPTIMIZATION_r17.md; bit-equal by the
+      // oracle gate, which keeps the range-join formulation).
+      val wRun = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("day"))
+      val runs = d
+        .withColumn("prev_day", lag(col("day"), 1).over(wRun))
+        .withColumn("next_day", lead(col("day"), 1).over(wRun))
+      val starts = runs.filter(col("prev_day").isNull ||
+          datediff(col("day"), col("prev_day")) > RollDays - 1)
+        .select(col("event_type"), col("day").as("dday"), lit(1L).as("delta"))
+      val ends = runs.filter(col("next_day").isNull ||
+          datediff(col("next_day"), col("day")) > RollDays - 1)
+        .select(col("event_type"), date_add(col("day"), RollDays).as("dday"),
+          lit(-1L).as("delta"))
+      val deltas = starts.union(ends)
+        .groupBy(col("event_type"), col("dday"))
+        .agg(sum(col("delta")).as("delta"))
+      // running sum over the union of delta days and result days; at a
+      // shared day the delta row sorts first (is_day 0 < 1), so a +1 on
+      // day D counts for D and a −1 at runEnd+7 stops counting there
+      val wCum = Window.partitionBy(col("event_type"))
+        .orderBy(col("dday"), col("is_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = deltas
+        .select(col("event_type"), col("dday"), col("delta"),
+          lit(0).as("is_day"))
+        .unionByName(days.select(col("event_type"), col("day").as("dday"),
+          lit(0L).as("delta"), lit(1).as("is_day")))
+        .withColumn("exact_distinct", sum(col("delta")).over(wCum))
+        .filter(col("is_day") === 1)
+        .select(col("event_type"), col("dday").as("day"),
+          col("exact_distinct"))
       est.join(exact, Seq("event_type", "day"))
         .select(col("event_type"), col("day"), col("k_kept"),
           col("est_distinct"), col("exact_distinct"))

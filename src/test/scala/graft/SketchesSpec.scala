@@ -103,6 +103,52 @@ class SketchesSpec extends SparkSpecBase {
       s"streaming KMV diverges from batch sketch: $finals vs $batch")
   }
 
+  test("rolling-distinct exact leg: interval deltas ≡ the range-join reference") {
+    import spark.implicits._
+    // r17 optimization gate: the exact audit column is now an interval-
+    // delta prefix sum instead of a ×RollDays range-join fan-out. Drive
+    // the full operator over an adversarial appearance pattern — runs
+    // that touch (gap exactly RollDays), runs that merge (gap
+    // RollDays−1), single-day runs, a user active every day, and users
+    // shared across event types — and compare exact_distinct against
+    // the naive range-join count computed inline.
+    val day0 = java.sql.Date.valueOf("2024-01-01").toLocalDate
+    def ts(d: Int, u: Long) = java.sql.Timestamp.valueOf(
+      day0.plusDays(d).atTime(((u % 24)).toInt, 0))
+    val rows = Seq.newBuilder[(Long, String, java.sql.Timestamp, Double)]
+    var id = 0L
+    for (et <- Seq("click", "view")) {
+      // u1: single-day runs with gap exactly RollDays (intervals touch)
+      for (d <- Seq(0, 7, 14)) { rows += ((1L, et, ts(d, 1), 1.0)); id += 1 }
+      // u2: gap RollDays−1 (runs merge into one covered interval)
+      for (d <- Seq(0, 6, 12)) { rows += ((2L, et, ts(d, 2), 1.0)) }
+      // u3: active every day 0..20
+      for (d <- 0 to 20) { rows += ((3L, et, ts(d, 3), 1.0)) }
+      // u4: one appearance mid-range
+      rows += ((4L, et, ts(10, 4), 1.0))
+      // u5: two appearances same day (dedup inside dh) + far tail
+      rows += ((5L, et, ts(3, 5), 1.0)); rows += ((5L, et, ts(3, 6), 1.0))
+      rows += ((5L, et, ts(19, 5), 1.0))
+    }
+    val ev = rows.result().toDF("user_id", "event_type", "ts", "value")
+    val got = Sketches.kmvRollingDistinct(ev)
+      .select($"event_type", $"day", $"exact_distinct")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+    // naive reference: distinct hashes whose appearance day falls in
+    // [day − RollDays + 1, day], per (event_type, observed day)
+    val dh = ev.select($"event_type", to_date($"ts").as("day"),
+      graft.functions.TextFns.md5u56($"user_id".cast("string")).as("h")).distinct()
+    val days = dh.select($"event_type", $"day").distinct()
+    val ref = days.as("d").join(dh.as("s"),
+        $"s.event_type" === $"d.event_type" &&
+          $"s.day" >= date_sub($"d.day", Sketches.RollDays - 1) &&
+          $"s.day" <= $"d.day")
+      .groupBy($"d.event_type".as("event_type"), $"d.day".as("day"))
+      .agg(countDistinct($"s.h").as("exact_distinct"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+    assert(got == ref, s"delta form diverged:\n got=$got\n ref=$ref")
+  }
+
   test("CMS: never undercounts, and half-corpus grids sum to the whole grid") {
     val docs = Tables.documents(spark, sf)
     val top = Sketches.cmsTopTerms(docs).collect()
