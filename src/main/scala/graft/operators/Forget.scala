@@ -33,6 +33,42 @@ import graft.Tables
   */
 object Forget {
 
+  /** Driver-thread fan-out for INDEPENDENT sweep units (whole artifacts,
+    * or single files/partitions within one artifact): Spark's scheduler
+    * happily runs several jobs at once, and actions are only sequential
+    * because the driver calls them sequentially (guide §2.6) — a sweep
+    * of many small rewrite jobs run serially leaves the cluster idle in
+    * every job's tail. Tasks must touch DISJOINT paths (every caller
+    * here does: distinct artifact trees, distinct files). Results come
+    * back in input order; the first failure is rethrown. Pool is
+    * bounded: each task is a small job + FS renames, so a handful of
+    * in-flight jobs saturates the scheduler without fighting for
+    * executor slots. */
+  private val SweepThreads = 8
+
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.lengthCompare(1) <= 0) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, SweepThreads))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = items.map(i => scala.concurrent.Future(f(i)))
+        fs.map(fut => scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration.Inf))
+      } finally { pool.shutdown(); () }
+    }
+
+  /** Settle the distinct subject keys ONCE per sweep (bounded by the
+    * erasure backlog — executor block storage, never the driver): the
+    * detection scan AND every per-unit rewrite job join against this
+    * frame, and without the barrier each of those jobs re-derived the
+    * distinct from the subject table's full lineage (a source scan +
+    * shuffle per rewritten file — pure overhead × #units). */
+  private def settledKeys(keysDf: DataFrame, keyCol: String): DataFrame =
+    keysDf.select(col(keyCol)).distinct().localCheckpoint(true)
+
   /** Convenience form for small subject lists. */
   def forgetKeys(spark: SparkSession, path: String,
       partitionCols: Seq[String], keyCol: String,
@@ -71,7 +107,7 @@ object Forget {
     require(!partitionCols.contains(keyCol),
       s"$keyCol is a partition column — erase it by dropping directories")
     recoverSwaps(Paths.get(path))
-    val keys = keysDf.select(col(keyCol)).distinct()
+    val keys = settledKeys(keysDf, keyCol)
     val layout = spark.read.option("basePath", path).parquet(path)
     // ONE scan yields removed AND total per partition, so neither
     // rewrite path needs a per-partition read-back count afterwards
@@ -123,7 +159,7 @@ object Forget {
         affected.map(row => (segsOf(row).mkString("/"),
           row.getLong(nCols), row.getLong(nCols + 1) - row.getLong(nCols)))
           .toSeq
-      } else affected.map { row =>
+      } else inParallel(affected.toSeq) { row =>
         val segs = segsOf(row)
         val dir = Paths.get(path, segs: _*)
         val part = spark.read.parquet(dir.toString)
@@ -204,7 +240,7 @@ object Forget {
       : (DataFrame, Long, Long) = {
     import spark.implicits._
     recoverSwaps(Paths.get(path))
-    val keys = keysDf.select(col(keyCol)).distinct()
+    val keys = settledKeys(keysDf, keyCol)
     val layout = spark.read.parquet(path)
     val cols = layout.columns.toIndexedSeq
     // ONE scan yields removed AND kept per file, so neither rewrite path
@@ -245,7 +281,7 @@ object Forget {
         deleteRecursively(old)
         affected.map(r => (fileOf(r.getString(0)).getFileName.toString,
           r.getLong(1), r.getLong(2) - r.getLong(1))).toSeq
-      } else affected.map { row =>
+      } else inParallel(affected.toSeq) { row =>
         val file = fileOf(row.getString(0))
         val part = spark.read.parquet(file.toString)
         val kept = rewrite(part, keys, keyCol)
@@ -389,7 +425,7 @@ object Forget {
     import spark.implicits._
     recoverSwaps(Paths.get(path))
     val keys = keysDf.select(col(keysDf.columns.head).cast("string")
-      .as("_graft_key")).distinct()
+      .as("_graft_key")).distinct().localCheckpoint(true)
     val lines = spark.read.text(path)
       .withColumn("_graft_key", get_json_object(col("value"), jsonKeyPath))
     val perFile = lines.withColumn("_graft_file", input_file_name())
@@ -402,7 +438,7 @@ object Forget {
     def fileOf(uri: String): Path =
       if (uri.contains(":/")) Paths.get(java.net.URI.create(uri))
       else Paths.get(uri)
-    val audit: Seq[(String, Long, Long)] = affected.map { row =>
+    val audit: Seq[(String, Long, Long)] = inParallel(affected.toSeq) { row =>
       val file = fileOf(row.getString(0))
       val kept = spark.read.text(file.toString)
         .withColumn("_graft_key",
@@ -580,7 +616,11 @@ object Forget {
       keys: DataFrame): DataFrame = {
     import spark.implicits._
     val keyColName = keys.columns.head
-    val report = refs.map { ref =>
+    // artifacts are disjoint trees with independent sweeps — run them
+    // concurrently from driver threads (guide §2.6): serially, each
+    // artifact's many small rewrite jobs left the executors idle in
+    // every job tail while six more artifacts waited
+    val report = inParallel(refs) { ref =>
       if (!Files.exists(Paths.get(ref.path)))
         (ref.artifact, 0L, 0L, 0L)
       else {
@@ -682,23 +722,40 @@ object Forget {
       val sparse = tmp.resolve("sparse_postings").toString
       val bm25 = tmp.resolve("bm25_index").toString
       val phrase = tmp.resolve("phrase_index").toString
+      // subjects settle ONCE (bounded: ~1% of AuditDocs rows): every
+      // sweep's detection scan and rewrite jobs would otherwise re-run
+      // this documents scan + filter as part of their keys-distinct
       val subjects = Tables.documents(spark, dir)
         .filter(col("doc_id") < AuditDocs)
         .filter(col("doc_id") % AuditMod === AuditRes)
         .select(col("doc_id"))
-      val report = forgetWithDerived(spark, Seq(
+        .localCheckpoint(true)
+      // the three sweep groups touch disjoint trees under tmp — overlap
+      // them (guide §2.6) exactly like forgetWithDerived overlaps its
+      // per-artifact sweeps internally
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fReport = Future(forgetWithDerived(spark, Seq(
         DerivedRef("primary_documents", primary, "doc_id", Seq("source")),
         DerivedRef("sparse_postings", sparse, "doc_id"),
         DerivedRef("bm25_postings", s"$bm25/postings", "doc_id"),
         DerivedRef("bm25_doclen", s"$bm25/doclen", "doc_id"),
-        DerivedRef("phrase_index", phrase, "doc_id")), subjects)
+        DerivedRef("phrase_index", phrase, "doc_id")), subjects))
       // r13: the content-embedding targets go through their dedicated
       // sweeps (pack-closure rewrite; JSON-line shard rewrite) and join
       // the same compliance report
-      val (_, packTotal, packRemoved) = forgetPackedTotals(spark,
-        tmp.resolve("packed_assignments").toString, subjects)
-      val (_, jlTotal, jlRemoved) = forgetJsonlTotals(spark,
-        tmp.resolve("jsonl_export").toString, "$.doc_id", subjects)
+      val fPack = Future(forgetPackedTotals(spark,
+        tmp.resolve("packed_assignments").toString, subjects))
+      val fJl = Future(forgetJsonlTotals(spark,
+        tmp.resolve("jsonl_export").toString, "$.doc_id", subjects))
+      val (report, (_, packTotal, packRemoved), (_, jlTotal, jlRemoved)) =
+        try (Await.result(fReport, Duration.Inf),
+          Await.result(fPack, Duration.Inf),
+          Await.result(fJl, Duration.Inf))
+        finally { pool.shutdown(); () }
       import spark.implicits._
       val extra = Seq(
         ("packed_assignments", packRemoved, packTotal - packRemoved),
