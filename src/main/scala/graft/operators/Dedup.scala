@@ -100,25 +100,55 @@ object Dedup {
     if (sys.props.get("graft.explain.lineage").contains("true")) frame
     else frame.localCheckpoint(true)
 
+  /** In-group candidate pair generation (r18, guide §2.3/§2.4): given
+    * exploded (key, payload-struct) rows whose per-key group size is
+    * BOUNDED (a df cap, a prefix rule — never an unfiltered hot key),
+    * group by the key ONCE, sort the collected structs (lexicographic =
+    * by their first field, the doc id — unique within a group, so the
+    * order is total and deterministic), and emit every i<j pair from
+    * the sorted array. Replaces the classic two-leg self-equi-join,
+    * which (a) shuffles the exploded corpus TWICE (once per leg — or
+    * worse, broadcasts a whole exploded leg when fixture-scale size
+    * estimates allow it) and (b) re-derives the key-frequency aggregate
+    * under each leg because only the doc-grain frame is cached. Pair
+    * volume is identical (C(group,2) per key, the candidate-generation
+    * cost model is unchanged); the per-key array is bounded by the same
+    * cap that already bounds join fan-in, so task memory is bounded too.
+    * Emits (a, b, key-count) grains downstream aggregates consume
+    * exactly as they consumed the join output. */
+  private[graft] def groupedPairs(exploded: DataFrame, keyCol: String,
+      payload: Column): DataFrame =
+    exploded
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(payload)).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle candidate
-    * generation: |A∩B| counted by the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
+    * generation: |A∩B| counted by the co-occurrence count,
+    * |A∪B| = |A|+|B|−|A∩B|. */
   def shingleJaccardPairs(docs: DataFrame, threshold: Double,
       maxShingleDocFreq: Int = 1000): DataFrame = withCached(shingled(docs)) { sh =>
-    // the exploded frame feeds the frequent-shingle scan and BOTH legs of
-    // the pair join — deriving all three from the cached doc-level frame
-    // means the regex tokenize + shingle transform runs once, not 3×
+    // the exploded frame feeds the frequent-shingle scan and the pair
+    // grouping — deriving both from the cached doc-level frame means the
+    // regex tokenize + shingle transform runs once, not 2×
     val ex = sh.select(col("doc_id"), col("n_sh"), explode_outer(col("shingles")).as("sh"))
-    // drop ultra-frequent shingles before the pair join: the frequent set
-    // is tiny, so it broadcast-anti-joins with no extra shuffle (a window
-    // over every exploded shingle would full-shuffle the corpus)
+    // drop ultra-frequent shingles before the pair grouping: the frequent
+    // set is tiny, so it broadcast-anti-joins with no extra shuffle (a
+    // window over every exploded shingle would full-shuffle the corpus)
     val frequent = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDocFreq).select(col("sh"))
     val rare = ex.join(broadcast(frequent), Seq("sh"), "left_anti")
-    val a = rare.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
-    val b = rare.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    // ONE grouped shuffle + in-group i<j pairs replaces the two-leg
+    // self-join (see [[groupedPairs]]); group size ≤ maxShingleDocFreq
+    // by the cap above. Same pairs, same counts, same arithmetic.
+    groupedPairs(rare, "sh", struct(col("doc_id"), col("n_sh")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -170,6 +200,13 @@ object Dedup {
           expr(s"n_sh - (($t2Num * n_sh + ${t2Den - 1}) div $t2Den) + 1"))
         .filter(col("pos") <= col("plen"))
         .select(col("doc_id"), col("sh"))
+      // r18: the [[groupedPairs]] rewrite was MEASURED HERE AND REJECTED
+      // (4.2-4.4 s join form vs 6.1-6.7 s grouped, interleaved ×2 at
+      // sf0.1): unlike the capped-shingle joins, the prefix frame is
+      // df-ranked — most groups are size 1-2 — so the grouped agg pays
+      // a full extra aggregation of the prefix table for almost no
+      // join-volume saving, while the self-join's second leg is a cheap
+      // re-read of the cached shingles
       val cands = prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -675,12 +712,28 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val clusters = dupClusters(shingleJaccardPairs(docs, 0.8))
       .withColumnRenamed("cluster_id", "matched_cluster")
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    docs.select(col("doc_id"), col("n_chars"))
+    // r18 (guide §2.4): survivorship via ONE bounded aggregate over the
+    // MATCHED docs (pair-graph scale — the label table the closure just
+    // produced) instead of a row_number window over the whole corpus,
+    // which exchanged + sorted every row by cluster_id. The survivor of
+    // a cluster is its (max n_chars, then min doc_id) member =
+    // min(struct(−n_chars, doc_id)) — structs compare lexicographically.
+    // Singletons (not in the label table) keep themselves; a singleton's
+    // id can never equal a matched cluster's id (cluster ids are ids OF
+    // matched docs), so the left join below cannot mislabel one.
+    val slim = docs.select(col("doc_id"), col("n_chars"))
+    val survivors = clusters.join(slim, Seq("doc_id"))
+      .groupBy(col("matched_cluster").as("cluster_id"))
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("d")))
+        .as("s"))
+      .select(col("cluster_id"), col("s.d").as("survivor_id"))
+    slim
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("matched_cluster"), col("doc_id")))
-      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+      .join(survivors, Seq("cluster_id"), "left")
+      .withColumn("keep",
+        when(col("survivor_id").isNull || col("survivor_id") === col("doc_id"),
+          1).otherwise(0))
       .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
       .orderBy(col("doc_id"))
   }

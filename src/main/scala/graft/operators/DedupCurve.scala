@@ -78,7 +78,14 @@ object DedupCurve {
       val rare = exN.join(broadcast(hot), Seq("sh"), "left_anti")
       // one join, one agg: the co-occurrence count IS |rare(A∩B)| because
       // shingles are distinct within a doc — no candidate distinct(), no
-      // full-array re-join (scaladoc: the r10 verify-join was the cost)
+      // full-array re-join (scaladoc: the r10 verify-join was the cost).
+      // r18: the [[Dedup.groupedPairs]] rewrite was measured here and
+      // NOT adopted (3.7/3.8 s join vs 3.8/4.1 s grouped, interleaved
+      // ×2 at sf0.1): unlike the plain ngram pairs, each leg here is a
+      // cheap projection of the cached doc-grain frame (the hotSets
+      // join is broadcast and hot is empty at any sane Cap), so the
+      // grouped agg's extra serialization buys no second-derivation
+      // saving
       val a = rare.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
         col("nh").as("nh_a"), col("sh"))
       val b = rare.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),

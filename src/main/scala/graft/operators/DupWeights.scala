@@ -28,11 +28,21 @@ object DupWeights {
   def dupWeights(docs: DataFrame): DataFrame = {
     val clusters = Dedup.dupClusters(
       Dedup.shingleJaccardPairs(docs, 0.8))
+    // r18 (guide §2.4): cluster sizes from ONE bounded aggregate over
+    // the matched-docs label table (pair-graph scale) instead of a
+    // count() window over the whole corpus, which exchanged + sorted
+    // every row by cluster_id. Every member of a matched cluster is IN
+    // the label table, so the aggregate counts full cluster sizes;
+    // singletons (absent from it) have size 1, and a singleton's id can
+    // never equal a matched cluster's id (cluster ids are ids of
+    // matched docs) — so the left join cannot mis-size anyone.
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("sz"), lit(1L)))
       .withColumn("weight_milli", expr("1000 div cluster_size"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("weight_milli"))

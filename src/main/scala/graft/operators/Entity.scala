@@ -102,12 +102,15 @@ object Entity {
       // levenshtein verify removes — while the exploded join input
       // shrinks ~3x and the shuffle comparator becomes a long compare
       .select(col("id"), col("name"), xxhash64(col("blk"), col("dk")).as("k"))
-    // cache the keyed table: the self-join would otherwise evaluate the
-    // deletion-neighborhood expression — the operator's dominant cost at
-    // k = 2 — once per side (measured ~2x, SCALE.md r10)
-    val fast = Dedup.withCached(keyed) { k =>
-    k.as("a").join(k.as("b"), Seq("k"))
-      .filter(col("a.id") < col("b.id"))
+    // r18: in-group i<j pair generation ([[Dedup.groupedPairs]]) from ONE
+    // grouped shuffle of the keyed table replaces the cached two-leg
+    // self-join — which evaluated the deletion-neighborhood expression
+    // once per side before the r10 cache, and still shuffled the
+    // exploded keys twice after it. Key fan-in is name-structured and
+    // small (measured max 38 ids per key at sf0.1), so the per-key
+    // array is bounded; pairs and the verify are unchanged.
+    val fast = Dedup.groupedPairs(keyed, "k",
+        struct(col("id"), col("name")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
       // distinct BEFORE verify: on this workload the candidate stream
@@ -119,7 +122,6 @@ object Entity {
       .distinct()
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= maxEdit)
-    }
     if (maxEdit == 1) fast
     else {
       // brute-force leg for over-length rows: long × (everything in the

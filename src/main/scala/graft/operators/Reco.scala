@@ -45,10 +45,17 @@ object Reco {
     // (≤ rows) and `counts` item-grain (≪ rows), both MEMORY_AND_DISK
     // so an overflow spills instead of OOMing.
     Dedup.withCachedAll(items, counts) {
-      val co = items.as("a")
-        .join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
-        .groupBy(col("a.part").as("part"), col("b.part").as("other"))
+      // r18: one grouped shuffle by basket + in-basket ordered pairs
+      // (both orientations, a ≠ b) replaces the self-join's two
+      // exchanges of the incidence table; baskets are items-per-order
+      // bounded, so the per-order array is a handful of longs
+      val co = items.groupBy(col("ok"))
+        .agg(collect_list(col("part")).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(explode(col("ps")).as("part"), col("ps"))
+        .select(col("part"), explode(col("ps")).as("other"))
+        .filter(col("part") =!= col("other"))
+        .groupBy(col("part"), col("other"))
         .agg(count(lit(1)).as("n_co"))
         .filter(col("n_co") >= minCo)
       val w = Window.partitionBy(col("part"))

@@ -61,18 +61,19 @@ object SparseSim {
     // median and 1.62× run-to-run spread lived (VERDICT r12 item 2);
     // same expressions ⇒ same weights ⇒ the oracle hash is unchanged.
     val posted = buildPostings(docs)
-    // legs key on the integer shingle surrogate, never the string — the
-    // big shuffle moves 8-byte keys and the sort compares longs
-    val a = posted.select(col("doc_id").as("doc_a"), col("sh_id"),
-      col("wgt").as("wa"), col("n2").as("na2"))
-    val b = posted.select(col("doc_id").as("doc_b"), col("sh_id"),
-      col("wgt").as("wb"), col("n2").as("nb2"))
-    val dots = a.join(b, Seq("sh_id")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // the pair grouping keys on the integer shingle surrogate, never the
+    // string — the big shuffle moves 8-byte keys and the sort compares
+    // longs. r18: in-group i<j pair generation ([[Dedup.groupedPairs]],
+    // groups ≤ [[Cap]] postings) replaces the two-leg self-join — one
+    // postings shuffle instead of two, same pairs, same decimal dots
+    val dots = Dedup.groupedPairs(
+        posted.select(col("sh_id"), col("doc_id"), col("wgt"), col("n2")),
+        "sh_id", struct(col("doc_id"), col("wgt"), col("n2")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_shingles"),
-        sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))"))
+        sum(expr("CAST(a.wgt AS DECIMAL(19,0)) * CAST(b.wgt AS DECIMAL(19,0))"))
           .as("dot"),
-        first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
+        first(col("a.n2")).as("na2"), first(col("b.n2")).as("nb2"))
     // the pair aggregate feeds BOTH directions of the symmetric view —
     // materialize it once instead of re-running the candidate join
     Dedup.withCached(dots) { d =>
